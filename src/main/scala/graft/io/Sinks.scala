@@ -1,0 +1,33 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (SURVEY §2.1 S5-S7).
+  *
+  * The reference writes single CSV/XLSX files back to Box
+  * (etl_payroll_pipeline_demo.py:426-479,:744-799). Engine core emits CSV and
+  * Parquet; Excel is an adapter boundary (no POI jar — SURVEY §7.5).
+  */
+object Sinks {
+
+  /** Single headered CSV file (reference-parity shape, S5). `coalesce(1)` is
+    * deliberate and only valid for dim-scale outputs; large outputs use
+    * [[parquet]] with partitioning.
+    */
+  def singleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Scale-path sink: partitioned Parquet. Partition columns chosen by the
+    * caller to match the upstream shuffle key so the write adds no exchange.
+    */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Date-stamped output name (S7, reference etl_payroll_pipeline_demo.py:432):
+    * explicit runDate, never wall-clock (SURVEY §7.6 risk 4).
+    */
+  def stampedName(prefix: String, runDate: java.time.LocalDate, ext: String): String =
+    f"${prefix}_${runDate.getMonthValue}%02d${runDate.getDayOfMonth}%02d${runDate.getYear}.$ext"
+}

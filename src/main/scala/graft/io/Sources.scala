@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources + file catalog (SURVEY §2.1 S2-S4).
+  *
+  * The reference walks a Box folder tree into a file-catalog DataFrame
+  * (etl_payroll_pipeline_demo.py:40-61,:67-74,:110-117) and then regex-picks
+  * inputs from it. Storage here is any Hadoop-visible filesystem; Box/Excel
+  * are adapter-boundary concerns (SURVEY §7.5), not engine core.
+  */
+object Sources {
+
+  /** Read one named testdata table (`<dir>/<name>.parquet`). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Timestamp view of an epoch-nanos BIGINT column (events.ts is
+    * TIMESTAMP(NANOS) parquet, readable only via
+    * `spark.sql.legacy.parquet.nanosAsLong`): integer-divide to micros.
+    * DuckDB equivalent: `make_timestamp(epoch_ns(ts) // 1000)`.
+    */
+  def eventTs(colName: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"`$colName` div 1000"))
+
+  /** Recursive file catalog (S2): one row per file with name, path, extension,
+    * size, modification time — the engine-side equivalent of
+    * `list_files_recursive` (reference etl_payroll_pipeline_demo.py:40-61).
+    * Uses the binaryFile source's metadata columns; `content` is never
+    * selected, so only footers/listings are touched.
+    */
+  def catalog(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("path"),
+        lower(regexp_extract(col("path"), "(\\.[^./]+)$", 1)).as("extension"),
+        col("length").as("size"),
+        col("modificationTime").as("modified_at"))
+
+  /** Headered CSV with an explicit schema (S4 — inference is nondeterministic
+    * at scale; SURVEY §1.4 mandates explicit StructTypes).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication (SURVEY §2.7 D2-D4).
+  *
+  * pandas `drop_duplicates(subset=..., keep="first")` keeps the first row in
+  * the frame's CURRENT order (reference etl_payroll_pipeline_demo.py:339-343,
+  * :668,:695) — order that Spark's distributed collections don't have. The
+  * engine therefore requires an EXPLICIT ordering for keep-first dedup
+  * (SURVEY §7.6 risk 1); full-row dedup is order-free and maps to `distinct()`.
+  *
+  * Scale: one hash-partition shuffle on the business key — at 100 TB this is
+  * the dominant exchange of the pipeline, and downstream writes can reuse the
+  * same partitioning (SURVEY §4.2).
+  */
+object Dedup {
+
+  /** Keep the first row per key under the given total order (D2/D4). */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "keepFirst needs keys and an explicit order")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Full-row dedup (D3, reference etl_payroll_pipeline_demo.py:667,:693):
+    * order-insensitive, exact `distinct()` parity.
+    */
+  def fullRow(df: DataFrame): DataFrame = df.distinct()
+}

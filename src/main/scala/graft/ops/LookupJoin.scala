@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Guarded dim-lookup left joins (SURVEY §2.5 J1-J8, §2.7 D1).
+  *
+  * Every reference join is a left equi-join against a small, pre-deduplicated
+  * lookup table (reference etl_payroll_pipeline_demo.py:289-308,:598-658), with
+  * a warn-only row-count fan-out guard (`safe_merge_left`, :233-240).
+  *
+  * Scale posture (SURVEY §4.2): dims get an explicit `broadcast()` hint; at
+  * 100 TB fact scale, AQE demotes to sort-merge automatically when a dim
+  * outgrows `spark.sql.autoBroadcastJoinThreshold`, with no code change here.
+  * The fact side is never shuffled by these joins.
+  */
+object LookupJoin {
+
+  /** Dedup the dim's projected columns (D1, reference
+    * etl_payroll_pipeline_demo.py:290,:294,:305,...) and broadcast-left-join on
+    * shared key names. Join keys are emitted once (USING-style).
+    */
+  def lookupLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 dimCols: Seq[String] = Nil, hint: Boolean = true): DataFrame = {
+    val projected = if (dimCols.isEmpty) dim else dim.select((keys ++ dimCols).distinct.map(col): _*)
+    val deduped = projected.dropDuplicates()
+    fact.join(if (hint) broadcast(deduped) else deduped, keys, "left")
+  }
+
+  /** Asymmetric-key variant (J3/J6: `left_on != right_on`, reference
+    * etl_payroll_pipeline_demo.py:293-302). Caller supplies the join condition;
+    * the right key column is dropped after the join (pandas `merge` keeps both,
+    * the reference then drops/ignores it, :308).
+    */
+  def lookupLeftOn(fact: DataFrame, dim: DataFrame, cond: Column,
+                   dropRight: Seq[String] = Nil, hint: Boolean = true): DataFrame = {
+    val deduped = dim.dropDuplicates()
+    val joined = fact.join(if (hint) broadcast(deduped) else deduped, cond, "left")
+    dropRight.foldLeft(joined)(_.drop(_))
+  }
+
+  /** Post-join fallback (J3: `fillna(Department Name)`, reference
+    * etl_payroll_pipeline_demo.py:297-302): prefer the dim's value, fall back
+    * to the fact's own column when the lookup missed.
+    */
+  def withFallback(df: DataFrame, outCol: String, primary: Column, fallback: Column): DataFrame =
+    df.withColumn(outCol, coalesce(primary, fallback))
+
+  /** Dim keys that would fan out a left join (J1 guard, reference
+    * etl_payroll_pipeline_demo.py:233-240). Cheaper than the reference's
+    * before/after full-fact counts: only the dim is aggregated.
+    */
+  def keyViolations(dim: DataFrame, keys: Seq[String]): DataFrame =
+    dim.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  /** Reference-shaped guard: (before, after) row counts around a join as a
+    * 1-row DataFrame — lazy, so Verify/Bench can recompute it.
+    */
+  def rowcountGuard(fact: DataFrame, joined: DataFrame): DataFrame =
+    fact.agg(count(lit(1)).as("before_cnt"))
+      .crossJoin(joined.agg(count(lit(1)).as("after_cnt")))
+      .withColumn("fanout", col("after_cnt") - col("before_cnt"))
+}
