@@ -34,6 +34,13 @@ object Normalize {
   def astypeStr(c: Column): Column =
     coalesce(c.cast("string"), lit("nan"))
 
+  /** `strip_decimal_str` in its EXACT reference form: `astype(str)` first, so a
+    * null code becomes the string "nan" before the ".0" strip (reference
+    * etl_payroll_pipeline_demo.py:219-222 — fed by `:259,:272-273`).
+    */
+  def stripDecimalNan(c: Column): Column =
+    regexp_replace(trim(astypeStr(c)), "\\.0$", "")
+
   /** NA-preserving string cast + trim (`ensure_string`, reference
     * etl_payroll_pipeline_demo.py:228-231).
     */

@@ -30,6 +30,14 @@ object Temporal {
     (LocalDate.of(fyEndYear - 1, 7, 1), LocalDate.of(fyEndYear, 6, 30))
   }
 
+  /** The CPA pipeline's fiscal window is CALENDAR-year based, ignoring the
+    * current month (reference etl_payroll_pipeline_demo.py:499-503:
+    * `fy_start = datetime(current_year - 1, 7, 1)` always): Jul 1 of last
+    * year through Jun 30 of this year, even in August.
+    */
+  def calendarFiscalYearBounds(runDate: LocalDate): (LocalDate, LocalDate) =
+    (LocalDate.of(runDate.getYear - 1, 7, 1), LocalDate.of(runDate.getYear, 6, 30))
+
   /** Closed fiscal-year range predicate (F6, reference
     * etl_payroll_pipeline_demo.py:515-518).
     */
