@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.Q
+import graft.queries.{Q, Qext}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -8,10 +8,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Q.qPipelinePretam(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2 (names = §2.12). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Q.all
+  /** One entry per implemented operator from SURVEY.md §2 (names = §2.12)
+    * plus the §7.8 extension operators (q_ext_*). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Q.all ++ Qext.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Q.oracle
+  def oracleSql: Map[String, String] = Q.oracle ++ Qext.oracle
 }

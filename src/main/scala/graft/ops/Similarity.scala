@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §7.8): cosine/dot expressions over
+  * `array<float>` columns, brute-force top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed ANN as the scale path.
+  *
+  * All arithmetic is done in double after an explicit element cast, summing in
+  * array order — deterministic and engine-portable (matches an oracle that
+  * sums in list order).
+  *
+  * Scale posture: the query set is broadcast; candidates stream through one
+  * scan. Brute force is O(|queries| * n) with a top-k window shuffled by
+  * query id; the LSH variant first buckets candidates by signature so each
+  * query only scans its bucket (collision-rate-bounded, not n).
+  */
+object Similarity {
+
+  /** Element-wise cast to double (float32 parquet vectors → stable math). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product, summed in array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates (ties broken by candidate id ascending). Queries are
+    * broadcast; each candidate partition computes scores map-side; the only
+    * shuffle is the per-query top-k window, bounded by |queries| partitions.
+    *
+    * Returns (queryIdCol, candidate idCol, score, rank).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     scoreDecimals: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `nbits` unit-free direction vectors of
+    * dimension `dim`, from a seeded RNG (no wall-clock, no Spark randomness).
+    */
+  def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nbits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature of a vector under the given hyperplanes. */
+  def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: candidates and queries are signed with
+    * the same hyperplanes; each query scans only candidates sharing its
+    * bucket, then ranks by exact cosine. Recall is tuned by `nbits` (fewer
+    * bits → bigger buckets → higher recall, more work).
+    */
+  def annTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nbits: Int = 8, dim: Int = 64,
+              scoreDecimals: Int = 6): DataFrame = {
+    val planes = hyperplanes(nbits, dim)
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__bucket", lshSignature(col("__qv"), planes))
+    val c = candidates.select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", lshSignature(col("__cv"), planes))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (id_a < id_b),
+    * LSH-blocked so only same-bucket pairs are compared.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nbits: Int = 6, dim: Int = 64,
+                     scoreDecimals: Int = 6): DataFrame = {
+    val planes = hyperplanes(nbits, dim)
+    val v = df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", lshSignature(col("__v"), planes))
+    val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__bucket"))
+    val b = v.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__bucket"))
+    a.join(b, "__bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("__va"), col("__vb")), scoreDecimals))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score").distinct()
+  }
+}

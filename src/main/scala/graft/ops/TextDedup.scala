@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines (SURVEY §7.8): exact
+  * content-hash dedup, MinHash+LSH near-dup, SimHash near-dup, and n-gram
+  * Jaccard — all as Spark-native column expressions + relational plans; no
+  * driver-side loops, no O(n²) full cross product.
+  *
+  * Scale posture: exact dedup is one hash-partition shuffle on the content
+  * hash. MinHash-LSH is the scale path for near-dup: signatures are computed
+  * map-side per document, the bucket join explodes each doc into `bands` rows
+  * (a constant factor), and only same-bucket pairs are compared — candidate
+  * count is driven by collision rate, not n². Verification Jaccard runs on
+  * the candidate pairs only.
+  */
+object TextDedup {
+
+  /** Canonical text form: lowercase, whitespace collapsed, trimmed. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Deterministic content hash of the normalized text (md5 hex — matches
+    * DuckDB's md5() for oracle checks).
+    */
+  def contentHash(c: Column): Column = md5(normalizeText(c))
+
+  /** Exact dedup: keep the first document per content hash under the explicit
+    * tie-break order (one shuffle on the hash).
+    */
+  def exactDedup(df: DataFrame, textCol: String, tieBreak: Seq[Column]): DataFrame =
+    Dedup.keepFirst(
+      df.withColumn("__content_hash", contentHash(col(textCol))),
+      keys = Seq("__content_hash"), order = tieBreak)
+
+  /** Word n-gram shingles. Documents shorter than `n` tokens collapse to a
+    * single whole-text shingle so they still participate.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(normalizeText(c)))
+  }
+
+  /** MinHash signature: k independent hash functions, each the min over the
+    * shingle set of xxhash64(shingle, hashIndex). Pure expression — computed
+    * map-side, no shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shinglesCol, x => xxhash64(x, s))))
+
+  /** Exact Jaccard similarity of two string arrays (used to verify LSH
+    * candidates; also the direct n-gram Jaccard operator).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** LSH banding: one row per (doc, band) with a bucket hash of the band's
+    * signature slice. Self-joining on (band, bucket) yields candidate pairs.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: String,
+                 bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact shingle Jaccard.
+    *
+    * numHashes = bands * rowsPerBand. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.6): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val prepared = df.select(col(idCol), col(textCol))
+      .withColumn("__shingles", shingles(col(textCol), shingleN))
+      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+
+    val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sa = prepared.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val sb = prepared.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Direct n-gram Jaccard near-dup with a cheap blocking key (shared first
+    * shingle minhash) — the quadratic fallback for small corpora; LSH above
+    * is the scale path.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val prepared = df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+      .withColumn("__block", array_min(transform(col("__sh"), x => xxhash64(x))))
+    val a = prepared.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"), col("__block"))
+    val b = prepared.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"), col("__block"))
+    a.join(b, "__block").filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard").distinct()
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit position, tokens vote
+    * +1/-1 by their xxhash64 bit; the sign becomes the fingerprint bit.
+    * Expression-only (nested higher-order functions), computed map-side.
+    */
+  def simhash64(tokensCol: Column): Column = {
+    // Bit positions are unrolled in Scala (shift amounts must be literals in
+    // the DSL); the per-token work stays one xxhash64 + 64 bit tests.
+    val votes = aggregate(tokensCol,
+      array((0 until 64).map(_ => lit(0)): _*),
+      (acc, tk) => zip_with(acc,
+        array((0 until 64).map(j =>
+          when(shiftright(xxhash64(tk), j).bitwiseAND(lit(1L)) === 1L, lit(1))
+            .otherwise(lit(-1))): _*),
+        (x, y) => x + y))
+    val weights = array((0 until 64).map(j => lit(1L << j)): _*)
+    aggregate(zip_with(votes, weights,
+        (v, w) => when(v > 0, w).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 16-bit quarters of the fingerprint
+    * (any pair within Hamming distance <= 3 of a 64-bit hash shares at least
+    * one exact quarter — pigeonhole), then verify the full distance.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol),
+      simhash64(tokens(col(textCol))).as("__simhash"))
+    val quarters = withSim.select(col(idCol), col("__simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("__simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("q", "qval")))
+    val a = quarters.select(col(idCol).as("id_a"), col("__simhash").as("__sim_a"),
+      col("q"), col("qval"))
+    val b = quarters.select(col(idCol).as("id_b"), col("__simhash").as("__sim_b"),
+      col("q"), col("qval"))
+    a.join(b, Seq("q", "qval")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sim_a", "__sim_b").distinct()
+      .withColumn("hamming", hamming(col("__sim_a"), col("__sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

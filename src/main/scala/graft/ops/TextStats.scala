@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §7.8): token counting,
+  * quality metrics, n-gram-heuristic language ID, and document
+  * fingerprinting. Pure column expressions — codegen-friendly, oracle-checkable.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column = size(TextDedup.tokens(c))
+
+  /** BPE-ish token count: letter runs, single digits, and single
+    * non-alphanumeric marks each count as one token (a crude but
+    * deterministic proxy for subword tokenizers).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeishPattern), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.,;:!?'\"()]"), lit(0)))
+
+  /** Stopword occurrences (whole-word, lowercase). */
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
+    size(regexp_extract_all(lower(c),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality metrics bundle: length, token counts, mean token length,
+    * punctuation ratio, stopword ratio. Ratios are rounded to 4 places for
+    * engine-portable comparison.
+    */
+  def qualityMetrics(c: Column): Seq[(String, Column)] = {
+    val nChars = length(c)
+    val nTokens = wsTokenCount(c)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_token_len" -> round(length(regexp_replace(TextDedup.normalizeText(c), " ", ""))
+        .cast("double") / nTokens, 4),
+      "punct_ratio" -> round(punctCount(c).cast("double") / nChars, 4),
+      "stopword_ratio" -> round(stopwordCount(c, defaultStopwords).cast("double") / nTokens, 4))
+  }
+
+  /** Marker-word profiles for the n-gram language-ID heuristic. Tiny on
+    * purpose: language ID at scale is profile-scoring, and the engine side of
+    * that is these counting expressions; richer profiles are data, not code.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "is", "not"),
+    "es" -> Seq("el", "la", "de", "es", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "que"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Per-language marker score: whole-word occurrence count. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(lower(c),
+      lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+
+  /** Predicted language: argmax of marker scores, ties to the
+    * alphabetically-first language, all-zero → "und".
+    */
+  def langId(c: Column): Column = {
+    val scores = langProfiles.map { case (lang, markers) => (lang, langScore(c, markers)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** OpenRefine-style document fingerprint: md5 of the sorted distinct
+    * normalized tokens — collapses reorderings and repetitions.
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(TextDedup.tokens(c))), " "))
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.ops._
+
+/** Extension queries (SURVEY §7.8): training-data pipeline operators over the
+  * `documents`, `embeddings`, and `events` tables — dedup family, similarity
+  * search, text analysis, JSON extraction, event-time aggregation.
+  *
+  * Oracle policy: exact SQL oracles wherever the computation is
+  * engine-portable (hashes, counts, rounded double math); hash-seeded
+  * operators (xxhash64 minhash/simhash, seeded hyperplanes) have no DuckDB
+  * equivalent and are declared without oracle (driver rows-only check) but
+  * covered by ScalaTest specs instead.
+  */
+object Qext {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(spark, dir, name)
+
+  // ------------------------------------------------------------ dedup
+
+  /** Exact content-hash dedup: keep smallest doc_id per normalized-text md5. */
+  def qExtDedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDedup(t(spark, dir, "documents"), "text", Seq(col("doc_id")))
+      .select(col("doc_id"), col("__content_hash").as("content_hash"))
+      .orderBy("doc_id")
+
+  /** MinHash+LSH near-dup pairs (no oracle: xxhash64-seeded). */
+  def qExtDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (no oracle: xxhash64-seeded). */
+  def qExtDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Blocked n-gram Jaccard pairs (no oracle: xxhash64 blocking key). */
+  def qExtDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(
+        t(spark, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** Exact embedding-cosine near-dup pairs on a bounded probe set — the
+    * oracle-checkable baseline for [[Similarity.cosineNearDups]].
+    */
+  def qExtDedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val a = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("id_a"), Similarity.toDouble(col("embedding")).as("__va"))
+    val b = e.select(col("vec_id").as("id_b"), Similarity.toDouble(col("embedding")).as("__vb"))
+    b.crossJoin(broadcast(a))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("score") >= 0.4)
+      .select("id_a", "id_b", "score")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-5 for the first 8 vectors as queries. */
+  def qExtSimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-5 (no oracle: seeded hyperplanes). */
+  def qExtSimAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.annTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, nbits = 6, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------- text analysis
+
+  def qExtTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy("doc_id")
+
+  def qExtQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = TextStats.qualityMetrics(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  def qExtLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def qExtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------- events (JSON, time)
+
+  def qExtJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') as int)").as("k_int"))
+      .orderBy("event_id")
+
+  /** Event-time daily aggregation per user (the batch shape of the streaming
+    * windowed count; ts read as epoch-nanos, converted via Sources.eventTs).
+    */
+  def qExtEventsDaily(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("day", Sources.eventTs("ts").cast("date").cast("string"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"))
+      .orderBy("user_id", "day")
+
+  // ============================================================ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ext_dedup_exact" -> (qExtDedupExact _),
+    "q_ext_dedup_minhash" -> (qExtDedupMinhash _),
+    "q_ext_dedup_simhash" -> (qExtDedupSimhash _),
+    "q_ext_dedup_ngram_jaccard" -> (qExtDedupNgramJaccard _),
+    "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
+    "q_ext_sim_topk" -> (qExtSimTopk _),
+    "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
+    "q_ext_token_count" -> (qExtTokenCount _),
+    "q_ext_quality_score" -> (qExtQualityScore _),
+    "q_ext_lang_id" -> (qExtLangId _),
+    "q_ext_fingerprint" -> (qExtFingerprint _),
+    "q_ext_json_extract" -> (qExtJsonExtract _),
+    "q_ext_events_daily" -> (qExtEventsDaily _),
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  val oracle: Map[String, String] = Map(
+    "q_ext_dedup_exact" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id, md5($normSql) AS content_hash FROM documents
+         |), ranked AS (
+         |  SELECT doc_id, content_hash,
+         |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |  FROM hashed
+         |)
+         |SELECT doc_id, content_hash FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_ext_dedup_embed_cosine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb))
+        |                         * sqrt(list_dot_product(b.emb, b.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(a.emb, b.emb)
+        |                    / (sqrt(list_dot_product(a.emb, a.emb))
+        |                       * sqrt(list_dot_product(b.emb, b.emb))) END, 6) AS score
+        |  FROM v a, v b WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, score FROM pairs WHERE score >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ext_sim_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM v q, v c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ext_token_count" ->
+      s"""SELECT doc_id,
+         |  len(str_split($normSql, ' ')) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ext_quality_score" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(str_split($normSql, ' ')) AS n_tokens,
+         |  round(length(regexp_replace($normSql, ' ', '', 'g'))::DOUBLE
+         |        / len(str_split($normSql, ' ')), 4) AS mean_token_len,
+         |  round(len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
+         |        / length(text), 4) AS punct_ratio,
+         |  round(len(regexp_extract_all(lower(text),
+         |        '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+         |        / len(str_split($normSql, ' ')), 4) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ext_lang_id" ->
+      """WITH scores AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|not)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|es|que)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|et|est|que)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(de|shi|le|bu|wo)\b')) AS s_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "q_ext_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(str_split($normSql, ' '))), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ext_json_extract" ->
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ext_events_daily" ->
+      """SELECT user_id,
+        |  CAST(CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n_events,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |FROM events GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+  )
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 0
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+    (5L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))   // zero vector
+    .toDF("vec_id", "embedding")
+
+  "cosine" should "compute cosine similarity with zero-norm guard" in {
+    def cos(a: Long, b: Long): Double = {
+      val va = vecs.filter($"vec_id" === a).select(Similarity.toDouble($"embedding")).as[Seq[Double]].head()
+      val vb = vecs.filter($"vec_id" === b).select(Similarity.toDouble($"embedding")).as[Seq[Double]].head()
+      Seq((va, vb)).toDF("x", "y").select(Similarity.cosine($"x", $"y")).as[Double].head()
+    }
+    cos(0, 1) shouldBe 1.0 +- 1e-9
+    cos(0, 3) shouldBe 0.0 +- 1e-9
+    cos(0, 4) shouldBe -1.0 +- 1e-9
+    cos(0, 5) shouldBe 0.0 +- 1e-9 // zero-norm guard
+  }
+
+  "bruteForceTopK" should "rank exact nearest neighbors with id tie-break" in {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    top shouldBe Array(1L, 2L, 3L) // 1.0, ~0.994, 0.0
+  }
+
+  "annTopK" should "return the identical vector first for its own bucket" in {
+    val top = Similarity.annTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
+      k = 3, nbits = 4, dim = 4)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    top.headOption shouldBe Some(1L) // identical vector always shares the bucket
+  }
+
+  "cosineNearDups" should "find high-cosine pairs" in {
+    val pairs = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.9, nbits = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain(0L -> 1L)
+  }
+
+  "hyperplanes" should "be deterministic for a fixed seed" in {
+    val a = Similarity.hyperplanes(4, 8, seed = 7L).map(_.toSeq)
+    val b = Similarity.hyperplanes(4, 8, seed = 7L).map(_.toSeq)
+    a shouldBe b
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  "wsTokenCount" should "count whitespace tokens after normalization" in {
+    val out = Seq("a  b\tc", "single").toDF("t")
+      .select(TextStats.wsTokenCount($"t")).as[Int].collect()
+    out shouldBe Array(3, 1)
+  }
+
+  "bpeishTokenCount" should "count letter runs, digits, and marks" in {
+    val out = Seq("hello world 42!").toDF("t")
+      .select(TextStats.bpeishTokenCount($"t")).as[Int].collect()
+    out shouldBe Array(5) // hello, world, 4, 2, !
+  }
+
+  "langId" should "pick the language with most marker hits, und when none" in {
+    val out = Seq(
+      "the cat and the dog is not here",
+      "el gato es que la casa de madrid",
+      "der hund ist nicht und die katze",
+      "xyzzy qwerty")
+      .toDF("t").select(TextStats.langId($"t")).as[String].collect()
+    out shouldBe Array("en", "es", "de", "und")
+  }
+
+  it should "break score ties to the alphabetically first language" in {
+    // "la" and "que" are markers for both es and fr → tie → es
+    val out = Seq("la que").toDF("t").select(TextStats.langId($"t")).as[String].collect()
+    out shouldBe Array("es")
+  }
+
+  "fingerprint" should "collapse token order and repetition" in {
+    val fps = Seq("b a a c", "c b a", "a b d").toDF("t")
+      .select(TextStats.fingerprint($"t")).as[String].collect()
+    fps(0) shouldBe fps(1)
+    fps(0) should not be fps(2)
+  }
+
+  "qualityMetrics" should "produce the expected bundle" in {
+    val m = TextStats.qualityMetrics(col("t"))
+    val row = Seq("The cat, the hat.").toDF("t")
+      .select(m.map { case (n, c) => c.as(n) }: _*).collect().head
+    row.getAs[Int]("n_chars") shouldBe 17
+    row.getAs[Int]("n_tokens") shouldBe 4
+    row.getAs[Double]("punct_ratio") shouldBe (2.0 / 17) +- 1e-3
+    row.getAs[Double]("stopword_ratio") shouldBe 0.5 +- 1e-9
+  }
+}
