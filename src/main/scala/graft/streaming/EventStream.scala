@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema (event_id, ts,
+  * user_id, event_type, value, props).
+  *
+  * The reference is batch-only (GitHub-Actions triggered), so this module is
+  * the engine's forward-looking stream path: the same event-time aggregation
+  * shapes as `Qext.qExtEventsDaily`, expressed as an unbounded query with
+  * watermarked state, plus gap-based sessionization via
+  * flatMapGroupsWithState (custom state the built-in window can't express).
+  *
+  * Scale posture: state is keyed by (window, user) / user — partitioned by
+  * key across executors; the watermark bounds state size; no collect, no
+  * global state.
+  */
+object EventStream {
+
+  /** Tumbling event-time window counts per user with a watermark. Works on
+    * any events-shaped frame, batch or streaming.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("user_id"), col("n_events"), col("n_errors"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization: a user's session closes after `gapMs` of
+    * event-time silence (tracked via processing-time timeout for stream use).
+    * This is the mapGroupsWithState shape — custom state beyond built-in
+    * windows.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

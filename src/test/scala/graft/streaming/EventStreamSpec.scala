@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def batchEvents = Seq(
+    EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    EventStream.Event(2, ts("2024-01-01 00:10:00"), 1, "error", 2.0),
+    EventStream.Event(3, ts("2024-01-01 01:05:00"), 1, "click", 3.0),
+    EventStream.Event(4, ts("2024-01-01 00:30:00"), 2, "click", 4.0)).toDS()
+
+  "windowedCounts" should "aggregate per event-time window and user (batch parity)" in {
+    val out = EventStream.windowedCounts(batchEvents.toDF())
+      .orderBy("user_id", "window_start").collect()
+    out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+      r.getAs[Long]("n_errors"))) shouldBe
+      Array((1L, 2L, 1L), (1L, 1L, 0L), (2L, 1L, 0L))
+  }
+
+  it should "run as a streaming query over MemoryStream" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val query = EventStream.windowedCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-01 00:20:00"), 1, "error", 2.0))
+      query.processAllAvailable()
+      // advance watermark far enough to close the first hour's window
+      input.addData(EventStream.Event(9, ts("2024-01-01 02:30:00"), 9, "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .filter(col("user_id") === 1).collect()
+      rows.length shouldBe 1
+      rows.head.getAs[Long]("n_events") shouldBe 2
+      rows.head.getAs[Long]("n_errors") shouldBe 1
+    } finally query.stop()
+  }
+
+  "sessionize" should "split on the event-time gap in batch mode" in {
+    val events = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 0),
+      EventStream.Event(2, ts("2024-01-01 00:10:00"), 1, "b", 0),
+      EventStream.Event(3, ts("2024-01-01 03:00:00"), 1, "c", 0), // > 1h gap → new session
+      EventStream.Event(4, ts("2024-01-01 00:00:00"), 2, "d", 0)).toDS()
+    // batch flatMapGroupsWithState: timeouts never fire; only CLOSED sessions
+    // are emitted, so the trailing open session per user stays in state.
+    val sessions = EventStream.sessionize(events, gapMs = 3600 * 1000L).collect()
+    sessions.length shouldBe 1
+    val s = sessions.head
+    (s.user_id, s.n_events) shouldBe ((1L, 2L))
+    s.session_start shouldBe ts("2024-01-01 00:00:00")
+    s.session_end shouldBe ts("2024-01-01 00:10:00")
+  }
+}
