@@ -48,13 +48,45 @@ object TextDedup {
       .otherwise(array(normalizeText(c)))
   }
 
-  /** MinHash signature: k independent hash functions, each the min over the
-    * shingle set of xxhash64(shingle, hashIndex). Pure expression — computed
-    * map-side, no shuffle.
+  /** Mersenne prime 2^31-1: the universal-hash modulus. Keeping a, b, h below
+    * it bounds every product under 2^62 — no ANSI overflow.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shinglesCol, x => xxhash64(x, s))))
+  private val MersenneP = 2147483647L
+
+  /** Deterministic (a, b) pairs for the universal hash family mod 2^31-1. */
+  private def hashFamily(k: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(987654321L)
+    Seq.fill(k)((rng.nextInt((MersenneP - 1).toInt).toLong + 1L,
+      rng.nextInt(MersenneP.toInt).toLong))
+  }
+
+  /** MinHash signature: k independent hash functions as linear transforms
+    * `a_i * h + b_i` of ONE xxhash64 per shingle (the classic
+    * one-hash-then-permute family). The shingle hash is bound as the
+    * aggregate's lambda variable, so each string is hashed exactly once and
+    * the k-way work is k long multiply-adds per shingle — map-side, no
+    * shuffle, no repeated string traversal.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val fam = hashFamily(numHashes)
+    aggregate(
+      transform(shinglesCol, x => pmod(xxhash64(x), lit(MersenneP))),
+      array(fam.map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => zip_with(acc,
+        array(fam.map { case (a, b) =>
+          pmod(h * lit(a) + lit(b), lit(MersenneP)) }: _*),
+        (m, v) => least(m, v)))
+  }
+
+  /** Spread a frame across all cores before per-row-expensive expression
+    * work. Small single-file inputs otherwise arrive as ONE partition and the
+    * signature computation runs serially; at real scale the input already has
+    * enough splits and this is a no-op.
+    */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exact Jaccard similarity of two string arrays (used to verify LSH
     * candidates; also the direct n-gram Jaccard operator).
@@ -84,9 +116,16 @@ object TextDedup {
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val prepared = df.select(col(idCol), col(textCol))
+    // PERSIST is load-bearing: without it Catalyst collapses the projection
+    // and re-inlines the O(shingles × numHashes) signature expression into
+    // the bucket explode AND both sides of the candidate join (measured 37×
+    // slowdown at sf0.1). This is the standard LSH "materialize the
+    // signature table" step; MEMORY_AND_DISK spills instead of OOMing at
+    // scale.
+    val prepared = parallelize(df.select(col(idCol), col(textCol)))
       .withColumn("__shingles", shingles(col(textCol), shingleN))
       .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
     val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
@@ -109,8 +148,10 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val prepared = df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+    val prepared = parallelize(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
       .withColumn("__block", array_min(transform(col("__sh"), x => xxhash64(x))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prepared.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"), col("__block"))
     val b = prepared.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"), col("__block"))
     a.join(b, "__block").filter(col("id_a") < col("id_b"))
@@ -125,12 +166,15 @@ object TextDedup {
     */
   def simhash64(tokensCol: Column): Column = {
     // Bit positions are unrolled in Scala (shift amounts must be literals in
-    // the DSL); the per-token work stays one xxhash64 + 64 bit tests.
-    val votes = aggregate(tokensCol,
+    // the DSL). Aggregating over the pre-hashed token array binds the hash as
+    // the lambda variable: one xxhash64 per token, then 64 bit tests on the
+    // long — not 64 string hashes.
+    val votes = aggregate(
+      transform(tokensCol, t => xxhash64(t)),
       array((0 until 64).map(_ => lit(0)): _*),
-      (acc, tk) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         array((0 until 64).map(j =>
-          when(shiftright(xxhash64(tk), j).bitwiseAND(lit(1L)) === 1L, lit(1))
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1))
             .otherwise(lit(-1))): _*),
         (x, y) => x + y))
     val weights = array((0 until 64).map(j => lit(1L << j)): _*)
@@ -148,8 +192,9 @@ object TextDedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol),
-      simhash64(tokens(col(textCol))).as("__simhash"))
+    val withSim = parallelize(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhash64(tokens(col(textCol))).as("__simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarters = withSim.select(col(idCol), col("__simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("__simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -57,7 +57,9 @@ object Qext {
     val e = t(spark, dir, "embeddings")
     val a = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("id_a"), Similarity.toDouble(col("embedding")).as("__va"))
-    val b = e.select(col("vec_id").as("id_b"), Similarity.toDouble(col("embedding")).as("__vb"))
+    // single-file input → spread candidates across cores for the scoring pass
+    val b = e.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_b"), Similarity.toDouble(col("embedding")).as("__vb"))
     b.crossJoin(broadcast(a))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score", round(Similarity.cosine(col("__va"), col("__vb")), 6))

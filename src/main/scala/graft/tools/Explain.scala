@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection harness: prints the formatted physical plan of one query
+  * (or a pushdown/broadcast/codegen summary of all).
+  * Usage: `sbt "runMain graft.tools.Explain [queryName] [sfDir]"`.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("all")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queries = graft.SparkEntry.queries
+    if (name == "all") {
+      queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val nScan = "Scan parquet".r.findAllIn(plan).length
+        val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
+          .filterNot(_.contains("[]")).length
+        val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+        val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+        val nEx = "Exchange".r.findAllIn(plan).length
+        val nWsc = ("\\*\\(\\d+\\)".r.findAllIn(plan).map(identity).toSet.size)
+        println(f"$n%-28s scans=$nScan pushedFilters=$pushed bhj=$nBhj smj=$nSmj exchanges=$nEx codegenSpans=$nWsc")
+      }
+    } else {
+      queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
