@@ -113,6 +113,24 @@ object Qext {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  // --------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing over synthetic media (documents text as fake binary
+    * payloads): partition-wise stub decode → 16-dim features → per-doc
+    * feature summary. No oracle (mapPartitions is not SQL-expressible);
+    * deterministic by construction, covered by MultimodalSpec.
+    */
+  def qExtMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      t(spark, dir, "documents"), "doc_id", "text", kind = "image")
+    Multimodal.fakeDecodeFeatures(media, dims = 16).toDF()
+      .select(col("media_id"), col("kind"),
+        round(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 4).as("feature_sum"),
+        round(array_max(transform(col("features"), _.cast("double"))), 4).as("feature_max"))
+      .orderBy("media_id")
+  }
+
   // ------------------------------------------------- events (JSON, time)
 
   def qExtJsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -148,6 +166,7 @@ object Qext {
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
+    "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
   )
 
   private val normSql =

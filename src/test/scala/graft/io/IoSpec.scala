@@ -1,0 +1,67 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  "Sources.catalog" should "list files recursively with name/extension/size metadata" in {
+    val root = Files.createTempDirectory("graft_catalog").toFile
+    val sub = new java.io.File(root, "nested/deeper"); sub.mkdirs()
+    Files.writeString(new java.io.File(root, "PUA_2026.xlsx").toPath, "aaa")
+    Files.writeString(new java.io.File(sub, "cert_CPA_bw.csv").toPath, "bbbb")
+
+    val cat = Sources.catalog(spark, root.getAbsolutePath)
+    cat.columns shouldBe Array("file_name", "path", "extension", "size", "modified_at")
+    val rows = cat.orderBy("file_name").collect()
+    rows.map(_.getString(0)) shouldBe Array("PUA_2026.xlsx", "cert_CPA_bw.csv")
+    rows.map(_.getString(2)) shouldBe Array(".xlsx", ".csv")
+    rows.map(_.getLong(3)) shouldBe Array(3L, 4L)
+  }
+
+  it should "support the reference's regex file-pick composed on top (F1/F2/O1)" in {
+    val root = Files.createTempDirectory("graft_pick").toFile
+    Seq("a_PUA_x.xlsx", "b_CPA_y.xlsx", "notes.txt").foreach(n =>
+      Files.writeString(new java.io.File(root, n).toPath, "z"))
+    val picked = Sources.catalog(spark, root.getAbsolutePath)
+      .filter(col("file_name").rlike("(?i)(^|[\\s_])CPA([\\s_]|$)") &&
+        col("extension").isin(".xlsx", ".xls"))
+      .orderBy("path").limit(1)
+    picked.collect().map(_.getString(0)) shouldBe Array("b_CPA_y.xlsx")
+  }
+
+  "Sources.csv + Sinks.singleCsv" should "round-trip with an explicit schema" in {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a", "2026-01-01"), (2L, "b", "bogus"))
+      .toDF("id", "name", "when_str")
+    Sinks.singleCsv(df, s"$dir/out")
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("when_str", StringType)))
+    val back = Sources.csv(spark, s"$dir/out", schema)
+    back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "a"), (2L, "b"))
+    // single-file parity: exactly one part file (reference writes one CSV)
+    new java.io.File(s"$dir/out").listFiles().count(_.getName.endsWith(".csv")) shouldBe 1
+  }
+
+  "Sinks.parquet" should "write partitioned output" in {
+    val dir = Files.createTempDirectory("graft_pq").toString
+    val df = Seq((1, "A"), (2, "B"), (3, "A")).toDF("id", "part_key")
+    Sinks.parquet(df, s"$dir/out", partitionBy = Seq("part_key"))
+    val back = spark.read.parquet(s"$dir/out")
+    back.count() shouldBe 3
+    new java.io.File(s"$dir/out").listFiles().map(_.getName)
+      .count(_.startsWith("part_key=")) shouldBe 2
+  }
+
+  "Sinks.stampedName" should "format the reference's MMDDYYYY stamp" in {
+    Sinks.stampedName("PreTAM_PUA", java.time.LocalDate.of(2026, 8, 12), "csv") shouldBe
+      "PreTAM_PUA_08122026.csv"
+  }
+}
