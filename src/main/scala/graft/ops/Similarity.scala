@@ -18,21 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise cast to double (float32 parquet vectors → stable math). */
+  /** Element-wise cast to double (kept for callers that need double arrays;
+    * the native expressions below read float32 directly). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product, summed in array order. */
+  /** Dot product via the native codegen'd expression (double accumulate in
+    * array order; float arrays read without a cast pass). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vec_dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Single-pass native cosine similarity; 0 when either vector has zero
+    * norm. Bit-identical to dot/(|a||b|) over double-cast vectors. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vec_cosine(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates (ties broken by candidate id ascending). Queries are
@@ -44,11 +45,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      scoreDecimals: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val target = candidates.sparkSession.sparkContext.defaultParallelism
     val spread = if (candidates.rdd.getNumPartitions < target)
       candidates.repartition(target) else candidates
-    val c = spread.select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("__cv"))
+    val c = spread.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
@@ -84,9 +85,9 @@ object Similarity {
               nbits: Int = 8, dim: Int = 64,
               scoreDecimals: Int = 6): DataFrame = {
     val planes = hyperplanes(nbits, dim)
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__bucket", lshSignature(col("__qv"), planes))
-    val c = candidates.select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("__cv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
       .withColumn("__bucket", lshSignature(col("__cv"), planes))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -108,7 +109,7 @@ object Similarity {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     // persisted so the signature isn't re-inlined into both join sides
-    val v = spread.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+    val v = spread.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__bucket", lshSignature(col("__v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__bucket"))

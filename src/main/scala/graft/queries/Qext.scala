@@ -56,10 +56,10 @@ object Qext {
   def qExtDedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val a = e.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("id_a"), Similarity.toDouble(col("embedding")).as("__va"))
+      .select(col("vec_id").as("id_a"), col("embedding").as("__va"))
     // single-file input → spread candidates across cores for the scoring pass
     val b = e.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("id_b"), Similarity.toDouble(col("embedding")).as("__vb"))
+      .select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
     b.crossJoin(broadcast(a))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score", round(Similarity.cosine(col("__va"), col("__vb")), 6))
