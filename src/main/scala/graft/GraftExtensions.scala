@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VectorExpressions
+
+/** SparkSessionExtensions entry point: enables the engine's custom SQL
+  * functions cluster-wide via configuration —
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * — so `SELECT vec_cosine(a.embedding, b.embedding)` works in plain SQL on
+  * any session of the cluster, with no per-session registration call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorExpressions.VectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) =>
+        VectorExpressions.VectorDot(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VectorExpressions.VectorCosine].getName, "vec_cosine"),
+      (children: Seq[Expression]) =>
+        VectorExpressions.VectorCosine(children(0), children(1))))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipelines
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{Sinks, Sources}
+
+/** The reference's whole-program composition (etl_payroll_pipeline_demo.py
+  * top-to-bottom): discover inputs in a storage root by filename regex, pick
+  * the first match deterministically, ingest, run both pipelines, write
+  * date-stamped outputs.
+  *
+  * Differences by design (SURVEY §7.5/§7.6): storage is any Hadoop-visible
+  * filesystem instead of Box (S1 is an I/O adapter, not a query operator);
+  * Excel inputs arrive pre-converted to CSV at the adapter boundary; the
+  * first-match pick orders by path explicitly instead of relying on listing
+  * order; the run date is injected.
+  */
+object Runner {
+
+  /** What the reference looks for (file-pick regexes,
+    * etl_payroll_pipeline_demo.py:77-85,:123-142,:155-183). `used = false`
+    * inputs are loaded-but-never-consumed in the reference (SURVEY §7.6
+    * risk 6) — tracked for the load summary only.
+    */
+  final case class InputSpec(name: String, pattern: String, used: Boolean = true)
+
+  val inputSpecs: Seq[InputSpec] = Seq(
+    InputSpec("pua", "(?i)(^|[\\s_])PUA([\\s_]|$)"),
+    InputSpec("cert_bw", "(?i)(^|[\\s_])BW([\\s_.]|$)"),
+    InputSpec("cert_mn", "(?i)(^|[\\s_])MN([\\s_.]|$)"),
+    InputSpec("ts_org", "(?i)^TS_Org\\."),
+    InputSpec("ts_dept", "(?i)^TS_Dept\\."),
+    InputSpec("overtime", "(?i)Overtime"),
+    InputSpec("te_m", "(?i)^TE_M\\."),
+    InputSpec("feeder", "(?i)Feeder", used = false),
+    InputSpec("pua_ytd", "(?i)YTD", used = false))
+
+  /** V1 load summary row: input name, whether a file was found, its path. */
+  final case class LoadStatus(name: String, found: Boolean, path: Option[String], used: Boolean)
+
+  /** First-match file pick (O1): regex on file name, deterministic order by
+    * path, limit 1.
+    */
+  def pickFile(catalog: DataFrame, pattern: String): Option[String] =
+    catalog.filter(col("file_name").rlike(pattern))
+      .orderBy("path").limit(1)
+      .select("path").collect().headOption.map(_.getString(0))
+
+  /** All-string headered CSV read — deterministic (no inference); the
+    * pipelines stringify everything anyway, like the reference's astype
+    * passes.
+    */
+  private def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+
+  final case class RunResult(loadSummary: Seq[LoadStatus],
+                             pua: Option[DataFrame],
+                             cpa: Option[Cpa.Result])
+
+  /** Discover, load, and run both pipelines. Outputs are written as stamped
+    * single CSVs under `outDir` when it is non-empty (S5/S7 parity).
+    */
+  def run(spark: SparkSession, root: String, outDir: Option[String],
+          runDate: LocalDate, dedupOrder: Seq[Column],
+          validate: Boolean = true): RunResult = {
+    val catalog = Sources.catalog(spark, root).cache()
+    val picked: Map[String, Option[String]] =
+      inputSpecs.map(s => s.name -> pickFile(catalog, s.pattern)).toMap
+    val summary = inputSpecs.map(s =>
+      LoadStatus(s.name, picked(s.name).isDefined, picked(s.name), s.used))
+
+    def load(name: String): Option[DataFrame] = picked(name).map(readCsv(spark, _))
+
+    val puaOut = for {
+      pua <- load("pua"); tsOrg <- load("ts_org"); tsDept <- load("ts_dept")
+      ot <- load("overtime"); teM <- load("te_m")
+    } yield Pua.run(pua, Pua.Lookups(tsOrg, tsDept, ot, teM), dedupOrder)
+
+    val cpaOut = for {
+      bw <- load("cert_bw"); mn <- load("cert_mn")
+      tsOrg <- load("ts_org"); tsDept <- load("ts_dept")
+      ot <- load("overtime"); teM <- load("te_m")
+    } yield Cpa.run(bw, mn, Cpa.Lookups(tsOrg, tsDept, ot, teM),
+      runDate, dedupOrder, validate)
+
+    outDir.foreach { dir =>
+      puaOut.foreach(df => Sinks.singleCsv(df,
+        s"$dir/${Sinks.stampedName("PreTAM_PUA", runDate, "csv").stripSuffix(".csv")}"))
+      cpaOut.foreach(r => Sinks.singleCsv(r.output,
+        s"$dir/${Sinks.stampedName("CPA_Final", runDate, "csv").stripSuffix(".csv")}"))
+    }
+    RunResult(summary, puaOut, cpaOut)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Verifies the config-driven extension path: a session built with
+  * spark.sql.extensions=graft.GraftExtensions resolves vec_* in plain SQL.
+  */
+class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
+
+  "GraftExtensions" should "inject vec_dot/vec_cosine via spark.sql.extensions" in {
+    // getOrCreate() reuses any active session (ignoring new extensions);
+    // clear them so this builder instantiates a fresh session over the
+    // shared context with the extensions applied.
+    val previous = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions is the programmatic equivalent of
+    // spark.sql.extensions=graft.GraftExtensions (the static conf can't be
+    // applied when the test JVM's SparkContext already exists)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+          "vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").collect().head
+      row.getDouble(0) shouldBe 11.0 +- 1e-9
+      row.getDouble(1) shouldBe 1.0 +- 1e-12
+    } finally {
+      // don't stop() (shared SparkContext); restore the prior session for
+      // the other suites
+      previous.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipelines
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end Runner spec: a temp storage root with reference-shaped CSVs →
+  * discovery → pick → both pipelines → stamped outputs + V1 load summary.
+  */
+class RunnerSpec extends SparkSpec {
+
+  private def write(dir: java.io.File, name: String, lines: Seq[String]): Unit =
+    Files.writeString(new java.io.File(dir, name).toPath, lines.mkString("\n"))
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graft_runner").toFile
+    write(dir, "monthly_PUA_file.csv", Seq(
+      "UIN,Pay ID,Year,Pay #,Seq #,POSN,SUFF,College Code,College Name,TS COA,TS ORG,DEPT Code,Department Name,ECLS,ECLS DESC,TE M,Earn Code,DESCRIPTION,ADJ Reason Code,ADJ Reason DESC,Calc Date",
+      "U1,BW,2026,7,1,123.0,0,KL,Engineering,1,602000,604.0,CS Dept,CA,Civil Service,W,RGS,Regular,,,2026-01-15"))
+    val certHeader = Cpa.expectedColumns.mkString(",")
+    def certRow(uin: String, tran: String, dt: String, job: String, payId: String) =
+      s"$uin,2026,$payId,7,1,$tran,C,R,$dt,$dt,$job,T,1,602000,CA,KL-Engineering,O,L,F,E,e@x,10.5,,,,1,R,3 - Apply,RB,N,,1,2,3"
+    write(dir, "cert_BW_2026.csv", Seq(certHeader, certRow("100", "T1", "2025-09-01", "101", "BW")))
+    write(dir, "cert_MN_2026.csv", Seq(certHeader, certRow("400", "T5", "2026-01-10", "201", "MN")))
+    write(dir, "TS_Org.csv", Seq("TS-Org Code,TS-Org Title", "1-602000,Engineering Org"))
+    write(dir, "TS_Dept.csv", Seq("TS-Org Dept Code,TS-Org Dept Title", "1-604,Engineering Dept"))
+    write(dir, "Overtime_E_Class.csv", Seq(
+      "Job Eclass,Pay ID,Overtime FLSA,Job Detail E-Class Long Desc",
+      "CA,BW,Eligible,Civil Service Long"))
+    write(dir, "TE_M.csv", Seq("UIN Job,TE M,Time Entry Method,Time Entry Type",
+      "100-101,W,Web,T1"))
+    // note: no Feeder_List, no YTD file → load summary must flag them
+    dir.getAbsolutePath
+  }
+
+  private lazy val outDir = Files.createTempDirectory("graft_runner_out").toString
+
+  private lazy val result = Runner.run(spark, root, Some(outDir),
+    runDate = LocalDate.of(2026, 8, 12), dedupOrder = Seq(col("UIN")))
+
+  "Runner" should "report the load summary including missing unused inputs (V1)" in {
+    val byName = result.loadSummary.map(s => s.name -> s).toMap
+    byName("pua").found shouldBe true
+    byName("cert_bw").path.get should endWith("cert_BW_2026.csv")
+    byName("feeder").found shouldBe false
+    byName("pua_ytd").found shouldBe false
+    byName("feeder").used shouldBe false
+  }
+
+  it should "run the PUA pipeline off discovered files" in {
+    val pua = result.pua.get
+    pua.count() shouldBe 1
+    val r = pua.collect().head
+    r.getAs[String]("TS-Org Title") shouldBe "Engineering Org"
+    r.getAs[String]("Adjustment Reason Code") shouldBe "INT"
+  }
+
+  it should "run the CPA pipeline off discovered files" in {
+    val cpa = result.cpa.get.output
+    cpa.count() shouldBe 2
+    result.cpa.get.schemaIssues shouldBe empty
+  }
+
+  it should "write stamped single-file CSV outputs (S5/S7)" in {
+    new java.io.File(s"$outDir/PreTAM_PUA_08122026").exists() shouldBe true
+    new java.io.File(s"$outDir/CPA_Final_08122026").exists() shouldBe true
+  }
+}
