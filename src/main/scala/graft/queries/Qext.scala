@@ -113,6 +113,18 @@ object Qext {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- skew
+
+  /** Two-phase salted aggregation over a deliberately skewed key
+    * (l_returnflag: 3 values over 600k rows at sf0.1). Result is exactly
+    * groupBy().count() — the salting is invisible in the output, so the
+    * plain-SQL oracle checks it.
+    */
+  def qExtSkewSaltedCount(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(t(spark, dir, "lineitem"), "l_returnflag",
+        saltSource = col("l_orderkey"), salts = 32)
+      .orderBy("l_returnflag")
+
   // --------------------------------------------------------- multimodal
 
   /** Multimodal plumbing over synthetic media (documents text as fake binary
@@ -167,6 +179,7 @@ object Qext {
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
+    "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
   )
 
   private val normSql =
@@ -262,6 +275,10 @@ object Qext {
     "q_ext_json_extract" ->
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ext_skew_salted_count" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_ext_events_daily" ->
       """SELECT user_id,
