@@ -1,0 +1,199 @@
+package graft.io
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.collection.mutable
+
+/** Dependency-free xlsx adapter (SURVEY §2.1 S3/S6). No POI jar exists in
+  * this environment, so this is a minimal OOXML SpreadsheetML reader/writer
+  * over the JDK's zip + StAX — enough for the reference's workbook shapes
+  * (header row + string/number cells; shared strings, inline strings).
+  *
+  * DRIVER-SIDE by design: the reference's Excel files are small inputs and
+  * single-file outputs (`pd.read_excel`/`to_excel` on BytesIO). Big data
+  * never flows through xlsx — that's the adapter-boundary contract
+  * (SURVEY §7.5); engine-scale I/O is parquet/CSV.
+  *
+  * Not interpreted: number formats (dates surface as raw stored serials),
+  * formulas (cached values are read), styles.
+  */
+object Xlsx {
+
+  /** Column index of a cell reference: "A1" -> 0, "AB7" -> 27. */
+  private[io] def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+
+  private def parseSharedStrings(zip: ZipFile): IndexedSeq[String] = {
+    val entry = zip.getEntry("xl/sharedStrings.xml")
+    if (entry == null) return IndexedSeq.empty
+    val in = zip.getInputStream(entry)
+    val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inT = false
+    try {
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            reader.getLocalName match {
+              case "si" => cur.clear()
+              case "t" => inT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS if inT => cur.append(reader.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            reader.getLocalName match {
+              case "t" => inT = false
+              case "si" => out += cur.toString
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally { reader.close(); in.close() }
+    out.toIndexedSeq
+  }
+
+  private def parseSheet(zip: ZipFile, sheetEntry: ZipEntry,
+                         shared: IndexedSeq[String]): Seq[Map[Int, String]] = {
+    val in = zip.getInputStream(sheetEntry)
+    val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val rows = mutable.ArrayBuffer.empty[Map[Int, String]]
+    var row = mutable.Map.empty[Int, String]
+    var cellCol = -1; var cellType = ""; var inV = false; var inIsT = false
+    val value = new StringBuilder
+    try {
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            reader.getLocalName match {
+              case "row" => row = mutable.Map.empty
+              case "c" =>
+                cellCol = Option(reader.getAttributeValue(null, "r"))
+                  .map(colIndex).getOrElse(cellCol + 1)
+                cellType = Option(reader.getAttributeValue(null, "t")).getOrElse("")
+                value.clear()
+              case "v" => inV = true
+              case "t" => inIsT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS if inV || inIsT =>
+            value.append(reader.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            reader.getLocalName match {
+              case "v" => inV = false
+              case "t" => inIsT = false
+              case "c" =>
+                val text = cellType match {
+                  case "s" => shared.lift(value.toString.trim.toInt).getOrElse("")
+                  case _ => value.toString
+                }
+                if (text.nonEmpty) row(cellCol) = text
+              case "row" => rows += row.toMap
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally { reader.close(); in.close() }
+    rows.toSeq
+  }
+
+  /** Read sheet `sheet` (0-based) of an xlsx file into an all-string
+    * DataFrame, first row as header (matching `pd.read_excel` defaults).
+    */
+  def read(spark: SparkSession, path: String, sheet: Int = 0): DataFrame = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = parseSharedStrings(zip)
+      val sheetEntry = Option(zip.getEntry(s"xl/worksheets/sheet${sheet + 1}.xml"))
+        .getOrElse {
+          import scala.jdk.CollectionConverters._
+          zip.entries().asScala.filter(_.getName.startsWith("xl/worksheets/"))
+            .toSeq.sortBy(_.getName).lift(sheet)
+            .getOrElse(throw new IllegalArgumentException(s"no sheet $sheet in $path"))
+        }
+      val rows = parseSheet(zip, sheetEntry, shared)
+      require(rows.nonEmpty, s"empty sheet in $path")
+      val headerMap = rows.head
+      val nCols = (headerMap.keys ++ rows.tail.flatMap(_.keys)).maxOption.getOrElse(-1) + 1
+      val header = (0 until nCols).map(i => headerMap.getOrElse(i, s"_c$i").trim)
+      val data = rows.tail.map(r =>
+        Row.fromSeq((0 until nCols).map(i => r.get(i).orNull)))
+      val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+    } finally zip.close()
+  }
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  /** Write a (small, dim-scale) DataFrame as a single-sheet xlsx with a
+    * header row, all cells inline strings (`to_excel` parity shape). The
+    * frame is collected to the driver — adapter boundary, not a data sink.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val cols = df.columns
+    val rows = df.collect()
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    def rowXml(idx: Int, cells: Seq[String]): String =
+      s"""<row r="$idx">""" + cells.zipWithIndex.collect {
+        case (v, i) if v != null =>
+          s"""<c r="${colRef(i)}$idx" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }.mkString + "</row>"
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      val body = new StringBuilder
+      body.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      body.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      body.append(rowXml(1, cols.toSeq))
+      rows.zipWithIndex.foreach { case (r, i) =>
+        body.append(rowXml(i + 2, (0 until cols.length).map(j =>
+          if (r.isNullAt(j)) null else String.valueOf(r.get(j)))))
+      }
+      body.append("</sheetData></worksheet>")
+      entry("xl/worksheets/sheet1.xml", body.toString)
+    } finally zos.close()
+  }
+
+  /** 0-based column index to A1-style letters: 0 -> A, 27 -> AB. */
+  private[io] def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+}

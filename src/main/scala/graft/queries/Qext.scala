@@ -162,6 +162,17 @@ object Qext {
         count(when(col("event_type") === "error", lit(1))).as("n_errors"))
       .orderBy("user_id", "day")
 
+  /** Batch gap sessionization (30-minute gap) over event time — the window
+    * form of the streaming sessionizer; exact SQL oracle.
+    */
+  def qExtSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.batchSessionize(
+        t(spark, dir, "events"),
+        tsMicros = expr("ts div 1000"),
+        tieBreak = col("event_id"),
+        gapMicros = 30L * 60 * 1000000)
+      .orderBy("user_id", "session_idx")
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -180,6 +191,7 @@ object Qext {
     "q_ext_events_daily" -> (qExtEventsDaily _),
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
+    "q_ext_sessionize" -> (qExtSessionize _),
   )
 
   private val normSql =
@@ -279,6 +291,26 @@ object Qext {
     "q_ext_skew_salted_count" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_ext_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ordered
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q_ext_events_daily" ->
       """SELECT user_id,

@@ -35,6 +35,30 @@ object EventStream {
         col("window.end").as("window_end"),
         col("user_id"), col("n_events"), col("n_errors"))
 
+  /** Batch gap sessionization as pure window functions (lag → new-session
+    * flag → running sum = session index → per-session aggregate). Same
+    * semantics as [[sessionize]] but relational and oracle-checkable; the
+    * stateful variant below exists for unbounded streams where the window
+    * form can't run. `tsMicros` must be a bigint epoch-micros column;
+    * ordering ties are broken by `tieBreak` for determinism.
+    */
+  def batchSessionize(events: DataFrame, tsMicros: org.apache.spark.sql.Column,
+                      tieBreak: org.apache.spark.sql.Column,
+                      gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(tsMicros, tieBreak)
+    events
+      .withColumn("__ts_us", tsMicros)
+      .withColumn("__new_session",
+        when(col("__ts_us") - lag(col("__ts_us"), 1).over(byUser) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("__new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ts_us")).as("start_us"),
+        max(col("__ts_us")).as("end_us"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

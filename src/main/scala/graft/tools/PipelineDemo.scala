@@ -44,7 +44,11 @@ object PipelineDemo {
     val puaOut = Pua.run(pua, puaLookups, dedupOrder = Seq(col("Calc Date")))
     puaOut.show(5, truncate = false)
     graft.io.Sinks.singleCsv(puaOut, s"$outDir/pretam_pua")
-    println(s"[demo] PUA rows=${puaOut.count()} cols=${puaOut.columns.length} -> $outDir/pretam_pua")
+    // reference writes CSV + XLSX side by side (S5+S6)
+    new java.io.File(outDir).mkdirs()
+    graft.io.Xlsx.write(puaOut, s"$outDir/pretam_pua.xlsx")
+    val xlsxBack = graft.io.Xlsx.read(spark, s"$outDir/pretam_pua.xlsx").count()
+    println(s"[demo] PUA rows=${puaOut.count()} cols=${puaOut.columns.length} -> $outDir/pretam_pua (+ .xlsx, reads back $xlsxBack rows)")
 
     // --- CPA ---
     val cols = Cpa.expectedColumns
