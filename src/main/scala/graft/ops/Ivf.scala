@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions.vec_cosine
+
+/** IVF (inverted-file) approximate nearest neighbor: spherical k-means coarse
+  * quantizer + cluster-probed search (SURVEY §7.8 — "an IVF or LSH-bucketed
+  * variant as the scale path"; complements [[Similarity.annTopK]]'s
+  * hyperplane LSH).
+  *
+  * The model (k × dim centroids) is deliberately driver-held: it is a few KB,
+  * broadcast into assignment expressions as literals — the classic IVF
+  * structure. Training is Lloyd iterations where each step is one distributed
+  * pass (assign map-side via the native vec_cosine, recompute centroids with
+  * a posexplode + groupBy mean); only the tiny centroid table is collected
+  * per iteration.
+  *
+  * Determinism: centroids initialize from the first k vectors by id; ties in
+  * assignment break to the higher cluster id (struct array_max) — no
+  * randomness anywhere.
+  */
+object Ivf {
+
+  final case class Model(centroids: IndexedSeq[Array[Double]]) {
+    def k: Int = centroids.size
+  }
+
+  /** argmax-by-cosine cluster assignment expression for a vector column. */
+  def assignExpr(vec: Column, model: Model): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(vec_cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    array_max(array(scored: _*)).getField("i")
+  }
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Train a spherical k-means quantizer. Each iteration: one assignment pass
+    * (map-side) + one element-wise mean (shuffle bounded by k × dim rows).
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int = 3): Model = {
+    val vecs = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
+    val init = vecs.orderBy(col(idCol)).limit(k)
+      .select("__v").collect()
+      .map(r => l2normalize(r.getSeq[Double](0).toArray)).toIndexedSeq
+    (1 to iters).foldLeft(Model(init)) { (model, _) =>
+      val assigned = vecs.withColumn("__c", assignExpr(col("__v"), model))
+      val means = assigned
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__c", "__pos").agg(avg(col("__x")).as("__m"))
+        .groupBy("__c")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+        .select(col("__c"), transform(col("__ms"), s => s.getField("__m")).as("__centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      Model(model.centroids.indices.map(i =>
+        means.get(i).map(l2normalize).getOrElse(model.centroids(i))))
+    }
+  }
+
+  /** Tag every row with its coarse cluster (map-side; persist/write the
+    * result partitioned by `ivf_cluster` to make probes partition-pruned).
+    */
+  def assign(df: DataFrame, vecCol: String, model: Model,
+             clusterCol: String = "ivf_cluster"): DataFrame =
+    df.withColumn(clusterCol, assignExpr(col(vecCol), model))
+
+  /** The nprobe nearest centroids of a vector, as an exploded (vector, probe)
+    * expression input.
+    */
+  private def probesExpr(vec: Column, model: Model, nprobe: Int): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(vec_cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    // sort descending by score (array_sort ascending on (s, i) then reverse)
+    slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+  }
+
+  /** IVF ANN top-k: candidates scan only the `nprobe` clusters nearest to
+    * each query. Work per query is bounded by probed-cluster volume, not n.
+    */
+  def annTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, model: Model,
+              k: Int, nprobe: Int = 4, scoreDecimals: Int = 6): DataFrame = {
+    val cand = assign(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("__cv")),
+      "__cv", model, clusterCol = "__cluster")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe", explode(probesExpr(col("__qv"), model, nprobe)))
+      .withColumn("__cluster", col("__probe").getField("i"))
+      .drop("__probe")
+    val scored = cand.join(broadcast(q), Seq("__cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(vec_cosine(col("__qv"), col("__cv")), scoreDecimals))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+}

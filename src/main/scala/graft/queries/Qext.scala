@@ -86,6 +86,18 @@ object Qext {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN top-5: spherical k-means coarse quantizer (k=16, trained
+    * in-query deterministically), nprobe=4 (no oracle: iterative quantizer
+    * has no SQL equivalent; IvfSpec checks exactness vs brute force).
+    */
+  def qExtSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = Ivf.train(e, "vec_id", "embedding", k = 16, iters = 2)
+    Ivf.annTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        model, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------- text analysis
 
   def qExtTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -183,6 +195,7 @@ object Qext {
     "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
+    "q_ext_sim_ivf" -> (qExtSimIvf _),
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_lang_id" -> (qExtLangId _),

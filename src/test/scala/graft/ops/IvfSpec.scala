@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around orthogonal axes + ids interleaved
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.02f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 0.01f, 1.0f, 0.0f)),
+    (2L, Seq(0.99f, 0.0f, 0.03f, 0.0f)),
+    (3L, Seq(0.01f, 0.0f, 0.98f, 0.0f)),
+    (4L, Seq(1.0f, 0.01f, 0.01f, 0.0f)),
+    (5L, Seq(0.0f, 0.02f, 1.0f, 0.01f))).toDF("vec_id", "embedding")
+
+  private lazy val model = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 3)
+
+  "train" should "produce k unit centroids deterministically" in {
+    model.k shouldBe 2
+    model.centroids.foreach { c =>
+      math.sqrt(c.map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+    }
+    val again = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    again.centroids.map(_.toSeq) shouldBe model.centroids.map(_.toSeq)
+  }
+
+  "assign" should "put same-cluster vectors together" in {
+    val assigned = Ivf.assign(vecs, "embedding", model)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().toMap
+    assigned(0L) shouldBe assigned(2L)
+    assigned(0L) shouldBe assigned(4L)
+    assigned(1L) shouldBe assigned(3L)
+    assigned(0L) should not be assigned(1L)
+  }
+
+  "annTopK" should "find the true nearest neighbor within the probed cluster" in {
+    val top = Ivf.annTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", model, k = 2, nprobe = 1)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    top.head shouldBe 4L // closest to vec 0
+    top should contain(2L)
+  }
+
+  it should "match brute force when probing all clusters" in {
+    val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    val ivf = Ivf.annTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", model, k = 3, nprobe = 2)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    ivf shouldBe brute
+  }
+}
