@@ -20,11 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorExpressions.VectorDot].getName, "vec_dot"),
-      (children: Seq[Expression]) =>
-        VectorExpressions.VectorDot(children(0), children(1))))
+      VectorExpressions.binaryBuilder("vec_dot", VectorExpressions.VectorDot)))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VectorExpressions.VectorCosine].getName, "vec_cosine"),
-      (children: Seq[Expression]) =>
-        VectorExpressions.VectorCosine(children(0), children(1))))
+      VectorExpressions.binaryBuilder("vec_cosine", VectorExpressions.VectorCosine)))
   }
 }

@@ -143,10 +143,15 @@ object VectorExpressions {
   /** Register `vec_dot` / `vec_cosine` as SQL functions on a session, so
     * `spark.sql("SELECT vec_cosine(a, b) ...")` works too.
     */
+  private[graft] def binaryBuilder(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"$name requires exactly 2 arguments, got ${children.size}")
+    mk(children(0), children(1))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    bridge.registerFunction(spark, "vec_dot",
-      (children: Seq[Expression]) => VectorDot(children(0), children(1)))
-    bridge.registerFunction(spark, "vec_cosine",
-      (children: Seq[Expression]) => VectorCosine(children(0), children(1)))
+    bridge.registerFunction(spark, "vec_dot", binaryBuilder("vec_dot", VectorDot))
+    bridge.registerFunction(spark, "vec_cosine", binaryBuilder("vec_cosine", VectorCosine))
   }
 }

@@ -73,7 +73,9 @@ object Xlsx {
         reader.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             reader.getLocalName match {
-              case "row" => row = mutable.Map.empty
+              case "row" =>
+                row = mutable.Map.empty
+                cellCol = -1 // r= is optional; the cursor restarts every row
               case "c" =>
                 cellCol = Option(reader.getAttributeValue(null, "r"))
                   .map(colIndex).getOrElse(cellCol + 1)
@@ -90,9 +92,13 @@ object Xlsx {
               case "v" => inV = false
               case "t" => inIsT = false
               case "c" =>
+                val raw = value.toString
                 val text = cellType match {
-                  case "s" => shared.lift(value.toString.trim.toInt).getOrElse("")
-                  case _ => value.toString
+                  // blank-but-styled cells serialize as <c t="s"/> with no <v>
+                  case "s" if raw.trim.nonEmpty =>
+                    shared.lift(raw.trim.toInt).getOrElse("")
+                  case "s" => ""
+                  case _ => raw
                 }
                 if (text.nonEmpty) row(cellCol) = text
               case "row" => rows += row.toMap

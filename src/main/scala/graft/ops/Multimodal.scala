@@ -76,7 +76,7 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], step: Int): DataFrame =
     media.toDF()
-      .filter(col("meta.kind") === "video")
+      .filter(col("meta.kind") === "video" && col("meta.nFrames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.nFrames") - 1, lit(step))).as("frame_idx"))
 

@@ -46,10 +46,7 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int,
                      scoreDecimals: Int = 6): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val target = candidates.sparkSession.sparkContext.defaultParallelism
-    val spread = if (candidates.rdd.getNumPartitions < target)
-      candidates.repartition(target) else candidates
-    val c = spread.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+    val c = Partitioning.spread(candidates).select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
@@ -106,10 +103,8 @@ object Similarity {
                      threshold: Double, nbits: Int = 6, dim: Int = 64,
                      scoreDecimals: Int = 6): DataFrame = {
     val planes = hyperplanes(nbits, dim)
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     // persisted so the signature isn't re-inlined into both join sides
-    val v = spread.select(col(idCol), col(vecCol).as("__v"))
+    val v = Partitioning.spread(df).select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__bucket", lshSignature(col("__v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__bucket"))

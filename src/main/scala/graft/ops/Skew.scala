@@ -48,9 +48,12 @@ object Skew {
     * whether salting / AQE skew thresholds are needed for a given key.
     */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    // single scan, fully lazy: the total comes from a window over the
+    // (small) per-key count table, not a second pass over the input
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-    val total = df.count().toDouble
-    counts.withColumn("share", round(col("cnt") / total, 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    counts.withColumn("share", round(col("cnt") / sum(col("cnt")).over(w), 6))
       .orderBy(col("cnt").desc, col(key))
       .limit(topN)
   }

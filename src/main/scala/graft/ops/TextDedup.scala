@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * (a constant factor), and only same-bucket pairs are compared — candidate
   * count is driven by collision rate, not n². Verification Jaccard runs on
   * the candidate pairs only.
+  *
+  * Cache lifecycle: the near-dup operators persist their signature tables
+  * (load-bearing — see minhashNearDups) and hand back a lazy frame, so they
+  * cannot unpersist for you. Long-lived sessions issuing many near-dup jobs
+  * should call `spark.catalog.clearCache()` (or unpersist via
+  * `spark.sharedState.cacheManager`) between jobs; MEMORY_AND_DISK makes a
+  * forgotten cache spill rather than OOM.
   */
 object TextDedup {
 
@@ -78,16 +85,6 @@ object TextDedup {
         (m, v) => least(m, v)))
   }
 
-  /** Spread a frame across all cores before per-row-expensive expression
-    * work. Small single-file inputs otherwise arrive as ONE partition and the
-    * signature computation runs serially; at real scale the input already has
-    * enough splits and this is a no-op.
-    */
-  private def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   /** Exact Jaccard similarity of two string arrays (used to verify LSH
     * candidates; also the direct n-gram Jaccard operator).
     */
@@ -122,7 +119,7 @@ object TextDedup {
     // slowdown at sf0.1). This is the standard LSH "materialize the
     // signature table" step; MEMORY_AND_DISK spills instead of OOMing at
     // scale.
-    val prepared = parallelize(df.select(col(idCol), col(textCol)))
+    val prepared = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .withColumn("__shingles", shingles(col(textCol), shingleN))
       .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -148,7 +145,7 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val prepared = parallelize(df.select(col(idCol), col(textCol)))
+    val prepared = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
       .withColumn("__block", array_min(transform(col("__sh"), x => xxhash64(x))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -192,7 +189,11 @@ object TextDedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withSim = parallelize(df.select(col(idCol), col(textCol)))
+    // pigeonhole over 4 quarters only guarantees a shared quarter for
+    // distance <= 3; a larger budget would silently lose qualifying pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashNearDups supports maxHamming in [0, 3] (quarter blocking), got $maxHamming")
+    val withSim = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), simhash64(tokens(col(textCol))).as("__simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarters = withSim.select(col(idCol), col("__simhash"),

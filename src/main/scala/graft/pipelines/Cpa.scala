@@ -65,9 +65,12 @@ object Cpa {
           runDate: LocalDate, dedupOrder: Seq[Column],
           validate: Boolean = true): Result = {
     // --- union + date parse (reference :487-494) ---
-    val combined = Reshape.unionHarmonize(
+    val unioned = Reshape.unionHarmonize(
         Seq(Reshape.trimHeaders(certBw), Reshape.trimHeaders(certMn)))
       .withColumn("TRAN_CREATE_DT", Temporal.coerceTimestamp(col("TRAN_CREATE_DT")))
+    // the staleness check below is an action on this frame; cache so the
+    // main output plan doesn't re-read + re-union the inputs
+    val combined = if (validate) unioned.cache() else unioned
 
     // --- fiscal window + staleness abort (reference :495-518) ---
     val (fyStart, fyEnd) = Temporal.calendarFiscalYearBounds(runDate)

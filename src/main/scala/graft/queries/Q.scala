@@ -399,9 +399,11 @@ object Q {
     "q_derive_split" ->
       """SELECT p_partkey,
         |  str_split(p_brand, '#')[1] AS brand_head,
-        |  str_split(p_brand, '#')[2] AS brand_tail,
+        |  CASE WHEN strpos(p_brand, '#') > 0
+        |       THEN substr(p_brand, strpos(p_brand, '#') + 1) END AS brand_tail,
         |  str_split(p_type, ' ')[1] AS type_head,
-        |  str_split(p_type, ' ')[2] AS type_tail
+        |  CASE WHEN strpos(p_type, ' ') > 0
+        |       THEN substr(p_type, strpos(p_type, ' ') + 1) END AS type_tail
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_derive_cast_date" ->

@@ -58,7 +58,7 @@ object Qext {
     val a = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("id_a"), col("embedding").as("__va"))
     // single-file input → spread candidates across cores for the scoring pass
-    val b = e.repartition(spark.sparkContext.defaultParallelism)
+    val b = Partitioning.spread(e)
       .select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
     b.crossJoin(broadcast(a))
       .filter(col("id_a") < col("id_b"))
