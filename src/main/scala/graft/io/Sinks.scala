@@ -25,6 +25,19 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed-table sink: co-locates future joins/aggregations on
+    * `bucketBy` — two tables bucketed identically on their join key join with
+    * NO exchange on either side (the brief's "bucketing for co-located
+    * joins"). Requires a table (bucket metadata lives in the catalog).
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Date-stamped output name (S7, reference etl_payroll_pipeline_demo.py:432):
     * explicit runDate, never wall-clock (SURVEY §7.6 risk 4).
     */

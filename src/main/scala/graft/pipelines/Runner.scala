@@ -86,11 +86,19 @@ object Runner {
     } yield Cpa.run(bw, mn, Cpa.Lookups(tsOrg, tsDept, ot, teM),
       runDate, dedupOrder, validate)
 
+    // the reference writes each dataset as CSV + XLSX (S5 + S6, :438-439)
     outDir.foreach { dir =>
-      puaOut.foreach(df => Sinks.singleCsv(df,
-        s"$dir/${Sinks.stampedName("PreTAM_PUA", runDate, "csv").stripSuffix(".csv")}"))
-      cpaOut.foreach(r => Sinks.singleCsv(r.output,
-        s"$dir/${Sinks.stampedName("CPA_Final", runDate, "csv").stripSuffix(".csv")}"))
+      new java.io.File(dir).mkdirs()
+      puaOut.foreach { df =>
+        Sinks.singleCsv(df,
+          s"$dir/${Sinks.stampedName("PreTAM_PUA", runDate, "csv").stripSuffix(".csv")}")
+        graft.io.Xlsx.write(df, s"$dir/${Sinks.stampedName("PreTAM_PUA", runDate, "xlsx")}")
+      }
+      cpaOut.foreach { r =>
+        Sinks.singleCsv(r.output,
+          s"$dir/${Sinks.stampedName("CPA_Final", runDate, "csv").stripSuffix(".csv")}")
+        graft.io.Xlsx.write(r.output, s"$dir/${Sinks.stampedName("CPA_Final", runDate, "xlsx")}")
+      }
     }
     RunResult(summary, puaOut, cpaOut)
   }

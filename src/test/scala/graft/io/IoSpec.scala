@@ -60,6 +60,23 @@ class IoSpec extends SparkSpec {
       .count(_.startsWith("part_key=")) shouldBe 2
   }
 
+  "Sinks.bucketedTable" should "join two co-bucketed tables with zero exchanges" in {
+    import spark.implicits._
+    val facts = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val dims = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "d")
+    Sinks.bucketedTable(facts, "bt_facts", "k", 4)
+    Sinks.bucketedTable(dims, "bt_dims", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val joined = spark.table("bt_facts").join(spark.table("bt_dims"), "k")
+      joined.count() shouldBe 50
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange" // bucket layout replaces the shuffle
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   "Sinks.stampedName" should "format the reference's MMDDYYYY stamp" in {
     Sinks.stampedName("PreTAM_PUA", java.time.LocalDate.of(2026, 8, 12), "csv") shouldBe
       "PreTAM_PUA_08122026.csv"
