@@ -22,15 +22,25 @@ object Explain {
     val queries = graft.SparkEntry.queries
     if (name == "all") {
       queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        // NOTE: formatted mode under AQE prints initial+final plans, so the
+        // structural counts below are 2x the physical operator count —
+        // consistent across queries, fine for a relative audit.
+        val df = fn(spark, sfDir)
+        val qe = df.queryExecution
+        val plan = qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val nScan = "Scan parquet".r.findAllIn(plan).length
         val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
           .filterNot(_.contains("[]")).length
         val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
         val nSmj = "SortMergeJoin".r.findAllIn(plan).length
         val nEx = "Exchange".r.findAllIn(plan).length
-        val nWsc = ("\\*\\(\\d+\\)".r.findAllIn(plan).map(identity).toSet.size)
-        println(f"$n%-28s scans=$nScan pushedFilters=$pushed bhj=$nBhj smj=$nSmj exchanges=$nEx codegenSpans=$nWsc")
+        // codegen spans only materialize in the FINAL adaptive plan, and only
+        // for THIS QueryExecution — collect() (count() would spawn its own QE)
+        try df.collect() catch { case _: Throwable => () }
+        val executed = qe.executedPlan.toString
+        val nWsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(executed).map(_.group(1)).toSet.size
+        println(f"$n%-28s scans=$nScan pushedFilters=$pushed bhj=$nBhj smj=$nSmj exchanges=$nEx codegenSubtrees=$nWsc")
       }
     } else {
       queries(name)(spark, sfDir).explain("formatted")
