@@ -34,7 +34,6 @@ object Sources {
   def catalog(spark: SparkSession, root: String): DataFrame =
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*")
       .load(root)
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),

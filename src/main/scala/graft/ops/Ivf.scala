@@ -27,13 +27,17 @@ object Ivf {
     def k: Int = centroids.size
   }
 
-  /** argmax-by-cosine cluster assignment expression for a vector column. */
-  def assignExpr(vec: Column, model: Model): Column = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+  /** (score, clusterId) structs for a vector against every centroid — the
+    * shared building block of assignment (argmax) and probing (top-nprobe).
+    */
+  private def scoredCentroids(vec: Column, model: Model): Column =
+    array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct(vec_cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }
-    array_max(array(scored: _*)).getField("i")
-  }
+    }: _*)
+
+  /** argmax-by-cosine cluster assignment expression for a vector column. */
+  def assignExpr(vec: Column, model: Model): Column =
+    array_max(scoredCentroids(vec, model)).getField("i")
 
   private def l2normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -75,13 +79,9 @@ object Ivf {
   /** The nprobe nearest centroids of a vector, as an exploded (vector, probe)
     * expression input.
     */
-  private def probesExpr(vec: Column, model: Model, nprobe: Int): Column = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(vec_cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }
+  private def probesExpr(vec: Column, model: Model, nprobe: Int): Column =
     // sort descending by score (array_sort ascending on (s, i) then reverse)
-    slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
-  }
+    slice(reverse(array_sort(scoredCentroids(vec, model))), 1, nprobe)
 
   /** IVF ANN top-k: candidates scan only the `nprobe` clusters nearest to
     * each query. Work per query is bounded by probed-cluster volume, not n.
@@ -98,10 +98,6 @@ object Ivf {
     val scored = cand.join(broadcast(q), Seq("__cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(vec_cosine(col("__qv"), col("__cv")), scoreDecimals))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "score", "rank")
+    Similarity.rankTopK(scored, k)
   }
 }

@@ -35,6 +35,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vec_cosine(a, b)
 
+  /** Per-query top-k ranking of a scored (query_id, cand_id, score) frame:
+    * rank by score desc with candidate-id tie-break, keep rank <= k. Shared
+    * by the brute-force, LSH, and IVF searchers.
+    */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates (ties broken by candidate id ascending). Queries are
     * broadcast; each candidate partition computes scores map-side; the only
@@ -50,11 +62,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "score", "rank")
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes: `nbits` unit-free direction vectors of
@@ -89,11 +97,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "score", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (id_a < id_b),

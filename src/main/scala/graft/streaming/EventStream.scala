@@ -22,12 +22,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Tumbling event-time window counts per user with a watermark. Works on
-    * any events-shaped frame, batch or streaming.
+    * any events-shaped frame, batch or streaming. Pass `watermark = None`
+    * when the input is already watermarked (e.g. downstream of
+    * [[dedupWithinWatermark]]) — Spark disallows redefining it.
     */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+                     watermark: Option[String] = Some("2 hours")): DataFrame =
+    watermark.fold(events)(events.withWatermark("ts", _))
       .groupBy(window(col("ts"), window_), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         count(when(col("event_type") === "error", lit(1))).as("n_errors"))
@@ -58,6 +59,18 @@ object EventStream {
         min(col("__ts_us")).as("start_us"),
         max(col("__ts_us")).as("end_us"))
   }
+
+  /** Streaming exact dedup: drops rows whose `keys` were already seen within
+    * the watermark horizon — the unbounded-stream counterpart of
+    * `Dedup`/`TextDedup.exactDedup` (state bounded by the watermark, evicted
+    * automatically). Works on batch frames too (plain dropDuplicates there).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

@@ -3,7 +3,6 @@ package graft.tools
 import java.nio.file.Files
 import java.time.LocalDate
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.pipelines.{Cpa, Runner}
@@ -14,13 +13,7 @@ import graft.pipelines.{Cpa, Runner}
   */
 object RunnerDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession(cores = 4, logLevel = "WARN")
 
     val dir = Files.createTempDirectory("graft_runner_demo").toFile
     def write(name: String, lines: Seq[String]): Unit =

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -14,14 +13,7 @@ import graft.streaming.EventStream
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession(cores = 4, logLevel = "WARN")
 
     // the file stream source wants a directory to watch — stage the table
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
@@ -32,8 +24,9 @@ object StreamDemo {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
       .withColumn("ts", graft.io.Sources.eventTs("ts"))
+    val deduped = EventStream.dedupWithinWatermark(stream, Seq("event_id"), "1 hour")
 
-    val query = EventStream.windowedCounts(stream, window_ = "1 day", watermark = "1 hour")
+    val query = EventStream.windowedCounts(deduped, window_ = "1 day", watermark = None)
       .writeStream.format("memory").queryName("stream_demo")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination(120000)

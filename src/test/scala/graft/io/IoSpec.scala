@@ -64,6 +64,19 @@ class IoSpec extends SparkSpec {
     import spark.implicits._
     val facts = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
     val dims = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "d")
+    // the metastore is per-JVM but table locations persist on disk; clear
+    // leftovers from prior runs or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    Seq("bt_facts", "bt_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
     Sinks.bucketedTable(facts, "bt_facts", "k", 4)
     Sinks.bucketedTable(dims, "bt_dims", "k", 4)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -28,7 +28,7 @@ class EventStreamSpec extends SparkSpec {
   it should "run as a streaming query over MemoryStream" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
-    val query = EventStream.windowedCounts(input.toDF(), watermark = "10 minutes")
+    val query = EventStream.windowedCounts(input.toDF(), watermark = Some("10 minutes"))
       .writeStream.format("memory").queryName("win_counts")
       .outputMode("append").start()
     try {
@@ -45,6 +45,36 @@ class EventStreamSpec extends SparkSpec {
       rows.head.getAs[Long]("n_events") shouldBe 2
       rows.head.getAs[Long]("n_errors") shouldBe 1
     } finally query.stop()
+  }
+
+  "dedupWithinWatermark" should "drop duplicate keys inside the watermark horizon" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val query = EventStream.dedupWithinWatermark(input.toDF(), Seq("event_id"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 0),
+        EventStream.Event(1, ts("2024-01-01 00:01:00"), 1, "a-dup", 0),
+        EventStream.Event(2, ts("2024-01-01 00:02:00"), 1, "b", 0))
+      query.processAllAvailable()
+      input.addData(
+        EventStream.Event(1, ts("2024-01-01 00:03:00"), 1, "a-dup2", 0))
+      query.processAllAvailable()
+      val types = spark.table("dedup_stream")
+        .select("event_type").as[String].collect().sorted
+      types shouldBe Array("a", "b") // both duplicates of id 1 dropped
+    } finally query.stop()
+  }
+
+  it should "fall back to plain dropDuplicates on batch frames" in {
+    val out = EventStream.dedupWithinWatermark(
+      Seq(EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 0),
+        EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "b", 0)).toDS().toDF(),
+      Seq("event_id"))
+    out.count() shouldBe 1
   }
 
   "sessionize" should "split on the event-time gap in batch mode" in {
