@@ -72,6 +72,14 @@ object EventStream {
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else events.dropDuplicates(keys)
 
+  /** Stream-static enrichment join: the unbounded-stream counterpart of
+    * `LookupJoin.lookupLeft` — each micro-batch broadcast-joins the static
+    * dim (re-read per batch for file sources, so dim updates flow through).
+    * Dim is deduped on the keys first, same fan-out contract as batch.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim.dropDuplicates(keys)), keys, "left")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

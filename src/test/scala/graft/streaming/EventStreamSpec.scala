@@ -77,6 +77,26 @@ class EventStreamSpec extends SparkSpec {
     out.count() shouldBe 1
   }
 
+  "enrich" should "broadcast-join a static dim into a stream per micro-batch" in {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[EventStream.Event]
+    val query = EventStream.enrich(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 0),
+        EventStream.Event(2, ts("2024-01-01 00:01:00"), 3, "b", 0))
+      query.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user_id", "tier").as[(Long, Option[String])].collect().toMap
+      rows(1L) shouldBe Some("gold")
+      rows(3L) shouldBe None // unmatched key stays (left join), no fan-out
+      spark.table("enriched").count() shouldBe 2
+    } finally query.stop()
+  }
+
   "sessionize" should "split on the event-time gap in batch mode" in {
     val events = Seq(
       EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 0),
