@@ -16,6 +16,12 @@ object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_pipeline_demo")
     val spark = LocalSession(cores = 4, logLevel = "WARN")
+    run(spark, outDir)
+    spark.stop()
+  }
+
+  /** The demo body, callable from specs (golden-output regression). */
+  def run(spark: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
     import spark.implicits._
 
     // --- PUA ---
@@ -73,6 +79,5 @@ object PipelineDemo {
     graft.io.Sinks.singleCsv(result.output, s"$outDir/cpa_final")
     println(s"[demo] CPA rows=${result.output.count()} cols=${result.output.columns.length}" +
       s" schemaIssues=${result.schemaIssues.size} -> $outDir/cpa_final")
-    spark.stop()
   }
 }
