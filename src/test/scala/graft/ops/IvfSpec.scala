@@ -43,6 +43,21 @@ class IvfSpec extends SparkSpec {
     top should contain(2L)
   }
 
+  it should "support cluster-partitioned storage with partition-pruned probes" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_parts").toString
+    // the scale path: persist the corpus partitioned by coarse cluster...
+    graft.io.Sinks.parquet(Ivf.assign(vecs, "embedding", model),
+      s"$dir/vectors", partitionBy = Seq("ivf_cluster"))
+    // ...so a probe of one cluster reads only that partition
+    val probed = spark.read.parquet(s"$dir/vectors")
+      .filter($"ivf_cluster" === 0)
+    probed.count() should be > 0L
+    val plan = probed.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(ivf_cluster")
+    new java.io.File(s"$dir/vectors").listFiles()
+      .count(_.getName.startsWith("ivf_cluster=")) shouldBe 2
+  }
+
   it should "match brute force when probing all clusters" in {
     val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
         "vec_id", "embedding", k = 3)
