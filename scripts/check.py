@@ -25,10 +25,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        # parquet date32 comes back as object(date) from spark output but
-        # datetime64 from duckdb; canonicalize to string
-        if df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
+        # Stringify EVERY value (driver hashes stringified values): this
+        # catches dtype drift the values-only compare missed — e.g. DuckDB
+        # sum(int) -> HUGEINT -> float64 prints "3.0" while Spark's bigint
+        # prints "3" (the round-1 q_ext_sessionize hash mismatch).
+        df[c] = df[c].apply(lambda v: None if v is None or v != v else str(v))
     return df
 
 

@@ -321,8 +321,8 @@ object Qext {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), numbered AS (
         |  SELECT user_id, ts_us,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM flagged
         |)
         |SELECT user_id, session_idx, count(*) AS n_events,
