@@ -69,6 +69,23 @@ object Ivf {
     }
   }
 
+  /** Deterministic fixed-centroid quantizer: the vectors of `ids` (in order)
+    * become the centroids, unnormalized — cosine is scale-invariant, so
+    * assignment and probing are unaffected, and the model is reproducible
+    * from the raw table by any engine (the basis of the IVF oracle check).
+    * Quantization quality is below k-means ([[train]]); the IVF structure —
+    * inverted lists, nprobe search — is identical.
+    */
+  def fixedModel(df: DataFrame, idCol: String, vecCol: String,
+                 ids: Seq[Long]): Model = {
+    val byId = df.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), Similarity.toDouble(col(vecCol)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(ids.forall(byId.contains), s"missing centroid ids: ${ids.filterNot(byId.contains)}")
+    Model(ids.toIndexedSeq.map(byId(_)))
+  }
+
   /** Tag every row with its coarse cluster (map-side; persist/write the
     * result partitioned by `ivf_cluster` to make probes partition-pruned).
     */

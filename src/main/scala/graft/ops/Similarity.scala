@@ -73,6 +73,25 @@ object Similarity {
     Seq.fill(nbits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Engine-portable hyperplanes: component (p, d) is derived from
+    * md5("plane_p_d") — the first 4 bytes as an unsigned int, mapped to
+    * [-1, 1]. Sign-LSH only needs symmetric random directions, not exact
+    * gaussians, and any engine with md5 reproduces these bit-for-bit
+    * (DuckDB: `('0x' || substr(md5('plane_'||p||'_'||d), 1, 8))::BIGINT
+    * / 4294967295.0 * 2 - 1`), which makes LSH bucket assignments — and
+    * therefore ANN results — oracle-checkable.
+    */
+  def md5Hyperplanes(nbits: Int, dim: Int): Seq[Array[Double]] =
+    (0 until nbits).map { p =>
+      Array.tabulate(dim) { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane_${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val u = ((md(0) & 0xFFL) << 24) | ((md(1) & 0xFFL) << 16) |
+          ((md(2) & 0xFFL) << 8) | (md(3) & 0xFFL)
+        u / 4294967295.0 * 2 - 1
+      }
+    }
+
   /** Sign-bit LSH signature of a vector under the given hyperplanes. */
   def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -88,8 +107,9 @@ object Similarity {
   def annTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nbits: Int = 8, dim: Int = 64,
-              scoreDecimals: Int = 6): DataFrame = {
-    val planes = hyperplanes(nbits, dim)
+              scoreDecimals: Int = 6,
+              planesFor: (Int, Int) => Seq[Array[Double]] = hyperplanes(_, _)): DataFrame = {
+    val planes = planesFor(nbits, dim)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__bucket", lshSignature(col("__qv"), planes))
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))

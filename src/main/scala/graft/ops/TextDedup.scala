@@ -139,66 +139,108 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Direct n-gram Jaccard near-dup with a cheap blocking key (shared first
-    * shingle minhash) — the quadratic fallback for small corpora; LSH above
-    * is the scale path.
+  /** Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style, cf. Xiao
+    * et al., "Efficient Similarity Joins for Near Duplicate Detection"):
+    * under any global total order on shingles, two sets with Jaccard >= t
+    * must share an element within each other's first `|S| - ceil(t*|S|) + 1`
+    * shingles — so joining on exploded prefixes has COMPLETE recall (unlike
+    * the previous min-shingle block, which missed a qualifying pair with
+    * probability 1-J). Candidates are then verified with exact Jaccard.
+    *
+    * Scale: explode factor is the prefix length (~(1-t)*|S|+1). We order
+    * lexicographically; a production tuning for hot shingles is to order by
+    * ascending global shingle frequency (one extra counting pass) so prefixes
+    * hold the rarest shingles. LSH above remains the sub-quadratic path.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val prepared = Partitioning.spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
-      .withColumn("__block", array_min(transform(col("__sh"), x => xxhash64(x))))
+      .select(col(idCol),
+        array_sort(array_distinct(shingles(col(textCol), shingleN))).as("__sh"))
+      .withColumn("__prefix", slice(col("__sh"), lit(1),
+        (size(col("__sh")) - ceil(lit(threshold) * size(col("__sh"))) + 1).cast("int")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prepared.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"), col("__block"))
-    val b = prepared.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"), col("__block"))
-    a.join(b, "__block").filter(col("id_a") < col("id_b"))
+    val a = prepared.select(col(idCol).as("id_a"), explode(col("__prefix")).as("__p"))
+    val b = prepared.select(col(idCol).as("id_b"), explode(col("__prefix")).as("__p"))
+    a.join(b, "__p").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(prepared.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(prepared.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard").distinct()
+      .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset: per bit position, tokens vote
-    * +1/-1 by their xxhash64 bit; the sign becomes the fingerprint bit.
-    * Expression-only (nested higher-order functions), computed map-side.
+  /** Portable 60-bit token hash: the first 15 hex chars of md5, parsed as an
+    * integer — computable bit-identically in any engine with md5 (DuckDB:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`), unlike xxhash64. 60 bits
+    * keeps the value inside a signed long with no ANSI overflow.
     */
-  def simhash64(tokensCol: Column): Column = {
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** SimHash of the token multiset: per bit position, tokens vote +1/-1 by
+    * their hash bit; the sign becomes the fingerprint bit. Expression-only
+    * (nested higher-order functions), computed map-side.
+    */
+  def simhashBits(tokensCol: Column, tokenHash: Column => Column, bits: Int): Column = {
     // Bit positions are unrolled in Scala (shift amounts must be literals in
     // the DSL). Aggregating over the pre-hashed token array binds the hash as
-    // the lambda variable: one xxhash64 per token, then 64 bit tests on the
-    // long — not 64 string hashes.
+    // the lambda variable: one string hash per token, then `bits` bit tests
+    // on the long — not `bits` string hashes.
     val votes = aggregate(
-      transform(tokensCol, t => xxhash64(t)),
-      array((0 until 64).map(_ => lit(0)): _*),
+      transform(tokensCol, tokenHash),
+      array((0 until bits).map(_ => lit(0)): _*),
       (acc, h) => zip_with(acc,
-        array((0 until 64).map(j =>
+        array((0 until bits).map(j =>
           when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1))
             .otherwise(lit(-1))): _*),
         (x, y) => x + y))
-    val weights = array((0 until 64).map(j => lit(1L << j)): _*)
+    val weights = array((0 until bits).map(j => lit(1L << j)): _*)
     aggregate(zip_with(votes, weights,
         (v, w) => when(v > 0, w).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** 64-bit SimHash under xxhash64 (fastest; not oracle-portable). */
+  def simhash64(tokensCol: Column): Column =
+    simhashBits(tokensCol, xxhash64(_), 64)
+
+  /** 60-bit SimHash under the portable md5 family ([[md5Hash60]]) — same
+    * fingerprint is computable in DuckDB SQL, enabling an exact oracle.
+    */
+  def simhash60(tokensCol: Column): Column =
+    simhashBits(tokensCol, md5Hash60, 60)
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 16-bit quarters of the fingerprint
-    * (any pair within Hamming distance <= 3 of a 64-bit hash shares at least
-    * one exact quarter — pigeonhole), then verify the full distance.
+  /** SimHash near-dup pairs: block on quarters of the fingerprint (any pair
+    * within Hamming distance <= 3 shares at least one exact quarter —
+    * pigeonhole), then verify the full distance. Quarter blocking is
+    * deterministic-complete, so the result equals the all-pairs computation.
+    *
+    * `portable = true` switches to the 60-bit md5 family ([[simhash60]]) so
+    * the fingerprints — and therefore the output — are reproducible in
+    * DuckDB SQL for the oracle check; default stays the faster xxhash64.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     // pigeonhole over 4 quarters only guarantees a shared quarter for
     // distance <= 3; a larger budget would silently lose qualifying pairs
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashNearDups supports maxHamming in [0, 3] (quarter blocking), got $maxHamming")
+    val (bits, sim) =
+      if (portable) (60, simhash60(tokens(col(textCol))))
+      else (64, simhash64(tokens(col(textCol))))
+    val qBits = bits / 4
     val withSim = Partitioning.spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), simhash64(tokens(col(textCol))).as("__simhash"))
+      .select(col(idCol), sim.as("__simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarters = withSim.select(col(idCol), col("__simhash"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("__simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("__simhash"), q * qBits)
+          .bitwiseAND(lit((1L << qBits) - 1))): _*))
         .as(Seq("q", "qval")))
     val a = quarters.select(col(idCol).as("id_a"), col("__simhash").as("__sim_a"),
       col("q"), col("qval"))

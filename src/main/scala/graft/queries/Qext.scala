@@ -29,20 +29,30 @@ object Qext {
       .select(col("doc_id"), col("__content_hash").as("content_hash"))
       .orderBy("doc_id")
 
-  /** MinHash+LSH near-dup pairs (no oracle: xxhash64-seeded). */
+  /** MinHash+LSH near-dup pairs. Oracle = exact all-pairs Jaccard: valid
+    * because LSH candidates are verified with exact Jaccard (no false
+    * positives) and recall on this corpus is effectively 1 — every
+    * qualifying pair measures J >= 0.9, so the 16x4 banding miss
+    * probability is (1 - 0.9^4)^16 < 4e-8 per pair.
+    */
   def qExtDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     TextDedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (no oracle: xxhash64-seeded). */
+  /** SimHash near-dup pairs under the portable md5 hash family: quarter
+    * blocking is deterministic-complete for Hamming <= 3 (pigeonhole), and
+    * md5 fingerprints are bit-identical in DuckDB — exact all-pairs oracle.
+    */
   def qExtDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     TextDedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3, portable = true)
       .orderBy("id_a", "id_b")
 
-  /** Blocked n-gram Jaccard pairs (no oracle: xxhash64 blocking key). */
+  /** Exact n-gram Jaccard pairs via prefix filtering — deterministic
+    * complete recall, so the exact all-pairs SQL is a true oracle.
+    */
   def qExtDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(
         t(spark, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
@@ -78,11 +88,15 @@ object Qext {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-5 (no oracle: seeded hyperplanes). */
+  /** LSH-bucketed approximate top-5 under md5-derived hyperplanes
+    * ([[Similarity.md5Hyperplanes]]) — bucket assignments are bit-identical
+    * in DuckDB, so the full ANN result has an exact SQL oracle.
+    */
   def qExtSimAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     Similarity.annTopK(e.filter(col("vec_id") < 8), e,
-        "vec_id", "embedding", k = 5, nbits = 6, dim = 64)
+        "vec_id", "embedding", k = 5, nbits = 6, dim = 64,
+        planesFor = Similarity.md5Hyperplanes)
       .orderBy("query_id", "rank")
   }
 
@@ -102,6 +116,24 @@ object Qext {
         model, k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
   }
+
+  /** IVF ANN with a deterministic fixed-centroid quantizer
+    * ([[Ivf.fixedModel]], vec_ids 0, 31, …, 465): same inverted-file
+    * structure and nprobe probe path as the k-means variant above, but the
+    * quantizer is reproducible from the raw table — exact SQL oracle for the
+    * whole assign→probe→rank pipeline.
+    */
+  def qExtSimIvfFixed(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    Ivf.annTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        model, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfFixedModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
 
   // ---------------------------------------------------- text analysis
 
@@ -145,18 +177,28 @@ object Qext {
   // --------------------------------------------------------- multimodal
 
   /** Multimodal plumbing over synthetic media (documents text as fake binary
-    * payloads): partition-wise stub decode → 16-dim features → per-doc
-    * feature summary. No oracle (mapPartitions is not SQL-expressible);
-    * deterministic by construction, covered by MultimodalSpec.
+    * payloads): partition-wise stub decode → 16-dim byte-histogram features
+    * → per-doc dominant-bin summary. The stub histogram bins by high nibble,
+    * which DuckDB reproduces by counting hex digits of the payload — exact
+    * oracle despite the mapPartitions decode. Covered by MultimodalSpec too.
     */
   def qExtMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(
-      t(spark, dir, "documents"), "doc_id", "text", kind = "image")
-    Multimodal.fakeDecodeFeatures(media, dims = 16).toDF()
-      .select(col("media_id"), col("kind"),
-        round(aggregate(col("features"), lit(0.0d),
-          (acc, x) => acc + x.cast("double")), 4).as("feature_sum"),
-        round(array_max(transform(col("features"), _.cast("double"))), 4).as("feature_max"))
+    val docs = t(spark, dir, "documents")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text", kind = "image")
+    val feats = Multimodal.fakeDecodeFeatures(media, dims = 16).toDF()
+    val meta = media.toDF()
+      .select(col("media_id"), octet_length(col("content")).as("n_bytes"))
+    // Integer-exact projections of the float feature vector: the dominant
+    // histogram bin and its byte count (share * n_bytes rounds back to the
+    // exact integer count — float32 error is << 0.5 for corpus-sized docs),
+    // so the result is reproducible bit-for-bit by the DuckDB oracle.
+    val pos = array_position(col("features"), array_max(col("features")))
+    feats.join(meta, "media_id")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        (pos - 1).as("top_bin"),
+        round(element_at(col("features"), pos.cast("int")).cast("double")
+          * col("n_bytes")).cast("long").as("top_count"))
       .orderBy("media_id")
   }
 
@@ -201,6 +243,7 @@ object Qext {
     "q_ext_sim_topk" -> (qExtSimTopk _),
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
     "q_ext_sim_ivf" -> (qExtSimIvf _),
+    "q_ext_sim_ivf_fixed" -> (qExtSimIvfFixed _),
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_lang_id" -> (qExtLangId _),
@@ -215,6 +258,36 @@ object Qext {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** Exact all-pairs trigram-shingle Jaccard in DuckDB SQL — mirrors
+    * TextDedup.shingles/jaccard exactly (distinct word trigrams of the
+    * normalized text; whole-text shingle for short docs; double division
+    * rounded to 6). The least/greatest size prefilter only discards pairs
+    * that provably fail `J >= t` (|intersect| <= min size, |union| >= max).
+    */
+  private def ngramJaccardOracleSql(docFilter: String, threshold: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $normSql AS norm FROM documents $docFilter
+       |), tok AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS toks, norm FROM docs
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(0, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+       |      ELSE [norm] END) AS s
+       |  FROM tok
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+       |         ELSE len(list_intersect(a.s, b.s))::DOUBLE /
+       |              len(list_distinct(list_concat(a.s, b.s)))::DOUBLE END AS j
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND least(len(a.s), len(b.s)) >= $threshold * greatest(len(a.s), len(b.s))
+       |)
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_ext_dedup_exact" ->
       s"""WITH hashed AS (
@@ -225,6 +298,40 @@ object Qext {
          |  FROM hashed
          |)
          |SELECT doc_id, content_hash FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Exact all-pairs trigram Jaccard (size-ratio prefilter is a necessary
+    // condition for J >= t, so recall stays complete). Shared by the minhash
+    // query (LSH recall ~1 on this corpus — see qExtDedupMinhash) and, with a
+    // doc_id bound, the prefix-filtered exact operator.
+    "q_ext_dedup_minhash" -> ngramJaccardOracleSql(docFilter = "", threshold = "0.5"),
+
+    "q_ext_dedup_ngram_jaccard" ->
+      ngramJaccardOracleSql(docFilter = "WHERE doc_id < 500", threshold = "0.5"),
+
+    // Same 60-bit md5 simhash as TextDedup.simhash60: per-bit +-1 votes over
+    // the token multiset, sign -> bit; all-pairs Hamming <= 3 (the engine's
+    // quarter blocking is pigeonhole-complete, so outputs are identical).
+    "q_ext_dedup_simhash" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+         |), th AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
+         |  FROM docs
+         |), votes AS (
+         |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, range(60) bt(bit)
+         |  GROUP BY doc_id, bit
+         |), fp AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sim
+         |  FROM votes GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |FROM fp a, fp b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ext_dedup_embed_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -250,6 +357,41 @@ object Qext {
         |                    / (sqrt(list_dot_product(q.emb, q.emb))
         |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
         |  FROM v q, v c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Same md5-derived hyperplanes as Similarity.md5Hyperplanes (6 planes,
+    // dim 64): sign-bit bucket, candidates restricted to the query's bucket,
+    // exact cosine rank within it.
+    "q_ext_sim_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    ('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT
+        |      / 4294967295.0 * 2 - 1) AS vec
+        |  FROM range(6) pt(p)
+        |), v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), sig AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN list_dot_product(v.emb, planes.vec) > 0
+        |                             THEN (1::BIGINT << planes.p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v, planes GROUP BY v.vec_id
+        |), sv AS (
+        |  SELECT s.vec_id, s.bucket, v.emb FROM sig s JOIN v USING (vec_id)
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM sv q JOIN sv c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8
         |), ranked AS (
         |  SELECT query_id, cand_id, score,
         |         row_number() OVER (PARTITION BY query_id
@@ -309,6 +451,78 @@ object Qext {
     "q_ext_skew_salted_count" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Fixed-centroid IVF (Ivf.fixedModel: centroids = vectors 0,31,…,465;
+    // cid = vec_id // 31): assignment and probing are argmax/top-4 by
+    // (cosine, cid) — ties break to the HIGHER cid, mirroring Spark's
+    // array_max over (score, id) structs, hence `ORDER BY s DESC, cid DESC`.
+    "q_ext_sim_ivf_fixed" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |), vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |), assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
+        |), scored AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c2.emb, c2.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c2.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c2.emb, c2.emb))) END, 6) AS score
+        |  FROM probes p
+        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+        |  JOIN v q ON q.vec_id = p.query_id
+        |  JOIN v c2 ON c2.vec_id = a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Stub decode = 16-bin high-nibble byte histogram (Multimodal
+    // .stubFeatures): bin k count == occurrences of hex digit k at the high
+    // (odd) positions of hex(payload). list_position is 1-based first-match,
+    // matching Spark's array_position tie-break.
+    "q_ext_multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 'image' AS kind, coalesce(text, '') AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT media_id, kind, octet_length(encode(t)) AS n_bytes,
+        |         regexp_replace(hex(encode(t)), '(.).', '\1', 'g') AS nib
+        |  FROM d
+        |), c AS (
+        |  SELECT media_id, kind, n_bytes,
+        |         list_transform(range(16), k ->
+        |           length(nib) - length(replace(nib,
+        |             substr('0123456789ABCDEF', (k + 1)::INT, 1), ''))) AS cnts
+        |  FROM h
+        |)
+        |SELECT media_id, kind, n_bytes,
+        |       list_position(cnts, list_max(cnts)) - 1 AS top_bin,
+        |       list_max(cnts) AS top_count
+        |FROM c ORDER BY media_id""".stripMargin,
 
     "q_ext_sessionize" ->
       """WITH ordered AS (
