@@ -125,7 +125,16 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nbits: Int = 6, dim: Int = 64,
-                     scoreDecimals: Int = 6): DataFrame = {
+                     scoreDecimals: Int = 6): DataFrame =
+    cosineNearDupsManaged(df, idCol, vecCol, threshold, nbits, dim,
+      scoreDecimals).df
+
+  /** [[cosineNearDups]] with a [[Managed]] handle over the persisted
+    * signature table, for callers that need cache lifecycle control.
+    */
+  def cosineNearDupsManaged(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nbits: Int = 6, dim: Int = 64,
+                            scoreDecimals: Int = 6): Managed = {
     val planes = hyperplanes(nbits, dim)
     // persisted so the signature isn't re-inlined into both join sides
     val v = Partitioning.spread(df).select(col(idCol), col(vecCol).as("__v"))
@@ -133,9 +142,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__bucket"))
     val b = v.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__bucket"))
-    a.join(b, "__bucket").filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, "__bucket").filter(col("id_a") < col("id_b"))
       .withColumn("score", round(cosine(col("__va"), col("__vb")), scoreDecimals))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
+    new Managed(pairs, Seq(v))
   }
 }

@@ -111,7 +111,17 @@ object TextDedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                      threshold: Double = 0.6): DataFrame = {
+                      threshold: Double = 0.6): DataFrame =
+    minhashNearDupsManaged(df, idCol, textCol, shingleN, bands, rowsPerBand,
+      threshold).df
+
+  /** [[minhashNearDups]] with a [[Managed]] handle over the persisted
+    * signature table, for callers that need cache lifecycle control.
+    */
+  def minhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, bands: Int = 16,
+                             rowsPerBand: Int = 4,
+                             threshold: Double = 0.6): Managed = {
     val numHashes = bands * rowsPerBand
     // PERSIST is load-bearing: without it Catalyst collapses the projection
     // and re-inlines the O(shingles × numHashes) signature expression into
@@ -133,10 +143,11 @@ object TextDedup {
 
     val sa = prepared.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
     val sb = prepared.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
-    candidates.join(sa, "id_a").join(sb, "id_b")
+    val pairs = candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    new Managed(pairs, Seq(prepared))
   }
 
   /** Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style, cf. Xiao
@@ -153,7 +164,15 @@ object TextDedup {
     * hold the rarest shingles. LSH above remains the sub-quadratic path.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsManaged(df, idCol, textCol, shingleN, threshold).df
+
+  /** [[ngramJaccardPairs]] with a [[Managed]] handle over the persisted
+    * shingle table.
+    */
+  def ngramJaccardPairsManaged(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int = 3,
+                               threshold: Double = 0.5): Managed = {
     val prepared = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         array_sort(array_distinct(shingles(col(textCol), shingleN))).as("__sh"))
@@ -162,13 +181,14 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prepared.select(col(idCol).as("id_a"), explode(col("__prefix")).as("__p"))
     val b = prepared.select(col(idCol).as("id_b"), explode(col("__prefix")).as("__p"))
-    a.join(b, "__p").filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, "__p").filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .join(prepared.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(prepared.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    new Managed(pairs, Seq(prepared))
   }
 
   /** Portable 60-bit token hash: the first 15 hex chars of md5, parsed as an
@@ -225,7 +245,15 @@ object TextDedup {
     * DuckDB SQL for the oracle check; default stays the faster xxhash64.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+                      maxHamming: Int = 3, portable: Boolean = false): DataFrame =
+    simhashNearDupsManaged(df, idCol, textCol, maxHamming, portable).df
+
+  /** [[simhashNearDups]] with a [[Managed]] handle over the persisted
+    * fingerprint table.
+    */
+  def simhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
+                             maxHamming: Int = 3,
+                             portable: Boolean = false): Managed = {
     // pigeonhole over 4 quarters only guarantees a shared quarter for
     // distance <= 3; a larger budget would silently lose qualifying pairs
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -246,10 +274,11 @@ object TextDedup {
       col("q"), col("qval"))
     val b = quarters.select(col(idCol).as("id_b"), col("__simhash").as("__sim_b"),
       col("q"), col("qval"))
-    a.join(b, Seq("q", "qval")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("q", "qval")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "__sim_a", "__sim_b").distinct()
       .withColumn("hamming", hamming(col("__sim_a"), col("__sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    new Managed(pairs, Seq(withSim))
   }
 }

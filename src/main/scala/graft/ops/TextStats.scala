@@ -80,4 +80,45 @@ object TextStats {
     */
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(TextDedup.tokens(c))), " "))
+
+  // ----------------------------------------- data-driven language profiles
+
+  import org.apache.spark.sql.DataFrame
+
+  /** [[langProfiles]] as a (lang, marker) table — profiles are data, not
+    * code, at scale.
+    */
+  def profilesTable(spark: org.apache.spark.sql.SparkSession,
+                    profiles: Seq[(String, Seq[String])] = langProfiles): DataFrame = {
+    import spark.implicits._
+    profiles.flatMap { case (lang, ms) => ms.map(lang -> _) }.toDF("lang", "marker")
+  }
+
+  /** Data-driven language ID: documents explode to punctuation-stripped
+    * tokens, broadcast-hash-join against the (lang, marker) profile table,
+    * count per (doc, lang), argmax with ties to the alphabetically-first
+    * language; no marker hit → "und".
+    *
+    * This is the scale path for rich profiles: a regex alternation
+    * ([[langId]]) re-compiles thousands of markers into every row's match,
+    * while a broadcast join is one hash probe per token and lets profiles
+    * ship as data (updated without a code release). Matching differs from
+    * [[langId]] deliberately: token equality after edge-punctuation
+    * stripping, not substring word-boundary search.
+    */
+  def langIdFromProfiles(docs: DataFrame, idCol: String, textCol: String,
+                         profiles: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__tok", regexp_replace(col("__tok"), "^\\W+|\\W+$", ""))
+    val scores = toks.join(broadcast(profiles), col("__tok") === col("marker"))
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__score").desc, col("lang").asc)
+    val best = scores.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col(idCol), col("lang"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("lang", coalesce(col("lang"), lit("und")))
+  }
 }

@@ -157,6 +157,16 @@ object Qext {
         TextStats.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Data-driven language ID ([[TextStats.langIdFromProfiles]]): exploded
+    * tokens broadcast-joined to a (lang, marker) profile table — the scale
+    * path when profiles are thousands of markers shipped as data.
+    */
+  def qExtLangIdProfile(spark: SparkSession, dir: String): DataFrame =
+    TextStats.langIdFromProfiles(
+        t(spark, dir, "documents"), "doc_id", "text",
+        TextStats.profilesTable(spark))
+      .orderBy("doc_id")
+
   def qExtFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -247,6 +257,7 @@ object Qext {
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_lang_id" -> (qExtLangId _),
+    "q_ext_lang_id_profile" -> (qExtLangIdProfile _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
@@ -257,6 +268,14 @@ object Qext {
 
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** TextStats.langProfiles as a SQL VALUES list for the profile-table
+    * oracle (markers are fixed [a-z] words — no quoting hazards).
+    */
+  private def profileValuesSql: String =
+    TextStats.langProfiles
+      .flatMap { case (lang, ms) => ms.map(m => s"('$lang', '$m')") }
+      .mkString(", ")
 
   /** Exact all-pairs trigram-shingle Jaccard in DuckDB SQL — mirrors
     * TextDedup.shingles/jaccard exactly (distinct word trigrams of the
@@ -438,6 +457,28 @@ object Qext {
         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM scores ORDER BY doc_id""".stripMargin,
+
+    // Profile-table language ID: token-equality scoring (edge punctuation
+    // stripped), argmax with ties to the alphabetically-first language.
+    "q_ext_lang_id_profile" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_replace(tok, '^\\W+|\\W+$$', '', 'g') AS tok FROM (
+         |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)
+         |), profiles(lang, marker) AS (
+         |  VALUES $profileValuesSql
+         |), scores AS (
+         |  SELECT doc_id, lang, count(*) AS score
+         |  FROM toks JOIN profiles ON tok = marker GROUP BY doc_id, lang
+         |), best AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, lang ASC) AS rn
+         |    FROM scores) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_ext_fingerprint" ->
       s"""SELECT doc_id,

@@ -67,4 +67,24 @@ class IvfSpec extends SparkSpec {
       .orderBy("rank").select("cand_id").as[Long].collect()
     ivf shouldBe brute
   }
+
+  "fixedModel" should "take the given rows as centroids, unnormalized" in {
+    val fixed = Ivf.fixedModel(vecs, "vec_id", "embedding", Seq(0L, 1L))
+    fixed.k shouldBe 2
+    fixed.centroids(0).take(2).toSeq shouldBe Seq(1.0, 0.02f.toDouble)
+    fixed.centroids(1)(2) shouldBe 1.0
+    an[IllegalArgumentException] should be thrownBy
+      Ivf.fixedModel(vecs, "vec_id", "embedding", Seq(0L, 99L))
+  }
+
+  it should "match brute force when probing all its clusters" in {
+    val fixed = Ivf.fixedModel(vecs, "vec_id", "embedding", Seq(0L, 1L))
+    val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 2), vecs,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    val ivf = Ivf.annTopK(vecs.filter($"vec_id" === 2), vecs,
+        "vec_id", "embedding", fixed, k = 3, nprobe = 2)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    ivf shouldBe brute
+  }
 }

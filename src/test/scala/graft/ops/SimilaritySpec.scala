@@ -54,4 +54,11 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.hyperplanes(4, 8, seed = 7L).map(_.toSeq)
     a shouldBe b
   }
+
+  "md5Hyperplanes" should "reproduce the SQL-side md5 derivation exactly" in {
+    val planes = Similarity.md5Hyperplanes(2, 3)
+    // md5('plane_0_0') = d03501f9... -> 0xd03501f9 = 3493134841
+    planes(0)(0) shouldBe (3493134841d / 4294967295d * 2 - 1)
+    all(planes.flatten) should (be >= -1.0 and be <= 1.0)
+  }
 }

@@ -75,4 +75,52 @@ class TextDedupSpec extends SparkSpec {
     pairs should contain(4L -> 5L)
     pairs should not contain (1L -> 3L) // jaccard < 0.9
   }
+
+  it should "have complete recall: every pair at or above the threshold" in {
+    // brute-force expected set via the same shingle/jaccard expressions
+    val sh = docs.select(col("doc_id"),
+      array_distinct(TextDedup.shingles(col("text"), 3)).as("s"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
+    val expected = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", TextDedup.jaccard(col("sa"), col("sb")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got shouldBe expected
+  }
+
+  "simhash60" should "match the md5-derived bits DuckDB would compute" in {
+    // spot-check the portable token hash against a reference value:
+    // md5("fox") = 2b95d1f09b8b66c5c43622a4d9ec9a04 -> first 15 hex chars
+    val h = Seq("fox").toDF("t")
+      .select(TextDedup.md5Hash60(col("t"))).as[Long].collect().head
+    h shouldBe java.lang.Long.parseLong("2b95d1f09b8b66c", 16)
+  }
+
+  "simhashNearDups(portable)" should "find the same dup structure as xxhash64" in {
+    val pairs = TextDedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain(1L -> 2L)
+    pairs should contain(4L -> 5L)
+  }
+
+  "Managed" should "release its caches after use" in {
+    val cached = docs.persist()
+    cached.count()
+    cached.storageLevel.useMemory shouldBe true
+    new Managed(cached, Seq(cached)).use(_.count()) shouldBe 5L
+    cached.storageLevel.useMemory shouldBe false
+  }
+
+  "minhashNearDupsManaged" should "return the same pairs as the plain variant" in {
+    val m = TextDedup.minhashNearDupsManaged(docs, "doc_id", "text",
+      threshold = 0.5)
+    val n = m.use(_.count())
+    n shouldBe TextDedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5).count()
+  }
 }

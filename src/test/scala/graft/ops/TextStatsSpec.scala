@@ -41,6 +41,19 @@ class TextStatsSpec extends SparkSpec {
     fps(0) should not be fps(2)
   }
 
+  "langIdFromProfiles" should "score tokens via the broadcast profile table" in {
+    val docs = Seq(
+      (1L, "the fox and the hen"),      // en markers: the, and
+      (2L, "der Hund ist nicht da."),   // de markers (case + punctuation stripped)
+      (3L, "zzz qqq www"),              // no markers -> und
+      (4L, "la que"))                   // es/fr tie -> es (alphabetical)
+      .toDF("doc_id", "text")
+    val out = TextStats.langIdFromProfiles(docs, "doc_id", "text",
+        TextStats.profilesTable(spark))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    out shouldBe Array(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "es")
+  }
+
   "qualityMetrics" should "produce the expected bundle" in {
     val m = TextStats.qualityMetrics(col("t"))
     val row = Seq("The cat, the hat.").toDF("t")
