@@ -81,6 +81,58 @@ object TextStats {
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(TextDedup.tokens(c))), " "))
 
+  // ------------------------------------------------- vocabulary induction
+
+  /** Corpus vocabulary: token → (tf = total occurrences, df = documents
+    * containing it) — the first step of tokenizer/vocab induction over a
+    * training corpus. The per-doc pre-aggregation gives map-side partial
+    * combine on the (doc, token) key before the vocab-sized token shuffle,
+    * and its output is the same frame [[tfidfTopTerms]] starts from.
+    */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val perDoc = docTokenCounts(docs, idCol, textCol)
+    perDoc.groupBy("token")
+      .agg(sum("tf").cast("long").as("tf"), count(lit(1)).as("df"))
+  }
+
+  /** (doc, token, tf) counts — shared by [[vocabulary]] and
+    * [[tfidfTopTerms]].
+    */
+  def docTokenCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** Per-document top-k terms by tf-idf. `idfOf(df, n)` defaults to the
+    * classic ln((n+1)/(df+1)); pass [[rationalIdf]] for a
+    * transcendental-free variant whose doubles are bit-identical across
+    * engines (libm log is not guaranteed correctly rounded — IEEE division
+    * is), which is what the oracle-checked query uses.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int,
+                    idfOf: (Column, Long) => Column = logIdf,
+                    scoreDecimals: Int = 6): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val perDoc = docTokenCounts(docs, idCol, textCol)
+    val dfreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
+    perDoc.join(dfreq, "token")
+      .withColumn("score", round(col("tf") * idfOf(col("df"), n), scoreDecimals))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"),
+        col("rank"))
+  }
+
+  val logIdf: (Column, Long) => Column =
+    (df, n) => log(lit(n + 1.0) / (df + 1))
+
+  val rationalIdf: (Column, Long) => Column =
+    (df, n) => lit(n + 1.0) / (df + 1)
+
   // ----------------------------------------- data-driven language profiles
 
   import org.apache.spark.sql.DataFrame

@@ -167,6 +167,24 @@ object Qext {
         TextStats.profilesTable(spark))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary top-200 by total frequency (tokenizer-induction
+    * first step); integer counts, fully deterministic order.
+    */
+  def qExtVocab(spark: SparkSession, dir: String): DataFrame =
+    TextStats.vocabulary(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("tf").desc, col("token").asc).limit(200)
+
+  /** Per-doc top-3 terms by tf-idf with the rational idf variant
+    * ([[TextStats.rationalIdf]] — IEEE division is correctly rounded, libm
+    * log is not, so this is the cross-engine-exact form). df and n come
+    * from the full corpus; output restricted to doc_id < 100.
+    */
+  def qExtTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopTerms(t(spark, dir, "documents"), "doc_id", "text",
+        k = 3, idfOf = TextStats.rationalIdf)
+      .filter(col("doc_id") < 100)
+      .orderBy("doc_id", "rank")
+
   def qExtFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -258,6 +276,8 @@ object Qext {
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_lang_id" -> (qExtLangId _),
     "q_ext_lang_id_profile" -> (qExtLangIdProfile _),
+    "q_ext_vocab" -> (qExtVocab _),
+    "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
@@ -479,6 +499,40 @@ object Qext {
          |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang
          |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ext_vocab" ->
+      s"""SELECT tok AS token, count(*)::BIGINT AS tf,
+         |       count(DISTINCT doc_id)::BIGINT AS df
+         |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         |      FROM documents)
+         |GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200""".stripMargin,
+
+    // Rational idf (n+1)/(df+1): every double op here (division, multiply)
+    // is IEEE-correctly-rounded, so scores are bit-identical to Spark's.
+    "q_ext_tfidf_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents
+         |), perdoc AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS tf
+         |  FROM toks GROUP BY doc_id, token
+         |), dfreq AS (
+         |  SELECT token, count(*)::BIGINT AS df FROM perdoc GROUP BY token
+         |), total AS (
+         |  SELECT count(*)::DOUBLE AS n FROM documents
+         |), scored AS (
+         |  SELECT p.doc_id, p.token, p.tf, d.df,
+         |         round(p.tf * ((total.n + 1) / (d.df + 1)), 6) AS score
+         |  FROM perdoc p JOIN dfreq d ON p.token = d.token, total
+         |), ranked AS (
+         |  SELECT doc_id, token, tf, df, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, token ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, token, tf, df, score, rank FROM ranked
+         |WHERE rank <= 3 AND doc_id < 100
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "q_ext_fingerprint" ->
       s"""SELECT doc_id,

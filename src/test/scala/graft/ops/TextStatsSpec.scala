@@ -54,6 +54,22 @@ class TextStatsSpec extends SparkSpec {
     out shouldBe Array(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "es")
   }
 
+  "vocabulary" should "count total and document frequency per token" in {
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = TextStats.vocabulary(docs, "doc_id", "text")
+      .orderBy("token").as[(String, Long, Long)].collect()
+    v shouldBe Array(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L))
+  }
+
+  "tfidfTopTerms" should "rank rare terms above common ones" in {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(docs, "doc_id", "text", k = 1,
+        idfOf = TextStats.rationalIdf)
+      .orderBy("doc_id").select("doc_id", "token").as[(Long, String)].collect()
+    // "a" is in every doc (low idf); each doc's distinctive token wins
+    top shouldBe Array(1L -> "b", 2L -> "c", 3L -> "d")
+  }
+
   "qualityMetrics" should "produce the expected bundle" in {
     val m = TextStats.qualityMetrics(col("t"))
     val row = Seq("The cat, the hat.").toDF("t")
