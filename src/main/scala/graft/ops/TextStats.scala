@@ -165,12 +165,16 @@ object TextStats {
       .withColumn("__tok", regexp_replace(col("__tok"), "^\\W+|\\W+$", ""))
     val scores = toks.join(broadcast(profiles), col("__tok") === col("marker"))
       .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("__score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__score").desc, col("lang").asc)
-    val best = scores.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).select(col(idCol), col("lang"))
-    docs.select(col(idCol))
-      .join(best, Seq(idCol), "left")
-      .withColumn("lang", coalesce(col("lang"), lit("und")))
+    // Seeding a zero-score "und" row per doc turns the argmax into ONE
+    // aggregation — no window sort and no docs⋈best join (which would be a
+    // big-big sort-merge join at scale, the only SMJ this registry had).
+    // min(struct(-score, lang)) = highest score, ties to the
+    // alphabetically-first language; a real hit (score >= 1) always beats
+    // the seeded und row (score 0).
+    val seeded = scores.unionByName(
+      docs.select(col(idCol), lit("und").as("lang"), lit(0L).as("__score")))
+    seeded.groupBy(col(idCol))
+      .agg(min(struct((-col("__score")).as("s"), col("lang").as("l"))).as("__best"))
+      .select(col(idCol), col("__best.l").as("lang"))
   }
 }
