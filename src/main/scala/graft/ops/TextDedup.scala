@@ -118,6 +118,18 @@ object TextDedup {
   /** [[minhashNearDups]] with a [[Managed]] handle over the persisted
     * signature table, for callers that need cache lifecycle control.
     */
+  /** The (id, __shingles, __sig) table for a corpus slice — the state the
+    * LSH dedup runs over, and the unit of incremental processing: write it
+    * to the corpus store, and dedupe later batches against it with
+    * [[minhashIncrement]] instead of re-signing the whole corpus.
+    */
+  def minhashPrepare(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64): DataFrame =
+    Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .withColumn("__shingles", shingles(col(textCol), shingleN))
+      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+      .select(col(idCol), col("__shingles"), col("__sig"))
+
   def minhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int = 3, bands: Int = 16,
                              rowsPerBand: Int = 4,
@@ -129,9 +141,7 @@ object TextDedup {
     // slowdown at sf0.1). This is the standard LSH "materialize the
     // signature table" step; MEMORY_AND_DISK spills instead of OOMing at
     // scale.
-    val prepared = Partitioning.spread(df.select(col(idCol), col(textCol)))
-      .withColumn("__shingles", shingles(col(textCol), shingleN))
-      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+    val prepared = minhashPrepare(df, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
@@ -148,6 +158,54 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     new Managed(pairs, Seq(prepared))
+  }
+
+  /** Result of [[minhashIncrement]]: `pairs` = verified near-dup pairs that
+    * involve at least one new document (new↔corpus and new↔new); `delta` =
+    * the new batch's prepared rows, persisted — append them to the corpus
+    * store, then `release()`.
+    */
+  final case class MinhashIncrement(pairs: DataFrame, delta: DataFrame) {
+    def release(): Unit = delta.unpersist(false)
+  }
+
+  /** Incremental MinHash near-dup: dedupe a NEW batch against an existing
+    * prepared corpus table ([[minhashPrepare]] output re-read from the
+    * corpus store) plus within the batch itself, WITHOUT re-signing the
+    * corpus — the arriving-data shape of a training-data pipeline. Corpus
+    * rows are only bucket-exploded and joined; pairs wholly inside the
+    * corpus are excluded (they were reported when those rows arrived).
+    *
+    * ids must be globally unique across corpus and batch; `bands *
+    * rowsPerBand` must equal the corpus table's numHashes. Pair orientation
+    * is id_a < id_b regardless of which side is new.
+    */
+  def minhashIncrement(newDocs: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                       threshold: Double = 0.6): MinhashIncrement = {
+    val delta = minhashPrepare(newDocs, idCol, textCol, shingleN, bands * rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = corpus.select(col(idCol), col("__shingles"), col("__sig"))
+      .withColumn("__new", lit(false))
+      .unionByName(delta.withColumn("__new", lit(true)))
+    val buckets = lshBuckets(all, idCol, "__sig", bands, rowsPerBand)
+      .join(all.select(col(idCol), col("__new")), idCol)
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"),
+      col("__new").as("__new_a"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"),
+      col("__new").as("__new_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__new_a") || col("__new_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = all.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val sb = all.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    val pairs = candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    MinhashIncrement(pairs, delta)
   }
 
   /** Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style, cf. Xiao

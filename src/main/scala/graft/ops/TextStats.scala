@@ -81,6 +81,50 @@ object TextStats {
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(TextDedup.tokens(c))), " "))
 
+  // ---------------------------------------------- quality filtering rules
+
+  /** Gopher-style document-quality rule bundle. Bounds are inclusive-keep:
+    * a doc is dropped when a metric falls strictly outside its bound.
+    */
+  final case class QualityRules(
+    minTokens: Int = 5, maxTokens: Int = 100000,
+    minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+    maxPunctRatio: Double = 0.25, minStopwordRatio: Double = 0.01)
+
+  /** Ordered (ruleName, violated?) flags for a text column. All ratios are
+    * unrounded int/int double divisions — IEEE division is correctly
+    * rounded, so the comparisons are engine-portable bit-for-bit.
+    */
+  def qualityFlags(c: Column, rules: QualityRules): Seq[(String, Column)] = {
+    val nTokens = wsTokenCount(c)
+    val meanTok = length(regexp_replace(TextDedup.normalizeText(c), " ", ""))
+      .cast("double") / nTokens
+    val punct = punctCount(c).cast("double") / length(c)
+    val stop = stopwordCount(c, defaultStopwords).cast("double") / nTokens
+    Seq(
+      "too_few_tokens" -> (nTokens < rules.minTokens),
+      "too_many_tokens" -> (nTokens > rules.maxTokens),
+      "mean_token_too_short" -> (meanTok < rules.minMeanTokenLen),
+      "mean_token_too_long" -> (meanTok > rules.maxMeanTokenLen),
+      "too_much_punct" -> (punct > rules.maxPunctRatio),
+      "too_few_stopwords" -> (stop < rules.minStopwordRatio))
+  }
+
+  /** Quality filter verdict: `keep` plus the FIRST violated rule name (rule
+    * order is the declaration order above; null when kept). The typical
+    * pipeline keeps `filter(col("keep"))`; the labeled drop reasons feed the
+    * rejected-documents audit stream.
+    */
+  def qualityFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
+    val flags = qualityFlags(col(textCol), rules)
+    val reason = flags.foldRight(lit(null).cast("string")) {
+      case ((name, bad), acc) => when(bad, lit(name)).otherwise(acc)
+    }
+    df.withColumn("fail_reason", reason)
+      .withColumn("keep", col("fail_reason").isNull)
+  }
+
   // ------------------------------------------------- vocabulary induction
 
   /** Corpus vocabulary: token → (tf = total occurrences, df = documents

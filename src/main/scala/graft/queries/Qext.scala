@@ -151,6 +151,15 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality-rule verdict per document: keep flag + first
+    * violated rule. All comparisons are on unrounded int/int IEEE
+    * divisions, so the verdicts are engine-portable — exact oracle.
+    */
+  def qExtQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextStats.qualityFilter(t(spark, dir, "documents"), "text")
+      .select("doc_id", "keep", "fail_reason")
+      .orderBy("doc_id")
+
   def qExtLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
@@ -274,6 +283,7 @@ object Qext {
     "q_ext_sim_ivf_fixed" -> (qExtSimIvfFixed _),
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
+    "q_ext_quality_filter" -> (qExtQualityFilter _),
     "q_ext_lang_id" -> (qExtLangId _),
     "q_ext_lang_id_profile" -> (qExtLangIdProfile _),
     "q_ext_vocab" -> (qExtVocab _),
@@ -477,6 +487,36 @@ object Qext {
         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM scores ORDER BY doc_id""".stripMargin,
+
+    // Same rule order as TextStats.qualityFlags; metrics are unrounded
+    // IEEE divisions (identical bits both engines). Division-by-zero paths
+    // are unreachable: an empty text has n_tokens = 1 ([""]), < 5, so the
+    // first rule fires before any ratio is consulted.
+    "q_ext_quality_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len(str_split(norm, ' ')) AS n_tokens,
+         |    length(regexp_replace(norm, ' ', '', 'g'))::DOUBLE
+         |      / len(str_split(norm, ' ')) AS mean_tok,
+         |    len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
+         |      / length(text) AS punct,
+         |    len(regexp_extract_all(lower(text),
+         |      '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+         |      / len(str_split(norm, ' ')) AS stop
+         |  FROM (SELECT doc_id, text, $normSql AS norm FROM documents)
+         |), v AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 5 THEN 'too_few_tokens'
+         |         WHEN n_tokens > 100000 THEN 'too_many_tokens'
+         |         WHEN mean_tok < 2.0 THEN 'mean_token_too_short'
+         |         WHEN mean_tok > 12.0 THEN 'mean_token_too_long'
+         |         WHEN punct > 0.25 THEN 'too_much_punct'
+         |         WHEN stop < 0.01 THEN 'too_few_stopwords'
+         |         ELSE NULL END AS fail_reason
+         |  FROM m
+         |)
+         |SELECT doc_id, fail_reason IS NULL AS keep, fail_reason
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     // Profile-table language ID: token-equality scoring (edge punctuation
     // stripped), argmax with ties to the alphabetically-first language.

@@ -108,6 +108,24 @@ class TextDedupSpec extends SparkSpec {
     pairs should contain(4L -> 5L)
   }
 
+  "minhashIncrement" should "find exactly the pairs touching the new batch" in {
+    val corpusDocs = docs.filter(col("doc_id").isin(1L, 4L))
+    val batch = docs.filter(col("doc_id").isin(2L, 3L, 5L))
+    val corpus = TextDedup.minhashPrepare(corpusDocs, "doc_id", "text")
+    val inc = TextDedup.minhashIncrement(batch, corpus, "doc_id", "text",
+      threshold = 0.5)
+    val got = inc.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every full-corpus pair involves a batch doc here, so inc == full; and
+    // the corpus-only run finds nothing (1 and 4 are unrelated)
+    got shouldBe full
+    got should contain allOf (1L -> 2L, 1L -> 3L, 4L -> 5L)
+    TextDedup.minhashNearDups(corpusDocs, "doc_id", "text", threshold = 0.5)
+      .count() shouldBe 0L
+    inc.release()
+  }
+
   "Managed" should "release its caches after use" in {
     val cached = docs.persist()
     cached.count()

@@ -54,6 +54,23 @@ class TextStatsSpec extends SparkSpec {
     out shouldBe Array(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "es")
   }
 
+  "qualityFilter" should "label the first violated rule, in order" in {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // keeps
+      (2L, "too short"),                                          // < 5 tokens
+      (3L, "supercalifragilistic anthropomorphization uncharacteristically " +
+        "electroencephalography institutionalization misunderstanding"),
+      (4L, "well!!! okay??? see... (hmm) 'yes'"))                 // punct-heavy
+      .toDF("doc_id", "text")
+    val out = TextStats.qualityFilter(docs, "text")
+      .orderBy("doc_id").select("doc_id", "keep", "fail_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+    out(0) shouldBe ((1L, true, None))
+    out(1) shouldBe ((2L, false, Some("too_few_tokens")))
+    out(2) shouldBe ((3L, false, Some("mean_token_too_long")))
+    out(3) shouldBe ((4L, false, Some("too_much_punct")))
+  }
+
   "vocabulary" should "count total and document frequency per token" in {
     val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val v = TextStats.vocabulary(docs, "doc_id", "text")
