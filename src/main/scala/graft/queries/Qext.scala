@@ -241,6 +241,25 @@ object Qext {
 
   // ------------------------------------------------- events (JSON, time)
 
+  /** As-of join showcase ([[AsofJoin.asofJoin]]): each event enriched with
+    * the latest error event at-or-before it for the same user — exact
+    * oracle via DuckDB's native ASOF JOIN. Errors are pre-deduped to one
+    * per (user, ts) (max event_id) because ambiguous as-of matches are
+    * undefined in both engines.
+    */
+  def qExtAsofLastError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+    val err = ev.filter(col("event_type") === "error")
+      .groupBy("user_id", "ts_us").agg(max("event_id").as("last_error_id"))
+      .withColumn("last_error_us", col("ts_us"))
+    AsofJoin.asofJoin(ev.drop("event_type"), err,
+        keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
+        payload = Seq("last_error_id", "last_error_us"))
+      .orderBy("event_id")
+  }
+
   def qExtJsonExtract(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(col("event_id"),
@@ -291,6 +310,7 @@ object Qext {
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
+    "q_ext_asof_last_error" -> (qExtAsofLastError _),
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
@@ -658,6 +678,23 @@ object Qext {
         |       list_position(cnts, list_max(cnts)) - 1 AS top_bin,
         |       list_max(cnts) AS top_count
         |FROM c ORDER BY media_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window as-of
+    // composition (AsofJoin.asofJoin): greatest right ts_us <= left ts_us
+    // per user; rights pre-deduped per (user, ts_us) on both sides.
+    "q_ext_asof_last_error" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+        |  FROM events
+        |), err AS (
+        |  SELECT user_id, ts_us AS err_us, max(event_id) AS last_error_id
+        |  FROM ev WHERE event_type = 'error' GROUP BY user_id, ts_us
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |       r.last_error_id, r.err_us AS last_error_us
+        |FROM ev e ASOF LEFT JOIN err r
+        |  ON e.user_id = r.user_id AND e.ts_us >= r.err_us
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_ext_sessionize" ->
       """WITH ordered AS (
