@@ -277,6 +277,26 @@ object Qext {
         count(when(col("event_type") === "error", lit(1))).as("n_errors"))
       .orderBy("user_id", "day")
 
+  /** Range join showcase ([[RangeJoin.rangeJoin]]): every event assigned to
+    * its 30-minute-gap session by joining against the sessionize output's
+    * [start_us, end_us] intervals per user. Sessions partition each user's
+    * events, so the result has exactly one row per event — the invariant
+    * the oracle (sessionize CTE + BETWEEN join) checks value-by-value.
+    */
+  def qExtRangeJoinSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.streaming.EventStream.batchSessionize(
+      t(spark, dir, "events"),
+      tsMicros = expr("ts div 1000"),
+      tieBreak = col("event_id"),
+      gapMicros = 30L * 60 * 1000000)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    RangeJoin.rangeJoin(ev, sessions, keys = Seq("user_id"),
+        timeCol = "ts_us", startCol = "start_us", endCol = "end_us")
+      .select("event_id", "user_id", "ts_us", "session_idx")
+      .orderBy("event_id")
+  }
+
   /** Batch gap sessionization (30-minute gap) over event time — the window
     * form of the streaming sessionizer; exact SQL oracle.
     */
@@ -314,6 +334,7 @@ object Qext {
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
+    "q_ext_range_join_sessions" -> (qExtRangeJoinSessions _),
   )
 
   private val normSql =
@@ -715,6 +736,31 @@ object Qext {
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM numbered GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Sessionize CTEs (same as q_ext_sessionize) + key-equality BETWEEN
+    // join: each event lands in exactly one of its user's sessions.
+    "q_ext_range_join_sessions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ordered
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM numbered GROUP BY user_id, session_idx
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_us, s.session_idx
+        |FROM ordered e JOIN sessions s
+        |  ON e.user_id = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_ext_events_daily" ->
       """SELECT user_id,
