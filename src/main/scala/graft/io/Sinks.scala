@@ -38,6 +38,14 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** JSON-lines sink, optionally partitioned — the interchange format for
+    * downstream non-JVM consumers of pipeline outputs.
+    */
+  def jsonLines(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
+
   /** Date-stamped output name (S7, reference etl_payroll_pipeline_demo.py:432):
     * explicit runDate, never wall-clock (SURVEY §7.6 risk 4).
     */

@@ -47,4 +47,12 @@ object Sources {
     */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines with an explicit schema (same no-inference rule as [[csv]]:
+    * schema inference reads the data twice and is corpus-dependent at
+    * scale). Malformed lines land in `_corrupt_record` when the schema
+    * declares it, instead of failing the job (PERMISSIVE).
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 }

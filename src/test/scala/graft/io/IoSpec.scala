@@ -90,6 +90,27 @@ class IoSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  "jsonLines" should "round-trip with an explicit schema and trap corrupt rows" in {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sinks.jsonLines(df, s"$dir/out")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val back = Sources.jsonLines(spark, s"$dir/out", schema)
+    back.orderBy("id").as[(Long, String)].collect() shouldBe Array(1L -> "a", 2L -> "b")
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.json"), "{\"id\": 1, \"name\": \"x\"}\nnot json\n")
+    // Spark refuses to evaluate plans that touch ONLY the corrupt-record
+    // column (count() does) — collect the full rows instead
+    val rows = Sources.jsonLines(spark, s"$dir/bad.json",
+        schema.add("_corrupt_record", StringType))
+      .select("id", "name", "_corrupt_record").collect()
+    rows.length shouldBe 2
+    rows.count(_.getAs[String]("_corrupt_record") != null) shouldBe 1
+  }
+
   "Sinks.stampedName" should "format the reference's MMDDYYYY stamp" in {
     Sinks.stampedName("PreTAM_PUA", java.time.LocalDate.of(2026, 8, 12), "csv") shouldBe
       "PreTAM_PUA_08122026.csv"
