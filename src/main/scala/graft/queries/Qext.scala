@@ -211,6 +211,17 @@ object Qext {
         saltSource = col("l_orderkey"), salts = 32)
       .orderBy("l_returnflag")
 
+  /** Deterministic train/val/test split ([[Sampling.trainValTestSplit]],
+    * 10% test / 10% val by md5 bucket of doc_id): membership is a pure
+    * function of the key, so the assignment — not just the counts — is
+    * oracle-checked, and a re-run or re-ingestion reproduces it exactly.
+    */
+  def qExtTrainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.trainValTestSplit(
+        t(spark, dir, "documents").select("doc_id"), "doc_id",
+        testPct = 10, valPct = 10, salt = "corpus_v1")
+      .orderBy("doc_id")
+
   // --------------------------------------------------------- multimodal
 
   /** Multimodal plumbing over synthetic media (documents text as fake binary
@@ -331,6 +342,7 @@ object Qext {
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
     "q_ext_asof_last_error" -> (qExtAsofLastError _),
+    "q_ext_train_test_split" -> (qExtTrainTestSplit _),
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
@@ -627,6 +639,18 @@ object Qext {
     "q_ext_skew_salted_count" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Same md5 bucket as Sampling.hashBucket: first 15 md5 hex chars of
+    // salt||key as an integer, mod 100; bucket < 10 -> test, < 20 -> val.
+    "q_ext_train_test_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('corpus_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // Fixed-centroid IVF (Ivf.fixedModel: centroids = vectors 0,31,…,465;
     // cid = vec_id // 31): assignment and probing are argmax/top-4 by

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 1000L).toDF("id")
+
+  "hashSample" should "be deterministic and roughly proportional" in {
+    val a = Sampling.hashSample(ids, "id", 20).as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(7), "id", 20)
+      .as[Long].collect().toSet
+    a shouldBe b // stable under repartitioning, unlike sample()
+    a.size.toDouble should (be > 120.0 and be < 280.0)
+    Sampling.hashSample(ids, "id", 0).count() shouldBe 0L
+    Sampling.hashSample(ids, "id", 100).count() shouldBe 1000L
+  }
+
+  it should "decorrelate samples with different salts" in {
+    val s1 = Sampling.hashSample(ids, "id", 50, salt = "a").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(ids, "id", 50, salt = "b").as[Long].collect().toSet
+    s1 should not be s2
+  }
+
+  "trainValTestSplit" should "partition every row into exactly one split" in {
+    val out = Sampling.trainValTestSplit(ids, "id", testPct = 10, valPct = 10)
+    out.count() shouldBe 1000L
+    val byCount = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    byCount.keySet shouldBe Set("train", "val", "test")
+    byCount("train").toDouble should be > 700.0
+    // nested sample property: a doc's bucket is fixed, so the test set of a
+    // (20, 0) split contains the (10, 10) split's test set
+    val test10 = out.filter($"split" === "test").select("id").as[Long].collect().toSet
+    val test20 = Sampling.trainValTestSplit(ids, "id", testPct = 20, valPct = 0)
+      .filter($"split" === "test").select("id").as[Long].collect().toSet
+    test10.subsetOf(test20) shouldBe true
+  }
+}
