@@ -112,4 +112,26 @@ class EventStreamSpec extends SparkSpec {
     s.session_start shouldBe ts("2024-01-01 00:00:00")
     s.session_end shouldBe ts("2024-01-01 00:10:00")
   }
+
+  // The text-pipeline classifiers are stateless column expressions, so they
+  // must compose onto unbounded streams unchanged — prove it live.
+  "qualityFilter and langId" should "run on a streaming frame" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val flagged = graft.ops.TextStats.qualityFilter(docs, "text")
+      .withColumn("lang_hint", graft.ops.TextStats.langId(col("text")))
+    val query = flagged.writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "too short")
+      query.processAllAvailable()
+      val rows = spark.table("stream_quality")
+        .select("doc_id", "keep", "fail_reason", "lang_hint")
+        .as[(Long, Boolean, Option[String], String)].collect().sortBy(_._1)
+      rows shouldBe Array((1L, true, None, "en"),
+        (2L, false, Some("too_few_tokens"), "und"))
+    } finally query.stop()
+  }
 }
