@@ -222,18 +222,40 @@ object TextDedup {
     * hold the rarest shingles. LSH above remains the sub-quadratic path.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
-    ngramJaccardPairsManaged(df, idCol, textCol, shingleN, threshold).df
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        freqOrdered: Boolean = false): DataFrame =
+    ngramJaccardPairsManaged(df, idCol, textCol, shingleN, threshold,
+      freqOrdered).df
 
   /** [[ngramJaccardPairs]] with a [[Managed]] handle over the persisted
     * shingle table.
     */
   def ngramJaccardPairsManaged(df: DataFrame, idCol: String, textCol: String,
                                shingleN: Int = 3,
-                               threshold: Double = 0.5): Managed = {
-    val prepared = Partitioning.spread(df.select(col(idCol), col(textCol)))
+                               threshold: Double = 0.5,
+                               freqOrdered: Boolean = false): Managed = {
+    val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
-        array_sort(array_distinct(shingles(col(textCol), shingleN))).as("__sh"))
+        array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    // Canonical global order for the prefix: lexicographic by default
+    // (zero-pass); freqOrdered sorts each doc's shingles by ascending
+    // GLOBAL document frequency (one counting pass + a re-collect), so
+    // prefixes hold the rarest shingles — candidate fan-out drops on
+    // corpora with hot shingles. Any total order preserves completeness.
+    val ordered =
+      if (!freqOrdered) base.withColumn("__sh", array_sort(col("__sh")))
+      else {
+        val freqs = base.select(explode(col("__sh")).as("__s"))
+          .groupBy("__s").agg(count(lit(1)).as("__df"))
+        base.select(col(idCol), explode(col("__sh")).as("__s"))
+          .join(freqs, "__s")
+          .groupBy(idCol)
+          .agg(array_sort(collect_list(struct(col("__df"), col("__s"))))
+            .as("__ranked"))
+          .select(col(idCol),
+            transform(col("__ranked"), r => r.getField("__s")).as("__sh"))
+      }
+    val prepared = ordered
       .withColumn("__prefix", slice(col("__sh"), lit(1),
         (size(col("__sh")) - ceil(lit(threshold) * size(col("__sh"))) + 1).cast("int")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

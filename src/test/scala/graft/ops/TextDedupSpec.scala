@@ -108,6 +108,16 @@ class TextDedupSpec extends SparkSpec {
     pairs should contain(4L -> 5L)
   }
 
+  it should "return identical pairs under frequency ordering" in {
+    val lex = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val freq = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, freqOrdered = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    freq shouldBe lex
+  }
+
   "minhashIncrement" should "find exactly the pairs touching the new batch" in {
     val corpusDocs = docs.filter(col("doc_id").isin(1L, 4L))
     val batch = docs.filter(col("doc_id").isin(2L, 3L, 5L))
