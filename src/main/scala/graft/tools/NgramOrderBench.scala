@@ -9,7 +9,19 @@ object NgramOrderBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = LocalSession(cores = 32, logLevel = "ERROR")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val docs =
+      if (sfDir == "skewed") {
+        // hot-shingle corpus: half the docs share a long boilerplate
+        // header, so lexicographic prefixes collide corpus-wide
+        val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        base.withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("this document is provided under the standard terms " +
+              "and conditions of the corpus license agreement please read " +
+              "carefully before proceeding further with "), col("text")))
+            .otherwise(col("text")))
+      } else spark.read.parquet(s"$sfDir/documents.parquet")
     def run(freq: Boolean): (Long, Double) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
