@@ -20,6 +20,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _is_null(v) -> bool:
+    # Scalar-safe null test (None/NaN/NaT/NA): pd.isna on a numpy array or
+    # list returns an array, whose truth value is ambiguous — treat any
+    # non-scalar as non-null and let str() render it.
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
@@ -29,7 +41,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         # catches dtype drift the values-only compare missed — e.g. DuckDB
         # sum(int) -> HUGEINT -> float64 prints "3.0" while Spark's bigint
         # prints "3" (the round-1 q_ext_sessionize hash mismatch).
-        df[c] = df[c].apply(lambda v: None if v is None or v != v else str(v))
+        df[c] = df[c].apply(lambda v: None if _is_null(v) else str(v))
     return df
 
 

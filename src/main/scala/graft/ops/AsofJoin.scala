@@ -31,6 +31,14 @@ object AsofJoin {
     * pre-aggregate otherwise (an ambiguous as-of match is a semantic error,
     * exactly as in DuckDB's ASOF JOIN). Right rows with null time are
     * dropped; left rows with null time get null payload.
+    *
+    * Payload columns are carried as ONE struct, not per-column: a per-column
+    * `last(_, ignoreNulls)` would skip a legitimately-null field of the
+    * matched right row and surface a stale value from an older row — and
+    * different payload columns could then come from different right rows.
+    * The struct itself is never null for a right row (even when every field
+    * is), so the whole matched row is taken or skipped atomically, matching
+    * DuckDB ASOF JOIN row semantics.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
@@ -42,15 +50,18 @@ object AsofJoin {
       .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val r = right
       .filter(col(rightTime).isNotNull)
-      .select((keys.map(col) :+ col(rightTime).as("__t")) ++ payload.map(col): _*)
+      .select(keys.map(col) :+ col(rightTime).as("__t")
+        :+ struct(payload.map(col): _*).as("__asof_row"): _*)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("__asof_row").getField(p))
     }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    unpacked.filter(col("__side") === 1).drop("__t", "__side", "__asof_row")
   }
 }

@@ -33,7 +33,11 @@ object Qext {
     * because LSH candidates are verified with exact Jaccard (no false
     * positives) and recall on this corpus is effectively 1 — every
     * qualifying pair measures J >= 0.9, so the 16x4 banding miss
-    * probability is (1 - 0.9^4)^16 < 4e-8 per pair.
+    * probability is (1 - 0.9^4)^16 < 4e-8 per pair. That data-dependent
+    * property is ASSERTED (not assumed) by OracleAssumptionsSpec against
+    * the sf0.01 corpus via the deterministic-complete prefix-filter
+    * operator — a regenerated corpus with pairs in the LSH-unreliable
+    * (0.5, 0.9) band fails there with the reason, not here with a hash.
     */
   def qExtDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     TextDedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",

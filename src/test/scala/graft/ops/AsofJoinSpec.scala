@@ -41,6 +41,27 @@ class AsofJoinSpec extends SparkSpec {
         Seq("user_id"), "ts", "rts", Seq("tag"))
   }
 
+  it should "take the matched right row atomically when payload fields are null" in {
+    // right@20 has price=null, region non-null. A per-column ignoreNulls carry
+    // would (a) surface the stale price=100 from right@8 for left@25 and
+    // (b) mix price from right@8 with region from right@20 — both wrong.
+    val r = Seq(
+      (1L, 8L, Some(100L), Some("east")),
+      (1L, 20L, None: Option[Long], Some("west")))
+      .toDF("user_id", "rts", "price", "region")
+    val out = AsofJoin.asofJoin(left, r, Seq("user_id"), "ts", "rts",
+        Seq("price", "region"))
+      .orderBy("user_id", "ts")
+      .select("user_id", "ts", "price", "region")
+      .as[(Long, Long, Option[Long], Option[String])].collect()
+    out shouldBe Array(
+      (1L, 5L, None, None),                  // before any right
+      (1L, 10L, Some(100L), Some("east")),   // right@8, whole row
+      (1L, 20L, None, Some("west")),         // right@20: null price STAYS null
+      (1L, 25L, None, Some("west")),         // not the stale 100 from right@8
+      (2L, 7L, None, None))
+  }
+
   it should "drop null-time rights and null-match null-time lefts" in {
     val l = Seq((1L, Some(10L)), (1L, None)).toDF("user_id", "ts")
     val r = Seq((1L, Some(4L), 7L), (1L, None, 9L)).toDF("user_id", "rts", "v")
