@@ -70,19 +70,34 @@ object TextDedup {
   /** MinHash signature: k independent hash functions as linear transforms
     * `a_i * h + b_i` of ONE xxhash64 per shingle (the classic
     * one-hash-then-permute family). The shingle hash is bound as the
-    * aggregate's lambda variable, so each string is hashed exactly once and
-    * the k-way work is k long multiply-adds per shingle — map-side, no
-    * shuffle, no repeated string traversal.
+    * aggregate's lambda variable, so each string is hashed exactly once per
+    * chunk and the k-way work is k long multiply-adds per shingle —
+    * map-side, no shuffle, no repeated string traversal.
+    *
+    * The family is split into `chunkSize`-wide sub-aggregates whose results
+    * are concatenated (values identical to the monolithic form — `grouped`
+    * preserves family order). A single 64-wide aggregate unrolls into one
+    * enormous generated method that costs ~13s of one-time Janino/JIT
+    * compilation per JVM (SCALE.md round-2 measurement); 8-wide chunks
+    * keep each method small (measured round 3: cold 14.1s -> 9.2s, warm
+    * unchanged; 4-wide is worse both ways — more chunks re-hash the
+    * shingle array more times). Per-JVM one-time cost either way — the
+    * chunk split is about dev/test/short-job latency, not steady-state
+    * throughput.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val fam = hashFamily(numHashes)
-    aggregate(
-      transform(shinglesCol, x => pmod(xxhash64(x), lit(MersenneP))),
-      array(fam.map(_ => lit(Long.MaxValue)): _*),
-      (acc, h) => zip_with(acc,
-        array(fam.map { case (a, b) =>
-          pmod(h * lit(a) + lit(b), lit(MersenneP)) }: _*),
-        (m, v) => least(m, v)))
+  def minhashSignature(shinglesCol: Column, numHashes: Int,
+                       chunkSize: Int = 8): Column = {
+    val hashed = transform(shinglesCol, x => pmod(xxhash64(x), lit(MersenneP)))
+    val chunks = hashFamily(numHashes).grouped(chunkSize).toSeq.map { group =>
+      aggregate(
+        hashed,
+        array(group.map(_ => lit(Long.MaxValue)): _*),
+        (acc, h) => zip_with(acc,
+          array(group.map { case (a, b) =>
+            pmod(h * lit(a) + lit(b), lit(MersenneP)) }: _*),
+          (m, v) => least(m, v)))
+    }
+    if (chunks.size == 1) chunks.head else concat(chunks: _*)
   }
 
   /** Exact Jaccard similarity of two string arrays (used to verify LSH
