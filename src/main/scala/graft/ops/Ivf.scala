@@ -69,6 +69,48 @@ object Ivf {
     }
   }
 
+  /** k-means training with engine-portable arithmetic: every centroid
+    * element is the exact rational `sumQ / (scale * n)` where `sumQ` is an
+    * INTEGER sum of `floor(x * scale + 0.5)` quantizations — integer
+    * addition is order-independent, so the distributed sum is reproducible
+    * bit-for-bit by any engine (unlike [[train]]'s `avg(double)`, whose
+    * partial-aggregation order makes the low bits nondeterministic). That
+    * makes the whole train→assign→probe→rank IVF pipeline expressible as
+    * unrolled SQL CTEs — the basis of the q_ext_sim_ivf oracle.
+    *
+    * Two deliberate differences from [[train]], both cosine-neutral:
+    * centroids are NOT l2-normalized (cosine assignment is scale-invariant,
+    * so normalization is cosmetic — dropping it removes the sqrt/dot from
+    * centroid construction, the one place FP accumulation order could
+    * diverge across engines), and element means carry ~1/scale quantization
+    * error (~1e-6 at the default 2^20 — far below clustering noise; IvfSpec
+    * checks the resulting quantizer's search quality directly).
+    */
+  def trainPortable(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2, scale: Long = 1L << 20): Model = {
+    val vecs = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
+    val init = vecs.orderBy(col(idCol)).limit(k)
+      .select("__v").collect()
+      .map(_.getSeq[Double](0).toArray).toIndexedSeq
+    (1 to iters).foldLeft(Model(init)) { (model, _) =>
+      val sums = vecs.withColumn("__c", assignExpr(col("__v"), model))
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__c", "__pos")
+        .agg(sum(floor(col("__x") * lit(scale.toDouble) + lit(0.5)).cast("long")).as("__sq"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val means: Map[Int, Array[Double]] = sums.groupBy(_.getInt(0)).map {
+        case (c, rs) =>
+          val arr = new Array[Double](rs.length)
+          rs.foreach(r =>
+            arr(r.getInt(1)) = r.getLong(2).toDouble / (scale.toDouble * r.getLong(3)))
+          c -> arr
+      }
+      // empty clusters keep their previous centroid
+      Model(model.centroids.indices.map(i => means.getOrElse(i, model.centroids(i))))
+    }
+  }
+
   /** Deterministic fixed-centroid quantizer: the vectors of `ids` (in order)
     * become the centroids, unnormalized — cosine is scale-invariant, so
     * assignment and probing are unaffected, and the model is reproducible

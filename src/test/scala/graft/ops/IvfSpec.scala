@@ -68,6 +68,29 @@ class IvfSpec extends SparkSpec {
     ivf shouldBe brute
   }
 
+  "trainPortable" should "be deterministic and recover the same clusters as train" in {
+    val pm = Ivf.trainPortable(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    val again = Ivf.trainPortable(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    again.centroids.map(_.toSeq) shouldBe pm.centroids.map(_.toSeq)
+    val assigned = Ivf.assign(vecs, "embedding", pm)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().toMap
+    assigned(0L) shouldBe assigned(2L)
+    assigned(0L) shouldBe assigned(4L)
+    assigned(1L) shouldBe assigned(3L)
+    assigned(0L) should not be assigned(1L)
+  }
+
+  it should "match brute force when probing all clusters" in {
+    val pm = Ivf.trainPortable(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    val ivf = Ivf.annTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", pm, k = 3, nprobe = 2)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    ivf shouldBe brute
+  }
+
   "fixedModel" should "take the given rows as centroids, unnormalized" in {
     val fixed = Ivf.fixedModel(vecs, "vec_id", "embedding", Seq(0L, 1L))
     fixed.k shouldBe 2
