@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag (and drop) training documents that
+  * share an n-gram with an evaluation/benchmark set — the standard
+  * n-gram-overlap decontamination step of an LLM training-data pipeline
+  * (a train document containing a verbatim benchmark shingle leaks the
+  * eval into training).
+  *
+  * Scale posture: the benchmark shingle set is DISTINCT'd and joined to
+  * the exploded train shingles — a broadcast join while the benchmark
+  * fits the threshold (eval sets are MBs against a 100 TB corpus), with
+  * AQE's sort-merge fallback above it. Work is one explode of the train
+  * side (bounded by token count) plus one aggregation keyed by doc id;
+  * nothing is quadratic and nothing collects to the driver.
+  */
+object Decontaminate {
+
+  /** Tag every document with its benchmark n-gram overlap: returns all
+    * `docs` rows plus `n_contaminated` (distinct shared shingles) and
+    * `contaminated` (any overlap). Uses word `n`-gram shingles of the
+    * normalized text on both sides ([[TextDedup.shingles]] — documents
+    * shorter than `n` tokens contribute their whole text, so short docs
+    * still match verbatim leaks).
+    */
+  def tag(docs: DataFrame, idCol: String, textCol: String,
+          benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextDedup.shingles(col(benchTextCol), n)).as("__s"))
+      .distinct()
+    val matches = docs
+      .select(col(idCol),
+        explode(array_distinct(TextDedup.shingles(col(textCol), n))).as("__s"))
+      .join(broadcast(benchShingles), "__s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated"))
+    docs.join(matches, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** The filter form: `docs` minus contaminated rows. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    tag(docs, idCol, textCol, benchmark, benchTextCol, n)
+      .filter(!col("contaminated"))
+      .drop("n_contaminated", "contaminated")
+}

@@ -82,6 +82,36 @@ object Qext {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate-group resolution ([[DedupGroups.resolve]]): MinHash-LSH
+    * near-dup pairs (the sub-quadratic scale path) → connected components
+    * (iterative min-label propagation) → canonical keeper per group.
+    * Oracle = recursive CTE over the EXACT all-pairs SQL — valid because
+    * LSH recall is 1 on this corpus (no qualifying pair below J=0.9,
+    * asserted by OracleAssumptionsSpec), so LSH and exact pairs induce the
+    * same components.
+    */
+  def qExtDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    DedupGroups.resolve(t(spark, dir, "documents"), "doc_id",
+        d => TextDedup.minhashNearDups(d, "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination ([[Decontaminate.tag]]): the deterministic
+    * test split ([[Sampling.trainValTestSplit]]) acts as the benchmark;
+    * train documents sharing any trigram shingle with it are flagged. The
+    * end-to-end shape of eval-leak scrubbing in a training pipeline.
+    */
+  def qExtDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.trainValTestSplit(
+      t(spark, dir, "documents"), "doc_id",
+      testPct = 10, valPct = 10, salt = "corpus_v1")
+    val bench = split.filter(col("split") === "test")
+    val train = split.filter(col("split") === "train")
+    Decontaminate.tag(train, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id", "n_contaminated", "contaminated")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- similarity
 
   /** Brute-force cosine top-5 for the first 8 vectors as queries. */
@@ -334,6 +364,8 @@ object Qext {
     "q_ext_dedup_simhash" -> (qExtDedupSimhash _),
     "q_ext_dedup_ngram_jaccard" -> (qExtDedupNgramJaccard _),
     "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
+    "q_ext_dedup_groups" -> (qExtDedupGroups _),
+    "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
     "q_ext_sim_ivf" -> (qExtSimIvf _),
@@ -373,8 +405,8 @@ object Qext {
     * rounded to 6). The least/greatest size prefilter only discards pairs
     * that provably fail `J >= t` (|intersect| <= min size, |union| >= max).
     */
-  private def ngramJaccardOracleSql(docFilter: String, threshold: String): String =
-    s"""WITH docs AS (
+  private def ngramPairsCtes(docFilter: String, threshold: String): String =
+    s"""docs AS (
        |  SELECT doc_id, $normSql AS norm FROM documents $docFilter
        |), tok AS (
        |  SELECT doc_id, string_split(norm, ' ') AS toks, norm FROM docs
@@ -393,9 +425,62 @@ object Qext {
        |  FROM sh a, sh b
        |  WHERE a.doc_id < b.doc_id
        |    AND least(len(a.s), len(b.s)) >= $threshold * greatest(len(a.s), len(b.s))
-       |)
+       |)""".stripMargin
+
+  private def ngramJaccardOracleSql(docFilter: String, threshold: String): String =
+    s"""WITH ${ngramPairsCtes(docFilter, threshold)}
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components of the exact near-dup pairs as a recursive CTE:
+    * every doc's label set = ids reachable over qualifying edges; min per
+    * doc = the component's smallest id (mirrors DedupGroups min-label
+    * propagation at fixpoint).
+    */
+  private def dedupGroupsOracleSql: String =
+    s"""WITH RECURSIVE ${ngramPairsCtes("", "0.5")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE j >= 0.5
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs WHERE j >= 0.5
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT id AS doc_id, min(lbl) AS group_id,
+       |       id = min(lbl) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Decontamination oracle: md5-bucket split (Sampling formula), distinct
+    * trigram shingles of the test docs as the benchmark set, train docs
+    * counted by distinct shared shingles.
+    */
+  private def decontaminateOracleSql: String =
+    s"""WITH split AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5('corpus_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, b,
+       |    list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(0, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+       |      ELSE [norm] END) AS s
+       |  FROM (SELECT doc_id, b, $normSql AS norm,
+       |               string_split($normSql, ' ') AS toks FROM split)
+       |), bench AS (
+       |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE b < 10
+       |), train_sh AS (
+       |  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE b >= 20
+       |), m AS (
+       |  SELECT doc_id, count(*) AS n FROM train_sh
+       |  JOIN bench USING (shingle) GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, coalesce(m.n, 0)::BIGINT AS n_contaminated,
+       |       coalesce(m.n, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM split WHERE b >= 20) t
+       |LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   /** Inline cosine (DuckDB has no macro inside a single statement):
     * mirrors VectorCosine — 0 when either norm is 0.
@@ -477,6 +562,8 @@ object Qext {
 
   val oracle: Map[String, String] = Map(
     "q_ext_sim_ivf" -> ivfTrainedOracleSql,
+    "q_ext_dedup_groups" -> dedupGroupsOracleSql,
+    "q_ext_decontaminate" -> decontaminateOracleSql,
     "q_ext_dedup_exact" ->
       s"""WITH hashed AS (
          |  SELECT doc_id, md5($normSql) AS content_hash FROM documents

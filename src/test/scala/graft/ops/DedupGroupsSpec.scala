@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupGroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  "connectedComponents" should "collapse transitive chains to the min id" in {
+    // 1-2, 2-3 (chain: 1~3 only transitively); 5-4 (reversed order); 6 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
+    val out = DedupGroups.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+  }
+
+  it should "converge on a long path within maxIters" in {
+    // path 0-1-2-...-9: min label must travel the full diameter
+    val nodes = (0L to 9L).toDF("id")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = DedupGroups.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    out.values.toSet shouldBe Set(0L)
+  }
+
+  it should "tolerate self-loops and duplicate edges" in {
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    DedupGroups.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L)
+  }
+
+  "resolve" should "keep exactly one canonical doc per near-dup group" in {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  THE   quick brown fox jumps over the lazy dog "),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different content about spark engines"),
+      (5L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val out = DedupGroups.resolve(docs, "doc_id",
+        d => TextDedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleN = 3, threshold = 0.5))
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    out shouldBe Array(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false))
+    // the filter form keeps exactly the group minima
+    out.filter(_._3).map(_._1) shouldBe Array(1L, 4L)
+  }
+}
