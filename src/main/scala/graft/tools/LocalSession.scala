@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   */
 object LocalSession {
   def apply(cores: Int = 4, logLevel: String = "WARN"): SparkSession = {
+    // SPARK_GRAFT_SHUFFLE overrides shuffle parallelism for scale
+    // experiments (default: one partition per core — right for the test
+    // scale factors; raise with data volume, see SCALE.md 100x notes)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

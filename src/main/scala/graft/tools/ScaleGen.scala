@@ -3,24 +3,20 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Derive an sf1-like dataset (10× sf0.1) under /tmp for scale validation
-  * (NEXT round-2 item 2): each copy k shifts ids by k·stride and, for
-  * documents, rewrites letters with a k-rotated alphabet — within-copy
-  * near-dup structure is preserved exactly (the same bijection applies to
-  * both members of a pair, Jaccard is permutation-invariant), while
-  * cross-copy texts share no tokens, so the dup-pair count scales linearly
-  * like a real corpus, not quadratically like naive duplication.
+/** Derive an N× dataset under /tmp for scale validation (NEXT round-2
+  * item 2): each copy k shifts ids by k·stride and, for documents,
+  * suffixes every token with `_k` — within-copy near-dup structure is
+  * preserved exactly (the suffixing is a shingle bijection, Jaccard is
+  * bijection-invariant), while cross-copy texts share no tokens, so the
+  * dup-pair count scales linearly like a real corpus, not quadratically
+  * like naive duplication. (Round 2 used a rotated alphabet instead —
+  * only 26 distinct rotations, so copies ≥ 26 silently produced
+  * identical cross-copy texts and a quadratic pair blow-up at 100×; the
+  * token suffix is injective for any copy count.)
   *
   * Usage: `sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1ish [copies]"`.
   */
 object ScaleGen {
-
-  private val alphabet = "abcdefghijklmnopqrstuvwxyz"
-
-  private def rotated(k: Int): String = {
-    val r = k % 26
-    alphabet.drop(r) + alphabet.take(r)
-  }
 
   def copies(spark: SparkSession, src: DataFrame, n: Int,
              idCols: Seq[String], stride: Long,
@@ -29,8 +25,7 @@ object ScaleGen {
       val shifted = idCols.foldLeft(src)((df, c) =>
         df.withColumn(c, col(c) + lit(k * stride)))
       textCols.foldLeft(shifted)((df, c) =>
-        df.withColumn(c, translate(col(c),
-          alphabet + alphabet.toUpperCase, rotated(k) + rotated(k).toUpperCase)))
+        df.withColumn(c, regexp_replace(col(c), "(\\S+)", "$1_" + k)))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
