@@ -32,6 +32,34 @@ object TextStats {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  // ------------------------------------------------- repetition signals
+
+  /** Word n-grams of the normalized text; EMPTY when fewer than n tokens
+    * (no whole-text fallback — repetition fractions need the true n-gram
+    * multiset, unlike [[TextDedup.shingles]] where short docs must still
+    * participate in joins).
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = TextDedup.tokens(c)
+    if (n <= 1) toks
+    else when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of n-gram occurrences that repeat an earlier occurrence:
+    * `(total - distinct) / total`, 0 when no n-grams — the Gopher-style
+    * repetition quality signal (templated/boilerplate text scores high).
+    * Integer-over-integer IEEE division: engine-portable without rounding.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val g = wordNgrams(c, n)
+    when(size(g) <= 0, lit(0.0))
+      .otherwise((size(g) - size(array_distinct(g))).cast("double")
+        / size(g).cast("double"))
+  }
+
   /** Quality metrics bundle: length, token counts, mean token length,
     * punctuation ratio, stopword ratio. Ratios are rounded to 4 places for
     * engine-portable comparison.

@@ -231,6 +231,18 @@ object Qext {
       .filter(col("doc_id") < 100)
       .orderBy("doc_id", "rank")
 
+  /** Gopher-style repetition signals ([[TextStats.dupNgramFraction]]):
+    * fraction of token/2-gram/3-gram occurrences that repeat an earlier
+    * one. Integer-over-integer IEEE divisions — exact oracle unrounded.
+    */
+  def qExtRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.dupNgramFraction(col("text"), 1).as("dup_token_frac"),
+        TextStats.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+        TextStats.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+
   def qExtFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -378,6 +390,7 @@ object Qext {
     "q_ext_vocab" -> (qExtVocab _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
+    "q_ext_repetition" -> (qExtRepetition _),
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
     "q_ext_asof_last_error" -> (qExtAsofLastError _),
@@ -804,6 +817,35 @@ object Qext {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(str_split($normSql, ' '))), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // (total - distinct) / total per n-gram size; n-gram lists mirror
+    // TextStats.wordNgrams (EMPTY below n tokens — no whole-text fallback).
+    "q_ext_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(0, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+         |      ELSE CAST([] AS VARCHAR[]) END AS g2,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(0, len(toks) - 2),
+         |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+         |      ELSE CAST([] AS VARCHAR[]) END AS g3
+         |  FROM tok
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE
+         |            / len(toks)::DOUBLE END AS dup_token_frac,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE
+         |            / len(g2)::DOUBLE END AS dup_2gram_frac,
+         |  CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE
+         |            / len(g3)::DOUBLE END AS dup_3gram_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_ext_json_extract" ->
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int

@@ -96,4 +96,19 @@ class TextStatsSpec extends SparkSpec {
     row.getAs[Double]("punct_ratio") shouldBe (2.0 / 17) +- 1e-3
     row.getAs[Double]("stopword_ratio") shouldBe 0.5 +- 1e-9
   }
+
+  "dupNgramFraction" should "score repeated n-grams and handle short docs" in {
+    def frac(text: String, n: Int): Double =
+      Seq(text).toDF("t")
+        .select(TextStats.dupNgramFraction(col("t"), n)).as[Double]
+        .collect().head
+    // "a b a b a": tokens 5 distinct 2 -> 3/5; 2-grams [a b, b a, a b, b a]
+    // -> 2/4; 3-grams [a b a, b a b, a b a] -> 1/3
+    frac("a b a b a", 1) shouldBe 0.6 +- 1e-12
+    frac("a b a b a", 2) shouldBe 0.5 +- 1e-12
+    frac("a b a b a", 3) shouldBe (1.0 / 3) +- 1e-12
+    frac("all unique words here", 1) shouldBe 0.0
+    frac("ab", 3) shouldBe 0.0 // fewer than n tokens -> no n-grams
+    frac("", 2) shouldBe 0.0
+  }
 }
