@@ -168,6 +168,34 @@ class LargeCorpusSpec extends SparkSpec {
     digest(puaOut) shouldBe "ecd8648a6a3984e939e6bee0168be6fe"
   }
 
+  // -------------------------------------- IO-path goldens (NEXT r2 item 6)
+  //
+  // The write→read round-trip digests are pinned SEPARATELY from the
+  // in-memory goldens because serialization semantics legitimately differ:
+  // both the xlsx reader (empty cells → missing, pd.read_excel parity) and
+  // Spark's CSV reader collapse "" to null, and CSV formats timestamps as
+  // ISO-8601 while toString renders "yyyy-MM-dd HH:mm:ss.S". Evidence the
+  // collapse is the ONLY divergence: cpaOut (all-string, no timestamps)
+  // digests IDENTICALLY through xlsx and CSV. Any writer/reader drift
+  // breaks these goldens the same way pipeline drift breaks the in-memory
+  // ones.
+
+  it should "match the committed xlsx round-trip digest" in {
+    val p = java.nio.file.Files.createTempFile("graft_pua_rt", ".xlsx").toString
+    graft.io.Xlsx.write(puaOut, p)
+    val back = graft.io.Xlsx.read(spark, p)
+    back.count() shouldBe 240L
+    digest(back) shouldBe "03fec161b804a3bb3df81f9ef4454c69"
+  }
+
+  it should "match the committed CSV round-trip digest" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pua_csv").toString
+    graft.io.Sinks.singleCsv(puaOut, s"$dir/out")
+    val back = spark.read.option("header", true).csv(s"$dir/out")
+    back.count() shouldBe 240L
+    digest(back) shouldBe "f60ba9ad97b8737e1fa1f3f57bfe829b"
+  }
+
   "CPA over the large corpus" should "drop held actions and dedup rows" in {
     // "1 - Hold" rows (every 8th) are filtered; TRAN_ID dedup is upstream of
     // the projection, so the output must at least be full-row distinct
@@ -178,5 +206,21 @@ class LargeCorpusSpec extends SparkSpec {
   it should "match the committed output digest" in {
     cpaOut.count() shouldBe 160L
     digest(cpaOut) shouldBe "010a5c9a323d98cdfb6083072e622ce4"
+  }
+
+  it should "match the committed IO round-trip digest via xlsx AND csv" in {
+    // all-string output: the two writers must agree exactly (see the
+    // IO-golden note above) — one digest pins both paths
+    val p = java.nio.file.Files.createTempFile("graft_cpa_rt", ".xlsx").toString
+    graft.io.Xlsx.write(cpaOut, p)
+    val xlsxBack = graft.io.Xlsx.read(spark, p)
+    xlsxBack.count() shouldBe 160L
+    digest(xlsxBack) shouldBe "726f429a2987bf212c08675a734676f8"
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpa_csv").toString
+    graft.io.Sinks.singleCsv(cpaOut, s"$dir/out")
+    val csvBack = spark.read.option("header", true).csv(s"$dir/out")
+    csvBack.count() shouldBe 160L
+    digest(csvBack) shouldBe "726f429a2987bf212c08675a734676f8"
   }
 }
