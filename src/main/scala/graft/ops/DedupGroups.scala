@@ -78,15 +78,24 @@ object DedupGroups {
     * — and untouched docs rejoin as singletons afterwards. Pairs are
     * checkpointed first so the (possibly expensive) pair finder runs once,
     * not once per use site.
+    *
+    * The final corpus←groups enrichment join broadcasts the groups table
+    * by default: checkpointed frames carry no size statistics, so Spark
+    * would otherwise plan the registry's only sort-merge join — and the
+    * groups table is bounded by the docs appearing in a pair, which a
+    * usable dedup corpus keeps far below broadcast scale. Pass
+    * `broadcastGroups = false` for pathological corpora where near-dups
+    * approach corpus size and let AQE pick the join.
     */
   def resolve(docs: DataFrame, idCol: String,
-              pairsOf: DataFrame => DataFrame): DataFrame = {
+              pairsOf: DataFrame => DataFrame,
+              broadcastGroups: Boolean = true): DataFrame = {
     val pairs = pairsOf(docs).select(col("id_a"), col("id_b")).localCheckpoint()
     val touched = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val groups = connectedComponents(touched, pairs)
     docs.select(col(idCol))
-      .join(groups, Seq(idCol), "left")
+      .join(if (broadcastGroups) broadcast(groups) else groups, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
       .withColumn("keep", col(idCol) === col("group_id"))
   }
