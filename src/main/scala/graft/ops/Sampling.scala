@@ -32,6 +32,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100, salt) < pct)
   }
 
+  /** Stratified deterministic sampling: keep a per-stratum percentage of
+    * rows (strata absent from `pctByStratum` fall back to `defaultPct`).
+    * Same md5-bucket membership as [[hashSample]] — reproducible across
+    * runs, repartitions, and engines — but with per-group quotas (e.g.
+    * downsample dominant languages, keep all of a rare one).
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           pctByStratum: Map[String, Int], defaultPct: Int,
+                           salt: String = ""): DataFrame = {
+    (pctByStratum.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be in [0,100], got $p"))
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100, salt) < pct)
+  }
+
   /** Label each row train/val/test by key hash: test gets `testPct`
     * buckets, validation the next `valPct`, train the rest.
     */

@@ -271,6 +271,29 @@ object Qext {
         testPct = 10, valPct = 10, salt = "corpus_v1")
       .orderBy("doc_id")
 
+  /** Sequence packing ([[Packing.packOffsets]]): documents → 512-token
+    * training sequences, packed per language (the per-shard window real
+    * pipelines use) in doc_id order. Integer window sums — exact oracle.
+    */
+  def qExtPackSequences(spark: SparkSession, dir: String): DataFrame =
+    Packing.packOffsets(t(spark, dir, "documents"),
+        tokens = TextStats.wsTokenCount(col("text")), budget = 512,
+        partitionBy = Seq(col("lang")), orderBy = Seq(col("doc_id")))
+      .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sampling
+    * ([[Sampling.stratifiedHashSample]]): per-language keep quotas (en
+    * 30%, de 100%, others 50%) by md5 bucket — membership is a pure
+    * function of (key, stratum), oracle-checked row by row.
+    */
+  def qExtSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(t(spark, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 30, "de" -> 100), defaultPct = 50,
+        salt = "strat_v1")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   // --------------------------------------------------------- multimodal
 
   /** Multimodal plumbing over synthetic media (documents text as fake binary
@@ -395,6 +418,8 @@ object Qext {
     "q_ext_events_daily" -> (qExtEventsDaily _),
     "q_ext_asof_last_error" -> (qExtAsofLastError _),
     "q_ext_train_test_split" -> (qExtTrainTestSplit _),
+    "q_ext_pack_sequences" -> (qExtPackSequences _),
+    "q_ext_sample_stratified" -> (qExtSampleStratified _),
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
@@ -865,6 +890,34 @@ object Qext {
         |  SELECT doc_id,
         |    ('0x' || substr(md5('corpus_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Offset packing per language: tokens-before-this-doc via integer
+    // window sum (cast from HUGEINT — pandas renders HUGEINT as float).
+    "q_ext_pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(str_split($normSql, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), cum AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                                  ROWS UNBOUNDED PRECEDING)
+         |              - n_tokens AS BIGINT) AS before
+         |  FROM toks
+         |)
+         |SELECT doc_id, lang, n_tokens,
+         |       before // 512 AS seq_id, before % 512 AS seq_offset
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // Same md5 bucket as Sampling.hashBucket, per-stratum threshold.
+    "q_ext_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('strat_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 30
+        |               WHEN lang = 'de' THEN 100 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
 
     // Fixed-centroid IVF (Ivf.fixedModel: centroids = vectors 0,31,…,465;
