@@ -47,6 +47,47 @@ class PackingSpec extends SparkSpec {
       ("b", 0L, 1L, 12L), ("b", 1L, 1L, 1L))
   }
 
+  "packGreedy" should "never straddle a boundary and match a driver-side fold" in {
+    val ds = docs.as[(Long, String, Long)]
+      .map { case (id, shard, n) => Packing.Doc(shard, id, n) }
+    val out = Packing.packGreedy(ds, budget = 10L)
+      .orderBy("shard", "id")
+      .as[Packing.Packed].collect()
+    // shard a: 6 | 4+? 4+7>10 -> new | 7+2 ; shard b: 12 alone | 1
+    out shouldBe Array(
+      Packing.Packed("a", 1L, 6L, 0L, 0L),
+      Packing.Packed("a", 2L, 4L, 0L, 6L),  // 6+4 = 10 fits exactly
+      Packing.Packed("a", 3L, 7L, 1L, 0L),  // 10+7 would overflow
+      Packing.Packed("a", 4L, 2L, 1L, 7L),
+      Packing.Packed("b", 5L, 12L, 0L, 0L), // oversized doc: own sequence
+      Packing.Packed("b", 6L, 1L, 1L, 0L))
+    // no-straddle invariant: offset + tokens <= budget unless doc alone
+    out.foreach { p =>
+      if (p.seq_offset > 0) (p.seq_offset + p.n_tokens) should be <= 10L
+    }
+  }
+
+  it should "carry bin state across micro-batches on a stream" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Packing.Doc]
+    val query = Packing.packGreedy(input.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("pack_greedy")
+      .outputMode("append").start()
+    try {
+      input.addData(Packing.Doc("a", 1L, 6L))
+      query.processAllAvailable()
+      input.addData(Packing.Doc("a", 2L, 4L), Packing.Doc("a", 3L, 7L))
+      query.processAllAvailable()
+      val out = spark.table("pack_greedy").orderBy("id")
+        .as[Packing.Packed].collect()
+      out shouldBe Array(
+        Packing.Packed("a", 1L, 6L, 0L, 0L),
+        Packing.Packed("a", 2L, 4L, 0L, 6L), // bin state survived the batch gap
+        Packing.Packed("a", 3L, 7L, 1L, 0L))
+    } finally query.stop()
+  }
+
   "stratifiedHashSample" should "apply per-stratum quotas deterministically" in {
     val rows = (0L until 1000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
