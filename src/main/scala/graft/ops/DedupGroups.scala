@@ -89,8 +89,16 @@ object DedupGroups {
     */
   def resolve(docs: DataFrame, idCol: String,
               pairsOf: DataFrame => DataFrame,
-              broadcastGroups: Boolean = true): DataFrame = {
-    val pairs = pairsOf(docs).select(col("id_a"), col("id_b")).localCheckpoint()
+              broadcastGroups: Boolean = true): DataFrame =
+    resolveFromPairs(docs, idCol, pairsOf(docs), broadcastGroups)
+
+  /** [[resolve]] over an already-computed pair table (id_a, id_b) — the
+    * incremental-corpus entry point, where pairs accumulate across
+    * batches instead of being recomputed from the docs.
+    */
+  def resolveFromPairs(docs: DataFrame, idCol: String, pairTable: DataFrame,
+                       broadcastGroups: Boolean = true): DataFrame = {
+    val pairs = pairTable.select(col("id_a"), col("id_b")).localCheckpoint()
     val touched = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val groups = connectedComponents(touched, pairs)

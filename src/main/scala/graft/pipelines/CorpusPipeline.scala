@@ -1,0 +1,85 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Decontaminate, DedupGroups, TextDedup}
+
+/** The arriving-batch corpus workflow — what a training-data pipeline runs
+  * when a new crawl/batch lands, composed from the incremental operators:
+  *
+  *   1. decontaminate the batch against the benchmark/eval set
+  *      ([[Decontaminate.tag]] — contaminated docs never enter the corpus),
+  *   2. near-dup the CLEAN batch against the stored corpus signatures and
+  *      within itself ([[TextDedup.minhashIncrement]] — the corpus is
+  *      never re-signed),
+  *   3. re-resolve duplicate groups over the accumulated pair set
+  *      ([[DedupGroups.resolveFromPairs]] — only the pair subgraph
+  *      iterates, never the corpus).
+  *
+  * State between batches is two tables a real deployment keeps in
+  * parquet: the prepared signature table (append-only) and the verified
+  * near-dup pairs (append-only). Group ids are NOT state — they derive
+  * from the pair set, and a batch can merge two existing groups, so they
+  * are recomputed over the (tiny) pair subgraph each ingest.
+  *
+  * CorpusPipelineSpec asserts the defining invariant: ingesting batches
+  * one at a time yields exactly the groups a full recompute over the
+  * union produces.
+  */
+object CorpusPipeline {
+
+  /** Corpus store between batches; `prepared` has columns
+    * (idCol, __shingles, __sig), `pairs` has (id_a, id_b).
+    */
+  final case class CorpusState(prepared: DataFrame, pairs: DataFrame)
+
+  /** A store with no documents yet (long ids). */
+  def emptyState(spark: SparkSession, idCol: String): CorpusState = {
+    val prepared = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(idCol, LongType),
+        StructField("__shingles", ArrayType(StringType)),
+        StructField("__sig", ArrayType(LongType)))))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    CorpusState(prepared, pairs)
+  }
+
+  /** `report` covers every BATCH doc: contamination verdict, and for clean
+    * docs the resolved group (group_id/keep are null for contaminated docs
+    * — they never entered the corpus).
+    */
+  final case class BatchResult(state: CorpusState, report: DataFrame)
+
+  def ingest(state: CorpusState, batch: DataFrame, idCol: String,
+             textCol: String, benchmark: DataFrame, benchTextCol: String,
+             shingleN: Int = 3, threshold: Double = 0.5): BatchResult = {
+    val tagged = Decontaminate.tag(batch.select(col(idCol), col(textCol)),
+        idCol, textCol, benchmark, benchTextCol, n = shingleN)
+      .localCheckpoint()
+    val clean = tagged.filter(!col("contaminated")).select(col(idCol), col(textCol))
+
+    val inc = TextDedup.minhashIncrement(clean, state.prepared, idCol, textCol,
+      shingleN = shingleN, threshold = threshold)
+    val newPairs = inc.pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+
+    val allPairs = state.pairs.unionByName(newPairs)
+    val allDocs = state.prepared.select(col(idCol))
+      .unionByName(clean.select(col(idCol)))
+    val groups = DedupGroups.resolveFromPairs(allDocs, idCol, allPairs)
+
+    val report = tagged
+      .select(col(idCol), col("n_contaminated"), col("contaminated"))
+      .join(groups, Seq(idCol), "left")
+
+    val nextState = CorpusState(
+      state.prepared.unionByName(
+        inc.delta.select(col(idCol), col("__shingles"), col("__sig"))),
+      allPairs)
+    BatchResult(nextState, report)
+  }
+}

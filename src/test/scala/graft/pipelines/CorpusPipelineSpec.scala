@@ -1,0 +1,86 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.{DedupGroups, TextDedup}
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val allDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "  THE   quick brown fox jumps over the lazy dog "),
+    (3L, "the quick brown fox jumps over the lazy cat"),
+    (4L, "completely different content about spark engines"),
+    (5L, "completely different content about spark engines"))
+    .toDF("doc_id", "text")
+
+  // overlaps docs 4/5 only — they must never enter the corpus
+  private val bench = Seq("completely different content about spark engines")
+    .toDF("text")
+
+  "ingest" should "decontaminate, dedup incrementally, and regroup per batch" in {
+    val s0 = CorpusPipeline.emptyState(spark, "doc_id")
+
+    val b1 = CorpusPipeline.ingest(s0,
+      allDocs.filter(col("doc_id").isin(1L, 4L)), "doc_id", "text",
+      bench, "text")
+    val r1 = b1.report.orderBy("doc_id")
+      .select("doc_id", "contaminated", "group_id", "keep")
+      .as[(Long, Boolean, Option[Long], Option[Boolean])].collect()
+    r1 shouldBe Array(
+      (1L, false, Some(1L), Some(true)),
+      (4L, true, None, None)) // contaminated: no group, not in corpus
+    b1.state.prepared.count() shouldBe 1L
+
+    val b2 = CorpusPipeline.ingest(b1.state,
+      allDocs.filter(col("doc_id").isin(2L, 3L, 5L)), "doc_id", "text",
+      bench, "text")
+    val r2 = b2.report.orderBy("doc_id")
+      .select("doc_id", "contaminated", "group_id", "keep")
+      .as[(Long, Boolean, Option[Long], Option[Boolean])].collect()
+    r2 shouldBe Array(
+      (2L, false, Some(1L), Some(false)), // near-dup of corpus doc 1
+      (3L, false, Some(1L), Some(false)),
+      (5L, true, None, None))
+    b2.state.prepared.count() shouldBe 3L
+    b2.state.pairs.count() shouldBe 3L // (1,2) (1,3) (2,3)
+  }
+
+  it should "yield exactly the groups a full recompute produces" in {
+    val s0 = CorpusPipeline.emptyState(spark, "doc_id")
+    val b1 = CorpusPipeline.ingest(s0,
+      allDocs.filter(col("doc_id").isin(1L, 4L)), "doc_id", "text", bench, "text")
+    val b2 = CorpusPipeline.ingest(b1.state,
+      allDocs.filter(col("doc_id").isin(2L, 3L, 5L)), "doc_id", "text", bench, "text")
+
+    val incremental = DedupGroups.resolveFromPairs(
+        b2.state.prepared.select("doc_id"), "doc_id", b2.state.pairs)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    val cleanDocs = allDocs.filter(col("doc_id").isin(1L, 2L, 3L))
+    val full = DedupGroups.resolve(cleanDocs, "doc_id",
+        d => TextDedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    incremental shouldBe full
+  }
+
+  it should "merge previously-separate groups when a bridging doc arrives" in {
+    // corpus: two unrelated docs; then a batch doc similar to BOTH cannot
+    // exist textually here, so bridge via two near-dups in one batch
+    // joining separate corpus singletons into their groups
+    val s0 = CorpusPipeline.emptyState(spark, "doc_id")
+    val b1 = CorpusPipeline.ingest(s0,
+      allDocs.filter(col("doc_id").isin(1L, 4L)), "doc_id", "text",
+      benchmark = Seq.empty[String].toDF("text"), benchTextCol = "text")
+    // batch brings 2 (dup of 1) and 5 (dup of 4): both corpus singletons
+    // become 2-doc groups
+    val b2 = CorpusPipeline.ingest(b1.state,
+      allDocs.filter(col("doc_id").isin(2L, 5L)), "doc_id", "text",
+      benchmark = Seq.empty[String].toDF("text"), benchTextCol = "text")
+    val groups = DedupGroups.resolveFromPairs(
+        b2.state.prepared.select("doc_id"), "doc_id", b2.state.pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    groups shouldBe Set((1L, 1L, true), (2L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false))
+  }
+}
