@@ -44,9 +44,11 @@ object DedupGroups {
 
     var labels = nodes.select(col(ids).as("__id"), col(ids).as("__label"))
       .localCheckpoint()
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      val t0 = System.nanoTime()
       val neighborMin = sym
         .join(labels, sym("__src") === labels("__id"))
         .groupBy(col("__dst").as("__id2"))
@@ -62,7 +64,9 @@ object DedupGroups {
       labels = next.drop("__changed")
       converged = changed == 0L
       it += 1
+      if (verbose) println(f"[cc] round $it changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    if (verbose) println(s"[cc] converged after $it rounds")
     sym.unpersist(false)
     labels.select(col("__id").as(ids), col("__label").as("group_id"))
   }
