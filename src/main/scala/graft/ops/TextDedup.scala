@@ -55,40 +55,35 @@ object TextDedup {
       .otherwise(array(normalizeText(c)))
   }
 
-  /** Mersenne prime 2^31-1: the universal-hash modulus. Keeping a, b, h below
-    * it bounds every product under 2^62 — no ANSI overflow.
+  /** Mersenne prime 2^31-1: the universal-hash modulus (single source:
+    * [[graft.functions.MinhashExpressions.MersenneP]]).
     */
-  private val MersenneP = 2147483647L
-
-  /** Deterministic (a, b) pairs for the universal hash family mod 2^31-1. */
-  private def hashFamily(k: Int): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(987654321L)
-    Seq.fill(k)((rng.nextInt((MersenneP - 1).toInt).toLong + 1L,
-      rng.nextInt(MersenneP.toInt).toLong))
-  }
+  private val MersenneP = graft.functions.MinhashExpressions.MersenneP
 
   /** MinHash signature: k independent hash functions as linear transforms
     * `a_i * h + b_i` of ONE xxhash64 per shingle (the classic
-    * one-hash-then-permute family). The shingle hash is bound as the
-    * aggregate's lambda variable, so each string is hashed exactly once per
-    * chunk and the k-way work is k long multiply-adds per shingle —
-    * map-side, no shuffle, no repeated string traversal.
-    *
-    * The family is split into `chunkSize`-wide sub-aggregates whose results
-    * are concatenated (values identical to the monolithic form — `grouped`
-    * preserves family order). A single 64-wide aggregate unrolls into one
-    * enormous generated method that costs ~13s of one-time Janino/JIT
-    * compilation per JVM (SCALE.md round-2 measurement); 8-wide chunks
-    * keep each method small (measured round 3: cold 14.1s -> 9.2s, warm
-    * unchanged; 4-wide is worse both ways — more chunks re-hash the
-    * shingle array more times). Per-JVM one-time cost either way — the
-    * chunk split is about dev/test/short-job latency, not steady-state
-    * throughput.
+    * one-hash-then-permute family) — the native Catalyst expression
+    * ([[graft.functions.MinhashExpressions.MinhashSignature]]): family
+    * constants live in runtime arrays and the generated code is one
+    * static call, so the per-JVM Janino compile cost of the unrolled
+    * higher-order-function form (~14s monolithic, ~4.5s chunked —
+    * SCALE.md) drops to nil, and the warm path is a JIT'd primitive loop.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int,
-                       chunkSize: Int = 8): Column = {
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    graft.functions.MinhashExpressions.minhash_signature(shinglesCol, numHashes)
+
+  /** The pre-round-3 composition of built-in higher-order functions —
+    * value-identical to [[minhashSignature]] (MinhashExpressionsSpec
+    * asserts it) and kept as the no-custom-expression reference
+    * implementation. The k-wide lambda unrolls into generated code, so
+    * first use pays seconds of Janino compilation; `chunkSize` bounds the
+    * method size (8 measured optimal).
+    */
+  def minhashSignatureHof(shinglesCol: Column, numHashes: Int,
+                          chunkSize: Int = 8): Column = {
     val hashed = transform(shinglesCol, x => pmod(xxhash64(x), lit(MersenneP)))
-    val chunks = hashFamily(numHashes).grouped(chunkSize).toSeq.map { group =>
+    val chunks = graft.functions.MinhashExpressions.hashFamily(numHashes)
+      .grouped(chunkSize).toSeq.map { group =>
       aggregate(
         hashed,
         array(group.map(_ => lit(Long.MaxValue)): _*),
