@@ -168,6 +168,39 @@ object TextStats {
       .agg(sum("tf").cast("long").as("tf"), count(lit(1)).as("df"))
   }
 
+  /** Assign deterministic integer ids to a [[vocabulary]] (or any
+    * token-frequency table): rank by tf desc, token asc — id 0 is the most
+    * frequent token, exactly reproducible by any engine.
+    */
+  def vocabIds(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token").asc)
+    vocab.select(col("token"),
+      (row_number().over(w) - 1).cast("long").as("token_id"))
+  }
+
+  /** Encode documents against a (token, token_id) table: each doc becomes
+    * its token-id sequence in token order, out-of-vocabulary tokens as -1,
+    * plus an OOV count — the bridge from vocabulary induction to sequence
+    * packing. The id table broadcasts (vocabularies are MBs); work is one
+    * explode + one aggregation keyed by doc id.
+    */
+  def encodeTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, ids: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val exploded = docs
+      .select(col(idCol),
+        posexplode(TextDedup.tokens(col(textCol))).as(Seq("__pos", "token")))
+    exploded
+      .join(broadcast(ids), Seq("token"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(-1L)))
+      .groupBy(idCol)
+      .agg(
+        transform(array_sort(collect_list(struct(col("__pos"), col("token_id")))),
+          s => s.getField("token_id")).as("token_ids"),
+        sum(when(col("token_id") === -1L, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** (doc, token, tf) counts — shared by [[vocabulary]] and
     * [[tfidfTopTerms]].
     */

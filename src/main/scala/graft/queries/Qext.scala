@@ -243,6 +243,24 @@ object Qext {
         TextStats.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))
       .orderBy("doc_id")
 
+  /** Vocabulary encoding ([[TextStats.encodeTokens]]): docs (doc_id < 100)
+    * as token-id sequences under the top-200 corpus vocabulary
+    * ([[TextStats.vocabIds]] — rank by tf desc, token asc), OOV = -1.
+    * Ids emitted as a joined string: engine array types stringify
+    * differently in the driver compare, a CSV of longs does not.
+    */
+  def qExtVocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val ids = TextStats.vocabIds(
+      TextStats.vocabulary(docs, "doc_id", "text")
+        .orderBy(col("tf").desc, col("token").asc).limit(200))
+    TextStats.encodeTokens(docs.filter(col("doc_id") < 100), "doc_id", "text", ids)
+      .select(col("doc_id"),
+        array_join(col("token_ids"), ",").as("token_ids"),
+        col("n_oov"))
+      .orderBy("doc_id")
+  }
+
   def qExtFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -414,6 +432,7 @@ object Qext {
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_repetition" -> (qExtRepetition _),
+    "q_ext_vocab_encode" -> (qExtVocabEncode _),
     "q_ext_json_extract" -> (qExtJsonExtract _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
     "q_ext_asof_last_error" -> (qExtAsofLastError _),
@@ -842,6 +861,34 @@ object Qext {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(str_split($normSql, ' '))), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Top-200 vocab ids (tf desc, token asc), tokens joined with pos to
+    // preserve order, OOV -> -1; ids emitted as a CSV string.
+    "q_ext_vocab_encode" ->
+      s"""WITH vocab AS (
+         |  SELECT tok AS token, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200
+         |), ids AS (
+         |  SELECT token,
+         |         row_number() OVER (ORDER BY tf DESC, token ASC) - 1 AS token_id
+         |  FROM vocab
+         |), toks AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(t, (x, i) -> {'pos': i, 'token': x})) AS u
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
+         |        FROM documents WHERE doc_id < 100)
+         |), flat AS (
+         |  SELECT doc_id, u.pos AS pos, u.token AS token FROM toks
+         |)
+         |SELECT k.doc_id,
+         |       array_to_string(list(coalesce(ids.token_id, -1) ORDER BY k.pos), ',')
+         |         AS token_ids,
+         |       CAST(sum(CASE WHEN ids.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_oov
+         |FROM flat k LEFT JOIN ids ON k.token = ids.token
+         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
 
     // (total - distinct) / total per n-gram size; n-gram lists mirror
     // TextStats.wordNgrams (EMPTY below n tokens — no whole-text fallback).

@@ -97,6 +97,19 @@ class TextStatsSpec extends SparkSpec {
     row.getAs[Double]("stopword_ratio") shouldBe 0.5 +- 1e-9
   }
 
+  "encodeTokens" should "emit ordered ids with -1 for OOV tokens" in {
+    val docs = Seq((1L, "b a b zzz"), (2L, "")).toDF("doc_id", "text")
+    // vocab: a (tf 1), b (tf 2) -> ids: b=0, a=1; zzz OOV
+    val ids = TextStats.vocabIds(
+      TextStats.vocabulary(docs, "doc_id", "text").filter(col("token").isin("a", "b")))
+    val out = TextStats.encodeTokens(docs, "doc_id", "text", ids)
+      .orderBy("doc_id")
+      .as[(Long, Seq[Long], Long)].collect()
+    out shouldBe Array(
+      (1L, Seq(0L, 1L, 0L, -1L), 1L),
+      (2L, Seq(-1L), 1L)) // empty text -> [""] token, OOV
+  }
+
   "dupNgramFraction" should "score repeated n-grams and handle short docs" in {
     def frac(text: String, n: Int): Double =
       Seq(text).toDF("t")
