@@ -55,9 +55,19 @@ object CorpusPipeline {
     */
   final case class BatchResult(state: CorpusState, report: DataFrame)
 
+  /** `checkpointState = true` materializes the next state's tables
+    * (localCheckpoint) before returning — REQUIRED when `batch` is a
+    * micro-batch frame (its source is only valid inside the foreachBatch
+    * call; an un-materialized state would lazily re-read a dead source).
+    * Each checkpoint rewrites the full prepared table, so the streaming
+    * path pays O(corpus) per batch — a real deployment appends the delta
+    * to a parquet corpus store instead and re-reads it, which this
+    * in-memory shape stands in for.
+    */
   def ingest(state: CorpusState, batch: DataFrame, idCol: String,
              textCol: String, benchmark: DataFrame, benchTextCol: String,
-             shingleN: Int = 3, threshold: Double = 0.5): BatchResult = {
+             shingleN: Int = 3, threshold: Double = 0.5,
+             checkpointState: Boolean = false): BatchResult = {
     val tagged = Decontaminate.tag(batch.select(col(idCol), col(textCol)),
         idCol, textCol, benchmark, benchTextCol, n = shingleN)
       .localCheckpoint()
@@ -76,10 +86,44 @@ object CorpusPipeline {
       .select(col(idCol), col("n_contaminated"), col("contaminated"))
       .join(groups, Seq(idCol), "left")
 
-    val nextState = CorpusState(
-      state.prepared.unionByName(
-        inc.delta.select(col(idCol), col("__shingles"), col("__sig"))),
-      allPairs)
+    val nextPrepared = state.prepared.unionByName(
+      inc.delta.select(col(idCol), col("__shingles"), col("__sig")))
+    val nextState =
+      if (checkpointState)
+        CorpusState(nextPrepared.localCheckpoint(), allPairs.localCheckpoint())
+      else CorpusState(nextPrepared, allPairs)
     BatchResult(nextState, report)
+  }
+
+  /** Live handle of [[streamIngest]]: the current corpus state (updated
+    * after every micro-batch) and the running query.
+    */
+  final class StreamingIngest(initial: CorpusState) {
+    @volatile var state: CorpusState = initial
+    @volatile private[CorpusPipeline] var queryRef:
+      org.apache.spark.sql.streaming.StreamingQuery = _
+    def query: org.apache.spark.sql.streaming.StreamingQuery = queryRef
+  }
+
+  /** Run the ingest workflow over an UNBOUNDED document stream: each
+    * micro-batch is one [[ingest]] call (foreachBatch executes serially,
+    * so the state fold is single-writer). `onBatch` receives each batch's
+    * materialized report — route it to a sink there.
+    */
+  def streamIngest(stream: DataFrame, idCol: String, textCol: String,
+                   benchmark: DataFrame, benchTextCol: String,
+                   onBatch: (Long, DataFrame) => Unit = (_, _) => (),
+                   shingleN: Int = 3, threshold: Double = 0.5): StreamingIngest = {
+    val handle = new StreamingIngest(emptyState(stream.sparkSession, idCol))
+    handle.queryRef = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = ingest(handle.state, batch, idCol, textCol,
+          benchmark, benchTextCol, shingleN, threshold, checkpointState = true)
+        val report = r.report.localCheckpoint() // materialize off the dead source
+        handle.state = r.state
+        onBatch(batchId, report)
+      }
+      .start()
+    handle
   }
 }

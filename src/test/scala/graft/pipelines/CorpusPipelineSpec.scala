@@ -64,6 +64,40 @@ class CorpusPipelineSpec extends SparkSpec {
     incremental shouldBe full
   }
 
+  "streamIngest" should "fold micro-batches into the same state as batch ingest" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val reports = scala.collection.mutable.Map.empty[Long, Array[(Long, Boolean)]]
+    val h = CorpusPipeline.streamIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, "text",
+      onBatch = (id, rep) => reports.synchronized {
+        reports(id) = rep.select("doc_id", "contaminated")
+          .as[(Long, Boolean)].collect()
+      })
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "completely different content about spark engines"))
+      h.query.processAllAvailable()
+      input.addData((2L, "  THE   quick brown fox jumps over the lazy dog "),
+        (3L, "the quick brown fox jumps over the lazy cat"),
+        (5L, "completely different content about spark engines"))
+      h.query.processAllAvailable()
+    } finally h.query.stop()
+
+    reports(0L).toMap shouldBe Map(1L -> false, 4L -> true)
+    reports(1L).toMap shouldBe Map(2L -> false, 3L -> false, 5L -> true)
+    // state parity with the two-call batch ingest
+    h.state.prepared.count() shouldBe 3L
+    h.state.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L), (1L, 3L), (2L, 3L))
+    val groups = DedupGroups.resolveFromPairs(
+        h.state.prepared.select("doc_id"), "doc_id", h.state.pairs)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    groups shouldBe Array((1L, 1L, true), (2L, 1L, false), (3L, 1L, false))
+  }
+
   it should "merge previously-separate groups when a bridging doc arrives" in {
     // corpus: two unrelated docs; then a batch doc similar to BOTH cannot
     // exist textually here, so bridge via two near-dups in one batch
