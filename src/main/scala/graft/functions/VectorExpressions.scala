@@ -25,19 +25,23 @@ import org.apache.spark.sql.types._
 object VectorExpressions {
 
   private def checkVec(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType | DoubleType, _) => true
+    // int arrays: quantized vectors (Similarity.quantizeInt8) score with
+    // the same expressions — cosine is scale-invariant
+    case ArrayType(FloatType | DoubleType | IntegerType, _) => true
     case _ => false
   }
 
   private def accessor(arr: String, dt: DataType, i: String): String =
     dt.asInstanceOf[ArrayType].elementType match {
       case FloatType => s"(double) $arr.getFloat($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
       case _ => s"$arr.getDouble($i)"
     }
 
   private def get(arr: ArrayData, dt: DataType, i: Int): Double =
     dt.asInstanceOf[ArrayType].elementType match {
       case FloatType => arr.getFloat(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
       case _ => arr.getDouble(i)
     }
 
@@ -47,7 +51,7 @@ object VectorExpressions {
     override def checkInputDataTypes(): TypeCheckResult =
       if (checkVec(left.dataType) && checkVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"vec_dot requires array<float|double> inputs, got (${left.dataType}, ${right.dataType})")
+        s"vec_dot requires array<float|double|int> inputs, got (${left.dataType}, ${right.dataType})")
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -89,7 +93,7 @@ object VectorExpressions {
     override def checkInputDataTypes(): TypeCheckResult =
       if (checkVec(left.dataType) && checkVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"vec_cosine requires array<float|double> inputs, got (${left.dataType}, ${right.dataType})")
+        s"vec_cosine requires array<float|double|int> inputs, got (${left.dataType}, ${right.dataType})")
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]

@@ -35,6 +35,32 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vec_cosine(a, b)
 
+  /** L2-normalize a vector to unit length (zero vectors pass through):
+    * precompute once when many cosine comparisons follow — cosine over
+    * unit vectors reduces to the dot product.
+    */
+  def l2normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0, toDouble(v)).otherwise(transform(v, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: each element becomes
+    * `round(x * 127 / max|x|)` ∈ [−127, 127] (zero vectors stay zero).
+    * Cosine is scale-invariant, so quantized vectors are scored with the
+    * SAME `vec_cosine` — no dequantization — at a quarter (vs float32) to
+    * an eighth (vs float64) of the memory traffic once the store packs
+    * the ints to bytes (parquet annotates int8 within INT32 physical
+    * pages; a production vector store packs to raw bytes). Engine-portable
+    * arithmetic: abs/max/round reproduce bit-for-bit in DuckDB, so
+    * quantized search has an exact oracle.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    when(maxAbs === 0, transform(v, _ => lit(0)))
+      .otherwise(transform(v,
+        x => round(x.cast("double") * 127.0 / maxAbs).cast("int")))
+  }
+
   /** Per-query top-k ranking of a scored (query_id, cand_id, score) frame:
     * rank by score desc with candidate-id tie-break, keep rank <= k. Shared
     * by the brute-force, LSH, and IVF searchers.

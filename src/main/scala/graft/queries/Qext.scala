@@ -122,6 +122,21 @@ object Qext {
       .orderBy("query_id", "rank")
   }
 
+  /** Brute-force cosine top-5 over INT8-QUANTIZED embeddings
+    * ([[Similarity.quantizeInt8]]): symmetric round(x·127/max|x|) per
+    * vector, scored with the same native cosine (scale-invariant — no
+    * dequantization). The memory-bandwidth-saving variant of
+    * q_ext_sim_topk; quantization arithmetic is engine-portable, so the
+    * whole quantize→score→rank path has an exact oracle.
+    */
+  def qExtSimTopkInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "q", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-5 under md5-derived hyperplanes
     * ([[Similarity.md5Hyperplanes]]) — bucket assignments are bit-identical
     * in DuckDB, so the full ANN result has an exact SQL oracle.
@@ -420,6 +435,7 @@ object Qext {
     "q_ext_dedup_groups" -> (qExtDedupGroups _),
     "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
+    "q_ext_sim_topk_int8" -> (qExtSimTopkInt8 _),
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
     "q_ext_sim_ivf" -> (qExtSimIvf _),
     "q_ext_sim_ivf_fixed" -> (qExtSimIvfFixed _),
@@ -689,6 +705,37 @@ object Qext {
         |                    / (sqrt(list_dot_product(q.emb, q.emb))
         |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
         |  FROM v q, v c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Same symmetric int8 quantization as Similarity.quantizeInt8
+    // (round = half away from zero in both engines), cosine over the
+    // quantized ints — identical doubles, exact compare at 6dp.
+    "q_ext_sim_topk_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0
+        |              THEN list_transform(emb, x -> 0.0)
+        |              ELSE list_transform(emb, x ->
+        |                round(x * 127.0 / list_max(list_transform(emb, y -> abs(y)))))
+        |         END AS qv
+        |  FROM v
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(a.qv, a.qv))
+        |                         * sqrt(list_dot_product(b.qv, b.qv)) = 0 THEN 0
+        |               ELSE list_dot_product(a.qv, b.qv)
+        |                    / (sqrt(list_dot_product(a.qv, a.qv))
+        |                       * sqrt(list_dot_product(b.qv, b.qv))) END, 6) AS score
+        |  FROM q a, q b WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
         |), ranked AS (
         |  SELECT query_id, cand_id, score,
         |         row_number() OVER (PARTITION BY query_id

@@ -26,6 +26,13 @@ object IvfRecall {
     recall(Ivf.train(e, "vec_id", "embedding", k = 16, iters = 2), "avg-train ")
     recall(Ivf.trainPortable(e, "vec_id", "embedding", k = 16, iters = 2), "portable  ")
     recall(Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)), "fixed     ")
+    // int8 brute force vs float brute force (quantization loss, no ANN)
+    val qe = e.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+    val int8 = Similarity.bruteForceTopK(qe.filter(col("vec_id") < 8), qe,
+        "vec_id", "q", k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"[ivf] int8-brute  recall@5 = ${int8.intersect(brute).size}/${brute.size}")
     spark.stop()
   }
 }

@@ -61,4 +61,40 @@ class SimilaritySpec extends SparkSpec {
     planes(0)(0) shouldBe (3493134841d / 4294967295d * 2 - 1)
     all(planes.flatten) should (be >= -1.0 and be <= 1.0)
   }
+
+  "l2normalize" should "produce unit vectors and pass zero vectors through" in {
+    val out = Seq(Seq(3.0f, 4.0f), Seq(0.0f, 0.0f)).toDF("v")
+      .select(Similarity.l2normalize($"v").as("n"))
+      .as[Seq[Double]].collect()
+    out(0) shouldBe Seq(0.6, 0.8)
+    out(1) shouldBe Seq(0.0, 0.0)
+    // cosine over unit vectors == dot product
+    val d = Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")
+      .select(
+        Similarity.cosine($"a", $"b").as("cos"),
+        Similarity.dot(Similarity.l2normalize($"a"), Similarity.l2normalize($"b")).as("dotu"))
+      .as[(Double, Double)].collect().head
+    d._1 shouldBe d._2 +- 1e-12
+  }
+
+  "quantizeInt8" should "bound values to [-127,127] and keep zero vectors" in {
+    val out = Seq(Seq(0.5f, -1.0f, 0.25f), Seq(0.0f, 0.0f, 0.0f)).toDF("v")
+      .select(Similarity.quantizeInt8($"v").as("q"))
+      .as[Seq[Int]].collect()
+    out(0) shouldBe Seq(64, -127, 32) // round(.5*127)=64 (HALF_UP), -127, 31.75->32
+    out(1) shouldBe Seq(0, 0, 0)
+  }
+
+  it should "score with the native cosine and approximate the float ranking" in {
+    val q = vecs.select($"vec_id", Similarity.quantizeInt8($"embedding").as("q"))
+    val int8Top = Similarity.bruteForceTopK(q.filter($"vec_id" === 0), q,
+        "vec_id", "q", k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    val floatTop = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    // top-1 must survive 8-bit quantization on this well-separated fixture
+    int8Top.head shouldBe floatTop.head
+    int8Top.toSet shouldBe floatTop.toSet
+  }
 }
