@@ -355,6 +355,17 @@ object Qext {
       .orderBy("media_id")
   }
 
+  /** Column-level profile of `orders` ([[Profiler.profile]], exact
+    * distincts): null/distinct counts and min/max per column — the intake
+    * audit generalizing the reference's inline checks. dtype is projected
+    * out (Spark type names have no DuckDB equivalent); min/max strings
+    * compare exactly (dates and sub-1e7 doubles render identically).
+    */
+  def qExtProfile(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(t(spark, dir, "orders"), exactDistinct = true)
+      .select("column", "n_rows", "n_nulls", "n_distinct", "min", "max")
+      .orderBy("column")
+
   // ------------------------------------------------- events (JSON, time)
 
   /** As-of join showcase ([[AsofJoin.asofJoin]]): each event enriched with
@@ -450,6 +461,7 @@ object Qext {
     "q_ext_repetition" -> (qExtRepetition _),
     "q_ext_vocab_encode" -> (qExtVocabEncode _),
     "q_ext_json_extract" -> (qExtJsonExtract _),
+    "q_ext_profile" -> (qExtProfile _),
     "q_ext_events_daily" -> (qExtEventsDaily _),
     "q_ext_asof_last_error" -> (qExtAsofLastError _),
     "q_ext_train_test_split" -> (qExtTrainTestSplit _),
@@ -633,8 +645,24 @@ object Qext {
        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Per-column profile metrics as a UNION ALL over the table's columns —
+    * mirrors Profiler.profile with exact distincts.
+    */
+  private def profileOracleSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
   val oracle: Map[String, String] = Map(
     "q_ext_sim_ivf" -> ivfTrainedOracleSql,
+    // the synthetic orders table carries 6 of the TPC-H columns
+    "q_ext_profile" -> profileOracleSql("orders", Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")),
     "q_ext_dedup_groups" -> dedupGroupsOracleSql,
     "q_ext_decontaminate" -> decontaminateOracleSql,
     "q_ext_dedup_exact" ->
