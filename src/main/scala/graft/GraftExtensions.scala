@@ -24,5 +24,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VectorExpressions.VectorCosine].getName, "vec_cosine"),
       VectorExpressions.binaryBuilder("vec_cosine", VectorExpressions.VectorCosine)))
+    // minhash_signature(shingles, k): k must be a foldable integer literal
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(
+        classOf[graft.functions.MinhashExpressions.MinhashSignature].getName,
+        "minhash_signature"),
+      { children: Seq[Expression] =>
+        require(children.size == 2,
+          s"minhash_signature requires exactly 2 arguments, got ${children.size}")
+        val k = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"minhash_signature numHashes must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_signature numHashes must be a literal")
+        }
+        graft.functions.MinhashExpressions.MinhashSignature(children(0), k)
+      }))
   }
 }

@@ -31,6 +31,11 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
           "vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").collect().head
       row.getDouble(0) shouldBe 11.0 +- 1e-9
       row.getDouble(1) shouldBe 1.0 +- 1e-12
+      val sig = spark.sql(
+        "SELECT minhash_signature(array('a b c'), 8) AS s").collect().head
+      sig.getSeq[Long](0).length shouldBe 8
+      an[Exception] should be thrownBy
+        spark.sql("SELECT minhash_signature(array('x'))").collect()
     } finally {
       // don't stop() (shared SparkContext); restore the prior session for
       // the other suites
