@@ -517,13 +517,50 @@ object Qext {
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Sub-quadratic exact-pairs CTEs: PPJoin prefix filtering in SQL —
+    * under the lexicographic total order, two sets with J >= t share an
+    * element within each other's first |S| - ceil(t|S|) + 1 shingles, so
+    * the prefix join has complete recall and verification touches
+    * candidates only. Independent of the engine's LSH path (different
+    * blocking), and unlike the all-pairs form it stays tractable at
+    * sf0.1 (the quadratic CTE ran >50 min on 5000 docs; this runs in
+    * seconds). Yields the same `pairs` contract as [[ngramPairsCtes]].
+    */
+  private def ngramPairsPrefixCtes(threshold: String): String =
+    s"""docs AS (
+       |  SELECT doc_id, $normSql AS norm FROM documents
+       |), tok AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS toks, norm FROM docs
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(0, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+       |      ELSE [norm] END)) AS s
+       |  FROM tok
+       |), pref AS (
+       |  SELECT doc_id,
+       |    unnest(s[1 : CAST(len(s) - ceil($threshold * len(s)) + 1 AS BIGINT)]) AS p
+       |  FROM sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pref a JOIN pref b USING (p) WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN len(list_distinct(list_concat(x.s, y.s))) = 0 THEN 0.0
+       |         ELSE len(list_intersect(x.s, y.s))::DOUBLE /
+       |              len(list_distinct(list_concat(x.s, y.s)))::DOUBLE END AS j
+       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+       |            JOIN sh y ON y.doc_id = cand.id_b
+       |)""".stripMargin
+
   /** Connected components of the exact near-dup pairs as a recursive CTE:
     * every doc's label set = ids reachable over qualifying edges; min per
     * doc = the component's smallest id (mirrors DedupGroups min-label
     * propagation at fixpoint).
     */
   private def dedupGroupsOracleSql: String =
-    s"""WITH RECURSIVE ${ngramPairsCtes("", "0.5")},
+    s"""WITH RECURSIVE ${ngramPairsPrefixCtes("0.5")},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE j >= 0.5
        |  UNION ALL
@@ -675,18 +712,22 @@ object Qext {
          |)
          |SELECT doc_id, content_hash FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
-    // Exact all-pairs trigram Jaccard (size-ratio prefilter is a necessary
-    // condition for J >= t, so recall stays complete). Shared by the minhash
-    // query (LSH recall ~1 on this corpus — see qExtDedupMinhash) and, with a
-    // doc_id bound, the prefix-filtered exact operator.
-    "q_ext_dedup_minhash" -> ngramJaccardOracleSql(docFilter = "", threshold = "0.5"),
+    // Exact pairs via SQL-side prefix filtering (complete recall, see
+    // ngramPairsPrefixCtes) — an independent blocking from the engine's
+    // LSH, and tractable at every test SF unlike the all-pairs form.
+    "q_ext_dedup_minhash" ->
+      s"""WITH ${ngramPairsPrefixCtes("0.5")}
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ext_dedup_ngram_jaccard" ->
       ngramJaccardOracleSql(docFilter = "WHERE doc_id < 500", threshold = "0.5"),
 
     // Same 60-bit md5 simhash as TextDedup.simhash60: per-bit +-1 votes over
-    // the token multiset, sign -> bit; all-pairs Hamming <= 3 (the engine's
-    // quarter blocking is pigeonhole-complete, so outputs are identical).
+    // the token multiset, sign -> bit. Candidates via 15-bit quarter
+    // blocking (pigeonhole-complete for Hamming <= 3, the engine's own
+    // argument applied SQL-side) instead of all-pairs — identical output,
+    // tractable at sf0.1 where the quadratic form was not.
     "q_ext_dedup_simhash" ->
       s"""WITH docs AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
@@ -702,11 +743,17 @@ object Qext {
          |  SELECT doc_id,
          |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sim
          |  FROM votes GROUP BY doc_id
+         |), quart AS (
+         |  SELECT doc_id, sim, q, (sim >> (q * 15)) & 32767 AS qv
+         |  FROM fp, range(4) t(q)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.sim AS sa, b.sim AS sb
+         |  FROM quart a JOIN quart b ON a.q = b.q AND a.qv = b.qv
+         |  WHERE a.doc_id < b.doc_id
          |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-         |FROM fp a, fp b
-         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ext_dedup_embed_cosine" ->
