@@ -140,6 +140,28 @@ object TextDedup {
       .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
       .select(col(idCol), col("__shingles"), col("__sig"))
 
+  /** The bucket-join + exact-verify stages over an EXISTING prepared
+    * signature table ([[minhashPrepare]] output — in-memory or re-read
+    * from a parquet corpus store). The store-backed query path: signatures
+    * are computed once at ingest, every later dedup run starts here.
+    */
+  def minhashPairsFromPrepared(prepared: DataFrame, idCol: String,
+                               bands: Int = 16, rowsPerBand: Int = 4,
+                               threshold: Double = 0.6): DataFrame = {
+    val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = prepared.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val sb = prepared.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def minhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int = 3, bands: Int = 16,
                              rowsPerBand: Int = 4,
@@ -153,20 +175,8 @@ object TextDedup {
     // scale.
     val prepared = minhashPrepare(df, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
-    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-
-    val sa = prepared.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
-    val sb = prepared.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
-    val pairs = candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val pairs = minhashPairsFromPrepared(prepared, idCol, bands, rowsPerBand,
+      threshold)
     new Managed(pairs, Seq(prepared))
   }
 

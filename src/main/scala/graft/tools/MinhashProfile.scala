@@ -37,6 +37,15 @@ object MinhashProfile {
       TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5).count())
     t("full pairs (warm)")(
       TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5).count())
+    // parquet-backed corpus store (the CorpusPipeline deployment shape):
+    // write signatures once, run the LSH join from the re-read table
+    val store = "/tmp/graft_mh_store"
+    t("store write")(
+      TextDedup.minhashPrepare(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(store))
+    val stored = spark.read.parquet(store)
+    t("pairs from store")(
+      TextDedup.minhashPairsFromPrepared(stored, "doc_id", threshold = 0.5).count())
     spark.stop()
   }
 }

@@ -118,6 +118,18 @@ class TextDedupSpec extends SparkSpec {
     freq shouldBe lex
   }
 
+  "minhashPairsFromPrepared" should "reproduce direct near-dups from a parquet store" in {
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
+    TextDedup.minhashPrepare(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(store)
+    val fromStore = TextDedup.minhashPairsFromPrepared(
+        spark.read.parquet(store), "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val direct = TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    fromStore shouldBe direct
+  }
+
   "minhashIncrement" should "find exactly the pairs touching the new batch" in {
     val corpusDocs = docs.filter(col("doc_id").isin(1L, 4L))
     val batch = docs.filter(col("doc_id").isin(2L, 3L, 5L))
