@@ -16,6 +16,15 @@ run / fork := true
 // LoggedOutput prefix breaks that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and keep that JSON line the LAST line of stdout: sbt's closing
+// "[success] Total time: ..." banner otherwise trails the result and a
+// last-line parser reads the banner instead (BENCH_r01-r03 all show
+// `parsed: null` with the banner as the final stdout line).
+Global / showSuccess := false
+// Both keys are consumed by sbt's command layer, not by other settings —
+// silence the lintUnused false positive so the warning doesn't precede the
+// bench JSON on stdout.
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * eval into training).
   *
   * Scale posture: the benchmark shingle set is DISTINCT'd and joined to
-  * the exploded train shingles — a broadcast join while the benchmark
-  * fits the threshold (eval sets are MBs against a 100 TB corpus), with
-  * AQE's sort-merge fallback above it. Work is one explode of the train
-  * side (bounded by token count) plus one aggregation keyed by doc id;
-  * nothing is quadratic and nothing collects to the driver.
+  * the exploded train shingles with an UNCONDITIONAL broadcast hint —
+  * deliberately, not as an optimization guess. The operator's contract is
+  * that `benchmark` is an evaluation set (MBs-to-low-GBs against a 100 TB
+  * corpus); a sort-merge fallback would shuffle the ENTIRE exploded
+  * train-shingle side, which at corpus scale is strictly worse than any
+  * plausible benchmark broadcast. A benchmark too large to broadcast is a
+  * misuse of this operator (split it and union the tags), and failing
+  * loudly beats silently shuffling petabytes. Work is one explode of the
+  * train side (bounded by token count) plus one aggregation keyed by doc
+  * id; nothing is quadratic and nothing collects to the driver.
   */
 object Decontaminate {
 

@@ -68,6 +68,13 @@ object DedupGroups {
     }
     if (verbose) println(s"[cc] converged after $it rounds")
     sym.unpersist(false)
+    if (!converged)
+      // Labels are NOT at fixpoint: a component with diameter > maxIters
+      // would silently split into several groups and the caller would keep
+      // multiple "canonical" docs from one true component. Fail loudly.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIters=$maxIters " +
+          "rounds (component diameter exceeds maxIters); raise maxIters")
     labels.select(col("__id").as(ids), col("__label").as("group_id"))
   }
 

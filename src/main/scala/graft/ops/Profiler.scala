@@ -62,7 +62,10 @@ object Profiler {
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name} nulls"),
+        // coalesce: sum over zero rows is null, and getLong would NPE on
+        // an empty input table (approx_count_distinct already yields 0)
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${f.name} nulls"),
         approx_count_distinct(c).as(s"${f.name} distinct"),
         min(c).cast("string").as(s"${f.name} min"),
         max(c).cast("string").as(s"${f.name} max"))

@@ -92,6 +92,12 @@ object CorpusPipeline {
       if (checkpointState)
         CorpusState(nextPrepared.localCheckpoint(), allPairs.localCheckpoint())
       else CorpusState(nextPrepared, allPairs)
+    // Per the MinhashIncrement contract: the delta cache is only needed while
+    // pairs + nextState are built. Unpersist drops the cache, not the lineage,
+    // so the non-checkpoint state stays valid (delta recomputes off the
+    // checkpointed `tagged` if re-read); without this every ingest — and every
+    // micro-batch in streamIngest — would leak one cached DataFrame.
+    inc.release()
     BatchResult(nextState, report)
   }
 

@@ -24,6 +24,17 @@ class DedupGroupsSpec extends SparkSpec {
     out.values.toSet shouldBe Set(0L)
   }
 
+  it should "fail loudly when maxIters is too small to converge" in {
+    // path diameter 9 > maxIters 2: labels are not at fixpoint — silent
+    // return would split one true component into several groups
+    val nodes = (0L to 9L).toDF("id")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      DedupGroups.connectedComponents(nodes, edges, maxIters = 2).collect()
+    }
+    ex.getMessage should include("did not converge")
+  }
+
   it should "tolerate self-loops and duplicate edges" in {
     val nodes = Seq(1L, 2L).toDF("id")
     val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("src", "dst")

@@ -30,6 +30,20 @@ class ProfilerSpec extends SparkSpec {
     row shouldBe ("v", "string", 2L, 2L, 0L, None, None)
   }
 
+  it should "profile an empty table without NPE in both modes" in {
+    val empty = df.limit(0)
+    for (exact <- Seq(false, true)) {
+      val out = Profiler.profile(empty, exactDistinct = exact)
+        .orderBy("column")
+        .as[(String, String, Long, Long, Long, Option[String], Option[String])]
+        .collect()
+      out shouldBe Array(
+        ("id", "bigint", 0L, 0L, 0L, None, None),
+        ("s", "string", 0L, 0L, 0L, None, None),
+        ("x", "double", 0L, 0L, 0L, None, None))
+    }
+  }
+
   it should "stay one aggregation regardless of column count" in {
     // the profile of a 3-column frame runs 1 job over the data: assert by
     // checking the collect is a single-row aggregate (shape contract),

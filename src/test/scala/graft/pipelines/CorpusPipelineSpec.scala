@@ -64,6 +64,22 @@ class CorpusPipelineSpec extends SparkSpec {
     incremental shouldBe full
   }
 
+  it should "not leak cached frames across ingest calls" in {
+    // minhashIncrement persists its delta (registered in the cache manager);
+    // ingest must release it or every batch — every micro-batch in
+    // streamIngest — leaks one cached DataFrame
+    spark.catalog.clearCache()
+    val s0 = CorpusPipeline.emptyState(spark, "doc_id")
+    val b1 = CorpusPipeline.ingest(s0,
+      allDocs.filter(col("doc_id").isin(1L, 4L)), "doc_id", "text", bench, "text")
+    b1.report.count()
+    val b2 = CorpusPipeline.ingest(b1.state,
+      allDocs.filter(col("doc_id").isin(2L, 3L, 5L)), "doc_id", "text", bench, "text")
+    b2.report.count()
+    b2.state.prepared.count()
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
   "streamIngest" should "fold micro-batches into the same state as batch ingest" in {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
