@@ -46,6 +46,34 @@ object LookupJoin {
   def withFallback(df: DataFrame, outCol: String, primary: Column, fallback: Column): DataFrame =
     df.withColumn(outCol, coalesce(primary, fallback))
 
+  /** Allowlist filter: keep fact rows whose `keys` appear in `list` (LEFT
+    * SEMI — no fact columns duplicated, no fan-out possible regardless of
+    * list duplicates). The corpus-curation shape: keep only documents on a
+    * vetted source/id list.
+    *
+    * Scale posture: same as [[lookupLeft]] — the list is deduped, projected
+    * to the keys, and broadcast; the fact side never shuffles. AQE demotes
+    * to a shuffled semi join if the list outgrows the broadcast threshold.
+    */
+  def semiJoin(fact: DataFrame, list: DataFrame, keys: Seq[String],
+               hint: Boolean = true): DataFrame = {
+    val k = list.select(keys.map(col): _*).dropDuplicates()
+    fact.join(if (hint) broadcast(k) else k, keys, "left_semi")
+  }
+
+  /** Blocklist filter: drop fact rows whose `keys` appear in `list` (LEFT
+    * ANTI). The other half of corpus curation: remove documents whose
+    * content hash / id / source is on a takedown, opt-out, or
+    * contamination list. Null-key fact rows are KEPT (an equi-join never
+    * matches null — unlike SQL `NOT IN`, which nulls out the whole
+    * predicate; the oracle form is NOT EXISTS).
+    */
+  def antiJoin(fact: DataFrame, list: DataFrame, keys: Seq[String],
+               hint: Boolean = true): DataFrame = {
+    val k = list.select(keys.map(col): _*).dropDuplicates()
+    fact.join(if (hint) broadcast(k) else k, keys, "left_anti")
+  }
+
   /** Dim keys that would fan out a left join (J1 guard, reference
     * etl_payroll_pipeline_demo.py:233-240). Cheaper than the reference's
     * before/after full-fact counts: only the dim is aggregated.

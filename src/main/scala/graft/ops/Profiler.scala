@@ -57,6 +57,55 @@ object Profiler {
           col("__min").as("min"), col("__max").as("max"))
     }.reduce(_ unionByName _)
 
+  /** Per-column quantiles for the numeric columns of `df` — the
+    * distribution half of intake profiling (drift checks need medians and
+    * tails, not just min/max). One row per column: (column, then one
+    * `q<prob>` column per requested probability).
+    *
+    * Two modes, like [[profile]]:
+    *
+    *  - **approximate (default)**: `approx_percentile` (KLL-style sketch) —
+    *    ALL columns ride ONE aggregation, constant memory, the only shape
+    *    that holds at 100 TB.
+    *  - **exact**: `percentile` (linear interpolation over the sorted
+    *    column — matches DuckDB `quantile_cont` bit-for-bit on clean
+    *    doubles, so it is oracle-checkable). Spark implements it as a
+    *    counts-map aggregation: memory scales with per-column distinct
+    *    values — fine for bounded domains, use approximate for open ones.
+    *
+    * All requested columns ride the same single aggregation in both modes.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String],
+                probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty && probs.nonEmpty, "need at least one column and prob")
+    require(probs.forall(p => p >= 0 && p <= 1), s"probs must be in [0,1]: $probs")
+    val probsArr = array(probs.map(lit): _*)
+    val aggs = cols.map { c =>
+      val q = if (exact) percentile(col(c).cast("double"), probsArr)
+              else percentile_approx(col(c).cast("double"), probsArr, lit(10000))
+      q.as(s"__q_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // decimal (not double) scaling: 0.05 * 100 must name "p5", not "p5_000..01"
+    val probNames = probs.map { p =>
+      val pct = BigDecimal(p.toString) * 100
+      if (pct.isWhole) s"p${pct.toBigInt}"
+      else s"p${pct.bigDecimal.stripTrailingZeros.toPlainString.replace('.', '_')}"
+    }
+    val schema = StructType(
+      StructField("column", StringType, nullable = false) +:
+        probNames.map(StructField(_, DoubleType, nullable = true)))
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      // percentile over an empty / all-null column yields a null array
+      val qs = Option(row.getSeq[Double](i))
+        .map(_.map(q => q: Any)).getOrElse(probs.map(_ => null))
+      Row.fromSeq(c +: qs)
+    }
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), schema)
+  }
+
   private def profileHll(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>

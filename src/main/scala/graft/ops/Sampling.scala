@@ -50,6 +50,29 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100, salt) < pct)
   }
 
+  /** Deterministic shuffle key: md5 of (salt, key) — a stable pseudo-random
+    * total order. Training pipelines need the corpus globally shuffled
+    * (decorrelate document order from crawl/source order) but REPRODUCIBLY:
+    * `orderBy(shuffleKey(...))` is a pure function of the data, unlike
+    * `rand()`, so the epoch-0 data order is identical run-over-run and
+    * auditable cross-engine.
+    */
+  def shuffleKey(key: Column, salt: String = ""): Column =
+    md5(concat(lit(salt), key.cast("string")))
+
+  /** Globally shuffle a corpus deterministically: range-partition by the
+    * md5 shuffle key and sort within partitions. At 100 TB this is one
+    * range exchange (same geometry as any global sort) and the output is
+    * ready for a sharded sequential write — partition i holds the i-th
+    * contiguous slice of the shuffled order. Ties (duplicate keys) are
+    * broken by the key column itself, making the order total.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+                           salt: String = ""): DataFrame =
+    df.withColumn("__shuffle_key", shuffleKey(col(keyCol), salt))
+      .repartitionByRange(col("__shuffle_key"), col(keyCol))
+      .sortWithinPartitions(col("__shuffle_key"), col(keyCol))
+
   /** Label each row train/val/test by key hash: test gets `testPct`
     * buckets, validation the next `valPct`, train the rest.
     */

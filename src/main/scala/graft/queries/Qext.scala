@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -366,6 +367,85 @@ object Qext {
       .select("column", "n_rows", "n_nulls", "n_distinct", "min", "max")
       .orderBy("column")
 
+  /** Per-column exact quantiles ([[Profiler.quantiles]] exact mode) over
+    * lineitem's value columns. Exact `percentile` (linear interpolation on
+    * the sorted column) matches DuckDB `quantile_cont` on the same doubles;
+    * round(6) absorbs nothing here — both engines interpolate the same two
+    * IEEE doubles — but keeps the output format stable.
+    */
+  def qExtProfileQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Profiler.quantiles(t(spark, dir, "lineitem"),
+        cols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        probs = Seq(0.25, 0.5, 0.75), exact = true)
+      .select(col("column"), round(col("p25"), 6).as("p25"),
+        round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"))
+      .orderBy("column")
+
+  /** Blocklist curation ([[LookupJoin.antiJoin]]): drop every document
+    * whose normalized content hash matches a document from the blocked
+    * source — removes the blocked docs AND their exact duplicates
+    * elsewhere (the takedown semantics a content blocklist needs).
+    */
+  def qExtFilterBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("content_hash", TextDedup.contentHash(col("text")))
+    val blocked = docs.filter(col("lang") === "und").select("content_hash")
+    LookupJoin.antiJoin(docs, blocked, Seq("content_hash"))
+      .select("doc_id", "content_hash")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus shuffle ([[Sampling.deterministicShuffle]]):
+    * epoch-0 training order as a pure function of the data. The global
+    * ORDER BY here re-asserts the same (shuffle_key, doc_id) order the
+    * operator's range partitioning produces — the oracle checks the order
+    * is the md5 one, not Spark's partition layout.
+    */
+  def qExtShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(
+        t(spark, dir, "documents").select("doc_id", "source"),
+        keyCol = "doc_id", salt = "epoch0")
+      .select(col("doc_id"), col("source"), col("__shuffle_key").as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+
+  /** Rollup aggregation: event counts by (type, user-bucket) with
+    * subtotals and a grand total — the multi-granularity intake-report
+    * shape. `grouping(...)` markers disambiguate "NULL because subtotal"
+    * from a genuinely null grouping value, and make the ORDER BY total.
+    */
+  def qExtAggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .rollup("event_type", "user_bucket")
+      .agg(count(lit(1)).as("n"),
+        grouping(col("event_type")).as("g_type"),
+        grouping(col("user_bucket")).as("g_bucket"))
+      .select("event_type", "user_bucket", "g_type", "g_bucket", "n")
+      .orderBy(col("g_type"), col("g_bucket"),
+        col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+
+  /** Running totals per user over event time ([[Window]] cumulative frame):
+    * event index, cumulative error count, and running max value — the
+    * order-sensitive window family (lag/lead/running aggregates) that
+    * sessionize builds on, as its own checkable surface. Running sums are
+    * restricted to counts/max (exact in FP); ties are impossible because
+    * (user_id, ts_us, event_id) is unique.
+    */
+  def qExtRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("event_idx", row_number().over(w))
+      .withColumn("cum_errors",
+        count(when(col("event_type") === "error", lit(1))).over(w))
+      .withColumn("run_max_value", round(max(col("value")).over(w), 6))
+      .select("event_id", "user_id", "ts_us", "event_idx", "cum_errors",
+        "run_max_value")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   // ------------------------------------------------- events (JSON, time)
 
   /** As-of join showcase ([[AsofJoin.asofJoin]]): each event enriched with
@@ -471,6 +551,11 @@ object Qext {
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_range_join_sessions" -> (qExtRangeJoinSessions _),
+    "q_ext_profile_quantiles" -> (qExtProfileQuantiles _),
+    "q_ext_filter_blocklist" -> (qExtFilterBlocklist _),
+    "q_ext_shuffle_order" -> (qExtShuffleOrder _),
+    "q_ext_agg_rollup" -> (qExtAggRollup _),
+    "q_ext_running_total" -> (qExtRunningTotal _),
   )
 
   private val normSql =
@@ -694,8 +779,64 @@ object Qext {
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** One quantile row per column: DuckDB `quantile_cont` = Spark exact
+    * `percentile` (both linearly interpolate the two adjacent sorted
+    * values at rank (n-1)*p — identical IEEE arithmetic).
+    */
+  private def quantilesOracleSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  round(quantile_cont($c, 0.25), 6) AS p25,
+         |  round(quantile_cont($c, 0.5), 6) AS p50,
+         |  round(quantile_cont($c, 0.75), 6) AS p75
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
   val oracle: Map[String, String] = Map(
     "q_ext_sim_ivf" -> ivfTrainedOracleSql,
+    "q_ext_profile_quantiles" -> quantilesOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q_ext_filter_blocklist" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, md5($normSql) AS content_hash, lang FROM documents
+         |), blocked AS (
+         |  SELECT DISTINCT content_hash FROM docs WHERE lang = 'und'
+         |)
+         |SELECT d.doc_id, d.content_hash FROM docs d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM blocked b WHERE b.content_hash = d.content_hash)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_ext_shuffle_order" ->
+      """SELECT doc_id, source,
+        |       md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
+    "q_ext_agg_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(user_id % 10 AS INTEGER) AS user_bucket
+        |  FROM events
+        |)
+        |SELECT event_type, user_bucket,
+        |       GROUPING(event_type) AS g_type,
+        |       GROUPING(user_bucket) AS g_bucket,
+        |       count(*) AS n
+        |FROM e
+        |GROUP BY ROLLUP(event_type, user_bucket)
+        |ORDER BY g_type, g_bucket,
+        |         event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
+    "q_ext_running_total" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |         event_type, value
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  row_number() OVER w AS event_idx,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS cum_errors,
+        |  round(max(value) OVER w, 6) AS run_max_value
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     // the synthetic orders table carries 6 of the TPC-H columns
     "q_ext_profile" -> profileOracleSql("orders", Seq(
       "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

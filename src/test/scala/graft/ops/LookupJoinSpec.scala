@@ -38,6 +38,24 @@ class LookupJoinSpec extends SparkSpec {
     out shouldBe Array("dim", "fact2")
   }
 
+  "semiJoin" should "keep exactly the allowlisted rows, never fanning out" in {
+    val list = Seq((1, "junk"), (1, "junk2"), (3, "j")).toDF("k", "extra")
+    val out = LookupJoin.semiJoin(fact, list, Seq("k"))
+    out.columns shouldBe Array("k", "v") // no list columns leak
+    out.orderBy("k").as[(Int, String)].collect() shouldBe
+      Array((1, "x"), (3, "z")) // duplicate list keys don't duplicate facts
+  }
+
+  "antiJoin" should "drop blocklisted rows and keep null-key rows" in {
+    val f = Seq((Some(1), "x"), (Some(2), "y"), (None, "nullkey")).toDF("k", "v")
+    val list = Seq(1, 1).toDF("k")
+    val out = LookupJoin.antiJoin(f, list, Seq("k"))
+    // SQL NOT IN would return zero rows once the fact has a null key;
+    // anti-join keeps them (the NOT EXISTS semantics the oracle mirrors)
+    out.orderBy("k").select("v").as[String].collect().toSet shouldBe
+      Set("y", "nullkey")
+  }
+
   "keyViolations" should "report keys that would fan out a left join" in {
     val dim = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     val bad = LookupJoin.keyViolations(dim, Seq("k")).collect()

@@ -44,6 +44,36 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  "quantiles" should "interpolate exact percentiles per column" in {
+    val nums = Seq((1.0, 10L), (2.0, 20L), (3.0, 30L), (4.0, 40L), (5.0, 50L))
+      .toDF("x", "y")
+    val out = Profiler.quantiles(nums, Seq("x", "y"), exact = true)
+      .orderBy("column")
+      .as[(String, Double, Double, Double)].collect()
+    out shouldBe Array(("x", 2.0, 3.0, 4.0), ("y", 20.0, 30.0, 40.0))
+  }
+
+  it should "interpolate between adjacent values at fractional ranks" in {
+    val nums = Seq(1.0, 2.0, 3.0, 4.0).toDF("x") // (n-1)*0.25 = 0.75
+    val out = Profiler.quantiles(nums, Seq("x"), exact = true)
+      .as[(String, Double, Double, Double)].collect().head
+    out shouldBe ("x", 1.75, 2.5, 3.25)
+  }
+
+  it should "return null quantiles for empty or all-null columns" in {
+    val empty = Seq.empty[Double].toDF("x")
+    val out = Profiler.quantiles(empty, Seq("x"))
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    out shouldBe ("x", None, None, None)
+  }
+
+  it should "name columns from the requested probabilities" in {
+    val nums = Seq(1.0, 2.0).toDF("x")
+    Profiler.quantiles(nums, Seq("x"), probs = Seq(0.05, 0.5, 0.999))
+      .columns shouldBe Array("column", "p5", "p50", "p99_9")
+  }
+
   it should "stay one aggregation regardless of column count" in {
     // the profile of a 3-column frame runs 1 job over the data: assert by
     // checking the collect is a single-row aggregate (shape contract),

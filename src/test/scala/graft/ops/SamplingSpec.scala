@@ -24,6 +24,29 @@ class SamplingSpec extends SparkSpec {
     s1 should not be s2
   }
 
+  "deterministicShuffle" should "produce a reproducible permutation" in {
+    val out = Sampling.deterministicShuffle(ids, "id", salt = "e0")
+    val order1 = out.select("id").as[Long].collect()
+    val order2 = Sampling.deterministicShuffle(ids.repartition(7), "id", salt = "e0")
+      .select("id").as[Long].collect()
+    order1.sorted shouldBe (0L until 1000L).toArray // a permutation
+    order1 shouldBe order2 // stable under input partitioning
+    order1 should not be order1.sorted // actually shuffled
+    val salted = Sampling.deterministicShuffle(ids, "id", salt = "e1")
+      .select("id").as[Long].collect()
+    salted should not be order1 // salt reshuffles (epoch decorrelation)
+  }
+
+  it should "sort within partitions so a sharded write preserves the order" in {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val out = Sampling.deterministicShuffle(ids, "id")
+      .withColumn("pid", spark_partition_id())
+    // range partitioning: partition ids are ordered by shuffle key, so the
+    // concatenation of partitions in id order IS the global shuffled order
+    val rows = out.select("pid", "__shuffle_key").as[(Int, String)].collect()
+    rows.sortBy(_._2).map(_._1) shouldBe rows.map(_._1).sorted
+  }
+
   "trainValTestSplit" should "partition every row into exactly one split" in {
     val out = Sampling.trainValTestSplit(ids, "id", testPct = 10, valPct = 10)
     out.count() shouldBe 1000L
