@@ -104,14 +104,23 @@ object TextDedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** The per-band bucket hashes of a signature as one array column (index =
+    * band): the map-side, stateless form of LSH banding — what
+    * [[lshBuckets]] explodes, and what the streaming tagger
+    * ([[graft.streaming.LshStream]]) carries whole for its per-pair
+    * first-colliding-band dedup.
+    */
+  def bucketArray(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
+
   /** LSH banding: one row per (doc, band) with a bucket hash of the band's
     * signature slice. Self-joining on (band, bucket) yields candidate pairs.
     */
   def lshBuckets(df: DataFrame, idCol: String, sigCol: String,
                  bands: Int, rowsPerBand: Int): DataFrame =
     df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        posexplode(bucketArray(col(sigCol), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
 
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle Jaccard.

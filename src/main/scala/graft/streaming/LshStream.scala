@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextDedup
+
+/** Streaming-native MinHash-LSH near-dup tagging: label each arriving
+  * document with its near-duplicates in a STATIC corpus signature store, at
+  * per-event latency.
+  *
+  * [[graft.pipelines.CorpusPipeline.streamIngest]] runs the full ingest
+  * workflow (including stream↔stream pairs and group resolution) but only
+  * per micro-batch, because its state fold needs foreachBatch. This path is
+  * the complement: every operator here — signature, bucket array, the
+  * stream-static bucket join, the verify Jaccard — is STATELESS, so the
+  * query runs in append mode with no watermark, no state store, and no
+  * batch barrier; latency is the per-record pipeline, not the trigger
+  * interval. The trade: it tags against the fixed corpus only (stream↔
+  * stream duplicates are the micro-batch path's job).
+  *
+  * Statelessness has one subtlety: a pair colliding in k bands would emit k
+  * duplicate rows, and the usual `distinct` is a stateful aggregation. The
+  * fix is per-row: both sides carry their FULL bucket array, and a row
+  * survives only if its band is the first index where the two arrays agree
+  * — a pure expression, so exactly one row per (stream doc, corpus doc)
+  * pair emerges without any state.
+  *
+  * Scale posture: the corpus index is a static table re-read per micro-batch
+  * (parquet store) or persisted; Spark plans the bucket join as
+  * stream-static — broadcast while the index fits, shuffled otherwise. The
+  * stream side explodes into `bands` rows per document (a constant factor,
+  * same as batch LSH). At 100 TB corpus the index is big: partition the
+  * store by bucket prefix so the join prunes, or run the batch incremental
+  * path; this operator targets the low-latency tagging tier over a
+  * broadcastable (sampled/recent) index slice.
+  */
+object LshStream {
+
+  /** Build the static side once from a [[TextDedup.minhashPrepare]] table
+    * (in-memory or re-read from the corpus store): id, shingles for the
+    * verify stage, and the per-band bucket array. Persist or parquet the
+    * result — it is the index the stream joins against.
+    */
+  def corpusIndex(prepared: DataFrame, idCol: String,
+                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    prepared.select(col(idCol),
+      col("__shingles"),
+      TextDedup.bucketArray(col("__sig"), bands, rowsPerBand).as("__buckets"))
+
+  /** First index (0-based) where the two bucket arrays agree — the
+    * designated band that "owns" a colliding pair.
+    */
+  private def firstCollidingBand(a: Column, b: Column): Column =
+    array_position(zip_with(a, b, (x, y) => x === y), true) - 1
+
+  /** Tag a document stream against the corpus index: one output row per
+    * (arriving doc, corpus doc) with verified Jaccard >= threshold.
+    * Works identically on a batch frame (all-expression plan) — the spec
+    * asserts parity with [[TextDedup.minhashIncrement]]'s new↔corpus pairs.
+    *
+    * Output: (`idCol` as stream_id, corpus_id, jaccard). `bands *
+    * rowsPerBand` must match the index's signature width; ids must be
+    * disjoint from corpus ids only in the sense that self-pairs
+    * (stream_id == corpus_id) are filtered, so re-tagging an already-stored
+    * doc won't report itself.
+    */
+  def nearDupTagStream(stream: DataFrame, corpusIndex: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                       threshold: Double = 0.6): DataFrame = {
+    val s = stream
+      .withColumn("__shingles", TextDedup.shingles(col(textCol), shingleN))
+      .withColumn("__sig",
+        TextDedup.minhashSignature(col("__shingles"), bands * rowsPerBand))
+      .select(col(idCol).as("stream_id"),
+        col("__shingles").as("__sh_s"),
+        TextDedup.bucketArray(col("__sig"), bands, rowsPerBand).as("__bk_s"))
+      .select(col("stream_id"), col("__sh_s"), col("__bk_s"),
+        posexplode(col("__bk_s")).as(Seq("band", "bucket")))
+    val c = corpusIndex
+      .select(col(idCol).as("corpus_id"),
+        col("__shingles").as("__sh_c"), col("__buckets").as("__bk_c"))
+      .select(col("corpus_id"), col("__sh_c"), col("__bk_c"),
+        posexplode(col("__bk_c")).as(Seq("band", "bucket")))
+    s.join(c, Seq("band", "bucket"))
+      .filter(col("stream_id") =!= col("corpus_id"))
+      // stateless per-pair dedup: keep the first colliding band's row only
+      .filter(col("band") === firstCollidingBand(col("__bk_s"), col("__bk_c")))
+      .withColumn("jaccard", TextDedup.jaccard(col("__sh_s"), col("__sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select("stream_id", "corpus_id", "jaccard")
+  }
+}

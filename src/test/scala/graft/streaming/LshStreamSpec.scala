@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.TextDedup
+
+class LshStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely different content about spark engines"),
+    (3L, "a third unrelated document on query optimizers"))
+    .toDF("doc_id", "text")
+
+  private val arriving = Seq(
+    (10L, "  THE   quick brown fox jumps over the lazy dog "), // dup of 1
+    (11L, "the quick brown fox jumps over the lazy cat"),      // near-dup of 1
+    (12L, "entirely novel text with no corpus relatives"))
+    .toDF("doc_id", "text")
+
+  private def index = LshStream.corpusIndex(
+    TextDedup.minhashPrepare(corpusDocs, "doc_id", "text"), "doc_id")
+
+  "nearDupTagStream" should "match minhashIncrement's new-vs-corpus pairs on a batch frame" in {
+    val tagged = LshStream.nearDupTagStream(arriving, index, "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("stream_id", "corpus_id")
+      .as[(Long, Long, Double)].collect()
+
+    val inc = TextDedup.minhashIncrement(arriving,
+      TextDedup.minhashPrepare(corpusDocs, "doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    // minhashIncrement reports new-new pairs too; the tagger's contract is
+    // stream-vs-corpus only — compare against that subset (orientation
+    // differs: increment sorts ids, the tagger keeps stream first)
+    val corpusIds = Set(1L, 2L, 3L)
+    val expected = inc.pairs.as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => corpusIds.contains(a) ^ corpusIds.contains(b) }
+      .map { case (a, b, j) =>
+        if (corpusIds.contains(a)) (b, a, j) else (a, b, j) }
+      .sorted
+    inc.release()
+
+    tagged shouldBe expected
+    tagged.map(_._1).toSet shouldBe Set(10L, 11L) // 12 has no relatives
+  }
+
+  it should "emit exactly one row per pair (first-colliding-band dedup)" in {
+    // doc 10 is a whitespace/case variant of corpus doc 1: identical
+    // shingle set, identical signature, so ALL 16 bands collide — the
+    // stateless dedup must still emit the pair once
+    val out = LshStream.nearDupTagStream(arriving, index, "doc_id", "text",
+        threshold = 0.5)
+      .groupBy("stream_id", "corpus_id").count()
+      .filter(col("count") > 1)
+    out.count() shouldBe 0L
+  }
+
+  it should "not report a re-tagged document as its own duplicate" in {
+    val again = corpusDocs.filter(col("doc_id") === 1L)
+    val out = LshStream.nearDupTagStream(again, index, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    out.exists(r => r._1 == r._2) shouldBe false
+  }
+
+  it should "tag a live stream statelessly at append mode without watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = LshStream.nearDupTagStream(
+        input.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+        threshold = 0.5)
+      .writeStream.format("memory").queryName("lsh_tags")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "  THE   quick brown fox jumps over the lazy dog "))
+      query.processAllAvailable()
+      input.addData((11L, "the quick brown fox jumps over the lazy cat"),
+        (12L, "entirely novel text with no corpus relatives"))
+      query.processAllAvailable()
+
+      // stateless contract: no state store operators in the executed plan
+      val progress = query.lastProgress
+      progress.stateOperators.length shouldBe 0
+
+      val out = spark.table("lsh_tags").orderBy("stream_id", "corpus_id")
+        .as[(Long, Long, Double)].collect()
+      val batch = LshStream.nearDupTagStream(arriving, index, "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("stream_id", "corpus_id").as[(Long, Long, Double)].collect()
+      out shouldBe batch
+    } finally query.stop()
+  }
+}
