@@ -171,12 +171,27 @@ object TextStats {
   /** Assign deterministic integer ids to a [[vocabulary]] (or any
     * token-frequency table): rank by tf desc, token asc — id 0 is the most
     * frequent token, exactly reproducible by any engine.
+    *
+    * NOT a global `row_number()` window — that moves the whole vocabulary
+    * to one partition (WindowExec warns, and a web-scale vocab is 10^8+
+    * rows). Instead: range-partition + sort by the rank order, then
+    * `zipWithIndex` (per-partition counts + offsets, one extra tiny job) —
+    * the distributed form of global ranking. Partition order IS rank
+    * order, so ids match the window form exactly.
     */
   def vocabIds(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("token").asc)
-    vocab.select(col("token"),
-      (row_number().over(w) - 1).cast("long").as("token_id"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = vocab.sparkSession
+    val sorted = vocab.select(col("token").cast("string"), col("tf").cast("long"))
+      .repartitionByRange(col("tf").desc, col("token").asc)
+      .sortWithinPartitions(col("tf").desc, col("token").asc)
+    val ids = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row(r.getString(0), i)
+    }
+    spark.createDataFrame(ids, StructType(Seq(
+      StructField("token", StringType),
+      StructField("token_id", LongType))))
   }
 
   /** Encode documents against a (token, token_id) table: each doc becomes
