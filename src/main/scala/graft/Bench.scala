@@ -28,10 +28,29 @@ object Bench {
       }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision record for local round-over-round analysis.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // The harness that consumes stdout keeps only the LAST 2000 characters
+    // (BENCH_r03/r04 tails begin mid-JSON), so the result line must fit that
+    // window with margin. Millisecond precision is plenty for second-scale
+    // timings; drop to 2 decimals if the registry ever outgrows 3.
+    def fmt(dec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = { val l3 = line(3); if (l3.length <= 1900) l3 else line(2) }
+    println(out)
     spark.stop()
   }
 }

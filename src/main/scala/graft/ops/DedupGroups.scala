@@ -9,73 +9,118 @@ import org.apache.spark.sql.functions._
   * (A~B, B~C but A!~C) must collapse into one group, or the pipeline keeps
   * two of the three.
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with its own id; each round every node takes the min of its label and
-  * its neighbors' labels; fixpoint = each node holds its component's
-  * minimum id. Near-dup graphs are dense clusters of tiny diameter
-  * (LSH pairs approximate cliques), so convergence is 1–3 rounds in
-  * practice; `maxIters` bounds pathological chains.
+  * Algorithm: alternating large-star/small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * rewrites the edge set so every node points at progressively smaller
+  * labels; the fixpoint is a star forest with each component collapsed onto
+  * its minimum id. Convergence is O(log n) rounds on ANY graph shape —
+  * including the chain-shaped near-dup graphs where the previous min-label
+  * propagation needed O(component diameter) rounds and hit its maxIters
+  * cliff. LSH pair graphs are near-cliques, so in practice this converges
+  * in 1–3 rounds, same as before; the log bound is what makes it safe at
+  * web scale.
   *
-  * Scale posture: each round is one shuffle (edge-label join + min
-  * aggregate), all keyed by node id — the same exchange pattern as a
-  * large-join stage, no driver-side graph. Each round's labels are
-  * localCheckpoint'ed: without lineage truncation the logical plan doubles
-  * per iteration (labels feed both the neighbor aggregate and the join),
-  * going exponential by round ~8 — checkpointing keeps the plan constant-
-  * size, which is the standard Spark idiom for iterative graph algorithms.
-  * On a cluster with executor loss concerns, swap localCheckpoint for
-  * reliable `checkpoint()` against a checkpoint dir; semantics identical.
+  * Scale posture: each round is two grouped aggregations + two joins, all
+  * keyed by node id — the same exchange pattern as a large-join stage, no
+  * driver-side graph state and no collect_list (high-degree nodes never
+  * materialize their neighbor list on one row; the star operations are
+  * min-aggregate + join, which partial-aggregates map-side). Each round's
+  * edge set is localCheckpoint'ed: without lineage truncation the plan
+  * doubles per iteration. On a cluster with executor-loss concerns, swap
+  * localCheckpoint for reliable `checkpoint()`; semantics identical.
   */
 object DedupGroups {
+
+  /** True iff the big→small edge set is a star forest: no source has two
+    * targets and no node is both a source and a target. Any star forest
+    * reachable by the star operations has each component's minimum as its
+    * center (leaves all exceed their center by the orientation invariant),
+    * so this is exactly the fixpoint test — and checking it structurally
+    * detects convergence in the round that REACHES the fixpoint, where a
+    * compare-to-previous checksum burns one full confirmation round.
+    * One union + one grouped aggregate: a single job per round.
+    */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("__u").as("__n"), lit(1L).as("__s"), lit(0L).as("__d"))
+      .union(e.select(col("__v").as("__n"), lit(0L).as("__s"), lit(1L).as("__d")))
+      .groupBy("__n").agg(sum("__s").as("__s"), sum("__d").as("__d"))
+      .filter(col("__s") > 1 || (col("__s") > 0 && col("__d") > 0))
+      .isEmpty
 
   /** Connected components of (nodes, edges): returns (id, group_id) where
     * group_id is the smallest node id in the component. Nodes absent from
     * every edge form singleton groups (group_id = id). Edges are treated
     * as undirected; self-loops and duplicates are harmless.
+    *
+    * `maxIters` is a safety valve only: the alternation provably converges
+    * in O(log n) rounds, so the default never triggers below ~2^40 nodes.
+    * Non-convergence still throws rather than returning split components.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 40): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIters)._1
+
+  /** As [[connectedComponents]], also returning the number of star rounds
+    * executed — lets the convergence-bound spec assert the O(log n)
+    * guarantee mechanically instead of editorially. */
+  def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
+                                    maxIters: Int = 40): (DataFrame, Int) = {
     val ids = nodes.columns.head
     val Seq(src, dst) = edges.columns.take(2).toSeq
-    // symmetric closure once; reused every round
-    val sym = edges.select(col(src).as("__src"), col(dst).as("__dst"))
-      .union(edges.select(col(dst).as("__src"), col(src).as("__dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    var labels = nodes.select(col(ids).as("__id"), col(ids).as("__label"))
+    // Canonical orientation big→small; self-loops and duplicate pairs out.
+    var e = edges.select(
+        greatest(col(src), col(dst)).as("__u"),
+        least(col(src), col(dst)).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
       .localCheckpoint()
+
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
-    var converged = false
+    var converged = isStarForest(e)
     var it = 0
     while (!converged && it < maxIters) {
       val t0 = System.nanoTime()
-      val neighborMin = sym
-        .join(labels, sym("__src") === labels("__id"))
-        .groupBy(col("__dst").as("__id2"))
-        .agg(min("__label").as("__nbr_min"))
-      val next = labels
-        .join(neighborMin, labels("__id") === neighborMin("__id2"), "left")
-        .select(col("__id"),
-          least(col("__label"), coalesce(col("__nbr_min"), col("__label")))
-            .as("__label"),
-          (col("__nbr_min") < col("__label")).as("__changed"))
+      // Large-star: for every node u, m(u) = min(u ∪ neighbors); every
+      // neighbor v > u re-points to m(u). Edges stay big→small (v > u ≥ m).
+      val sym = e.select(col("__u"), col("__v"))
+        .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
+      val mLarge = sym.groupBy("__u").agg(min("__v").as("__nmin"))
+        .select(col("__u"), least(col("__u"), col("__nmin")).as("__m"))
+      // No distinct here: large emits one row per input edge (sym keeps one
+      // direction per edge under v > u), and small-star's terminal distinct
+      // subsumes any duplicate (v, m) pairs — one less shuffle per round.
+      val large = sym.filter(col("__v") > col("__u"))
+        .join(mLarge, "__u")
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+      // Small-star: on big→small edges, m(u) = min of u's smaller
+      // neighbors; each smaller neighbor v and u itself re-point to m(u).
+      val mSmall = large.groupBy("__u").agg(min("__v").as("__m"))
+      val small = large.join(mSmall, "__u")
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .union(mSmall.select(col("__u"), col("__m").as("__v")))
+        .filter(col("__u") =!= col("__v"))
+        .distinct()
         .localCheckpoint()
-      val changed = next.filter(col("__changed")).count()
-      labels = next.drop("__changed")
-      converged = changed == 0L
+      converged = isStarForest(small)
+      e = small
       it += 1
-      if (verbose) println(f"[cc] round $it changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (verbose) println(f"[cc] round $it ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (verbose) println(s"[cc] converged after $it rounds")
-    sym.unpersist(false)
     if (!converged)
-      // Labels are NOT at fixpoint: a component with diameter > maxIters
-      // would silently split into several groups and the caller would keep
-      // multiple "canonical" docs from one true component. Fail loudly.
+      // Edges are NOT at fixpoint: a component could still be split across
+      // several stars and the caller would keep multiple "canonical" docs
+      // from one true component. Fail loudly.
       throw new IllegalStateException(
-        s"connectedComponents did not converge within maxIters=$maxIters " +
-          "rounds (component diameter exceeds maxIters); raise maxIters")
-    labels.select(col("__id").as(ids), col("__label").as("group_id"))
+        s"connectedComponents did not converge within maxIters=$maxIters rounds")
+    // Fixpoint is a star forest: each non-root points directly at its
+    // component minimum. min() is an identity at fixpoint, kept as a guard.
+    val roots = e.groupBy("__u").agg(min("__v").as("group_id"))
+      .select(col("__u").as(ids), col("group_id"))
+    val labels = nodes.select(col(ids))
+      .join(roots, Seq(ids), "left")
+      .select(col(ids), coalesce(col("group_id"), col(ids)).as("group_id"))
+    (labels, it)
   }
 
   /** Full dedup-group resolution over a document table: find near-dup pairs
@@ -84,7 +129,7 @@ object DedupGroups {
     * [[TextDedup.exactDedup]]). Returns every input doc as
     * (id, group_id, keep).
     *
-    * The iterative propagation runs ONLY over nodes that appear in a pair
+    * The iterative star rounds run ONLY over nodes that appear in a pair
     * — the near-dup subgraph, orders of magnitude smaller than the corpus
     * — and untouched docs rejoin as singletons afterwards. Pairs are
     * checkpointed first so the (possibly expensive) pair finder runs once,
@@ -102,6 +147,20 @@ object DedupGroups {
               pairsOf: DataFrame => DataFrame,
               broadcastGroups: Boolean = true): DataFrame =
     resolveFromPairs(docs, idCol, pairsOf(docs), broadcastGroups)
+
+  /** [[resolve]] for pair finders that persist intermediates (the
+    * [[Managed]]-returning near-dup variants): the pair table is
+    * checkpointed eagerly inside, so the finder's caches are released
+    * before the returned frame ever executes — no leak into a long-lived
+    * session. Prefer this entry point for the LSH family.
+    */
+  def resolveManaged(docs: DataFrame, idCol: String,
+                     pairsOf: DataFrame => Managed,
+                     broadcastGroups: Boolean = true): DataFrame = {
+    val m = pairsOf(docs)
+    try resolveFromPairs(docs, idCol, m.df, broadcastGroups)
+    finally m.release() // safe: resolveFromPairs checkpointed the pairs
+  }
 
   /** [[resolve]] over an already-computed pair table (id_a, id_b) — the
     * incremental-corpus entry point, where pairs accumulate across

@@ -180,18 +180,38 @@ object TextStats {
     * order, so ids match the window form exactly.
     */
   def vocabIds(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = vocab.sparkSession
+    import spark.implicits._
+    // monotonically_increasing_id over the range-partitioned sort encodes
+    // (partition id << 33 | row offset): within-partition offsets follow the
+    // sort order and partition ids follow the range order, so global rank =
+    // cumulative-partition-offset + row offset. Stays in Tungsten rows with
+    // whole-stage codegen end to end — the previous rdd.zipWithIndex form
+    // paid a Row-boxing round-trip and an extra scheduler job.
+    // localCheckpoint (not persist) is load-bearing: the ids are
+    // nondeterministic (range boundaries are sampled), so the frame must
+    // never recompute after the offsets are read — eviction would silently
+    // shift ranks; checkpointing truncates lineage so recompute is
+    // impossible.
     val sorted = vocab.select(col("token").cast("string"), col("tf").cast("long"))
       .repartitionByRange(col("tf").desc, col("token").asc)
       .sortWithinPartitions(col("tf").desc, col("token").asc)
-    val ids = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row(r.getString(0), i)
-    }
-    spark.createDataFrame(ids, StructType(Seq(
-      StructField("token", StringType),
-      StructField("token_id", LongType))))
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val counts = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // partitions-many rows on the driver (32 here, thousands on a cluster)
+    val offsets = counts.scanLeft((-1L, 0L)) {
+      case ((_, acc), (pid, n)) => (pid, acc + n)
+    }.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    sorted
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offDf), "__pid")
+      .select(col("token"),
+        (col("__off") + (col("__mid").bitwiseAND((1L << 33) - 1))).as("token_id"))
   }
 
   /** Encode documents against a (token, token_id) table: each doc becomes

@@ -92,8 +92,8 @@ object Qext {
     * same components.
     */
   def qExtDedupGroups(spark: SparkSession, dir: String): DataFrame =
-    DedupGroups.resolve(t(spark, dir, "documents"), "doc_id",
-        d => TextDedup.minhashNearDups(d, "doc_id", "text",
+    DedupGroups.resolveManaged(t(spark, dir, "documents"), "doc_id",
+        d => TextDedup.minhashNearDupsManaged(d, "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5))
       .orderBy("doc_id")
 

@@ -15,22 +15,24 @@ class DedupGroupsSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
   }
 
-  it should "converge on a long path within maxIters" in {
-    // path 0-1-2-...-9: min label must travel the full diameter
-    val nodes = (0L to 9L).toDF("id")
-    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
-    val out = DedupGroups.connectedComponents(nodes, edges)
-      .as[(Long, Long)].collect().toMap
-    out.values.toSet shouldBe Set(0L)
+  it should "converge on a long path in O(log n) star rounds" in {
+    // path 0-1-2-...-63: diameter 63 — min-label propagation would need 63
+    // rounds; the large-star/small-star alternation is bounded by O(log n).
+    val n = 64L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = DedupGroups.connectedComponentsWithRounds(nodes, edges)
+    labels.as[(Long, Long)].collect().toMap.values.toSet shouldBe Set(0L)
+    rounds should be <= (math.log(n.toDouble) / math.log(2)).toInt + 2
   }
 
   it should "fail loudly when maxIters is too small to converge" in {
-    // path diameter 9 > maxIters 2: labels are not at fixpoint — silent
-    // return would split one true component into several groups
-    val nodes = (0L to 9L).toDF("id")
-    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    // one star round cannot collapse a 64-path: edges are not at fixpoint —
+    // silent return would split one true component into several groups
+    val nodes = (0L to 63L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
     val ex = intercept[IllegalStateException] {
-      DedupGroups.connectedComponents(nodes, edges, maxIters = 2).collect()
+      DedupGroups.connectedComponents(nodes, edges, maxIters = 1).collect()
     }
     ex.getMessage should include("did not converge")
   }
