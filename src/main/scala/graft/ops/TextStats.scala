@@ -178,40 +178,29 @@ object TextStats {
     * `zipWithIndex` (per-partition counts + offsets, one extra tiny job) —
     * the distributed form of global ranking. Partition order IS rank
     * order, so ids match the window form exactly.
+    *
+    * Determinism across recomputes (executor loss, downstream reuse):
+    * every step is a pure function of the input. Range boundaries are
+    * sampled, but Spark's RangePartitioner seeds its reservoir sampling
+    * from the partition index (byteswap32(idx)), so a recompute over the
+    * same input re-draws the SAME boundaries; the within-partition sort
+    * breaks all ties (tf desc, token asc is a total order on distinct
+    * tokens). A round-5 variant pinned the frame with localCheckpoint
+    * "for determinism" instead — the eager full-vocab materialization
+    * cost 3x the whole operator and the pin was redundant (BENCH r05,
+    * q_ext_vocab 0.65s -> 1.91s; reverted round 6).
     */
   def vocabIds(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
-    // monotonically_increasing_id over the range-partitioned sort encodes
-    // (partition id << 33 | row offset): within-partition offsets follow the
-    // sort order and partition ids follow the range order, so global rank =
-    // cumulative-partition-offset + row offset. Stays in Tungsten rows with
-    // whole-stage codegen end to end — the previous rdd.zipWithIndex form
-    // paid a Row-boxing round-trip and an extra scheduler job.
-    // localCheckpoint (not persist) is load-bearing: the ids are
-    // nondeterministic (range boundaries are sampled), so the frame must
-    // never recompute after the offsets are read — eviction would silently
-    // shift ranks; checkpointing truncates lineage so recompute is
-    // impossible.
     val sorted = vocab.select(col("token").cast("string"), col("tf").cast("long"))
       .repartitionByRange(col("tf").desc, col("token").asc)
       .sortWithinPartitions(col("tf").desc, col("token").asc)
-      .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
-    val counts = sorted
-      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    // partitions-many rows on the driver (32 here, thousands on a cluster)
-    val offsets = counts.scanLeft((-1L, 0L)) {
-      case ((_, acc), (pid, n)) => (pid, acc + n)
-    }.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    sorted
-      .withColumn("__pid", shiftright(col("__mid"), 33))
-      .join(broadcast(offDf), "__pid")
-      .select(col("token"),
-        (col("__off") + (col("__mid").bitwiseAND((1L << 33) - 1))).as("token_id"))
+    // zipWithIndex = one tiny count-per-partition job + offset arithmetic;
+    // the projection to the bare token string keeps the boxed row narrow.
+    sorted.select(col("token")).as[String].rdd
+      .zipWithIndex()
+      .toDF("token", "token_id")
   }
 
   /** Encode documents against a (token, token_id) table: each doc becomes

@@ -110,6 +110,22 @@ class TextStatsSpec extends SparkSpec {
       (2L, Seq(-1L), 1L)) // empty text -> [""] token, OOV
   }
 
+  "vocabIds" should "assign dense 0..N-1 ids in (tf desc, token asc) order across partitions" in {
+    // 500 tokens over 8 input partitions with heavy tf ties (tf = i % 7)
+    // exercises the cross-partition offset math the ADVICE flagged: range
+    // partitioning + zipWithIndex must yield exactly the global rank order.
+    val vocab = spark.range(0, 500, 1, 8)
+      .selectExpr("format_string('tok%04d', id) as token", "id % 7 as tf")
+    val out = TextStats.vocabIds(vocab)
+      .orderBy("token_id").as[(String, Long)].collect()
+    out.map(_._2).toSeq shouldBe (0L until 500L)
+    val expected = (0L until 500L)
+      .map(i => (f"tok$i%04d", i % 7))
+      .sortBy { case (tok, tf) => (-tf, tok) }
+      .map(_._1)
+    out.map(_._1).toSeq shouldBe expected
+  }
+
   "dupNgramFraction" should "score repeated n-grams and handle short docs" in {
     def frac(text: String, n: Int): Double =
       Seq(text).toDF("t")
