@@ -13,23 +13,50 @@ import org.apache.spark.sql.functions._
   * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
   * rewrites the edge set so every node points at progressively smaller
   * labels; the fixpoint is a star forest with each component collapsed onto
-  * its minimum id. Convergence is O(log n) rounds on ANY graph shape —
-  * including the chain-shaped near-dup graphs where the previous min-label
-  * propagation needed O(component diameter) rounds and hit its maxIters
-  * cliff. LSH pair graphs are near-cliques, so in practice this converges
-  * in 1–3 rounds, same as before; the log bound is what makes it safe at
-  * web scale.
+  * its minimum id. Kiveris et al. prove O(log² n) rounds for the two-phase
+  * variant; for the alternation used here O(log n) is the empirically
+  * observed bound (their experiments and ours) — either way it is
+  * logarithmic-ish on ANY graph shape, including the chain-shaped near-dup
+  * graphs where the previous min-label propagation needed O(component
+  * diameter) rounds and hit its maxIters cliff. LSH pair graphs are
+  * near-cliques, so in practice this converges in 1–3 rounds.
   *
   * Scale posture: each round is two grouped aggregations + two joins, all
   * keyed by node id — the same exchange pattern as a large-join stage, no
   * driver-side graph state and no collect_list (high-degree nodes never
   * materialize their neighbor list on one row; the star operations are
   * min-aggregate + join, which partial-aggregates map-side). Each round's
-  * edge set is localCheckpoint'ed: without lineage truncation the plan
-  * doubles per iteration. On a cluster with executor-loss concerns, swap
-  * localCheckpoint for reliable `checkpoint()`; semantics identical.
+  * edge set is checkpointed (without lineage truncation the plan doubles
+  * per iteration) and the superseded round's blocks are dropped as soon as
+  * the next round materializes, so at most one round's edges are pinned at
+  * a time. `checkpointDir = None` uses executor-local checkpoints (fast;
+  * blocks are lost with an executor — fine for local mode and
+  * retry-the-job pipelines); pass a reliable directory (HDFS/S3) on
+  * clusters where executor loss must not fail the job.
   */
 object DedupGroups {
+
+  /** Materialize and truncate lineage: reliable `checkpoint()` into
+    * `checkpointDir` when given, executor-local `localCheckpoint()`
+    * otherwise.
+    */
+  private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
+  /** Drop a pinned frame's cached blocks (the localCheckpoint storage).
+    * Reliable-checkpoint files are left for the checkpoint-dir owner —
+    * standard Spark lifecycle, same as any `rdd.checkpoint()` user.
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
 
   /** True iff the big→small edge set is a star forest: no source has two
     * targets and no node is both a source and a target. Any star forest
@@ -52,28 +79,31 @@ object DedupGroups {
     * every edge form singleton groups (group_id = id). Edges are treated
     * as undirected; self-loops and duplicates are harmless.
     *
-    * `maxIters` is a safety valve only: the alternation provably converges
-    * in O(log n) rounds, so the default never triggers below ~2^40 nodes.
-    * Non-convergence still throws rather than returning split components.
+    * `maxIters` is a safety valve only: the alternation converges in
+    * logarithmically many rounds (see object doc), so the default never
+    * triggers at any realizable node count. Non-convergence still throws
+    * rather than returning split components.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 40): DataFrame =
-    connectedComponentsWithRounds(nodes, edges, maxIters)._1
+                          maxIters: Int = 40,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIters, checkpointDir)._1
 
   /** As [[connectedComponents]], also returning the number of star rounds
-    * executed — lets the convergence-bound spec assert the O(log n)
+    * executed — lets the convergence-bound spec assert the logarithmic
     * guarantee mechanically instead of editorially. */
   def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
-                                    maxIters: Int = 40): (DataFrame, Int) = {
+                                    maxIters: Int = 40,
+                                    checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
     val ids = nodes.columns.head
     val Seq(src, dst) = edges.columns.take(2).toSeq
     // Canonical orientation big→small; self-loops and duplicate pairs out.
-    var e = edges.select(
+    var e = pin(edges.select(
         greatest(col(src), col(dst)).as("__u"),
         least(col(src), col(dst)).as("__v"))
       .filter(col("__u") =!= col("__v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), checkpointDir)
 
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     var converged = isStarForest(e)
@@ -95,13 +125,16 @@ object DedupGroups {
       // Small-star: on big→small edges, m(u) = min of u's smaller
       // neighbors; each smaller neighbor v and u itself re-point to m(u).
       val mSmall = large.groupBy("__u").agg(min("__v").as("__m"))
-      val small = large.join(mSmall, "__u")
+      val small = pin(large.join(mSmall, "__u")
         .select(col("__v").as("__u"), col("__m").as("__v"))
         .union(mSmall.select(col("__u"), col("__m").as("__v")))
         .filter(col("__u") =!= col("__v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(), checkpointDir)
       converged = isStarForest(small)
+      // `small` is materialized (checkpoints are eager), so the previous
+      // round's blocks are dead weight — drop them now instead of letting
+      // them accumulate across rounds in the block manager.
+      release(e)
       e = small
       it += 1
       if (verbose) println(f"[cc] round $it ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -115,8 +148,14 @@ object DedupGroups {
         s"connectedComponents did not converge within maxIters=$maxIters rounds")
     // Fixpoint is a star forest: each non-root points directly at its
     // component minimum. min() is an identity at fixpoint, kept as a guard.
-    val roots = e.groupBy("__u").agg(min("__v").as("group_id"))
-      .select(col("__u").as(ids), col("group_id"))
+    // Roots are pinned eagerly (one row per non-root node — no larger than
+    // the edge set it replaces) so the final edge frame can be released
+    // here rather than riding along until the caller's action completes;
+    // the roots pin itself is dropped by the ContextCleaner when the
+    // returned frame is garbage-collected.
+    val roots = pin(e.groupBy("__u").agg(min("__v").as("group_id"))
+      .select(col("__u").as(ids), col("group_id")), checkpointDir)
+    release(e)
     val labels = nodes.select(col(ids))
       .join(roots, Seq(ids), "left")
       .select(col(ids), coalesce(col("group_id"), col(ids)).as("group_id"))
@@ -145,8 +184,9 @@ object DedupGroups {
     */
   def resolve(docs: DataFrame, idCol: String,
               pairsOf: DataFrame => DataFrame,
-              broadcastGroups: Boolean = true): DataFrame =
-    resolveFromPairs(docs, idCol, pairsOf(docs), broadcastGroups)
+              broadcastGroups: Boolean = true,
+              checkpointDir: Option[String] = None): DataFrame =
+    resolveFromPairs(docs, idCol, pairsOf(docs), broadcastGroups, checkpointDir)
 
   /** [[resolve]] for pair finders that persist intermediates (the
     * [[Managed]]-returning near-dup variants): the pair table is
@@ -156,9 +196,10 @@ object DedupGroups {
     */
   def resolveManaged(docs: DataFrame, idCol: String,
                      pairsOf: DataFrame => Managed,
-                     broadcastGroups: Boolean = true): DataFrame = {
+                     broadcastGroups: Boolean = true,
+                     checkpointDir: Option[String] = None): DataFrame = {
     val m = pairsOf(docs)
-    try resolveFromPairs(docs, idCol, m.df, broadcastGroups)
+    try resolveFromPairs(docs, idCol, m.df, broadcastGroups, checkpointDir)
     finally m.release() // safe: resolveFromPairs checkpointed the pairs
   }
 
@@ -167,11 +208,12 @@ object DedupGroups {
     * batches instead of being recomputed from the docs.
     */
   def resolveFromPairs(docs: DataFrame, idCol: String, pairTable: DataFrame,
-                       broadcastGroups: Boolean = true): DataFrame = {
-    val pairs = pairTable.select(col("id_a"), col("id_b")).localCheckpoint()
+                       broadcastGroups: Boolean = true,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = pin(pairTable.select(col("id_a"), col("id_b")), checkpointDir)
     val touched = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val groups = connectedComponents(touched, pairs)
+    val groups = connectedComponents(touched, pairs, checkpointDir = checkpointDir)
     docs.select(col(idCol))
       .join(if (broadcastGroups) broadcast(groups) else groups, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))

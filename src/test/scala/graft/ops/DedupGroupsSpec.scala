@@ -15,15 +15,34 @@ class DedupGroupsSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
   }
 
-  it should "converge on a long path in O(log n) star rounds" in {
+  it should "converge on a long path in logarithmic star rounds" in {
     // path 0-1-2-...-63: diameter 63 — min-label propagation would need 63
-    // rounds; the large-star/small-star alternation is bounded by O(log n).
+    // rounds. Kiveris et al. prove O(log² n) for the two-phase variant;
+    // the alternation is empirically O(log n) (observed: 5 rounds here).
+    // Assert 2·log₂(n) — far below the diameter the old algorithm needed,
+    // with headroom over the empirical bound so other graph shapes don't
+    // flake the suite.
     val n = 64L
     val nodes = (0L until n).toDF("id")
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
     val (labels, rounds) = DedupGroups.connectedComponentsWithRounds(nodes, edges)
     labels.as[(Long, Long)].collect().toMap.values.toSet shouldBe Set(0L)
-    rounds should be <= (math.log(n.toDouble) / math.log(2)).toInt + 2
+    rounds should be <= 2 * (math.log(n.toDouble) / math.log(2)).toInt
+  }
+
+  it should "produce identical groups under a reliable checkpoint dir" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-").toString
+    val nodes = (0L until 32L).toDF("id")
+    val edges = (0L until 31L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = DedupGroups.connectedComponents(nodes, edges,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    out.values.toSet shouldBe Set(0L)
+    // reliable checkpoints actually hit the directory
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+    files should be > 0
   }
 
   it should "fail loudly when maxIters is too small to converge" in {
