@@ -37,19 +37,19 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // The harness that consumes stdout keeps only the LAST 2000 characters
     // (BENCH_r03/r04 tails begin mid-JSON), so the result line must fit that
     // window with margin. Millisecond precision is plenty for second-scale
-    // timings; drop to 2 decimals if the registry ever outgrows 3.
+    // timings; precision steps down (3, 2, 1) until the line fits.
     def fmt(dec: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = { val l3 = line(3); if (l3.length <= 1900) l3 else line(2) }
+    val out = Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))
     println(out)
     spark.stop()
   }

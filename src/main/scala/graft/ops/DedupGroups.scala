@@ -86,15 +86,18 @@ object DedupGroups {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 40,
-                          checkpointDir: Option[String] = None): DataFrame =
-    connectedComponentsWithRounds(nodes, edges, maxIters, checkpointDir)._1
+                          checkpointDir: Option[String] = None,
+                          broadcastRoots: Boolean = true): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIters, checkpointDir,
+      broadcastRoots)._1
 
   /** As [[connectedComponents]], also returning the number of star rounds
     * executed — lets the convergence-bound spec assert the logarithmic
     * guarantee mechanically instead of editorially. */
   def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
                                     maxIters: Int = 40,
-                                    checkpointDir: Option[String] = None)
+                                    checkpointDir: Option[String] = None,
+                                    broadcastRoots: Boolean = true)
       : (DataFrame, Int) = {
     val ids = nodes.columns.head
     val Seq(src, dst) = edges.columns.take(2).toSeq
@@ -156,8 +159,13 @@ object DedupGroups {
     val roots = pin(e.groupBy("__u").agg(min("__v").as("group_id"))
       .select(col("__u").as(ids), col("group_id")), checkpointDir)
     release(e)
+    // Pinned frames carry no size statistics, so without the hint Spark
+    // plans this labels join as a sort-merge join. Roots are bounded by
+    // the pair-subgraph size (same argument as resolveFromPairs'
+    // broadcastGroups — strictly smaller, in fact); disable together for
+    // pathological near-dup graphs approaching corpus size.
     val labels = nodes.select(col(ids))
-      .join(roots, Seq(ids), "left")
+      .join(if (broadcastRoots) broadcast(roots) else roots, Seq(ids), "left")
       .select(col(ids), coalesce(col("group_id"), col(ids)).as("group_id"))
     (labels, it)
   }
@@ -203,6 +211,46 @@ object DedupGroups {
     finally m.release() // safe: resolveFromPairs checkpointed the pairs
   }
 
+  /** Incrementally fold NEW pairs into an existing (id, group_id)
+    * labeling — the streaming/arriving-batch form of [[resolveFromPairs]].
+    * Returns the updated labeling over the same ids.
+    *
+    * New pairs can only MERGE existing components, never split them, so
+    * the fixpoint never needs recomputing from the full pair history:
+    * contract each component to one node (its current group id), keep
+    * only the new pairs that bridge two different groups, and run the
+    * star rounds over that contraction graph — one node per TOUCHED
+    * group, usually a handful of nodes per batch regardless of corpus
+    * size. Group ids are component-minimum doc ids and doc ids are
+    * stable, so the contraction's min-label merge preserves the global
+    * min-id invariant (the merged group's id = min over member groups'
+    * ids = min doc id of the merged component). The corpus-wide labeling
+    * is then fixed with a single broadcast map-side join — no shuffle of
+    * the labels table.
+    *
+    * `labels` must cover every id appearing in `newPairs` — enroll a new
+    * batch's docs as singletons (group_id = id) first.
+    */
+  def mergeLabels(labels: DataFrame, newPairs: DataFrame, idCol: String,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val ga = labels.select(col(idCol).as("id_a"), col("group_id").as("__ga"))
+    val gb = labels.select(col(idCol).as("id_b"), col("group_id").as("__gb"))
+    val contraction = newPairs.select(col("id_a"), col("id_b"))
+      .join(ga, "id_a").join(gb, "id_b")
+      .filter(col("__ga") =!= col("__gb"))
+      .select(col("__ga"), col("__gb"))
+      .distinct()
+    val touched = contraction.select(col("__ga").as("__g"))
+      .union(contraction.select(col("__gb").as("__g"))).distinct()
+    val mapping = connectedComponents(touched, contraction,
+        checkpointDir = checkpointDir)
+      .filter(col("__g") =!= col("group_id"))
+      .select(col("__g").as("__old_g"), col("group_id").as("__new_g"))
+    labels.join(broadcast(mapping), col("group_id") === col("__old_g"), "left")
+      .select(col(idCol),
+        coalesce(col("__new_g"), col("group_id")).as("group_id"))
+  }
+
   /** [[resolve]] over an already-computed pair table (id_a, id_b) — the
     * incremental-corpus entry point, where pairs accumulate across
     * batches instead of being recomputed from the docs.
@@ -213,7 +261,8 @@ object DedupGroups {
     val pairs = pin(pairTable.select(col("id_a"), col("id_b")), checkpointDir)
     val touched = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val groups = connectedComponents(touched, pairs, checkpointDir = checkpointDir)
+    val groups = connectedComponents(touched, pairs,
+      checkpointDir = checkpointDir, broadcastRoots = broadcastGroups)
     docs.select(col(idCol))
       .join(if (broadcastGroups) broadcast(groups) else groups, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))

@@ -14,26 +14,32 @@ import graft.ops.{Decontaminate, DedupGroups, TextDedup}
   *   2. near-dup the CLEAN batch against the stored corpus signatures and
   *      within itself ([[TextDedup.minhashIncrement]] — the corpus is
   *      never re-signed),
-  *   3. re-resolve duplicate groups over the accumulated pair set
-  *      ([[DedupGroups.resolveFromPairs]] — only the pair subgraph
-  *      iterates, never the corpus).
+  *   3. fold the batch's new pairs into the maintained group labeling
+  *      ([[DedupGroups.mergeLabels]] — only the groups TOUCHED by a new
+  *      pair iterate, as a contraction graph of one node per group; the
+  *      corpus labeling updates with one broadcast join, no recompute
+  *      over the accumulated pair history).
   *
-  * State between batches is two tables a real deployment keeps in
-  * parquet: the prepared signature table (append-only) and the verified
-  * near-dup pairs (append-only). Group ids are NOT state — they derive
-  * from the pair set, and a batch can merge two existing groups, so they
-  * are recomputed over the (tiny) pair subgraph each ingest.
+  * State between batches is three tables a real deployment keeps in
+  * parquet: the prepared signature table (append-only), the verified
+  * near-dup pairs (append-only, the durable source of truth the labeling
+  * can always be rebuilt from via [[DedupGroups.resolveFromPairs]]), and
+  * the group labeling (incrementally merged — new pairs can only merge
+  * existing groups, never split them, so streaming group ids converge
+  * without full recompute).
   *
   * CorpusPipelineSpec asserts the defining invariant: ingesting batches
-  * one at a time yields exactly the groups a full recompute over the
+  * one at a time yields exactly the labeling a full recompute over the
   * union produces.
   */
 object CorpusPipeline {
 
   /** Corpus store between batches; `prepared` has columns
-    * (idCol, __shingles, __sig), `pairs` has (id_a, id_b).
+    * (idCol, __shingles, __sig), `pairs` has (id_a, id_b), `labels` has
+    * (idCol, group_id) for every corpus doc.
     */
-  final case class CorpusState(prepared: DataFrame, pairs: DataFrame)
+  final case class CorpusState(prepared: DataFrame, pairs: DataFrame,
+                               labels: DataFrame)
 
   /** A store with no documents yet (long ids). */
   def emptyState(spark: SparkSession, idCol: String): CorpusState = {
@@ -46,7 +52,11 @@ object CorpusPipeline {
     val pairs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
-    CorpusState(prepared, pairs)
+    val labels = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(idCol, LongType), StructField("group_id", LongType))))
+    CorpusState(prepared, pairs, labels)
   }
 
   /** `report` covers every BATCH doc: contamination verdict, and for clean
@@ -78,9 +88,13 @@ object CorpusPipeline {
     val newPairs = inc.pairs.select(col("id_a"), col("id_b")).localCheckpoint()
 
     val allPairs = state.pairs.unionByName(newPairs)
-    val allDocs = state.prepared.select(col(idCol))
-      .unionByName(clean.select(col(idCol)))
-    val groups = DedupGroups.resolveFromPairs(allDocs, idCol, allPairs)
+    // Enroll the batch as singletons, then fold ONLY the new pairs into
+    // the maintained labeling: the star rounds run over one node per
+    // touched group — not over the accumulated pair history.
+    val enrolled = state.labels.unionByName(
+      clean.select(col(idCol), col(idCol).as("group_id")))
+    val labels = DedupGroups.mergeLabels(enrolled, newPairs, idCol)
+    val groups = labels.withColumn("keep", col(idCol) === col("group_id"))
 
     val report = tagged
       .select(col(idCol), col("n_contaminated"), col("contaminated"))
@@ -90,8 +104,9 @@ object CorpusPipeline {
       inc.delta.select(col(idCol), col("__shingles"), col("__sig")))
     val nextState =
       if (checkpointState)
-        CorpusState(nextPrepared.localCheckpoint(), allPairs.localCheckpoint())
-      else CorpusState(nextPrepared, allPairs)
+        CorpusState(nextPrepared.localCheckpoint(), allPairs.localCheckpoint(),
+          labels.localCheckpoint())
+      else CorpusState(nextPrepared, allPairs, labels)
     // Per the MinhashIncrement contract: the delta cache is only needed while
     // pairs + nextState are built. Unpersist drops the cache, not the lineage,
     // so the non-checkpoint state stays valid (delta recomputes off the

@@ -63,6 +63,29 @@ class DedupGroupsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L)
   }
 
+  "mergeLabels" should "fold new pairs into an existing labeling without full recompute" in {
+    // groups {1,2}, {4,5}, {7}; new pairs bridge 5-7 and 2-5: everything
+    // merges into group 1 except untouched 9
+    val labels = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L), (7L, 7L), (9L, 9L))
+      .toDF("id", "group_id")
+    val newPairs = Seq((5L, 7L), (2L, 5L)).toDF("id_a", "id_b")
+    val merged = DedupGroups.mergeLabels(labels, newPairs, "id")
+      .as[(Long, Long)].collect().toMap
+    merged shouldBe Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 9L)
+    // parity with a full recompute over (old edges reconstructed + new)
+    val allPairs = Seq((1L, 2L), (4L, 5L), (5L, 7L), (2L, 5L)).toDF("id_a", "id_b")
+    val full = DedupGroups.resolveFromPairs(labels.select("id"), "id", allPairs)
+      .select("id", "group_id").as[(Long, Long)].collect().toMap
+    merged shouldBe full
+  }
+
+  it should "be a no-op for pairs inside one group" in {
+    val labels = Seq((1L, 1L), (2L, 1L), (4L, 4L)).toDF("id", "group_id")
+    val newPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    DedupGroups.mergeLabels(labels, newPairs, "id")
+      .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L, 4L -> 4L)
+  }
+
   "resolve" should "keep exactly one canonical doc per near-dup group" in {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

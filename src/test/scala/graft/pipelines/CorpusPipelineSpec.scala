@@ -62,6 +62,9 @@ class CorpusPipelineSpec extends SparkSpec {
         d => TextDedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5))
       .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
     incremental shouldBe full
+    // the incrementally-maintained labeling equals both
+    b2.state.labels.orderBy("doc_id").as[(Long, Long)].collect() shouldBe
+      full.map { case (id, g, _) => (id, g) }
   }
 
   it should "not leak cached frames across ingest calls" in {
@@ -112,6 +115,38 @@ class CorpusPipelineSpec extends SparkSpec {
         h.state.prepared.select("doc_id"), "doc_id", h.state.pairs)
       .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
     groups shouldBe Array((1L, 1L, true), (2L, 1L, false), (3L, 1L, false))
+  }
+
+  "streamIngest" should "converge labels incrementally across 3 micro-batches" in {
+    // arrival order 3, 2, 1: doc 3 starts its own group; doc 2 merges with
+    // it (group min drops to 2); doc 1 merges again (min drops to 1). The
+    // maintained labeling must re-point doc 3 across batches it does not
+    // appear in — the incremental-merge behavior a per-batch recompute
+    // would get for free and mergeLabels must reproduce.
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val noBench = Seq.empty[String].toDF("text")
+    val h = CorpusPipeline.streamIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", noBench, "text")
+    val byDoc = allDocs.as[(Long, String)].collect().toMap
+    try {
+      input.addData((3L, byDoc(3L)))
+      h.query.processAllAvailable()
+      input.addData((2L, byDoc(2L)))
+      h.query.processAllAvailable()
+      input.addData((1L, byDoc(1L)), (4L, byDoc(4L)))
+      h.query.processAllAvailable()
+    } finally h.query.stop()
+
+    val streamed = h.state.labels.orderBy("doc_id").as[(Long, Long)].collect()
+    streamed shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+    // parity with a batch recompute over the accumulated durable pairs
+    val recomputed = DedupGroups.resolveFromPairs(
+        h.state.prepared.select("doc_id"), "doc_id", h.state.pairs)
+      .orderBy("doc_id").select("doc_id", "group_id")
+      .as[(Long, Long)].collect()
+    streamed shouldBe recomputed
   }
 
   it should "merge previously-separate groups when a bridging doc arrives" in {
