@@ -153,16 +153,21 @@ object TextDedup {
     * signature table ([[minhashPrepare]] output — in-memory or re-read
     * from a parquet corpus store). The store-backed query path: signatures
     * are computed once at ingest, every later dedup run starts here.
+    *
+    * `maxBucket > 0` enables the hot-bucket guard ([[Blocking]]): buckets
+    * larger than the cap — the boilerplate-pile-up shape that would
+    * otherwise go quadratic — collapse identical-signature members onto a
+    * representative before the pairwise comparison. Candidates stay
+    * O(size + distinct²) per bucket, components are preserved, and every
+    * emitted pair is still exact-Jaccard-verified. Off by default: the
+    * uncapped join is the exact-recall form the oracle checks.
     */
   def minhashPairsFromPrepared(prepared: DataFrame, idCol: String,
                                bands: Int = 16, rowsPerBand: Int = 4,
-                               threshold: Double = 0.6): DataFrame = {
-    val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
-    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+                               threshold: Double = 0.6,
+                               maxBucket: Int = 0): DataFrame = {
+    val candidates = minhashCandidates(prepared, idCol, bands, rowsPerBand,
+      maxBucket)
     val sa = prepared.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
     val sb = prepared.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
@@ -170,6 +175,28 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** The pre-verification candidate pairs of [[minhashPairsFromPrepared]] —
+    * exposed so the hot-bucket guard's fan-out bound is measurable
+    * (BlockingSpec asserts capped candidate counts directly).
+    */
+  def minhashCandidates(prepared: DataFrame, idCol: String,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        maxBucket: Int = 0): DataFrame =
+    if (maxBucket <= 0) {
+      val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
+      val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    } else {
+      val blocks = prepared.select(col(idCol), col("__sig"),
+        posexplode(bucketArray(col("__sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+      Blocking.cappedCandidates(blocks, Seq("band", "bucket"), idCol, "__sig",
+        maxBucket)
+    }
 
   def minhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int = 3, bands: Int = 16,
@@ -354,15 +381,22 @@ object TextDedup {
     * DuckDB SQL for the oracle check; default stays the faster xxhash64.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, portable: Boolean = false): DataFrame =
-    simhashNearDupsManaged(df, idCol, textCol, maxHamming, portable).df
+                      maxHamming: Int = 3, portable: Boolean = false,
+                      maxBlock: Int = 0): DataFrame =
+    simhashNearDupsManaged(df, idCol, textCol, maxHamming, portable,
+      maxBlock).df
 
   /** [[simhashNearDups]] with a [[Managed]] handle over the persisted
-    * fingerprint table.
+    * fingerprint table. `maxBlock > 0` enables the hot-block guard
+    * ([[Blocking]], keyed on the full fingerprint): identical-fingerprint
+    * members of an oversized quarter block collapse onto a representative,
+    * bounding the within-block candidates; the full Hamming distance is
+    * still verified on every emitted pair.
     */
   def simhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
                              maxHamming: Int = 3,
-                             portable: Boolean = false): Managed = {
+                             portable: Boolean = false,
+                             maxBlock: Int = 0): Managed = {
     // pigeonhole over 4 quarters only guarantees a shared quarter for
     // distance <= 3; a larger budget would silently lose qualifying pairs
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -379,12 +413,20 @@ object TextDedup {
         shiftright(col("__simhash"), q * qBits)
           .bitwiseAND(lit((1L << qBits) - 1))): _*))
         .as(Seq("q", "qval")))
-    val a = quarters.select(col(idCol).as("id_a"), col("__simhash").as("__sim_a"),
-      col("q"), col("qval"))
-    val b = quarters.select(col(idCol).as("id_b"), col("__simhash").as("__sim_b"),
-      col("q"), col("qval"))
-    val pairs = a.join(b, Seq("q", "qval")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sim_a", "__sim_b").distinct()
+    val withSims =
+      if (maxBlock <= 0) {
+        val a = quarters.select(col(idCol).as("id_a"), col("__simhash").as("__sim_a"),
+          col("q"), col("qval"))
+        val b = quarters.select(col(idCol).as("id_b"), col("__simhash").as("__sim_b"),
+          col("q"), col("qval"))
+        a.join(b, Seq("q", "qval")).filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "__sim_a", "__sim_b").distinct()
+      } else
+        Blocking.cappedCandidates(quarters, Seq("q", "qval"), idCol,
+            "__simhash", maxBlock)
+          .join(withSim.select(col(idCol).as("id_a"), col("__simhash").as("__sim_a")), "id_a")
+          .join(withSim.select(col(idCol).as("id_b"), col("__simhash").as("__sim_b")), "id_b")
+    val pairs = withSims
       .withColumn("hamming", hamming(col("__sim_a"), col("__sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
