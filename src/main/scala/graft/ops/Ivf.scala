@@ -27,13 +27,32 @@ object Ivf {
     def k: Int = centroids.size
   }
 
+  /** Above this k, assignment switches from the unrolled literal form to
+    * the native [[graft.functions.IvfExpressions.CentroidScores]]
+    * expression: unrolled codegen is O(k × dim) Java source and collides
+    * with Janino's method limit as k reaches the hundreds, while the
+    * native kernel's generated code is constant-size at any k. Below it
+    * the unrolled form stays — it inlines fully into whole-stage codegen
+    * with zero per-row allocation.
+    */
+  private val UnrollMaxK = 32
+
   /** (score, clusterId) structs for a vector against every centroid — the
     * shared building block of assignment (argmax) and probing (top-nprobe).
+    * The two forms are value-identical (same per-centroid arithmetic —
+    * IvfSpec asserts it), so the choice is purely a codegen-size strategy.
     */
   private def scoredCentroids(vec: Column, model: Model): Column =
+    if (model.k <= UnrollMaxK) scoredCentroidsUnrolled(vec, model)
+    else scoredCentroidsNative(vec, model)
+
+  private[graft] def scoredCentroidsUnrolled(vec: Column, model: Model): Column =
     array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct(vec_cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }: _*)
+
+  private[graft] def scoredCentroidsNative(vec: Column, model: Model): Column =
+    graft.functions.IvfExpressions.centroid_scores(vec, model.centroids)
 
   /** argmax-by-cosine cluster assignment expression for a vector column. */
   def assignExpr(vec: Column, model: Model): Column =

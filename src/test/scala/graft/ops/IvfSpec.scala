@@ -91,6 +91,45 @@ class IvfSpec extends SparkSpec {
     ivf shouldBe brute
   }
 
+  "scoredCentroidsNative" should "match the unrolled form value-for-value" in {
+    val unrolled = vecs.select(
+      Ivf.scoredCentroidsUnrolled(col("embedding"), model).as("s")).collect()
+    val native = vecs.select(
+      Ivf.scoredCentroidsNative(col("embedding"), model).as("s")).collect()
+    native.map(_.toString) shouldBe unrolled.map(_.toString)
+  }
+
+  it should "assign correctly at k=256 where unrolled codegen would blow up" in {
+    val dim = 4
+    // 300 deterministic pseudo-random vectors (seeded — no wall clock)
+    val rng = new scala.util.Random(7)
+    val data = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val big = Ivf.fixedModel(df, "vec_id", "embedding", 0L until 256L)
+    big.k shouldBe 256
+    val assigned = Ivf.assign(df, "embedding", big)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().toMap
+    // driver-side expected argmax cosine, ties to the higher cluster id
+    def cos(a: Seq[Float], c: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (j <- 0 until dim) {
+        val x = a(j).toDouble; val y = c(j)
+        ab += x * y; aa += x * x; bb += y * y
+      }
+      val d = math.sqrt(aa) * math.sqrt(bb)
+      if (d == 0.0) 0.0 else ab / d
+    }
+    data.foreach { case (id, v) =>
+      val expected = big.centroids.zipWithIndex
+        .map { case (c, i) => (cos(v, c), i) }.max
+      assigned(id) shouldBe expected._2
+    }
+    // and the probe path executes at large k too
+    Ivf.annTopK(df.filter($"vec_id" === 0), df, "vec_id", "embedding",
+      big, k = 3, nprobe = 4).count() shouldBe 3
+  }
+
   "fixedModel" should "take the given rows as centroids, unnormalized" in {
     val fixed = Ivf.fixedModel(vecs, "vec_id", "embedding", Seq(0L, 1L))
     fixed.k shouldBe 2
