@@ -82,7 +82,7 @@ object Profiler {
     require(cols.nonEmpty && probs.nonEmpty, "need at least one column and prob")
     require(probs.forall(p => p >= 0 && p <= 1), s"probs must be in [0,1]: $probs")
     val perCol: Seq[Seq[Any]] =
-      if (exact) cols.map(c => exactQuantiles(df, c, probs))
+      if (exact) exactQuantilesMulti(df, cols, probs)
       else {
         val probsArr = array(probs.map(lit): _*)
         val aggs = cols.map(c =>
@@ -108,65 +108,100 @@ object Profiler {
       df.sparkSession.sparkContext.parallelize(out, 1), schema)
   }
 
-  /** Exact interpolated quantiles of one column, distributed:
+  /** Exact interpolated quantiles of ALL requested columns in ONE
+    * distributed rank-select pipeline (per-column pipelines would pay the
+    * job-launch and shuffle overhead once per column — a wide-table exact
+    * profile serializes; this shape is constant in column count):
     *
-    *   1. `groupBy(value)` — the only full-data shuffle, map-side combined,
-    *      output size = distinct values;
-    *   2. range-partition + sort the (value, count) table — every partition
-    *      holds a contiguous value range in order;
-    *   3. one tiny job collects per-partition count totals; their prefix
-    *      sums give each partition its global rank offset (the zipWithIndex
-    *      pattern — no single-partition window, no single-reducer map merge);
+    *   1. explode to (columnIdx, value) rows and range-partition on
+    *      (columnIdx, value) — the only full-data shuffle, the canonical
+    *      distributed-sort cost of any exact quantile;
+    *   2. aggregate to (columnIdx, value, count) — exchange-free, because
+    *      range partitioning already co-locates equal keys — and sort
+    *      locally: every partition now holds a contiguous (column, value)
+    *      range in order, so each column's values are globally sorted;
+    *   3. one tiny job collects per-partition PER-COLUMN count totals;
+    *      their per-column prefix sums give each partition its rank offset
+    *      within each column (the zipWithIndex pattern — no
+    *      single-partition window, no single-reducer map merge);
     *   4. one `mapPartitions` pass emits only the values whose rank span
-    *      covers a requested rank (<= 2 per probability), collected to the
-    *      driver for the final interpolation.
+    *      covers a requested rank (<= 2 per probability per column),
+    *      collected to the driver for the final interpolation.
     *
     * Interpolation is `lower*(1-frac) + higher*frac` at rank (n-1)*p —
     * the same two-sided form Spark's and DuckDB's continuous percentiles
-    * use, so results are bit-stable across engines.
+    * use, so results are bit-stable across engines (and identical to the
+    * previous one-column-at-a-time implementation).
     */
-  private def exactQuantiles(df: DataFrame, c: String,
-                             probs: Seq[Double]): Seq[Any] = {
+  private def exactQuantilesMulti(df: DataFrame, cols: Seq[String],
+                                  probs: Seq[Double]): Seq[Seq[Any]] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the aggregate BEFORE repartitionByRange: the range partitioner
-    // SAMPLES its child to pick bounds, which would recompute the full
-    // groupBy once for sampling and again per downstream pass
-    val grouped = df.select(col(c).cast("double").as("__v"))
+    // persisted because the range partitioner SAMPLES its child to pick
+    // bounds: without the cache the scan+explode runs once for sampling
+    // and again for the shuffle write
+    val exploded = df
+      .select(posexplode(array(cols.map(c => col(c).cast("double")): _*))
+        .as(Seq("__ci", "__v")))
       .filter(col("__v").isNotNull)
-      .groupBy("__v").agg(count(lit(1)).as("__cnt"))
       .persist(lvl)
-    val counts = grouped
-      .repartitionByRange(col("__v"))
-      .sortWithinPartitions("__v")
+    // Range-partition FIRST, then aggregate: RangePartitioning(ci, v)
+    // co-locates equal keys, so it satisfies the aggregate's clustered
+    // distribution and the groupBy plans WITHOUT a second exchange — the
+    // whole pipeline is one range shuffle (the canonical distributed-sort
+    // cost any exact quantile pays), where hash-grouping first would add a
+    // second exchange of the distinct table plus an extra persist to guard
+    // the range sampler's recompute (sampling here re-runs only the cheap
+    // scan+explode). The local sort after the aggregate restores value
+    // order within each partition.
+    val counts = exploded
+      .repartitionByRange(col("__ci"), col("__v"))
+      .groupBy("__ci", "__v").agg(count(lit(1)).as("__cnt"))
+      .sortWithinPartitions("__ci", "__v")
       .persist(lvl) // read twice: partition totals, then rank hits
     try {
-      val partTotals = counts.rdd
-        .mapPartitions(it => Iterator.single(it.map(_.getLong(1)).sum))
-        .collect()
-      val n = partTotals.sum
-      if (n == 0L) return probs.map(_ => null)
-      val offsets = partTotals.scanLeft(0L)(_ + _)
-      val ranks = probs.iterator.flatMap { p =>
-        val r = p * (n - 1)
-        Seq(math.floor(r).toLong, math.ceil(r).toLong)
-      }.toArray.distinct.sorted
+      val partTotals: Array[Map[Int, Long]] = counts.rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.Map.empty[Int, Long]
+        it.foreach(r => m.update(r.getInt(0), m.getOrElse(r.getInt(0), 0L) + r.getLong(2)))
+        Iterator.single(m.toMap)
+      }.collect()
+      val nByCol: Map[Int, Long] = partTotals.flatten
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      // per-partition, per-column rank offset = counts in earlier partitions
+      val offsets: Array[Map[Int, Long]] =
+        partTotals.scanLeft(Map.empty[Int, Long]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).iterator
+            .map(ci => ci -> (acc.getOrElse(ci, 0L) + m.getOrElse(ci, 0L))).toMap
+        }
+      val ranksByCol: Map[Int, Array[Long]] = nByCol.map { case (ci, n) =>
+        ci -> probs.iterator.flatMap { p =>
+          val r = p * (n - 1)
+          Seq(math.floor(r).toLong, math.ceil(r).toLong)
+        }.toArray.distinct.sorted
+      }
       val hits = counts.rdd.mapPartitionsWithIndex { case (i, it) =>
-        var cum = offsets(i)
+        val cum = scala.collection.mutable.Map.empty[Int, Long] ++ offsets(i)
         it.flatMap { r =>
-          val lo = cum
-          cum += r.getLong(1) // this value occupies 0-based ranks [lo, cum)
-          ranks.filter(k => k >= lo && k < cum).map(k => (k, r.getDouble(0)))
+          val ci = r.getInt(0)
+          val lo = cum.getOrElse(ci, 0L)
+          cum.update(ci, lo + r.getLong(2)) // value spans 0-based ranks [lo, cum)
+          ranksByCol(ci).filter(k => k >= lo && k < lo + r.getLong(2))
+            .map(k => ((ci, k), r.getDouble(1)))
         }
       }.collect().toMap
-      probs.map { p =>
-        val r = p * (n - 1)
-        val (lo, hi) = (hits(math.floor(r).toLong), hits(math.ceil(r).toLong))
-        val frac = r - math.floor(r)
-        (lo * (1.0 - frac) + hi * frac): Any
+      cols.indices.map { ci =>
+        nByCol.get(ci) match {
+          case None => probs.map(_ => null)
+          case Some(n) => probs.map { p =>
+            val r = p * (n - 1)
+            val (lo, hi) = (hits((ci, math.floor(r).toLong)), hits((ci, math.ceil(r).toLong)))
+            val frac = r - math.floor(r)
+            (lo * (1.0 - frac) + hi * frac): Any
+          }
+        }
       }
     } finally {
       counts.unpersist(false)
-      grouped.unpersist(false)
+      exploded.unpersist(false)
     }
   }
 
