@@ -39,12 +39,37 @@ object DedupGroups {
   /** Materialize and truncate lineage: reliable `checkpoint()` into
     * `checkpointDir` when given, executor-local `localCheckpoint()`
     * otherwise.
+    *
+    * The checkpoint directory is GLOBAL SparkContext state
+    * (`setCheckpointDir` appends a UUID subdir and every later
+    * `RDD.checkpoint()` reads it), so it is set exactly once per context
+    * and a DIFFERENT directory on a context that already has one is
+    * rejected loudly — silently flipping the global would race concurrent
+    * checkpoint users and could land this job's files in a directory
+    * another owner deletes mid-run. One reliable checkpoint root per
+    * session is the supported shape; callers needing isolation pass
+    * subdirectories of it at their own layer or use separate sessions.
     */
   private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        val requested = new org.apache.hadoop.fs.Path(dir)
+        sc.getCheckpointDir match {
+          case Some(existing)
+              // setCheckpointDir stored `dir`/<uuid>: compare the parent
+              if new org.apache.hadoop.fs.Path(existing).getParent != null &&
+                org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+                  new org.apache.hadoop.fs.Path(existing).getParent) ==
+                org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(requested) =>
+            () // same root already active
+          case Some(existing) =>
+            throw new IllegalStateException(
+              s"SparkContext checkpoint dir is already '$existing'; refusing to " +
+                s"flip it to '$dir' mid-session (checkpoint dir is global state " +
+                "shared by every checkpoint user — one root per session)")
+          case None => sc.setCheckpointDir(dir)
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }
@@ -229,10 +254,26 @@ object DedupGroups {
     * the labels table.
     *
     * `labels` must cover every id appearing in `newPairs` — enroll a new
-    * batch's docs as singletons (group_id = id) first.
+    * batch's docs as singletons (group_id = id) first. That contract is
+    * ENFORCED (`assertCoverage`, on by default): the contraction joins
+    * pairs to labels, so an unenrolled id would otherwise drop its pair
+    * silently and split a true component — wrong groups with no error.
+    * The check is one anti-join on the per-batch pair ids (small by
+    * construction); disable it only where the caller proves coverage
+    * upstream.
     */
   def mergeLabels(labels: DataFrame, newPairs: DataFrame, idCol: String,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  assertCoverage: Boolean = true): DataFrame = {
+    if (assertCoverage) {
+      val missing = newPairs.select(col("id_a").as(idCol))
+        .union(newPairs.select(col("id_b").as(idCol))).distinct()
+        .join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+        .limit(5).collect()
+      require(missing.isEmpty,
+        s"mergeLabels: pair ids absent from labels (enroll new docs as " +
+          s"singletons first): ${missing.map(_.get(0)).mkString(", ")} ...")
+    }
     val ga = labels.select(col(idCol).as("id_a"), col("group_id").as("__ga"))
     val gb = labels.select(col(idCol).as("id_b"), col("group_id").as("__gb"))
     val contraction = newPairs.select(col("id_a"), col("id_b"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, FileScan}
 
 /** Partition-geometry helpers shared by the per-row-expensive operators. */
 object Partitioning {
@@ -11,25 +12,40 @@ object Partitioning {
     * signature/scoring work runs serially; at real scale the input already
     * has enough splits and this is a no-op.
     *
-    * The split estimate comes from the optimized LOGICAL plan's file
-    * relations (file count, and total bytes over `maxPartitionBytes` for
-    * few-but-large files) — not from `df.rdd.getNumPartitions`, which
-    * forces a plan-to-RDD conversion at every call site and pins a physical
-    * plan AQE can no longer re-plan. Non-file leaves (in-memory relations,
-    * streaming sources) are assumed already spread: repartitioning them
-    * unconditionally would insert a shuffle the caller didn't ask for.
+    * The split estimate comes from the optimized LOGICAL plan's FILE
+    * leaves — v1 `HadoopFsRelation` and v2 `FileScan` relations — using
+    * file count, and total bytes over `maxPartitionBytes` for
+    * few-but-large files. Not `df.rdd.getNumPartitions`, which forces a
+    * plan-to-RDD conversion at every call site and pins a physical plan
+    * AQE can no longer re-plan.
+    *
+    * Non-file leaves (in-memory relations, streaming sources) are assumed
+    * already spread and EXCLUDED from the estimate — repartitioning them
+    * unconditionally would insert a shuffle the caller didn't ask for, but
+    * letting them count as "fully split" would mask an under-split file
+    * scan sitting next to them (a single-file scan joined to an in-memory
+    * dim must still spread). A plan with no file leaves at all is left
+    * untouched.
     */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val estimate = df.queryExecution.optimizedPlan.collectLeaves().map {
+    def estimate(files: Long, bytes: Long): Long =
+      math.max(files, (bytes + maxSplit - 1) / maxSplit)
+    val fileLeafSplits = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        val files = fs.location.inputFiles.length.toLong
-        val bySize = (fs.location.sizeInBytes + maxSplit - 1) / maxSplit
-        math.max(files, bySize)
-      case _ => target.toLong
-    }.sum
-    if (estimate < target) df.repartition(target) else df
+        Some(estimate(fs.location.inputFiles.length.toLong, fs.location.sizeInBytes))
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case f: FileScan =>
+          Some(estimate(f.fileIndex.inputFiles.length.toLong,
+            f.fileIndex.sizeInBytes))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (fileLeafSplits.nonEmpty && fileLeafSplits.sum < target)
+      df.repartition(target)
+    else df
   }
 }

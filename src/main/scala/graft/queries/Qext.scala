@@ -38,12 +38,28 @@ object Qext {
     * corpus. The registry mirrors it so q_ext_dedup_minhash and
     * q_ext_dedup_groups share one signature pass explicitly (round 4 they
     * shared one by cache accident; round 5 fixed the leak and both paid
-    * full signature compute). Store dirs live under java.io.tmpdir and die
-    * with the JVM.
+    * full signature compute). Store dirs live under java.io.tmpdir and are
+    * removed by a JVM shutdown hook (the OS does NOT clean java.io.tmpdir
+    * on exit; without the hook each (JVM, sf dir) run would leak a parquet
+    * store).
     */
   private val sigStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private lazy val sigStoreCleanup: Thread = {
+    val t = new Thread(() => sigStores.values.forEach { p =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(Path.of(p)).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }, "graft-sigstore-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
   private def minhashStore(spark: SparkSession, dir: String): DataFrame = {
+    sigStoreCleanup // register the hook once, before the first store exists
     val path = sigStores.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-sigstore-")
       TextDedup.minhashPrepare(t(spark, dir, "documents"), "doc_id", "text",
