@@ -25,18 +25,20 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
-  /** Bucketed managed-table sink: co-locates future joins/aggregations on
+  /** Bucketed table sink: co-locates future joins/aggregations on
     * `bucketBy` — two tables bucketed identically on their join key join with
     * NO exchange on either side (the brief's "bucketing for co-located
-    * joins"). Requires a table (bucket metadata lives in the catalog).
+    * joins"). Requires a table (bucket metadata lives in the catalog);
+    * `path` makes it external (data outside the warehouse dir).
     */
   def bucketedTable(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** JSON-lines sink, optionally partitioned — the interchange format for
     * downstream non-JVM consumers of pipeline outputs.
