@@ -111,8 +111,17 @@ object TextDedup {
     * first-colliding-band dedup.
     */
   def bucketArray(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
+    // Unrolled (bands is a small constant), NOT transform(sequence(...), b =>
+    // ...): a lambda body referencing sigCol exactly once invites
+    // CollapseProject to inline the signature expression INTO the lambda,
+    // where it is re-evaluated per band — measured 12× on the streaming
+    // tagger's stream side, whose signature can never be persisted away the
+    // way the batch path's prepared table is. The unrolled form references
+    // sigCol `bands` times, which blocks the inline (multi-reference,
+    // non-cheap), and the values are bit-identical: each element is the same
+    // xxhash64(slice(sig, band*rpb+1, rpb)) the lambda computed.
+    array((0 until bands).map(b =>
+      xxhash64(slice(sigCol, b * rowsPerBand + 1, rowsPerBand))): _*)
 
   /** LSH banding: one row per (doc, band) with a bucket hash of the band's
     * signature slice. Self-joining on (band, bucket) yields candidate pairs.

@@ -54,6 +54,43 @@ object LshStream {
   private def firstCollidingBand(a: Column, b: Column): Column =
     array_position(zip_with(a, b, (x, y) => x === y), true) - 1
 
+  /** The corpus index in serving shape: the compact per-doc table plus its
+    * per-(band, bucket) explosion, each persisted once. [[nearDupTagStream]]
+    * accepts this instead of the raw index frame to stop the tagger from
+    * re-exploding the whole corpus every micro-batch — on a 10^4-doc index
+    * that explode is ~40% of single-event latency.
+    */
+  final case class ServedIndex(compact: DataFrame, exploded: DataFrame) {
+    def persist(): ServedIndex = {
+      compact.persist(); exploded.persist()
+      exploded.count() // materialize both (exploded scans compact)
+      ServedIndex(compact, exploded)
+    }
+    def unpersist(): Unit = { exploded.unpersist(); compact.unpersist() }
+  }
+
+  /** Explode a [[corpusIndex]] frame into serving shape. Call `.persist()`
+    * (or write both frames to the store) before handing it to the tagger.
+    *
+    * `partitions` > 0 coalesces both frames. Measured on a 10^4-doc index
+    * on 32 cores, coalesce(4) was ~1.5× SLOWER per batch than the default
+    * layout — each micro-batch hash-probes the whole exploded index, and
+    * that scan wants parallelism more than it wants fewer tasks. The knob
+    * exists for many-tiny-partition indexes (e.g. re-read from a store
+    * written highly parallel), not as a latency tune.
+    */
+  def serve(corpusIndex: DataFrame, idCol: String,
+            partitions: Int = 0): ServedIndex = {
+    val sized =
+      if (partitions > 0) corpusIndex.coalesce(partitions) else corpusIndex
+    ServedIndex(
+      compact = sized.select(col(idCol), col("__shingles")),
+      exploded = sized
+        .select(col(idCol).as("corpus_id"), col("__buckets").as("__bk_c"))
+        .select(col("corpus_id"), col("__bk_c"),
+          posexplode(col("__bk_c")).as(Seq("band", "bucket"))))
+  }
+
   /** Tag a document stream against the corpus index: one output row per
     * (arriving doc, corpus doc) with verified Jaccard >= threshold.
     * Works identically on a batch frame (all-expression plan) — the spec
@@ -68,7 +105,21 @@ object LshStream {
   def nearDupTagStream(stream: DataFrame, corpusIndex: DataFrame,
                        idCol: String, textCol: String,
                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                       threshold: Double = 0.6): DataFrame = {
+                       threshold: Double = 0.6): DataFrame =
+    nearDupTagStream(stream, serve(corpusIndex, idCol), idCol, textCol,
+      shingleN, bands, rowsPerBand, threshold)
+
+  /** As above, against a pre-exploded (and ideally persisted) [[ServedIndex]]
+    * — the latency-tier deployment shape.
+    */
+  def nearDupTagStream(stream: DataFrame, index: ServedIndex,
+                       idCol: String, textCol: String,
+                       shingleN: Int, bands: Int, rowsPerBand: Int,
+                       threshold: Double): DataFrame = {
+    // The stream side keeps its shingle array through the explode: fetching
+    // it back after pair resolution would be a stream-stream self-join,
+    // which is stateful. A micro-batch is small, so (docs × bands) rows
+    // carrying the array is fine THERE — but not on the corpus side (below).
     val s = stream
       .withColumn("__shingles", TextDedup.shingles(col(textCol), shingleN))
       .withColumn("__sig",
@@ -76,17 +127,39 @@ object LshStream {
       .select(col(idCol).as("stream_id"),
         col("__shingles").as("__sh_s"),
         TextDedup.bucketArray(col("__sig"), bands, rowsPerBand).as("__bk_s"))
+      // posexplode_OUTER: not for semantics (the bucket array is a
+      // fixed-width `array(...)`, never null/empty) but to keep
+      // InferFiltersFromGenerate from inferring a `size(...) > 0` filter
+      // that duplicates the whole signature expression below the Generate —
+      // measured 2× on the stream side, which has no persisted table to
+      // absorb the recompute.
       .select(col("stream_id"), col("__sh_s"), col("__bk_s"),
-        posexplode(col("__bk_s")).as(Seq("band", "bucket")))
-    val c = corpusIndex
-      .select(col(idCol).as("corpus_id"),
-        col("__shingles").as("__sh_c"), col("__buckets").as("__bk_c"))
-      .select(col("corpus_id"), col("__sh_c"), col("__bk_c"),
-        posexplode(col("__bk_c")).as(Seq("band", "bucket")))
-    s.join(c, Seq("band", "bucket"))
+        posexplode_outer(col("__bk_s")).as(Seq("band", "bucket")))
+    // Corpus side ([[serve]]) carries LIGHT columns only — id and the
+    // bands-int bucket array, NOT the shingle array: replicating every
+    // document's shingle set ×bands would bloat the serving index (and the
+    // join's probe rows) by the corpus size. Shingles are fetched from the
+    // compact per-doc table only for resolved pairs (second stream-static
+    // join below). Pre-exploded once in [[serve]] so a persisted index is
+    // not re-exploded every micro-batch.
+    val c = index.exploded
+    // Broadcast the STREAM side: a micro-batch explodes to (docs × bands)
+    // rows — small by construction — while the corpus index side can be
+    // arbitrarily large. Broadcasting the stream side means the static side
+    // is only scanned and hash-probed per batch, never shuffled and never
+    // collected to the driver; per-event latency becomes the index scan,
+    // not a per-batch broadcast build of the whole index. (Measured in
+    // SCALE.md: 4× lower single-event latency on a 10^4-doc index.)
+    val pairs = broadcast(s).join(c, Seq("band", "bucket"))
       .filter(col("stream_id") =!= col("corpus_id"))
       // stateless per-pair dedup: keep the first colliding band's row only
       .filter(col("band") === firstCollidingBand(col("__bk_s"), col("__bk_c")))
+      .select("stream_id", "corpus_id", "__sh_s")
+    // verify stage: fetch corpus shingles for the resolved pairs only —
+    // another stateless stream-static join, stream side broadcast again
+    broadcast(pairs)
+      .join(index.compact.select(col(idCol).as("corpus_id"),
+        col("__shingles").as("__sh_c")), Seq("corpus_id"))
       .withColumn("jaccard", TextDedup.jaccard(col("__sh_s"), col("__sh_c")))
       .filter(col("jaccard") >= threshold)
       .select("stream_id", "corpus_id", "jaccard")

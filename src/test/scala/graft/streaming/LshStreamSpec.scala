@@ -66,6 +66,20 @@ class LshStreamSpec extends SparkSpec {
     out.exists(r => r._1 == r._2) shouldBe false
   }
 
+  it should "produce identical pairs through a persisted ServedIndex" in {
+    val served = LshStream.serve(index, "doc_id").persist()
+    try {
+      val viaServed = LshStream.nearDupTagStream(arriving, served, "doc_id",
+          "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("stream_id", "corpus_id").as[(Long, Long, Double)].collect()
+      val viaFrame = LshStream.nearDupTagStream(arriving, index, "doc_id",
+          "text", threshold = 0.5)
+        .orderBy("stream_id", "corpus_id").as[(Long, Long, Double)].collect()
+      viaServed shouldBe viaFrame
+      viaServed.nonEmpty shouldBe true
+    } finally served.unpersist()
+  }
+
   it should "tag a live stream statelessly at append mode without watermark" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
