@@ -54,9 +54,18 @@ object Ivf {
   private[graft] def scoredCentroidsNative(vec: Column, model: Model): Column =
     graft.functions.IvfExpressions.centroid_scores(vec, model.centroids)
 
-  /** argmax-by-cosine cluster assignment expression for a vector column. */
+  /** argmax-by-cosine cluster assignment expression for a vector column.
+    *
+    * A null vector assigns to sentinel cluster -1 rather than null. Not a
+    * convenience: `coalesce(..., -1)` makes the expression NON-NULLABLE, so
+    * joining on the assigned cluster infers no `isnotnull(...)` constraint
+    * filter — which would re-evaluate the entire k-centroid scoring a
+    * second time per row (flagged by `Explain genfilters`, round 7). Probe
+    * ids are real centroids (≥ 0), so -1 never matches a probe, preserving
+    * the old null-never-joins behavior.
+    */
   def assignExpr(vec: Column, model: Model): Column =
-    array_max(scoredCentroids(vec, model)).getField("i")
+    coalesce(array_max(scoredCentroids(vec, model)).getField("i"), lit(-1))
 
   private def l2normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)

@@ -34,6 +34,30 @@ object Explain {
         val nWsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(executed).map(_.group(1)).toSet.size
         println(f"$n%-28s scans=$nScan pushedFilters=$pushed bhj=$nBhj smj=$nSmj exchanges=$nEx codegenSubtrees=$nWsc")
       }
+    } else if (name == "genfilters") {
+      // Audit for InferFiltersFromGenerate recompute: a Generate over an
+      // expensive input invites a `size(input) > 0` filter that re-evaluates
+      // the input expression per row (see LshStream round-7 notes). Flag any
+      // Filter whose condition contains size()/isnotnull over a NON-attribute
+      // subtree of more than a few nodes — those re-run real work.
+      import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, IsNotNull, Size}
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      def weight(e: Expression): Int = e.collect { case x => x }.size
+      queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+          val hits = plan.collect { case Filter(cond, _) =>
+            cond.collect {
+              case s @ Size(c, _) if !c.isInstanceOf[Attribute] && weight(c) > 4 =>
+                s"size(${c.simpleString(40).take(60)}) w=${weight(c)}"
+              case i @ IsNotNull(c) if !c.isInstanceOf[Attribute] && weight(c) > 8 =>
+                s"isnotnull(${c.simpleString(40).take(60)}) w=${weight(c)}"
+            }
+          }.flatten
+          if (hits.nonEmpty) println(s"$n  ${hits.mkString(" | ")}")
+        } catch { case e: Throwable => println(s"$n  ERR ${e.getMessage.take(80)}") }
+      }
+      println("[genfilters] audit complete")
     } else {
       queries(name)(spark, sfDir).explain("formatted")
     }
