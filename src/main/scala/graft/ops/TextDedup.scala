@@ -46,8 +46,22 @@ object TextDedup {
 
   /** Word n-gram shingles. Documents shorter than `n` tokens collapse to a
     * single whole-text shingle so they still participate.
+    *
+    * Native windowing ([[graft.functions.ShingleExpressions]]): the token
+    * array is a regular child evaluated once per row. The HOF form below
+    * re-tokenized the document once per SHINGLE (the lambda body embeds the
+    * tokens expression) — ~|tokens|× redundant regex work, interpreted.
+    * Null text still yields `[null]` (the old else-branch's value).
     */
-  def shingles(c: Column, n: Int): Column = {
+  def shingles(c: Column, n: Int): Column =
+    when(c.isNull, array(lit(null).cast("string")))
+      .otherwise(graft.functions.ShingleExpressions.shingle_windows(tokens(c), n))
+
+  /** The pre-round-7 higher-order-function form — value-identical to
+    * [[shingles]] (ShingleExpressionsSpec asserts it on every edge case)
+    * and kept as the no-custom-expression reference implementation.
+    */
+  private[graft] def shinglesHof(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
