@@ -136,14 +136,15 @@ object Profiler {
   private def exactQuantilesMulti(df: DataFrame, cols: Seq[String],
                                   probs: Seq[Double]): Seq[Seq[Any]] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persisted because the range partitioner SAMPLES its child to pick
-    // bounds: without the cache the scan+explode runs once for sampling
-    // and again for the shuffle write
+    // NOT persisted: the range partitioner samples its child, so the
+    // scan+explode runs twice (sampling pass + shuffle write) — but that
+    // recompute is a columnar scan plus a cheap Generate, measured faster
+    // than writing |rows|×|cols| exploded rows through the block store
+    // just to read them back once
     val exploded = df
       .select(posexplode(array(cols.map(c => col(c).cast("double")): _*))
         .as(Seq("__ci", "__v")))
       .filter(col("__v").isNotNull)
-      .persist(lvl)
     // Range-partition FIRST, then aggregate: RangePartitioning(ci, v)
     // co-locates equal keys, so it satisfies the aggregate's clustered
     // distribution and the groupBy plans WITHOUT a second exchange — the
@@ -201,7 +202,6 @@ object Profiler {
       }
     } finally {
       counts.unpersist(false)
-      exploded.unpersist(false)
     }
   }
 
