@@ -44,5 +44,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.MinhashExpressions.MinhashSignature(children(0), k)
       }))
+    // shingle_windows(tokens, n): n must be a foldable integer literal
+    ext.injectFunction((FunctionIdentifier("shingle_windows"),
+      new ExpressionInfo(
+        classOf[graft.functions.ShingleExpressions.ShingleWindows].getName,
+        "shingle_windows"),
+      { children: Seq[Expression] =>
+        require(children.size == 2,
+          s"shingle_windows requires exactly 2 arguments, got ${children.size}")
+        val n = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_windows width must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "shingle_windows width must be a literal")
+        }
+        graft.functions.ShingleExpressions.ShingleWindows(children(0), n)
+      }))
   }
 }

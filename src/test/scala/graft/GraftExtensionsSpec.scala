@@ -36,6 +36,11 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       sig.getSeq[Long](0).length shouldBe 8
       an[Exception] should be thrownBy
         spark.sql("SELECT minhash_signature(array('x'))").collect()
+      val sh = spark.sql(
+        "SELECT shingle_windows(array('a','b','c','d'), 3) AS s").collect().head
+      sh.getSeq[String](0) shouldBe Seq("a b c", "b c d")
+      an[Exception] should be thrownBy
+        spark.sql("SELECT shingle_windows(array('x'))").collect()
     } finally {
       // don't stop() (shared SparkContext); restore the prior session for
       // the other suites
