@@ -110,9 +110,20 @@ object TextDedup {
   }
 
   /** Exact Jaccard similarity of two string arrays (used to verify LSH
-    * candidates; also the direct n-gram Jaccard operator).
+    * candidates; also the direct n-gram Jaccard operator). Native counting
+    * expression ([[graft.functions.JaccardExpression]]) — the built-in
+    * composition materializes the intersection AND union arrays just to
+    * take their sizes; candidate verification is a dominant near-dup cost
+    * at scale, so the kernel counts in one hash-set pass instead.
     */
-  def jaccard(a: Column, b: Column): Column = {
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.JaccardExpression.jaccard_sim(a, b)
+
+  /** The built-in-function composition — value-identical to [[jaccard]]
+    * (JaccardExpressionSpec asserts it) and kept as the reference
+    * implementation.
+    */
+  private[graft] def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)
