@@ -370,10 +370,24 @@ object TextDedup {
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** SimHash of the token multiset: per bit position, tokens vote +1/-1 by
-    * their hash bit; the sign becomes the fingerprint bit. Expression-only
-    * (nested higher-order functions), computed map-side.
+    * their hash bit; the sign becomes the fingerprint bit. The hash family
+    * stays an ordinary Spark expression (xxhash64 or the md5-portable one,
+    * one string hash per token — oracle parity untouched); the vote fold is
+    * the native kernel ([[graft.functions.SimhashExpression]]) — the HOF
+    * form below unrolls a `bits`-wide vote array per token (the same
+    * codegen-size shape that pushed MinHash native in round 3) and
+    * evaluates it interpreted.
     */
-  def simhashBits(tokensCol: Column, tokenHash: Column => Column, bits: Int): Column = {
+  def simhashBits(tokensCol: Column, tokenHash: Column => Column, bits: Int): Column =
+    graft.functions.SimhashExpression.simhash_bits(
+      transform(tokensCol, tokenHash), bits)
+
+  /** The pre-round-7 nested-higher-order-function form — value-identical to
+    * [[simhashBits]] (SimhashExpressionSpec asserts it) and kept as the
+    * no-custom-expression reference implementation.
+    */
+  private[graft] def simhashBitsHof(tokensCol: Column, tokenHash: Column => Column,
+                                    bits: Int): Column = {
     // Bit positions are unrolled in Scala (shift amounts must be literals in
     // the DSL). Aggregating over the pre-hashed token array binds the hash as
     // the lambda variable: one string hash per token, then `bits` bit tests
