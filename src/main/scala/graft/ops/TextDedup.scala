@@ -253,18 +253,30 @@ object TextDedup {
   /** Result of [[minhashIncrement]]: `pairs` = verified near-dup pairs that
     * involve at least one new document (new↔corpus and new↔new); `delta` =
     * the new batch's prepared rows, persisted — append them to the corpus
-    * store, then `release()`.
+    * store, then `release()`; `deltaBuckets` = the batch's (id, band,
+    * bucket) rows (lazy, derived from `delta`) — append them to the
+    * corpus bucket store so the NEXT increment never re-explodes the
+    * corpus (materialize before `release()`).
     */
-  final case class MinhashIncrement(pairs: DataFrame, delta: DataFrame) {
+  final case class MinhashIncrement(pairs: DataFrame, delta: DataFrame,
+                                    deltaBuckets: DataFrame) {
     def release(): Unit = delta.unpersist(false)
   }
 
   /** Incremental MinHash near-dup: dedupe a NEW batch against an existing
     * prepared corpus table ([[minhashPrepare]] output re-read from the
     * corpus store) plus within the batch itself, WITHOUT re-signing the
-    * corpus — the arriving-data shape of a training-data pipeline. Corpus
-    * rows are only bucket-exploded and joined; pairs wholly inside the
-    * corpus are excluded (they were reported when those rows arrived).
+    * corpus — the arriving-data shape of a training-data pipeline. Pairs
+    * wholly inside the corpus are excluded (they were reported when those
+    * rows arrived).
+    *
+    * `corpusBuckets`: the corpus's maintained (idCol, band, bucket) table
+    * (prior increments' `deltaBuckets`, appended). When given, the corpus
+    * is never bucket-exploded here — the per-batch cost drops from
+    * O(|corpus|×bands) explode rows to a scan of the stored bucket table;
+    * when absent, buckets are derived from `corpus` (one-shot callers).
+    * The candidate set is identical either way: new↔corpus collisions via
+    * the delta⋈corpus bucket join, new↔new via the delta self-join.
     *
     * ids must be globally unique across corpus and batch; `bands *
     * rowsPerBand` must equal the corpus table's numHashes. Pair orientation
@@ -273,29 +285,38 @@ object TextDedup {
   def minhashIncrement(newDocs: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String,
                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                       threshold: Double = 0.6): MinhashIncrement = {
+                       threshold: Double = 0.6,
+                       corpusBuckets: Option[DataFrame] = None): MinhashIncrement = {
     val delta = minhashPrepare(newDocs, idCol, textCol, shingleN, bands * rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val all = corpus.select(col(idCol), col("__shingles"), col("__sig"))
-      .withColumn("__new", lit(false))
-      .unionByName(delta.withColumn("__new", lit(true)))
-    val buckets = lshBuckets(all, idCol, "__sig", bands, rowsPerBand)
-      .join(all.select(col(idCol), col("__new")), idCol)
-    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"),
-      col("__new").as("__new_a"))
-    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"),
-      col("__new").as("__new_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val db = lshBuckets(delta, idCol, "__sig", bands, rowsPerBand)
+    val cb = corpusBuckets.getOrElse(
+      lshBuckets(corpus.select(col(idCol), col("__sig")), idCol, "__sig",
+        bands, rowsPerBand))
+    // new↔corpus: ids are disjoint across the sides, so orientation is
+    // least/greatest; new↔new: plain self-join. The union is duplicate-free
+    // across legs (a pair has either one or two new members, never both
+    // shapes); distinct() collapses multi-band collisions within each leg.
+    val nc = db.select(col(idCol).as("__id_n"), col("band"), col("bucket"))
+      .join(cb.select(col(idCol).as("__id_c"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(least(col("__id_n"), col("__id_c")).as("id_a"),
+        greatest(col("__id_n"), col("__id_c")).as("id_b"))
+    val nn = db.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(db.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("__new_a") || col("__new_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val candidates = nc.unionByName(nn).distinct()
+    val all = corpus.select(col(idCol), col("__shingles"))
+      .unionByName(delta.select(col(idCol), col("__shingles")))
     val sa = all.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
     val sb = all.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
     val pairs = candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    MinhashIncrement(pairs, delta)
+    MinhashIncrement(pairs, delta, db)
   }
 
   /** Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style, cf. Xiao

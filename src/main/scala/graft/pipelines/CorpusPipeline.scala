@@ -36,10 +36,13 @@ object CorpusPipeline {
 
   /** Corpus store between batches; `prepared` has columns
     * (idCol, __shingles, __sig), `pairs` has (id_a, id_b), `labels` has
-    * (idCol, group_id) for every corpus doc.
+    * (idCol, group_id) for every corpus doc, `buckets` has
+    * (idCol, band, bucket) — the maintained LSH bucket table, appended per
+    * batch so [[TextDedup.minhashIncrement]] never re-explodes the corpus
+    * (per-batch cost O(|batch|×bands), not O(|corpus|×bands)).
     */
   final case class CorpusState(prepared: DataFrame, pairs: DataFrame,
-                               labels: DataFrame)
+                               labels: DataFrame, buckets: DataFrame)
 
   /** A store with no documents yet (long ids). */
   def emptyState(spark: SparkSession, idCol: String): CorpusState = {
@@ -56,7 +59,13 @@ object CorpusPipeline {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
         StructField(idCol, LongType), StructField("group_id", LongType))))
-    CorpusState(prepared, pairs, labels)
+    val buckets = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(idCol, LongType),
+        StructField("band", IntegerType, nullable = false),
+        StructField("bucket", LongType, nullable = false))))
+    CorpusState(prepared, pairs, labels, buckets)
   }
 
   /** `report` covers every BATCH doc: contamination verdict, and for clean
@@ -84,7 +93,8 @@ object CorpusPipeline {
     val clean = tagged.filter(!col("contaminated")).select(col(idCol), col(textCol))
 
     val inc = TextDedup.minhashIncrement(clean, state.prepared, idCol, textCol,
-      shingleN = shingleN, threshold = threshold)
+      shingleN = shingleN, threshold = threshold,
+      corpusBuckets = Some(state.buckets))
     val newPairs = inc.pairs.select(col("id_a"), col("id_b")).localCheckpoint()
 
     val allPairs = state.pairs.unionByName(newPairs)
@@ -102,11 +112,12 @@ object CorpusPipeline {
 
     val nextPrepared = state.prepared.unionByName(
       inc.delta.select(col(idCol), col("__shingles"), col("__sig")))
+    val nextBuckets = state.buckets.unionByName(inc.deltaBuckets)
     val nextState =
       if (checkpointState)
         CorpusState(nextPrepared.localCheckpoint(), allPairs.localCheckpoint(),
-          labels.localCheckpoint())
-      else CorpusState(nextPrepared, allPairs, labels)
+          labels.localCheckpoint(), nextBuckets.localCheckpoint())
+      else CorpusState(nextPrepared, allPairs, labels, nextBuckets)
     // Per the MinhashIncrement contract: the delta cache is only needed while
     // pairs + nextState are built. Unpersist drops the cache, not the lineage,
     // so the non-checkpoint state stays valid (delta recomputes off the

@@ -148,6 +148,24 @@ class TextDedupSpec extends SparkSpec {
     inc.release()
   }
 
+  it should "produce identical pairs from a maintained corpus bucket table" in {
+    val corpusDocs = docs.filter(col("doc_id").isin(1L, 4L))
+    val batch = docs.filter(col("doc_id").isin(2L, 3L, 5L))
+    val corpus = TextDedup.minhashPrepare(corpusDocs, "doc_id", "text")
+    val storedBuckets = TextDedup.lshBuckets(corpus, "doc_id", "__sig", 16, 4)
+    val viaStore = TextDedup.minhashIncrement(batch, corpus, "doc_id", "text",
+      threshold = 0.5, corpusBuckets = Some(storedBuckets))
+    val derived = TextDedup.minhashIncrement(batch, corpus, "doc_id", "text",
+      threshold = 0.5)
+    viaStore.pairs.orderBy("id_a", "id_b").collect() shouldBe
+      derived.pairs.orderBy("id_a", "id_b").collect()
+    // deltaBuckets covers exactly the batch ids, bands x docs rows
+    val db = viaStore.deltaBuckets.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    db shouldBe Set(2L, 3L, 5L)
+    viaStore.release(); derived.release()
+  }
+
   "Managed" should "release its caches after use" in {
     val cached = docs.persist()
     cached.count()
