@@ -138,6 +138,91 @@ object VectorExpressions {
 
   // ------------------------------------------------------ Column API
 
+  /** Sign-LSH signature of a vector under a fixed plane table: bit p is set
+    * iff dot(vec, planes(p)) > 0, with EXACTLY [[VectorDot]]'s arithmetic
+    * per plane (min-length loop, null elements skipped, double accumulate
+    * in index order) — bit-identical to the unrolled when(vec_dot(...) > 0)
+    * OR-reduce, which keeps the md5-portable hyperplane oracle intact.
+    *
+    * The unrolled form generates O(nbits × dim) literal code (the IVF
+    * codegen-size problem at wide signatures); here the plane table is a
+    * codegen reference object and generated code is one constant-size call.
+    * A null VECTOR yields bucket 0L, not null — the value the unrolled
+    * form's per-plane `otherwise(0)` fallthrough produced — making the
+    * expression non-nullable, so bucket joins infer no isnotnull filter.
+    */
+  def sigCompute(vec: ArrayData, dt: Int, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(vec.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i)) {
+          val x = dt match {
+            case 0 => vec.getFloat(i).toDouble
+            case 1 => vec.getInt(i).toDouble
+            case _ => vec.getDouble(i)
+          }
+          s += x * plane(i)
+        }
+        i += 1
+      }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  case class LshSign(child: Expression, planes: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(planes.nonEmpty && planes.length <= 64,
+      s"plane count must be in [1,64], got ${planes.length}")
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (checkVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"lsh_sign requires array<float|double|int> input, got ${child.dataType}")
+
+    private def dtCode: Int = child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => 0
+      case IntegerType => 1
+      case _ => 2
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) 0L
+      else sigCompute(v.asInstanceOf[ArrayData], dtCode, planes)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+      ev.copy(code =
+        code"""
+          ${c.code}
+          long ${ev.value} = ${c.isNull} ? 0L :
+            graft.functions.VectorExpressions.sigCompute(${c.value}, $dtCode, $planesRef);
+          """,
+        isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_sign"
+  }
+
+  def lsh_sign(vec: Column, planes: Seq[Array[Double]]): Column =
+    bridge.column(LshSign(bridge.expression(vec), planes.toArray))
+
   def vec_dot(a: Column, b: Column): Column =
     bridge.column(VectorDot(bridge.expression(a), bridge.expression(b)))
 

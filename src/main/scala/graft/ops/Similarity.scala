@@ -129,8 +129,22 @@ object Similarity {
       }
     }
 
-  /** Sign-bit LSH signature of a vector under the given hyperplanes. */
+  /** Sign-bit LSH signature of a vector under the given hyperplanes.
+    * Native ([[graft.functions.VectorExpressions.LshSign]]): the plane
+    * table rides as a codegen reference object, so generated code stays
+    * constant-size at any nbits × dim (the unrolled form below embeds
+    * every plane component as a literal — the IVF codegen-size problem),
+    * and the expression is non-nullable so bucket joins infer no
+    * isnotnull recompute filter.
+    */
   def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column =
+    graft.functions.VectorExpressions.lsh_sign(vec, planes)
+
+  /** The unrolled when/OR composition — value-identical to [[lshSignature]]
+    * (LshSignSpec asserts it, both plane families) and kept as the
+    * no-custom-expression reference implementation.
+    */
+  private[graft] def lshSignatureUnrolled(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
