@@ -17,23 +17,32 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Two timed passes, min per query: a single pass is hostage to transient
-    // machine noise (a cold OS page cache measured 5x on an otherwise
-    // unchanged build); min-of-2 reports the query's cost, not the noise.
+    // N timed passes (default 3), MIN per query: a single pass is hostage to
+    // transient machine noise (a cold OS page cache measured 5x; host CPU
+    // steal spiked 1.5x across round 7, drowning real 10-30% deltas); the
+    // per-query minimum estimates the query's cost floor, not the weather.
+    // The single-pass total is recorded alongside so round-over-round
+    // regressions can be adjudicated (floor moved = real; only the
+    // single-pass moved = noise).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
+    val allPasses = (1 to passes).map(_ => timedPass())
+    val singlePassTotal = allPasses.head.map(_._2).sum
+    val results = allPasses.transpose.map { qs =>
+      qs.head._1 -> qs.map(_._2).min
+    }.toSeq
     val total = results.map(_._2).sum
     // Full-precision record for local round-over-round analysis.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+        s""""single_pass_total":$singlePassTotal,"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -47,7 +56,8 @@ object Bench {
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","passes":$passes,""" +
+        s""""single_pass_total":${fmt(dec, singlePassTotal)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))
     println(out)

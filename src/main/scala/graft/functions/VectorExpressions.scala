@@ -176,10 +176,18 @@ object VectorExpressions {
     sig
   }
 
-  case class LshSign(child: Expression, planes: Array[Array[Double]])
+  case class LshSign(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     require(planes.nonEmpty && planes.length <= 64,
       s"plane count must be in [1,64], got ${planes.length}")
+
+    // The case field is an immutable Vector-of-Vectors so case-class
+    // equality/hashCode are STRUCTURAL — two LshSign nodes over the same
+    // plane values canonicalize equal (semantic-equality + subexpression
+    // elimination work), and no caller-owned mutable array is aliased.
+    // eval/codegen consume the primitive form, built once per node.
+    @transient private lazy val planesArr: Array[Array[Double]] =
+      planes.map(_.toArray).toArray
 
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
@@ -198,14 +206,14 @@ object VectorExpressions {
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val v = child.eval(input)
       if (v == null) 0L
-      else sigCompute(v.asInstanceOf[ArrayData], dtCode, planes)
+      else sigCompute(v.asInstanceOf[ArrayData], dtCode, planesArr)
     }
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       import org.apache.spark.sql.catalyst.expressions.codegen.Block._
       import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
       val c = child.genCode(ctx)
-      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+      val planesRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[][]")
       ev.copy(code =
         code"""
           ${c.code}
@@ -221,7 +229,8 @@ object VectorExpressions {
   }
 
   def lsh_sign(vec: Column, planes: Seq[Array[Double]]): Column =
-    bridge.column(LshSign(bridge.expression(vec), planes.toArray))
+    bridge.column(LshSign(bridge.expression(vec),
+      planes.map(_.toVector).toVector))
 
   def vec_dot(a: Column, b: Column): Column =
     bridge.column(VectorDot(bridge.expression(a), bridge.expression(b)))

@@ -38,8 +38,118 @@ import org.apache.spark.sql.functions._
   * misconfiguration (the block key no longer discriminates), and silently
   * dropping its pairs would corrupt recall, so it is deliberately left
   * alone.
+  *
+  * AUTO mode (`maxBlock` = [[Auto]], the operator default since round 8):
+  * the cap is derived IN-PLAN from the observed block-size distribution —
+  *
+  *   `cap = max(AutoFloor, min(AutoFactor × p99.9(block size),
+  *                             AutoMassFrac × total member rows))`
+  *
+  * Two complementary outlier tests, each covering the other's blind spot:
+  * the p99.9 factor catches a pile-up that towers over the corpus's own
+  * distribution (and scales the cap UP on organically dense families,
+  * where big blocks are the norm — simhash quarters reach 269 at sf0.1
+  * with p99.9 = 123, cap 984, no-op); the mass bound catches the corpus
+  * that is MOSTLY one pile — there the degenerate blocks contaminate
+  * p99.9 itself (few distinct docs ⇒ few blocks ⇒ the pile IS the tail),
+  * but by the same token the pile holds most of the member mass, far over
+  * the few-percent share any healthy block has. The floor keeps auto a
+  * guaranteed no-op on small/well-behaved corpora (every oracle corpus's
+  * max block is ≤ 45 — measured, BucketProbe/SCALE.md), so default-on
+  * auto preserves the exact uncapped pair set there — and, because auto
+  * resolves via a preflight job ([[resolveAutoCap]]), the healthy-corpus
+  * plan is bit-identical to uncapped (zero plan overhead).
   */
-private[ops] object Blocking {
+private[graft] object Blocking {
+
+  /** Sentinel for `maxBlock`: derive the cap from the block-size
+    * distribution (see object doc). The operator-level default.
+    */
+  val Auto: Int = -1
+
+  /** Auto-cap floor: blocks at or below this size are never capped. 256²
+    * within-block candidate rows ≈ 65k — trivial to verify — while the
+    * pile-ups the guard exists for are 10⁴–10⁶ members. Measured
+    * (BucketProbe, SCALE.md round 8): minhash 16×4 bucket max is 3 at
+    * sf0.01 / 4 at sf0.1 — two orders below the floor.
+    */
+  val AutoFloor: Long = 256L
+
+  /** Auto-cap multiplier over the p99.9 block size: a block must be this
+    * many times the corpus's own 99.9th-percentile block before collapsing
+    * — only far-outlier pile-ups, never the corpus's organic density. The
+    * factor (not the floor) is what keeps auto a no-op on organically
+    * dense families — measured: simhash quarter blocks at sf0.1 reach 269
+    * (> floor) with p99.9 = 123 → cap 984; both the max and the p99.9
+    * scale linearly with corpus size, so the ratio — and the no-op — is
+    * scale-invariant, while a boilerplate pile-up grows its one block far
+    * past 8× p99.9 and is capped.
+    */
+  val AutoFactor: Long = 8L
+
+  /** Mass-share bound: no single block may exceed this fraction of ALL
+    * (member, block) rows without being capped (floor still wins below
+    * it). This is what catches a corpus DOMINATED by one pile — few
+    * distinct docs means few blocks, so the pile contaminates p99.9 and
+    * the factor test goes blind, but the pile then carries near-all of
+    * the mass. Healthy blocks sit orders below it: the largest observed
+    * organic share is simhash's 269 of 20k member rows = 1.3% at sf0.1,
+    * and the share of any fixed near-dup family only FALLS as the corpus
+    * grows, so the margin widens with scale.
+    */
+  val AutoMassFrac: Double = 0.05
+
+  /** Resolve [[Auto]] into an effective cap with ONE bounded preflight job
+    * (block sizes → a single (max, p99.9, mass) row): returns 0 — no block
+    * over the derived cap, run the PURE uncapped plan — or the positive
+    * cap for [[cappedCandidates]].
+    *
+    * Deliberately eager, not in-plan: the first auto implementation rode
+    * the cap in as a one-row broadcast with the capping machinery always
+    * in the plan, and the machinery's extra shuffles (size join + star/rep
+    * branches over the full bucket table) cost 3-4× on the healthy-corpus
+    * hot path even though zero rows were capped (q_ext_dedup_simhash
+    * 0.9 → 4.2 s at sf0.1). The preflight is one aggregation over the
+    * bucket table — a fraction of the self-join stage it guards — and in
+    * the healthy case the main plan is BIT-IDENTICAL to uncapped. The
+    * collect is a bounded scalar (one row), the same guard pattern as the
+    * pipeline rowcount checks.
+    */
+  def resolveAutoCap(blocks: DataFrame, blockCols: Seq[String]): Int = {
+    // Memoized on the SEMANTIC plan of the block frame: the dominant
+    // deployment shape is many dedup queries over one stored corpus, and
+    // re-running the preflight per call would tax every warm query ~a job
+    // (~0.3-0.5 s at sf0.1 local). Same semantic plan ⇒ same source data
+    // in Spark's model; the one way to defeat that is appending files
+    // under an already-resolved store path in the SAME session — the cap
+    // is then one batch stale, a plan-shape (perf) consideration only,
+    // and [[clearAutoCapMemo]] resets it. Bounded: cleared at 1024 plans.
+    val key = Integer.valueOf(blocks.queryExecution.logical.semanticHash())
+    if (autoCapMemo.size > 1024) autoCapMemo.clear()
+    autoCapMemo.computeIfAbsent(key, _ => {
+      val r = blocks.groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+        .agg(max(col("__bsz")).as("mx"),
+          percentile_approx(col("__bsz"), lit(0.999), lit(10000)).as("p999"),
+          sum(col("__bsz")).as("mass"))
+        .collect()(0)
+      if (r.isNullAt(0)) 0 // empty corpus: nothing to cap
+      else {
+        val cap = math.max(AutoFloor,
+          math.min(AutoFactor * r.getAs[Long]("p999"),
+            (AutoMassFrac * r.getAs[Long]("mass")).toLong))
+        if (r.getAs[Long]("mx") <= cap) 0 else cap.min(Int.MaxValue.toLong).toInt
+      }
+    }).intValue
+  }
+
+  private val autoCapMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+
+  /** Drop memoized auto-cap resolutions (tests; or after appending to a
+    * corpus store whose path was already resolved in this session).
+    */
+  def clearAutoCapMemo(): Unit = autoCapMemo.clear()
 
   /** Candidate pairs (id_a < id_b, distinct) from a block-membership table
     * (one row per member and block), capping per-block fan-out at
@@ -50,7 +160,10 @@ private[ops] object Blocking {
     * @param blockCols   the block key (e.g. band+bucket)
     * @param idCol       member id (orderable; pairs come out id_a < id_b)
     * @param groupKeyCol content key equating "identical" members
-    * @param maxBlock    size cap; <= 0 disables capping (pure self-join)
+    * @param maxBlock    size cap; 0 disables capping (pure self-join);
+    *                    negative ([[Auto]]) resolves the cap via
+    *                    [[resolveAutoCap]] (one preflight job; healthy
+    *                    corpora get the pure uncapped plan)
     */
   def cappedCandidates(blocks: DataFrame, blockCols: Seq[String],
                        idCol: String, groupKeyCol: String,
@@ -62,14 +175,15 @@ private[ops] object Blocking {
       a.join(b, blockCols).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
     }
-    if (maxBlock <= 0) selfJoin(blocks).distinct()
+    val eff = if (maxBlock < 0) resolveAutoCap(blocks, blockCols) else maxBlock
+    if (eff == 0) selfJoin(blocks).distinct()
     else {
       // one extra count aggregation on the block key — same exchange the
       // self-join needs anyway, so AQE's exchange reuse shares the shuffle
       val sized = blocks.join(
         blocks.groupBy(bc: _*).agg(count(lit(1)).as("__bsz")), blockCols)
-      val small = selfJoin(sized.filter(col("__bsz") <= maxBlock))
-      val big = sized.filter(col("__bsz") > maxBlock)
+      val small = selfJoin(sized.filter(col("__bsz") <= eff))
+      val big = sized.filter(col("__bsz") > eff)
       val reps = big.groupBy(bc :+ col(groupKeyCol): _*)
         .agg(min(col(idCol)).as("__rep"))
       // rep = group minimum, so star edges are already oriented id_a < id_b

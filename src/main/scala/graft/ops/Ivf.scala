@@ -158,6 +158,13 @@ object Ivf {
 
   /** Tag every row with its coarse cluster (map-side; persist/write the
     * result partitioned by `ivf_cluster` to make probes partition-pruned).
+    *
+    * STORE CONTRACT: rows with a null vector carry cluster `-1`, not null
+    * (see [[assignExpr]] — the sentinel keeps the expression non-nullable).
+    * Stores written before round 7 hold null for those rows instead;
+    * readers of mixed-vintage tables should treat `ivf_cluster IS NULL OR
+    * ivf_cluster = -1` as "unassigned". Probe ids are real centroids
+    * (>= 0), so both encodings are equally unreachable by probes.
     */
   def assign(df: DataFrame, vecCol: String, model: Model,
              clusterCol: String = "ivf_cluster"): DataFrame =

@@ -176,34 +176,42 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nbits: Int = 6, dim: Int = 64,
-                     scoreDecimals: Int = 6, maxBucket: Int = 0): DataFrame =
+                     scoreDecimals: Int = 6,
+                     maxBucket: Int = Blocking.Auto): DataFrame =
     cosineNearDupsManaged(df, idCol, vecCol, threshold, nbits, dim,
       scoreDecimals, maxBucket).df
 
   /** [[cosineNearDups]] with a [[Managed]] handle over the persisted
     * signature table, for callers that need cache lifecycle control.
     *
-    * `maxBucket > 0` enables the hot-bucket guard ([[Blocking]], keyed on
+    * `maxBucket` enables the hot-bucket guard ([[Blocking]], keyed on
     * the raw vector — exact, no hash-collision caveat): identical-vector
     * members of an oversized bucket collapse onto a representative,
     * bounding the candidates; every emitted pair is still scored with the
-    * exact cosine.
+    * exact cosine. Default [[Blocking.Auto]] (no-op below the auto floor;
+    * see [[TextDedup.minhashPairsFromPrepared]]); 0 = strictly uncapped.
     */
   def cosineNearDupsManaged(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nbits: Int = 6, dim: Int = 64,
-                            scoreDecimals: Int = 6, maxBucket: Int = 0): Managed = {
+                            scoreDecimals: Int = 6,
+                            maxBucket: Int = Blocking.Auto): Managed = {
     val planes = hyperplanes(nbits, dim)
     // persisted so the signature isn't re-inlined into both join sides
     val v = Partitioning.spread(df).select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__bucket", lshSignature(col("__v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // auto resolves via one preflight agg (Blocking.resolveAutoCap); a
+    // healthy corpus runs the exact uncapped plan
+    val eff =
+      if (maxBucket < 0) Blocking.resolveAutoCap(v, Seq("__bucket"))
+      else maxBucket
     val scored =
-      if (maxBucket <= 0) {
+      if (eff == 0) {
         val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__bucket"))
         val b = v.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__bucket"))
         a.join(b, "__bucket").filter(col("id_a") < col("id_b"))
       } else
-        Blocking.cappedCandidates(v, Seq("__bucket"), idCol, "__v", maxBucket)
+        Blocking.cappedCandidates(v, Seq("__bucket"), idCol, "__v", eff)
           .join(v.select(col(idCol).as("id_a"), col("__v").as("__va")), "id_a")
           .join(v.select(col(idCol).as("id_b"), col("__v").as("__vb")), "id_b")
     val pairs = scored

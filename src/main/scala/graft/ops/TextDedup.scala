@@ -164,9 +164,10 @@ object TextDedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                      threshold: Double = 0.6): DataFrame =
+                      threshold: Double = 0.6,
+                      maxBucket: Int = Blocking.Auto): DataFrame =
     minhashNearDupsManaged(df, idCol, textCol, shingleN, bands, rowsPerBand,
-      threshold).df
+      threshold, maxBucket).df
 
   /** [[minhashNearDups]] with a [[Managed]] handle over the persisted
     * signature table, for callers that need cache lifecycle control.
@@ -188,18 +189,22 @@ object TextDedup {
     * from a parquet corpus store). The store-backed query path: signatures
     * are computed once at ingest, every later dedup run starts here.
     *
-    * `maxBucket > 0` enables the hot-bucket guard ([[Blocking]]): buckets
+    * `maxBucket` enables the hot-bucket guard ([[Blocking]]): buckets
     * larger than the cap — the boilerplate-pile-up shape that would
     * otherwise go quadratic — collapse identical-signature members onto a
     * representative before the pairwise comparison. Candidates stay
     * O(size + distinct²) per bucket, components are preserved, and every
-    * emitted pair is still exact-Jaccard-verified. Off by default: the
-    * uncapped join is the exact-recall form the oracle checks.
+    * emitted pair is still exact-Jaccard-verified. Default is
+    * [[Blocking.Auto]] (round 8): the cap self-derives from the bucket-size
+    * distribution, a measured no-op on well-behaved corpora (every bucket
+    * below the auto floor ⇒ pair set identical to uncapped — BlockingSpec)
+    * while bounding degenerate pile-ups with no tuning. Pass 0 for the
+    * strictly uncapped join, or a positive cap to pin it.
     */
   def minhashPairsFromPrepared(prepared: DataFrame, idCol: String,
                                bands: Int = 16, rowsPerBand: Int = 4,
                                threshold: Double = 0.6,
-                               maxBucket: Int = 0): DataFrame = {
+                               maxBucket: Int = Blocking.Auto): DataFrame = {
     val candidates = minhashCandidates(prepared, idCol, bands, rowsPerBand,
       maxBucket)
     val sa = prepared.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
@@ -216,8 +221,17 @@ object TextDedup {
     */
   def minhashCandidates(prepared: DataFrame, idCol: String,
                         bands: Int = 16, rowsPerBand: Int = 4,
-                        maxBucket: Int = 0): DataFrame =
-    if (maxBucket <= 0) {
+                        maxBucket: Int = Blocking.Auto): DataFrame = {
+    // auto resolves BEFORE choosing a plan shape (one preflight agg over
+    // the light bucket frame — [[Blocking.resolveAutoCap]]), so a healthy
+    // corpus runs the exact uncapped plan: light frames, no size join
+    val eff =
+      if (maxBucket < 0)
+        Blocking.resolveAutoCap(
+          lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand),
+          Seq("band", "bucket"))
+      else maxBucket
+    if (eff == 0) {
       val buckets = lshBuckets(prepared, idCol, "__sig", bands, rowsPerBand)
       val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
       val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
@@ -229,13 +243,15 @@ object TextDedup {
         posexplode(bucketArray(col("__sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
       Blocking.cappedCandidates(blocks, Seq("band", "bucket"), idCol, "__sig",
-        maxBucket)
+        eff)
     }
+  }
 
   def minhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int = 3, bands: Int = 16,
                              rowsPerBand: Int = 4,
-                             threshold: Double = 0.6): Managed = {
+                             threshold: Double = 0.6,
+                             maxBucket: Int = Blocking.Auto): Managed = {
     val numHashes = bands * rowsPerBand
     // PERSIST is load-bearing: without it Catalyst collapses the projection
     // and re-inlines the O(shingles × numHashes) signature expression into
@@ -246,7 +262,7 @@ object TextDedup {
     val prepared = minhashPrepare(df, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = minhashPairsFromPrepared(prepared, idCol, bands, rowsPerBand,
-      threshold)
+      threshold, maxBucket)
     new Managed(pairs, Seq(prepared))
   }
 
@@ -278,6 +294,15 @@ object TextDedup {
     * The candidate set is identical either way: new↔corpus collisions via
     * the delta⋈corpus bucket join, new↔new via the delta self-join.
     *
+    * INVARIANT (trusted, not recomputed): `corpusBuckets` must cover
+    * exactly the docs in `corpus` and be built with THESE `bands` /
+    * `rowsPerBand` — a stale table (missing recent appends) or one built
+    * under a different banding silently drops new↔corpus candidate pairs.
+    * `validateBuckets = true` runs a cheap two-aggregate guard before use
+    * (max band == bands-1, distinct-id parity with `corpus`) — one extra
+    * pass over the two tables; enable it in tests and on store-format
+    * migrations, not per production batch.
+    *
     * ids must be globally unique across corpus and batch; `bands *
     * rowsPerBand` must equal the corpus table's numHashes. Pair orientation
     * is id_a < id_b regardless of which side is new.
@@ -286,7 +311,20 @@ object TextDedup {
                        idCol: String, textCol: String,
                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                        threshold: Double = 0.6,
-                       corpusBuckets: Option[DataFrame] = None): MinhashIncrement = {
+                       corpusBuckets: Option[DataFrame] = None,
+                       validateBuckets: Boolean = false): MinhashIncrement = {
+    if (validateBuckets) corpusBuckets.foreach { cb =>
+      val Array(maxBand, bucketIds) = cb
+        .agg(max(col("band")), countDistinct(col(idCol))).collect()(0)
+        .toSeq.map(v => Option(v).fold(-1L)(_.toString.toLong)).toArray
+      val corpusIds = corpus.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
+      require(maxBand == bands - 1,
+        s"corpusBuckets max band $maxBand != bands-1 (${bands - 1}): " +
+          "table built under a different banding")
+      require(bucketIds == corpusIds,
+        s"corpusBuckets covers $bucketIds distinct ids but corpus has " +
+          s"$corpusIds: stale or mismatched bucket table")
+    }
     val delta = minhashPrepare(newDocs, idCol, textCol, shingleN, bands * rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val db = lshBuckets(delta, idCol, "__sig", bands, rowsPerBand)
@@ -451,21 +489,23 @@ object TextDedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, portable: Boolean = false,
-                      maxBlock: Int = 0): DataFrame =
+                      maxBlock: Int = Blocking.Auto): DataFrame =
     simhashNearDupsManaged(df, idCol, textCol, maxHamming, portable,
       maxBlock).df
 
   /** [[simhashNearDups]] with a [[Managed]] handle over the persisted
-    * fingerprint table. `maxBlock > 0` enables the hot-block guard
+    * fingerprint table. `maxBlock` enables the hot-block guard
     * ([[Blocking]], keyed on the full fingerprint): identical-fingerprint
     * members of an oversized quarter block collapse onto a representative,
     * bounding the within-block candidates; the full Hamming distance is
-    * still verified on every emitted pair.
+    * still verified on every emitted pair. Default [[Blocking.Auto]]
+    * (no-op below the auto floor; see [[minhashPairsFromPrepared]]);
+    * 0 = strictly uncapped.
     */
   def simhashNearDupsManaged(df: DataFrame, idCol: String, textCol: String,
                              maxHamming: Int = 3,
                              portable: Boolean = false,
-                             maxBlock: Int = 0): Managed = {
+                             maxBlock: Int = Blocking.Auto): Managed = {
     // pigeonhole over 4 quarters only guarantees a shared quarter for
     // distance <= 3; a larger budget would silently lose qualifying pairs
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -482,8 +522,13 @@ object TextDedup {
         shiftright(col("__simhash"), q * qBits)
           .bitwiseAND(lit((1L << qBits) - 1))): _*))
         .as(Seq("q", "qval")))
+    // auto resolves via one preflight agg (Blocking.resolveAutoCap); a
+    // healthy corpus runs the exact uncapped plan
+    val eff =
+      if (maxBlock < 0) Blocking.resolveAutoCap(quarters, Seq("q", "qval"))
+      else maxBlock
     val withSims =
-      if (maxBlock <= 0) {
+      if (eff == 0) {
         val a = quarters.select(col(idCol).as("id_a"), col("__simhash").as("__sim_a"),
           col("q"), col("qval"))
         val b = quarters.select(col(idCol).as("id_b"), col("__simhash").as("__sim_b"),
@@ -492,7 +537,7 @@ object TextDedup {
           .select("id_a", "id_b", "__sim_a", "__sim_b").distinct()
       } else
         Blocking.cappedCandidates(quarters, Seq("q", "qval"), idCol,
-            "__simhash", maxBlock)
+            "__simhash", eff)
           .join(withSim.select(col(idCol).as("id_a"), col("__simhash").as("__sim_a")), "id_a")
           .join(withSim.select(col(idCol).as("id_b"), col("__simhash").as("__sim_b")), "id_b")
     val pairs = withSims

@@ -63,7 +63,11 @@ object LshStream {
   final case class ServedIndex(compact: DataFrame, exploded: DataFrame) {
     def persist(): ServedIndex = {
       compact.persist(); exploded.persist()
-      exploded.count() // materialize both (exploded scans compact)
+      // materialize BOTH caches: the frames scan the source independently
+      // (exploded does not read through compact's cache), so counting only
+      // exploded would leave compact to fill lazily on the first
+      // micro-batch's verify join
+      compact.count(); exploded.count()
       ServedIndex(compact, exploded)
     }
     def unpersist(): Unit = { exploded.unpersist(); compact.unpersist() }

@@ -67,6 +67,41 @@ class BlockingSpec extends SparkSpec {
     } finally prepared.unpersist()
   }
 
+  "auto cap (the default)" should "bound a degenerate hot bucket with no tuning" in {
+    val n = 1200
+    val prepared = TextDedup.minhashPrepare(degenerateDocs(n), "doc_id", "text")
+      .persist()
+    try {
+      // default maxBucket = Blocking.Auto: the 1203-member bucket is far
+      // past max(256, 8 × p99.9) of this corpus's distribution, so it
+      // collapses to stars + rep pairs — linear, not 719k candidates
+      val capped = TextDedup.minhashCandidates(prepared, "doc_id")
+      capped.count() should be < (n + 50).toLong
+      capped.count() should be >= (n - 1).toLong
+    } finally prepared.unpersist()
+  }
+
+  it should "be a pair-set no-op on the real documents corpus" in {
+    // every block on the oracle corpus sits far below the auto floor
+    // (BucketProbe: minhash max 3-4, sf0.01/0.1), so default-on auto must
+    // emit the EXACT uncapped pair set — the property the DuckDB oracle
+    // relies on (q_ext_dedup_minhash/simhash unchanged under the default)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prepared = TextDedup.minhashPrepare(docs, "doc_id", "text").persist()
+    try {
+      def pairs(maxBucket: Int) =
+        TextDedup.minhashPairsFromPrepared(prepared, "doc_id",
+            threshold = 0.5, maxBucket = maxBucket)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      pairs(Blocking.Auto) shouldBe pairs(0)
+      def simPairs(maxBlock: Int) =
+        TextDedup.simhashNearDups(docs, "doc_id", "text",
+            maxHamming = 3, portable = true, maxBlock = maxBlock)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      simPairs(Blocking.Auto) shouldBe simPairs(0)
+    } finally prepared.unpersist()
+  }
+
   "simhash maxBlock" should "bound a hot quarter block and keep one group" in {
     val n = 600
     val docs = degenerateDocs(n)
