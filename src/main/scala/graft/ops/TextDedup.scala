@@ -303,6 +303,22 @@ object TextDedup {
     * pass over the two tables; enable it in tests and on store-format
     * migrations, not per production batch.
     *
+    * HOT-BUCKET GUARD (`maxBucket`, default [[Blocking.Auto]] like the
+    * batch path): both quadratic legs are defended. The new↔new self-join
+    * runs through [[minhashCandidates]] (delta-side pile batches collapse
+    * to stars + reps). For new↔corpus, an OVERSIZED corpus bucket (over
+    * the auto cap resolved from the corpus bucket-size distribution)
+    * contributes one representative per DISTINCT signature instead of
+    * every member — an arriving boilerplate copy meets a million-copy
+    * stored pile as one rep pair, not 10⁶ pairs. Same-signature members
+    * verify identically (same shingle multiset up to hash collision), and
+    * the pile's own members were pairwise connected when THEY were
+    * ingested, so one new↔rep pair preserves the resolved GROUPS — the
+    * consumer contract ([[graft.pipelines.CorpusPipeline]]'s label fold).
+    * Callers needing the exhaustive new↔corpus pair multiset against a
+    * degenerate corpus pass `maxBucket = 0`. Healthy corpora resolve to
+    * the uncapped plan (preflight + memo, see [[Blocking.resolveAutoCap]]).
+    *
     * ids must be globally unique across corpus and batch; `bands *
     * rowsPerBand` must equal the corpus table's numHashes. Pair orientation
     * is id_a < id_b regardless of which side is new.
@@ -312,7 +328,8 @@ object TextDedup {
                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                        threshold: Double = 0.6,
                        corpusBuckets: Option[DataFrame] = None,
-                       validateBuckets: Boolean = false): MinhashIncrement = {
+                       validateBuckets: Boolean = false,
+                       maxBucket: Int = Blocking.Auto): MinhashIncrement = {
     if (validateBuckets) corpusBuckets.foreach { cb =>
       val Array(maxBand, bucketIds) = cb
         .agg(max(col("band")), countDistinct(col(idCol))).collect()(0)
@@ -331,20 +348,40 @@ object TextDedup {
     val cb = corpusBuckets.getOrElse(
       lshBuckets(corpus.select(col(idCol), col("__sig")), idCol, "__sig",
         bands, rowsPerBand))
+    // Corpus side of the new↔corpus leg: whole bucket table when healthy;
+    // under the guard, oversized buckets contribute one rep per distinct
+    // signature (scaladoc above). The sig fetch joins ONLY the oversized
+    // buckets' members back to the corpus — bounded by the pile, and only
+    // on the degenerate path.
+    val effCorpus =
+      if (maxBucket < 0) Blocking.resolveAutoCap(cb, Seq("band", "bucket"))
+      else maxBucket
+    val ncCorpus =
+      if (effCorpus == 0) cb.select(col(idCol), col("band"), col("bucket"))
+      else {
+        val sized = cb.join(
+          cb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz")),
+          Seq("band", "bucket"))
+        val small = sized.filter(col("__bsz") <= effCorpus)
+          .select(col(idCol), col("band"), col("bucket"))
+        val reps = sized.filter(col("__bsz") > effCorpus)
+          .join(corpus.select(col(idCol), col("__sig")), idCol)
+          .groupBy(col("band"), col("bucket"), col("__sig"))
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol), col("band"), col("bucket"))
+        small.unionByName(reps)
+      }
     // new↔corpus: ids are disjoint across the sides, so orientation is
-    // least/greatest; new↔new: plain self-join. The union is duplicate-free
-    // across legs (a pair has either one or two new members, never both
-    // shapes); distinct() collapses multi-band collisions within each leg.
+    // least/greatest; new↔new: the batch-path candidate generator (carries
+    // the same guard for pile batches). The union is duplicate-free across
+    // legs (a pair has either one or two new members, never both shapes);
+    // distinct() collapses multi-band collisions within each leg.
     val nc = db.select(col(idCol).as("__id_n"), col("band"), col("bucket"))
-      .join(cb.select(col(idCol).as("__id_c"), col("band"), col("bucket")),
+      .join(ncCorpus.select(col(idCol).as("__id_c"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(least(col("__id_n"), col("__id_c")).as("id_a"),
         greatest(col("__id_n"), col("__id_c")).as("id_b"))
-    val nn = db.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-      .join(db.select(col(idCol).as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val nn = minhashCandidates(delta, idCol, bands, rowsPerBand, maxBucket)
     val candidates = nc.unionByName(nn).distinct()
     val all = corpus.select(col(idCol), col("__shingles"))
       .unionByName(delta.select(col(idCol), col("__shingles")))
