@@ -409,31 +409,92 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
-                        freqOrdered: Boolean = false): DataFrame =
+                        freqOrdered: Boolean = false,
+                        collapseExact: Boolean = true,
+                        collapseMinGroup: Long = CollapseMinGroup): DataFrame =
     ngramJaccardPairsManaged(df, idCol, textCol, shingleN, threshold,
-      freqOrdered).df
+      freqOrdered, collapseExact, collapseMinGroup).df
 
   /** [[ngramJaccardPairs]] with a [[Managed]] handle over the persisted
     * shingle table.
+    *
+    * `collapseExact` (default on): when some identical-shingle-set group
+    * reaches `collapseMinGroup` (memoized preflight — the largest group is
+    * the quadratic driver, so dup RATIO would be the wrong test), documents
+    * with IDENTICAL shingle sets are collapsed to one representative for
+    * the prefix join, and the verified rep pairs are expanded back to
+    * members afterwards. Output-IDENTICAL to the uncapped join — J(x,z) =
+    * J(y,z) whenever x and y share a shingle set, and within-group pairs
+    * score via the same kernel on the shared set — but the quadratic
+    * candidate stage runs over R distinct sets, not n docs (a boilerplate
+    * pile contributes ONE prefix-join row). This is the exact operator's
+    * counterpart of the LSH hot-bucket guard: same defense, zero output
+    * change, so it composes with the DuckDB oracle. The expansion's own
+    * cost is the output size, which is inherent to the exact contract.
     */
   def ngramJaccardPairsManaged(df: DataFrame, idCol: String, textCol: String,
                                shingleN: Int = 3,
                                threshold: Double = 0.5,
-                               freqOrdered: Boolean = false): Managed = {
+                               freqOrdered: Boolean = false,
+                               collapseExact: Boolean = true,
+                               collapseMinGroup: Long = CollapseMinGroup): Managed = {
     val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    if (!collapseExact || !dupHeavy(base, collapseMinGroup)) {
+      val (pairs, prepared) = ppjoin(base, idCol, threshold, freqOrdered)
+      new Managed(pairs, Seq(prepared))
+    } else {
+      val basep = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one rep per distinct shingle set (group key = the set itself; the
+      // membership table joins back on it — array<string> keys hash fine)
+      val reps = basep.groupBy(col("__sh")).agg(min(col(idCol)).as(idCol))
+      val m = basep
+        .join(reps.select(col("__sh"), col(idCol).as("__rep")), Seq("__sh"))
+        .select(col(idCol), col("__rep"), col("__sh"))
+      val (repPairs, repPrepared) =
+        ppjoin(reps.select(col(idCol), col("__sh")), idCol, threshold, freqOrdered)
+      // cross-group pairs: every member pair inherits its reps' verified
+      // jaccard (identical sets ⇒ identical score, bit-for-bit)
+      val rp = repPairs.select(col("id_a").as("__ra"), col("id_b").as("__rb"),
+        col("jaccard"))
+      val cross = rp
+        .join(m.select(col("__rep").as("__ra"), col(idCol).as("__xa")), Seq("__ra"))
+        .join(m.select(col("__rep").as("__rb"), col(idCol).as("__xb")), Seq("__rb"))
+        .select(least(col("__xa"), col("__xb")).as("id_a"),
+          greatest(col("__xa"), col("__xb")).as("id_b"), col("jaccard"))
+      // within-group pairs: the shared set scored by the SAME kernel (not a
+      // lit(1.0)), and only for groups holding at least one NON-NULL
+      // shingle — the uncollapsed prefix join never matches a null join
+      // key, so null-text docs (shingle set [null]) pair with nothing
+      // there, and parity requires the same here
+      val within = m.select(col("__rep"), col(idCol).as("id_a"), col("__sh"))
+        .filter(exists(col("__sh"), x => x.isNotNull))
+        .join(m.select(col("__rep"), col(idCol).as("id_b")), Seq("__rep"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", jaccard(col("__sh"), col("__sh")))
+        .select("id_a", "id_b", "jaccard")
+      new Managed(cross.unionByName(within), Seq(basep, repPrepared))
+    }
+  }
+
+  /** The PPJoin core over a (idCol, __sh) shingle-set table: order, build
+    * prefixes, explode-join, verify. Returns (pairs, the persisted prefix
+    * table whose lifecycle the caller owns).
+    */
+  private def ppjoin(shingleTable: DataFrame, idCol: String, threshold: Double,
+                     freqOrdered: Boolean): (DataFrame, DataFrame) = {
     // Canonical global order for the prefix: lexicographic by default
     // (zero-pass); freqOrdered sorts each doc's shingles by ascending
     // GLOBAL document frequency (one counting pass + a re-collect), so
     // prefixes hold the rarest shingles — candidate fan-out drops on
     // corpora with hot shingles. Any total order preserves completeness.
     val ordered =
-      if (!freqOrdered) base.withColumn("__sh", array_sort(col("__sh")))
+      if (!freqOrdered) shingleTable.withColumn("__sh", array_sort(col("__sh")))
       else {
-        val freqs = base.select(explode(col("__sh")).as("__s"))
+        val freqs = shingleTable.select(explode(col("__sh")).as("__s"))
           .groupBy("__s").agg(count(lit(1)).as("__df"))
-        base.select(col(idCol), explode(col("__sh")).as("__s"))
+        shingleTable.select(col(idCol), explode(col("__sh")).as("__s"))
           .join(freqs, "__s")
           .groupBy(idCol)
           .agg(array_sort(collect_list(struct(col("__df"), col("__s"))))
@@ -454,8 +515,43 @@ object TextDedup {
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    new Managed(pairs, Seq(prepared))
+    (pairs, prepared)
   }
+
+  /** Collapse pays off when the LARGEST identical-set group crosses this
+    * size — the group is the quadratic driver (savings scale with the
+    * square of the pile; overhead is a few fixed joins), so overall dup
+    * RATIO is the wrong predicate: a 10k-copy pile inside a 10M-doc
+    * corpus is 0.1% dups and still a 10⁸-candidate prefix join. Measured
+    * crossover (SkewBench ngram, 5000-doc base): collapse ~2× slower at a
+    * 2k pile, break-even ~4-8k, 10× faster at 16k and growing
+    * quadratically — 4096 sits below every size where the win matters
+    * and above the sizes where the overhead shows.
+    */
+  private[graft] val CollapseMinGroup: Long = 4096L
+
+  /** Memoized preflight for [[ngramJaccardPairsManaged]]'s collapse
+    * decision: does any identical-shingle-set group reach
+    * [[CollapseMinGroup]]? One bounded aggregation (group sizes over the
+    * hashed set → max), memoized per semantic plan like
+    * [[Blocking.resolveAutoCap]] — repeated queries over a stored corpus
+    * pay it once. A borderline corpus merely picks the plain path, which
+    * is always correct.
+    */
+  private def dupHeavy(base: DataFrame, minGroup: Long): Boolean = {
+    val key = Integer.valueOf(
+      base.queryExecution.logical.semanticHash() * 31 + minGroup.hashCode())
+    if (dupHeavyMemo.size > 1024) dupHeavyMemo.clear()
+    dupHeavyMemo.computeIfAbsent(key, _ => {
+      val r = base.groupBy(xxhash64(col("__sh")).as("__h"))
+        .agg(count(lit(1)).as("__gsz"))
+        .agg(max(col("__gsz")).as("mx")).collect()(0)
+      java.lang.Boolean.valueOf(!r.isNullAt(0) && r.getLong(0) >= minGroup)
+    }).booleanValue
+  }
+
+  private val dupHeavyMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]()
 
   /** Portable 60-bit token hash: the first 15 hex chars of md5, parsed as an
     * integer — computable bit-identically in any engine with md5 (DuckDB:

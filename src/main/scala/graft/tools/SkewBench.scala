@@ -12,9 +12,12 @@ import graft.ops.{Blocking, TextDedup}
   * round-8 auto cap collapses it to O(K). Prints one line per (pile, mode)
   * with wall seconds and emitted pair count.
   *
-  * Usage: `sbt "runMain graft.tools.SkewBench [sfDir] [copies] [piles] [modes]"`
+  * Usage: `sbt "runMain graft.tools.SkewBench [sfDir] [copies] [piles] [modes] [op]"`
   *   piles  comma-separated pile sizes, default 2000,8000,32000
   *   modes  comma-separated maxBucket values, `auto`|`off`|int, default auto,off
+  *   op     `minhash` (default) or `ngram` — ngram maps auto/off to
+  *          collapseExact on/off ([[TextDedup.ngramJaccardPairs]]'s
+  *          output-identical exact-dup collapse)
   */
 object SkewBench {
 
@@ -29,6 +32,7 @@ object SkewBench {
     val copies = args.lift(1).map(_.toInt).getOrElse(1)
     val piles = args.lift(2).getOrElse("2000,8000,32000").split(",").map(_.trim.toInt)
     val modes = args.lift(3).getOrElse("auto,off").split(",").map(_.trim)
+    val op = args.lift(4).getOrElse("minhash")
     val spark = LocalSession(cores = 32, logLevel = "ERROR")
     import spark.implicits._
 
@@ -51,12 +55,17 @@ object SkewBench {
         .select(($"id" + 900000000L).as("doc_id"), lit(boilerText).as("text"))
       val corpus = base.unionByName(pileDf)
       val t0 = System.nanoTime()
-      val managed = TextDedup.minhashNearDupsManaged(corpus, "doc_id", "text",
-        threshold = 0.5, maxBucket = cap)
+      val managed =
+        if (op == "ngram")
+          TextDedup.ngramJaccardPairsManaged(corpus, "doc_id", "text",
+            threshold = 0.5, collapseExact = cap != 0)
+        else
+          TextDedup.minhashNearDupsManaged(corpus, "doc_id", "text",
+            threshold = 0.5, maxBucket = cap)
       val pairs = managed.df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       managed.release()
-      println(f"[skewbench] pile=$pile%-7d mode=$mode%-5s wall=$sec%8.2f s pairs=$pairs")
+      println(f"[skewbench] op=$op pile=$pile%-7d mode=$mode%-5s wall=$sec%8.2f s pairs=$pairs")
     }
     spark.stop()
   }

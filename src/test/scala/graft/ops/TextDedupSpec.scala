@@ -166,6 +166,43 @@ class TextDedupSpec extends SparkSpec {
     viaStore.release(); derived.release()
   }
 
+  "ngramJaccardPairs collapseExact" should "be output-identical on a dup-heavy corpus" in {
+    // 60% exact dups (identical shingle sets) + a near-dup pair + a
+    // null-text pair: the collapse path must reproduce the uncollapsed
+    // pair set EXACTLY — including the degenerate [null]-shingle docs,
+    // which pair with NOTHING (the prefix join never matches a null key)
+    val docs = (
+      (0 until 30).map(i => (i.toLong, "shared boilerplate text repeated verbatim across the corpus")) ++
+      Seq(
+        (100L, "the quick brown fox jumps over the lazy dog"),
+        (101L, "the quick brown fox jumps over the lazy cat"),
+        (102L, "totally unrelated content on stream processing"),
+        (103L, null.asInstanceOf[String]),
+        (104L, null.asInstanceOf[String]))
+    ).toDF("doc_id", "text")
+    def pairSet(collapse: Boolean) =
+      TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5, collapseExact = collapse,
+          collapseMinGroup = 10) // force the collapse path on the 30-doc pile
+        .as[(Long, Long, Double)].collect().toSet
+    val collapsed = pairSet(true)
+    collapsed shouldBe pairSet(false)
+    // sanity: the preflight actually chose the collapse path's answer
+    // shape (all 30 pile docs pairwise present, near-dups and null pair in)
+    collapsed.count(p => p._1 < 30 && p._2 < 30) shouldBe 30 * 29 / 2
+    collapsed.exists(p => p._1 == 100L && p._2 == 101L) shouldBe true
+    collapsed.exists(p => p._1 == 103L || p._2 == 104L) shouldBe false
+  }
+
+  it should "leave a healthy corpus on the plain path with identical output" in {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.3, collapseExact = true)
+    val plain = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.3, collapseExact = false)
+    pairs.orderBy("id_a", "id_b").collect() shouldBe
+      plain.orderBy("id_a", "id_b").collect()
+  }
+
   "Managed" should "release its caches after use" in {
     val cached = docs.persist()
     cached.count()
