@@ -60,7 +60,30 @@ import org.apache.spark.sql.functions._
   * resolves via a preflight job ([[resolveAutoCap]]), the healthy-corpus
   * plan is bit-identical to uncapped (zero plan overhead).
   */
-private[graft] object Blocking {
+object Blocking {
+
+  /** One auto-cap resolution, for observability ([[resolutions]]): the
+    * derived cap, the distribution evidence it came from, and whether the
+    * guard ENGAGED (some block exceeds the cap — the plan switched to the
+    * star-plus-representatives form) or resolved to a no-op.
+    */
+  final case class AutoCapResolution(cap: Long, maxBlock: Long, p999: Long,
+                                     mass: Long, engaged: Boolean)
+
+  /** Snapshot of this session's auto-cap decisions (keyed by the block
+    * frame's semantic-plan hash — one entry per distinct corpus/banding).
+    * The guard is silent by design (no logging from inside operators);
+    * production users audit WHEN it engaged — and on what evidence —
+    * here. Cleared alongside [[clearAutoCapMemo]].
+    */
+  def resolutions: Map[Int, AutoCapResolution] = {
+    val b = Map.newBuilder[Int, AutoCapResolution]
+    resolutionLog.forEach((k, v) => b += (k.intValue -> v))
+    b.result()
+  }
+
+  private val resolutionLog =
+    new java.util.concurrent.ConcurrentHashMap[Integer, AutoCapResolution]()
 
   /** Sentinel for `maxBlock`: derive the cap from the block-size
     * distribution (see object doc). The operator-level default.
@@ -125,7 +148,7 @@ private[graft] object Blocking {
     // is then one batch stale, a plan-shape (perf) consideration only,
     // and [[clearAutoCapMemo]] resets it. Bounded: cleared at 1024 plans.
     val key = Integer.valueOf(blocks.queryExecution.logical.semanticHash())
-    if (autoCapMemo.size > 1024) autoCapMemo.clear()
+    if (autoCapMemo.size > 1024) { autoCapMemo.clear(); resolutionLog.clear() }
     autoCapMemo.computeIfAbsent(key, _ => {
       val r = blocks.groupBy(blockCols.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
@@ -138,7 +161,10 @@ private[graft] object Blocking {
         val cap = math.max(AutoFloor,
           math.min(AutoFactor * r.getAs[Long]("p999"),
             (AutoMassFrac * r.getAs[Long]("mass")).toLong))
-        if (r.getAs[Long]("mx") <= cap) 0 else cap.min(Int.MaxValue.toLong).toInt
+        val engaged = r.getAs[Long]("mx") > cap
+        resolutionLog.put(key, AutoCapResolution(cap, r.getAs[Long]("mx"),
+          r.getAs[Long]("p999"), r.getAs[Long]("mass"), engaged))
+        if (!engaged) 0 else cap.min(Int.MaxValue.toLong).toInt
       }
     }).intValue
   }
@@ -146,10 +172,11 @@ private[graft] object Blocking {
   private val autoCapMemo =
     new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
 
-  /** Drop memoized auto-cap resolutions (tests; or after appending to a
-    * corpus store whose path was already resolved in this session).
+  /** Drop memoized auto-cap resolutions and the observability log (tests;
+    * or after appending to a corpus store whose path was already resolved
+    * in this session).
     */
-  def clearAutoCapMemo(): Unit = autoCapMemo.clear()
+  def clearAutoCapMemo(): Unit = { autoCapMemo.clear(); resolutionLog.clear() }
 
   /** Candidate pairs (id_a < id_b, distinct) from a block-membership table
     * (one row per member and block), capping per-block fan-out at

@@ -87,12 +87,39 @@ object LshStream {
             partitions: Int = 0): ServedIndex = {
     val sized =
       if (partitions > 0) corpusIndex.coalesce(partitions) else corpusIndex
+    // a collapsed index ([[serveCollapsed]]) carries its multiplicity
+    // column through to the compact table for consumers
+    val compactCols = Seq(idCol, "__shingles") ++
+      sized.columns.filter(_ == "__members")
     ServedIndex(
-      compact = sized.select(col(idCol), col("__shingles")),
+      compact = sized.select(compactCols.map(col): _*),
       exploded = sized
         .select(col(idCol).as("corpus_id"), col("__buckets").as("__bk_c"))
         .select(col("corpus_id"), col("__bk_c"),
           posexplode(col("__bk_c")).as(Seq("band", "bucket"))))
+  }
+
+  /** [[serve]] with exact-duplicate collapse — the latency tier's pile
+    * defense: corpus docs sharing an IDENTICAL shingle set (hence an
+    * identical signature and bucket array) are served once, as their
+    * minimum-id representative carrying a `__members` multiplicity
+    * column. An arriving near-dup of a 10⁶-copy boilerplate pile then
+    * emits ONE tagged row (rep + the multiplicity via [[ServedIndex]]'s
+    * compact table), not 10⁶ rows per event — per-event output becomes
+    * O(distinct matching sets), which is what bounds tail latency when
+    * the index holds a pile. Opt-in (the plain [[serve]] stays default)
+    * because the reported pair set changes: pairs go to representatives
+    * only. Verified scores are unchanged — identical sets verify
+    * identically, so the rep's jaccard IS every member's jaccard.
+    */
+  def serveCollapsed(corpusIndex: DataFrame, idCol: String,
+                     partitions: Int = 0): ServedIndex = {
+    val collapsed = corpusIndex
+      .groupBy(col("__shingles"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__members"),
+        first(col("__buckets")).as("__buckets"))
+      .select(col(idCol), col("__shingles"), col("__buckets"), col("__members"))
+    serve(collapsed, idCol, partitions)
   }
 
   /** Tag a document stream against the corpus index: one output row per

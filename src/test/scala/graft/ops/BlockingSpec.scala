@@ -81,6 +81,20 @@ class BlockingSpec extends SparkSpec {
     } finally prepared.unpersist()
   }
 
+  it should "record its decisions in the observability log" in {
+    Blocking.clearAutoCapMemo()
+    val prepared = TextDedup.minhashPrepare(degenerateDocs(600), "doc_id", "text")
+      .persist()
+    try {
+      TextDedup.minhashCandidates(prepared, "doc_id").count()
+      val engaged = Blocking.resolutions.values.filter(_.engaged)
+      engaged should have size 1
+      // evidence: the pile bucket is the max block, far over the cap
+      engaged.head.maxBlock should be >= 600L
+      engaged.head.cap should be < engaged.head.maxBlock
+    } finally { prepared.unpersist(); Blocking.clearAutoCapMemo() }
+  }
+
   it should "be a pair-set no-op on the real documents corpus" in {
     // every block on the oracle corpus sits far below the auto floor
     // (BucketProbe: minhash max 3-4, sf0.01/0.1), so default-on auto must

@@ -80,6 +80,39 @@ class LshStreamSpec extends SparkSpec {
     } finally served.unpersist()
   }
 
+  "serveCollapsed" should "tag a pile as one rep row with multiplicity" in {
+    val n = 400
+    val pile = (0 until n).map(i =>
+      (1000L + i, "shared boilerplate terms of service text for every user"))
+    val pileIndex = LshStream.corpusIndex(
+      TextDedup.minhashPrepare(
+        (corpusDocs.as[(Long, String)].collect().toSeq ++ pile).toDF("doc_id", "text"),
+        "doc_id", "text"), "doc_id")
+
+    val collapsed = LshStream.serveCollapsed(pileIndex, "doc_id").persist()
+    try {
+      val probe = Seq((90000L, "  SHARED boilerplate terms of service text for every user "))
+        .toDF("doc_id", "text") // normalization variant of the pile text: J = 1
+      val viaCollapsed = LshStream.nearDupTagStream(probe, collapsed, "doc_id",
+          "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+      // ONE row: the pile's min-id representative — not 400 rows
+      viaCollapsed.map(t => (t._1, t._2)) shouldBe Array((90000L, 1000L))
+      // the plain index reports every member, at the same score
+      val viaPlain = LshStream.nearDupTagStream(probe,
+          LshStream.serve(pileIndex, "doc_id"), "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+      viaPlain.length shouldBe n
+      viaPlain.map(_._3).toSet shouldBe Set(viaCollapsed.head._3)
+      // multiplicity rides the compact table
+      collapsed.compact.filter(col("doc_id") === 1000L)
+        .select("__members").as[Long].head() shouldBe n.toLong
+      // non-pile corpus docs are served unchanged (singleton groups)
+      collapsed.compact.count() shouldBe (corpusDocs.count() + 1)
+    } finally collapsed.unpersist()
+  }
+
   it should "tag a live stream statelessly at append mode without watermark" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
