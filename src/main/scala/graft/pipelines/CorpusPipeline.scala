@@ -71,8 +71,18 @@ object CorpusPipeline {
   /** `report` covers every BATCH doc: contamination verdict, and for clean
     * docs the resolved group (group_id/keep are null for contaminated docs
     * — they never entered the corpus).
+    *
+    * The three delta frames are THIS batch's append units for a durable
+    * store ([[CorpusStore.appendBatch]]): the batch's prepared signature
+    * rows, its bucket rows, and its verified new pairs — appending them
+    * (plus the labels snapshot) commits the batch in O(|batch|) write
+    * volume instead of rewriting the corpus. Checkpointed when
+    * `checkpointState` is set, like the state.
     */
-  final case class BatchResult(state: CorpusState, report: DataFrame)
+  final case class BatchResult(state: CorpusState, report: DataFrame,
+                               deltaPrepared: DataFrame,
+                               deltaBuckets: DataFrame,
+                               newPairs: DataFrame)
 
   /** `checkpointState = true` materializes the next state's tables
     * (localCheckpoint) before returning — REQUIRED when `batch` is a
@@ -113,18 +123,21 @@ object CorpusPipeline {
     val nextPrepared = state.prepared.unionByName(
       inc.delta.select(col(idCol), col("__shingles"), col("__sig")))
     val nextBuckets = state.buckets.unionByName(inc.deltaBuckets)
-    val nextState =
+    val deltaPrepared0 = inc.delta.select(col(idCol), col("__shingles"), col("__sig"))
+    val (nextState, deltaPrepared, deltaBuckets) =
       if (checkpointState)
-        CorpusState(nextPrepared.localCheckpoint(), allPairs.localCheckpoint(),
-          labels.localCheckpoint(), nextBuckets.localCheckpoint())
-      else CorpusState(nextPrepared, allPairs, labels, nextBuckets)
+        (CorpusState(nextPrepared.localCheckpoint(), allPairs.localCheckpoint(),
+          labels.localCheckpoint(), nextBuckets.localCheckpoint()),
+          deltaPrepared0.localCheckpoint(), inc.deltaBuckets.localCheckpoint())
+      else (CorpusState(nextPrepared, allPairs, labels, nextBuckets),
+        deltaPrepared0, inc.deltaBuckets)
     // Per the MinhashIncrement contract: the delta cache is only needed while
     // pairs + nextState are built. Unpersist drops the cache, not the lineage,
     // so the non-checkpoint state stays valid (delta recomputes off the
     // checkpointed `tagged` if re-read); without this every ingest — and every
     // micro-batch in streamIngest — would leak one cached DataFrame.
     inc.release()
-    BatchResult(nextState, report)
+    BatchResult(nextState, report, deltaPrepared, deltaBuckets, newPairs)
   }
 
   /** Live handle of [[streamIngest]]: the current corpus state (updated
@@ -145,7 +158,8 @@ object CorpusPipeline {
   def streamIngest(stream: DataFrame, idCol: String, textCol: String,
                    benchmark: DataFrame, benchTextCol: String,
                    onBatch: (Long, DataFrame) => Unit = (_, _) => (),
-                   shingleN: Int = 3, threshold: Double = 0.5): StreamingIngest = {
+                   shingleN: Int = 3, threshold: Double = 0.5,
+                   onResult: (Long, BatchResult) => Unit = (_, _) => ()): StreamingIngest = {
     val handle = new StreamingIngest(emptyState(stream.sparkSession, idCol))
     handle.queryRef = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -154,6 +168,9 @@ object CorpusPipeline {
         val report = r.report.localCheckpoint() // materialize off the dead source
         handle.state = r.state
         onBatch(batchId, report)
+        // full result (checkpointed deltas included) for store-commit hooks
+        // ([[CorpusStore.appendBatch]])
+        onResult(batchId, r)
       }
       .start()
     handle

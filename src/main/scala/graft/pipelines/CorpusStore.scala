@@ -41,6 +41,57 @@ object CorpusStore {
     state.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
   }
 
+  /** APPEND-ONLY batch commit — the deployment write path: each batch
+    * lands as its own parquet files under `prepared/`, `buckets/`, and
+    * `pairs/` (O(|batch|) write volume; the heavy tables are exactly the
+    * append-only ones), while the labels SNAPSHOT — a (doc, group) pair
+    * per corpus doc, the smallest table and the only one that mutates on
+    * group merges — is overwritten. Pairs appended across batches are
+    * duplicate-free by the [[graft.ops.TextDedup.minhashIncrement]]
+    * contract (a pair is reported exactly when its newer member arrives).
+    * Crash between the appends and the labels overwrite loses only the
+    * labels, which [[graft.ops.DedupGroups.resolveFromPairs]] rebuilds
+    * from the appended pairs. Run [[compact]] periodically to bound file
+    * counts and GC folded pairs.
+    */
+  def appendBatch(r: CorpusPipeline.BatchResult, dir: String): Unit = {
+    r.deltaPrepared.write.mode("append").parquet(s"$dir/prepared")
+    r.deltaBuckets.write.mode("append").parquet(s"$dir/buckets")
+    r.newPairs.write.mode("append").parquet(s"$dir/pairs")
+    // materialize before the overwrite: when the ingest ran off a
+    // store-READ state (the steady-state shape), the new labels' lineage
+    // lazily scans the very directory being replaced
+    r.state.labels.localCheckpoint().write.mode("overwrite").parquet(s"$dir/labels")
+  }
+
+  /** Periodic store maintenance after a run of [[appendBatch]] commits:
+    * coalesce the per-batch file fragments of `prepared`/`buckets` down to
+    * `targetFiles`, and GC the accumulated pair history to the SPANNING
+    * STAR FOREST the labeling already encodes — one (group root, member)
+    * edge per non-root doc. Components — the thing any rebuild
+    * ([[graft.ops.DedupGroups.resolveFromPairs]]) consumes — are exactly
+    * preserved (StoreAppendSpec asserts rebuild-equality), while pairs
+    * shrink from the O(edges) history to O(grouped docs). Tables are
+    * materialized (localCheckpoint) before their directories are
+    * overwritten; as with every overwrite here, concurrent readers want a
+    * snapshot-isolated table format in production — this layout is the
+    * parquet stand-in.
+    */
+  def compact(spark: SparkSession, dir: String, idCol: String,
+              targetFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val s = read(spark, dir)
+    val prepared = s.prepared.localCheckpoint()
+    val buckets = s.buckets.localCheckpoint()
+    val starPairs = s.labels.filter(col(idCol) =!= col("group_id"))
+      .select(least(col("group_id"), col(idCol)).as("id_a"),
+        greatest(col("group_id"), col(idCol)).as("id_b"))
+      .localCheckpoint()
+    prepared.coalesce(targetFiles).write.mode("overwrite").parquet(s"$dir/prepared")
+    buckets.coalesce(targetFiles).write.mode("overwrite").parquet(s"$dir/buckets")
+    starPairs.coalesce(targetFiles).write.mode("overwrite").parquet(s"$dir/pairs")
+  }
+
   /** Re-open a stored state (lazy scans; hand to [[CorpusPipeline.ingest]]
     * as the corpus for the next batch).
     */

@@ -40,6 +40,24 @@ object VecStream {
     corpus.select(col(idCol), col(vecCol),
       Similarity.lshSignature(col(vecCol), planes).as("__bucket"))
 
+  /** [[corpusIndex]] with exact-duplicate collapse — the embedding
+    * counterpart of [[LshStream.serveCollapsed]]: corpus rows with an
+    * IDENTICAL vector are indexed once as their minimum-id representative
+    * with a `__members` multiplicity column (ignored by the tagger,
+    * available to consumers). An arriving near-dup of a pile of identical
+    * embeddings then tags as one rep row per event, not pile-size output.
+    * Opt-in for the same reason as the LSH variant: the reported pair set
+    * changes to representatives; scores are unchanged (an identical
+    * vector has identical cosine to every probe).
+    */
+  def corpusIndexCollapsed(corpus: DataFrame, idCol: String, vecCol: String,
+                           planes: Seq[Array[Double]]): DataFrame =
+    corpus.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__members"))
+      .select(col(idCol), col(vecCol),
+        Similarity.lshSignature(col(vecCol), planes).as("__bucket"),
+        col("__members"))
+
   /** Tag a vector stream against the corpus index: one output row per
     * (arriving vector, corpus vector) sharing a bucket with cosine >=
     * threshold. Works identically on a batch frame (the spec asserts

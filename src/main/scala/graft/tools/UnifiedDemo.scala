@@ -35,14 +35,14 @@ object UnifiedDemo {
 
     // ---- tier 1: streaming ingest, two micro-batches, store per batch ----
     val input = MemoryStream[(Long, String)](spark)
-    var hRef: CorpusPipeline.StreamingIngest = null
     val h = CorpusPipeline.streamIngest(
       input.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "text",
-      onBatch = (batchId, report) => {
-        CorpusStore.write(hRef.state, storeDir)
-        println(s"[unified] tier1 batch $batchId ingested ${report.count()} docs -> $storeDir")
+      onResult = (batchId, r) => {
+        // deployment write path: O(batch) append commit, not a corpus rewrite
+        CorpusStore.appendBatch(r, storeDir)
+        println(s"[unified] tier1 batch $batchId appended " +
+          s"${r.report.count()} docs -> $storeDir")
       })
-    hRef = h
     val (b1, b2) = docs.splitAt(docs.length / 2)
     input.addData(b1.toSeq); h.query.processAllAvailable()
     input.addData(b2.toSeq); h.query.processAllAvailable()

@@ -24,6 +24,31 @@ class VecStreamSpec extends SparkSpec {
     (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))   // no relatives
     .toDF("vec_id", "embedding")
 
+  "corpusIndexCollapsed" should "tag a pile of identical vectors as one rep" in {
+    val n = 300
+    val pileVec = Seq(0.8f, 0.6f, 0.0f, 0.0f)
+    val piled = corpus.unionByName(
+      (0 until n).map(i => (1000L + i, pileVec)).toDF("vec_id", "embedding"))
+    val collapsed = VecStream.corpusIndexCollapsed(piled, "vec_id",
+      "embedding", planes)
+    val probe = Seq((90000L, pileVec)).toDF("vec_id", "embedding")
+    val viaCollapsed = VecStream.nearDupTagStream(probe, collapsed, "vec_id",
+        "embedding", planes, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    viaCollapsed.map(t => (t._1, t._2)) shouldBe Array((90000L, 1000L))
+    viaCollapsed.head._3 shouldBe 1.0
+    // the plain index reports every pile member at the same score
+    val viaPlain = VecStream.nearDupTagStream(probe,
+        VecStream.corpusIndex(piled, "vec_id", "embedding", planes),
+        "vec_id", "embedding", planes, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    viaPlain.length shouldBe n
+    // multiplicity is available to consumers; singleton rows unchanged
+    collapsed.filter(col("vec_id") === 1000L).select("__members")
+      .as[Long].head() shouldBe n.toLong
+    collapsed.count() shouldBe (corpus.count() + 1)
+  }
+
   "VecStream.nearDupTagStream" should "match a bucket-blocked batch join" in {
     val tagged = VecStream.nearDupTagStream(arriving, index, "vec_id",
         "embedding", planes, threshold = 0.9)
