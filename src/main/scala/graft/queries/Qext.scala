@@ -456,8 +456,15 @@ object Qext {
     * elsewhere (the takedown semantics a content blocklist needs).
     */
   def qExtFilterBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    // coalesce('') makes the join key NON-NULLABLE so the anti-join infers
+    // no isnotnull(md5(...)) constraint filter that would recompute the
+    // hash per row (the round-7 IVF lesson, flagged by Explain
+    // genfilters). Null text never occurs in the corpus; if it did, ''
+    // groups null-text docs under one sentinel hash in BOTH engines (the
+    // oracle applies the same coalesce).
     val docs = t(spark, dir, "documents")
-      .withColumn("content_hash", TextDedup.contentHash(col("text")))
+      .withColumn("content_hash",
+        coalesce(TextDedup.contentHash(col("text")), lit("")))
     val blocked = docs.filter(col("lang") === "und").select("content_hash")
     LookupJoin.antiJoin(docs, blocked, Seq("content_hash"))
       .select("doc_id", "content_hash")
@@ -901,7 +908,7 @@ object Qext {
       Seq("l_quantity", "l_extendedprice", "l_discount")),
     "q_ext_filter_blocklist" ->
       s"""WITH docs AS (
-         |  SELECT doc_id, md5($normSql) AS content_hash, lang FROM documents
+         |  SELECT doc_id, coalesce(md5($normSql), '') AS content_hash, lang FROM documents
          |), blocked AS (
          |  SELECT DISTINCT content_hash FROM docs WHERE lang = 'und'
          |)
