@@ -118,11 +118,15 @@ object CorpusStore {
   /** Embedding-tier counterpart: persist a [[VecStream.corpusIndex]]
     * (id, vec, __bucket) under `<dir>/vecindex`, signed once at write
     * time with `planes` — the tagger and any batch reader share the one
-    * signing pass.
+    * signing pass. `collapse = true` stores the rep-collapsed form
+    * ([[VecStream.corpusIndexCollapsed]] — one row per distinct vector
+    * with `__members`), the pile-safe serving for the latency tier.
     */
   def writeVecIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    planes: Seq[Array[Double]], dir: String): Unit =
-    VecStream.corpusIndex(corpus, idCol, vecCol, planes)
+                    planes: Seq[Array[Double]], dir: String,
+                    collapse: Boolean = false): Unit =
+    (if (collapse) VecStream.corpusIndexCollapsed(corpus, idCol, vecCol, planes)
+     else VecStream.corpusIndex(corpus, idCol, vecCol, planes))
       .write.mode("overwrite").parquet(s"$dir/vecindex")
 
   /** Re-open the stored embedding index for
