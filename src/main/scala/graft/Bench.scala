@@ -17,47 +17,85 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // N timed passes (default 3), MIN per query: a single pass is hostage to
-    // transient machine noise (a cold OS page cache measured 5x; host CPU
-    // steal spiked 1.5x across round 7, drowning real 10-30% deltas); the
-    // per-query minimum estimates the query's cost floor, not the weather.
-    // The single-pass total is recorded alongside so round-over-round
-    // regressions can be adjudicated (floor moved = real; only the
-    // single-pass moved = noise).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // N timed passes (default 3, clamped to >=1; a malformed env value falls
+    // back to the default instead of throwing), MIN per query: a single pass
+    // is hostage to transient machine noise (a cold OS page cache measured
+    // 5x; host CPU steal spiked 1.5x across round 7 and ~3x in the round-8
+    // driver run, drowning real 10-30% deltas); the per-query minimum
+    // estimates the query's cost floor, not the weather.
+    //
+    // Self-adjudication (round 9): alongside the floor the artifact records
+    // per-query p50, every pass's total (not just the first), and the OS
+    // 1-minute load average sampled before each pass. A reader can now tell
+    // floor from weather from the artifact alone: floors moved = real
+    // regression; only p50/pass totals moved, or load >> 0 = host steal.
+    val passes = math.max(
+      1, sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(3))
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val allPasses = (1 to passes).map(_ => timedPass())
-    val singlePassTotal = allPasses.head.map(_._2).sum
-    val results = allPasses.transpose.map { qs =>
-      qs.head._1 -> qs.map(_._2).min
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val allPasses = (1 to passes).map { _ => loads += loadAvg(); timedPass() }
+    val passTotals = allPasses.map(_.map(_._2).sum)
+    val singlePassTotal = passTotals.head
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byQuery = allPasses.transpose.map { qs =>
+      (qs.head._1, qs.map(_._2).min, median(qs.map(_._2)))
     }.toSeq
+    val results = byQuery.map { case (k, mn, _) => k -> mn }
     val total = results.map(_._2).sum
-    // Full-precision record for local round-over-round analysis.
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val p50Total = byQuery.map(_._3).sum
+    // Full-precision record for local round-over-round analysis: per-query
+    // min AND p50, plus every raw pass, so no re-measurement is ever needed
+    // to adjudicate a driver-side artifact (this file is committed).
+    val fullQs = byQuery.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    val fullP50 = byQuery.map { case (k, _, p) => s"\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val fullRaw = allPasses.map(p =>
+      p.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
-        s""""single_pass_total":$singlePassTotal,"queries":$fullQs,"sf":"$sfDir"}"""
+        s""""single_pass_total":$singlePassTotal,""" +
+        s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
+        s""""p50_total":$p50Total,""" +
+        s""""load_avg":${loads.mkString("[", ",", "]")},""" +
+        s""""queries":$fullQs,"queries_p50":$fullP50,""" +
+        s""""raw_passes":$fullRaw,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     // The harness that consumes stdout keeps only the LAST 2000 characters
     // (BENCH_r03/r04 tails begin mid-JSON), so the result line must fit that
-    // window with margin. Millisecond precision is plenty for second-scale
-    // timings; precision steps down (3, 2, 1) until the line fits.
+    // window with margin. Per-query minima stay in the line (the gate's
+    // subject); the adjudication fields are aggregates (pass_totals,
+    // p50_total, load_avg) so they cost O(passes), not O(queries).
+    // Millisecond precision is plenty for second-scale timings; precision
+    // steps down (3, 2, 1) until the line fits.
     def fmt(dec: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
+      val pts = passTotals.map(fmt(dec, _)).mkString("[", ",", "]")
+      val lds = loads.map(fmt(2, _)).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","passes":$passes,""" +
-        s""""single_pass_total":${fmt(dec, singlePassTotal)},"queries":$qs,"sf":"$sfDir"}"""
+        s""""single_pass_total":${fmt(dec, singlePassTotal)},""" +
+        s""""pass_totals":$pts,"p50_total":${fmt(dec, p50Total)},""" +
+        s""""load_avg":$lds,"queries":$qs,"sf":"$sfDir"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))
     println(out)

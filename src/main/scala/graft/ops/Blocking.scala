@@ -142,35 +142,55 @@ object Blocking {
     // Memoized on the SEMANTIC plan of the block frame: the dominant
     // deployment shape is many dedup queries over one stored corpus, and
     // re-running the preflight per call would tax every warm query ~a job
-    // (~0.3-0.5 s at sf0.1 local). Same semantic plan ⇒ same source data
-    // in Spark's model; the one way to defeat that is appending files
-    // under an already-resolved store path in the SAME session — the cap
-    // is then one batch stale, a plan-shape (perf) consideration only,
-    // and [[clearAutoCapMemo]] resets it. Bounded: cleared at 1024 plans.
-    val key = Integer.valueOf(blocks.queryExecution.logical.semanticHash())
-    if (autoCapMemo.size > 1024) { autoCapMemo.clear(); resolutionLog.clear() }
-    autoCapMemo.computeIfAbsent(key, _ => {
+    // (~0.3-0.5 s at sf0.1 local). The 32-bit semanticHash is only the
+    // BUCKET key — the entry stores the canonicalized plan itself and a
+    // hit requires full structural equality, so two distinct plans whose
+    // hashes collide can never share a cap resolution (a collision would
+    // silently engage capping on a healthy corpus or skip it on a
+    // degenerate one; the losing plan just re-preflights each call).
+    // Same canonical plan ⇒ same source data in Spark's model — file
+    // listings are NOT part of relation equality (InMemoryFileIndex
+    // compares root paths), so appending files under an already-resolved
+    // store path in the SAME session leaves the cap one batch stale: a
+    // plan-shape (perf) consideration only, and [[clearAutoCapMemo]]
+    // resets it ([[graft.pipelines.CorpusStore]]'s mutators call it).
+    // Bounded: cleared at 1024 plans.
+    //
+    // The preflight Spark job runs OUTSIDE the map (publish via
+    // putIfAbsent), so concurrent resolutions of different corpora never
+    // serialize on a ConcurrentHashMap bin lock; two threads racing the
+    // same cold plan at worst both run the bounded preflight and agree on
+    // the (deterministic) result.
+    val plan = blocks.queryExecution.logical.canonicalized
+    val key = Integer.valueOf(plan.hashCode())
+    val cached = autoCapMemo.get(key)
+    if (cached != null && cached._1 == plan) cached._2
+    else {
+      if (autoCapMemo.size > 1024) { autoCapMemo.clear(); resolutionLog.clear() }
       val r = blocks.groupBy(blockCols.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
         .agg(max(col("__bsz")).as("mx"),
           percentile_approx(col("__bsz"), lit(0.999), lit(10000)).as("p999"),
           sum(col("__bsz")).as("mass"))
         .collect()(0)
-      if (r.isNullAt(0)) 0 // empty corpus: nothing to cap
-      else {
-        val cap = math.max(AutoFloor,
-          math.min(AutoFactor * r.getAs[Long]("p999"),
-            (AutoMassFrac * r.getAs[Long]("mass")).toLong))
-        val engaged = r.getAs[Long]("mx") > cap
-        resolutionLog.put(key, AutoCapResolution(cap, r.getAs[Long]("mx"),
-          r.getAs[Long]("p999"), r.getAs[Long]("mass"), engaged))
-        if (!engaged) 0 else cap.min(Int.MaxValue.toLong).toInt
-      }
-    }).intValue
+      val eff =
+        if (r.isNullAt(0)) 0 // empty corpus: nothing to cap
+        else {
+          val cap = math.max(AutoFloor,
+            math.min(AutoFactor * r.getAs[Long]("p999"),
+              (AutoMassFrac * r.getAs[Long]("mass")).toLong))
+          val engaged = r.getAs[Long]("mx") > cap
+          resolutionLog.put(key, AutoCapResolution(cap, r.getAs[Long]("mx"),
+            r.getAs[Long]("p999"), r.getAs[Long]("mass"), engaged))
+          if (!engaged) 0 else cap.min(Int.MaxValue.toLong).toInt
+        }
+      autoCapMemo.putIfAbsent(key, (plan, eff))
+      eff
+    }
   }
 
-  private val autoCapMemo =
-    new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+  private val autoCapMemo = new java.util.concurrent.ConcurrentHashMap[
+    Integer, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)]()
 
   /** Drop memoized auto-cap resolutions and the observability log (tests;
     * or after appending to a corpus store whose path was already resolved

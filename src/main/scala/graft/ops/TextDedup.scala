@@ -331,16 +331,22 @@ object TextDedup {
                        validateBuckets: Boolean = false,
                        maxBucket: Int = Blocking.Auto): MinhashIncrement = {
     if (validateBuckets) corpusBuckets.foreach { cb =>
-      val Array(maxBand, bucketIds) = cb
-        .agg(max(col("band")), countDistinct(col(idCol))).collect()(0)
-        .toSeq.map(v => Option(v).fold(-1L)(_.toString.toLong)).toArray
+      val r = cb.agg(max(col("band")).cast("long").as("mx"),
+        countDistinct(col(idCol)).as("n")).collect()(0)
+      val bucketIds = r.getAs[Long]("n")
       val corpusIds = corpus.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
-      require(maxBand == bands - 1,
-        s"corpusBuckets max band $maxBand != bands-1 (${bands - 1}): " +
-          "table built under a different banding")
       require(bucketIds == corpusIds,
         s"corpusBuckets covers $bucketIds distinct ids but corpus has " +
           s"$corpusIds: stale or mismatched bucket table")
+      // An empty (but id-consistent) pair of tables is valid — there is no
+      // banding evidence to check, and max(band) is null, which must not be
+      // misread as "different banding".
+      if (bucketIds > 0) {
+        val maxBand = r.getAs[Long]("mx")
+        require(maxBand == bands - 1,
+          s"corpusBuckets max band $maxBand != bands-1 (${bands - 1}): " +
+            "table built under a different banding")
+      }
     }
     val delta = minhashPrepare(newDocs, idCol, textCol, shingleN, bands * rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -539,19 +545,34 @@ object TextDedup {
     * is always correct.
     */
   private def dupHeavy(base: DataFrame, minGroup: Long): Boolean = {
-    val key = Integer.valueOf(
-      base.queryExecution.logical.semanticHash() * 31 + minGroup.hashCode())
-    if (dupHeavyMemo.size > 1024) dupHeavyMemo.clear()
-    dupHeavyMemo.computeIfAbsent(key, _ => {
+    // Bucket-keyed on the 32-bit plan hash, but a hit requires structural
+    // equality of the stored canonicalized plan (plus the threshold) —
+    // two distinct plans whose hashes collide can never share a decision
+    // (the loser just re-runs the bounded preflight). The job runs
+    // outside the map so concurrent decisions never serialize on a bin
+    // lock; a cold-plan race at worst duplicates the aggregation.
+    // Same append-staleness contract as [[Blocking.resolveAutoCap]]:
+    // [[graft.pipelines.CorpusStore]]'s mutators clear this memo too.
+    val plan = base.queryExecution.logical.canonicalized
+    val key = Integer.valueOf(plan.hashCode() * 31 + minGroup.hashCode())
+    val cached = dupHeavyMemo.get(key)
+    if (cached != null && cached._1 == plan && cached._2 == minGroup) cached._3
+    else {
+      if (dupHeavyMemo.size > 1024) dupHeavyMemo.clear()
       val r = base.groupBy(xxhash64(col("__sh")).as("__h"))
         .agg(count(lit(1)).as("__gsz"))
         .agg(max(col("__gsz")).as("mx")).collect()(0)
-      java.lang.Boolean.valueOf(!r.isNullAt(0) && r.getLong(0) >= minGroup)
-    }).booleanValue
+      val heavy = !r.isNullAt(0) && r.getLong(0) >= minGroup
+      dupHeavyMemo.putIfAbsent(key, (plan, minGroup, heavy))
+      heavy
+    }
   }
 
-  private val dupHeavyMemo =
-    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]()
+  private[graft] def clearDupHeavyMemo(): Unit = dupHeavyMemo.clear()
+
+  private val dupHeavyMemo = new java.util.concurrent.ConcurrentHashMap[
+    Integer,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Boolean)]()
 
   /** Portable 60-bit token hash: the first 15 hex chars of md5, parsed as an
     * integer — computable bit-identically in any engine with md5 (DuckDB:

@@ -45,18 +45,26 @@ object UnifiedDemo {
       })
     val (b1, b2) = docs.splitAt(docs.length / 2)
     input.addData(b1.toSeq); h.query.processAllAvailable()
+
+    // ---- tier 2: tagger index built from the store after batch 1, then
+    // REFRESHED to the next store generation after batch 2 — the
+    // steady-state swap API (release-then-rebuild, see
+    // [[CorpusStore.refreshServedIndex]]) ----
+    val index1 = CorpusStore.refreshServedIndex(spark, storeDir, "doc_id", None)
+
     input.addData(b2.toSeq); h.query.processAllAvailable()
     h.query.stop()
+    val index = CorpusStore.refreshServedIndex(
+      spark, storeDir, "doc_id", Some(index1))
 
-    // ---- tier 2: live tagger stream over the SAME store ----
-    val index = CorpusStore.servedIndex(spark, storeDir, "doc_id")
     val probes = MemoryStream[(Long, String)](spark)
     val tagged = LshStream.nearDupTagStream(
       probes.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     val q = tagged.writeStream.format("memory").queryName("unified_tagged")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
-    // probe with exact copies of two ingested docs (one per tier-1 batch)
+    // probe with exact copies of two ingested docs (one per tier-1 batch;
+    // the batch-2 copy is only taggable because the index was refreshed)
     probes.addData(Seq((900001L, b1.head._2), (900002L, b2.head._2)))
     q.processAllAvailable(); q.stop()
 
