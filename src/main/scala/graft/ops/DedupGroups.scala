@@ -125,6 +125,39 @@ object DedupGroups {
                                     broadcastRoots: Boolean = true)
       : (DataFrame, Int) = {
     val ids = nodes.columns.head
+    val (r, it) = starRootsWithRounds(edges, maxIters, checkpointDir)
+    val roots = r.select(col("__id").as(ids), col("group_id"))
+    // Pinned frames carry no size statistics, so without the hint Spark
+    // plans this labels join as a sort-merge join. Roots are bounded by
+    // the pair-subgraph size (same argument as resolveFromPairs'
+    // broadcastGroups — strictly smaller, in fact); disable together for
+    // pathological near-dup graphs approaching corpus size.
+    val labels = nodes.select(col(ids))
+      .join(if (broadcastRoots) broadcast(roots) else roots, Seq(ids), "left")
+      .select(col(ids), coalesce(col("group_id"), col(ids)).as("group_id"))
+    (labels, it)
+  }
+
+  /** Core star-contraction loop: canonicalize `edges` (first two columns,
+    * undirected), iterate large-star/small-star to the fixpoint, and
+    * return the star-forest mapping `(__id, group_id)` — one row per
+    * NON-ROOT node, group_id = its component minimum — plus the round
+    * count. Roots and untouched nodes are absent by construction; callers
+    * coalesce them to themselves.
+    *
+    * The mapping is a pure PROJECTION of the converged (checkpointed) edge
+    * set: at fixpoint every node appears as `__u` exactly once, pointing
+    * at its component minimum (the star orientation invariant, asserted by
+    * [[isStarForest]] the round convergence was detected), so no terminal
+    * aggregation or extra checkpoint is needed — the round-8 shape spent
+    * two additional jobs here (a guard groupBy(min) over the fixpoint plus
+    * its pin) per resolution, ~15% of the operator's sf0.1 floor. The
+    * converged checkpoint's blocks back the returned frame and are dropped
+    * by the ContextCleaner when it is garbage-collected.
+    */
+  private def starRootsWithRounds(edges: DataFrame, maxIters: Int,
+                                  checkpointDir: Option[String])
+      : (DataFrame, Int) = {
     val Seq(src, dst) = edges.columns.take(2).toSeq
     // Canonical orientation big→small; self-loops and duplicate pairs out.
     var e = pin(edges.select(
@@ -134,7 +167,10 @@ object DedupGroups {
       .distinct(), checkpointDir)
 
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    if (verbose) println(f"[cc] entry pin done, ${e.rdd.getNumPartitions} partitions")
+    val tc0 = System.nanoTime()
     var converged = isStarForest(e)
+    if (verbose) println(f"[cc] initial check ${(System.nanoTime() - tc0) / 1e9}%.2fs")
     var it = 0
     while (!converged && it < maxIters) {
       val t0 = System.nanoTime()
@@ -174,25 +210,7 @@ object DedupGroups {
       // from one true component. Fail loudly.
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIters=$maxIters rounds")
-    // Fixpoint is a star forest: each non-root points directly at its
-    // component minimum. min() is an identity at fixpoint, kept as a guard.
-    // Roots are pinned eagerly (one row per non-root node — no larger than
-    // the edge set it replaces) so the final edge frame can be released
-    // here rather than riding along until the caller's action completes;
-    // the roots pin itself is dropped by the ContextCleaner when the
-    // returned frame is garbage-collected.
-    val roots = pin(e.groupBy("__u").agg(min("__v").as("group_id"))
-      .select(col("__u").as(ids), col("group_id")), checkpointDir)
-    release(e)
-    // Pinned frames carry no size statistics, so without the hint Spark
-    // plans this labels join as a sort-merge join. Roots are bounded by
-    // the pair-subgraph size (same argument as resolveFromPairs'
-    // broadcastGroups — strictly smaller, in fact); disable together for
-    // pathological near-dup graphs approaching corpus size.
-    val labels = nodes.select(col(ids))
-      .join(if (broadcastRoots) broadcast(roots) else roots, Seq(ids), "left")
-      .select(col(ids), coalesce(col("group_id"), col(ids)).as("group_id"))
-    (labels, it)
+    (e.select(col("__u").as("__id"), col("__v").as("group_id")), it)
   }
 
   /** Full dedup-group resolution over a document table: find near-dup pairs
@@ -281,12 +299,10 @@ object DedupGroups {
       .filter(col("__ga") =!= col("__gb"))
       .select(col("__ga"), col("__gb"))
       .distinct()
-    val touched = contraction.select(col("__ga").as("__g"))
-      .union(contraction.select(col("__gb").as("__g"))).distinct()
-    val mapping = connectedComponents(touched, contraction,
-        checkpointDir = checkpointDir)
-      .filter(col("__g") =!= col("group_id"))
-      .select(col("__g").as("__old_g"), col("group_id").as("__new_g"))
+    // the star-forest mapping IS the group rewrite: one row per merged-away
+    // group id, pointing at the merged component's minimum
+    val mapping = starRootsWithRounds(contraction, 40, checkpointDir)._1
+      .select(col("__id").as("__old_g"), col("group_id").as("__new_g"))
     labels.join(broadcast(mapping), col("group_id") === col("__old_g"), "left")
       .select(col(idCol),
         coalesce(col("__new_g"), col("group_id")).as("group_id"))
@@ -299,13 +315,22 @@ object DedupGroups {
   def resolveFromPairs(docs: DataFrame, idCol: String, pairTable: DataFrame,
                        broadcastGroups: Boolean = true,
                        checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = pin(pairTable.select(col("id_a"), col("id_b")), checkpointDir)
-    val touched = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val groups = connectedComponents(touched, pairs,
-      checkpointDir = checkpointDir, broadcastRoots = broadcastGroups)
+    // The star loop's entry pin materializes the (possibly expensive) pair
+    // finder exactly once — no separate pairs checkpoint here, and no
+    // touched-nodes union/distinct: the docs join only needs the NON-ROOT
+    // mapping (roots and untouched docs coalesce to themselves), so the
+    // intermediate nodes←roots labels join of the generic entry point is
+    // skipped too. Together with the terminal-aggregation elision in
+    // [[starRootsWithRounds]] this removes three eager jobs and two
+    // shuffles per resolution vs the round-8 shape (sf0.1 floor back to
+    // 1.50 s — at-or-below the round-7 1.64 s mark; the fixed per-call
+    // job count is what the elision buys at scale, where each extra
+    // materialization is a full cluster barrier).
+    val roots = starRootsWithRounds(
+      pairTable.select(col("id_a"), col("id_b")), 40, checkpointDir)._1
+      .select(col("__id").as(idCol), col("group_id"))
     docs.select(col(idCol))
-      .join(if (broadcastGroups) broadcast(groups) else groups, Seq(idCol), "left")
+      .join(if (broadcastGroups) broadcast(roots) else roots, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
       .withColumn("keep", col(idCol) === col("group_id"))
   }
