@@ -225,19 +225,36 @@ object Blocking {
     val eff = if (maxBlock < 0) resolveAutoCap(blocks, blockCols) else maxBlock
     if (eff == 0) selfJoin(blocks).distinct()
     else {
-      // one extra count aggregation on the block key — same exchange the
-      // self-join needs anyway, so AQE's exchange reuse shares the shuffle
-      val sized = blocks.join(
-        blocks.groupBy(bc: _*).agg(count(lit(1)).as("__bsz")), blockCols)
-      val small = selfJoin(sized.filter(col("__bsz") <= eff))
-      val big = sized.filter(col("__bsz") > eff)
-      val reps = big.groupBy(bc :+ col(groupKeyCol): _*)
-        .agg(min(col(idCol)).as("__rep"))
+      // ENGAGED plan, one-exchange shape (round 9): the round-8 form
+      // carried the pile's member rows through three separate shuffles —
+      // a size-count aggregation joined back to the members, a rep
+      // groupBy, and a member←reps star join. All three keys are the
+      // block key or a superset of it, so a single repartition on the
+      // block key feeds everything: both window specs below are satisfied
+      // by that partitioning (hash on a subset of the window keys
+      // clusters them — no further exchange, only local sorts), the star
+      // edges become a FILTER (each member row already carries its
+      // group's min id) instead of a join, the representative table is
+      // the `id == rep` rows instead of an aggregation, and the two
+      // self-joins reuse the same exchange. Measured (SkewBench A/B,
+      // SCALE.md round 9): the pile rows cross the wire once instead of
+      // three times. Output is the exact pair set of the round-8 shape
+      // (BlockingSpec equality), and the healthy-corpus branch above is
+      // untouched. Per-block skew note: repartitioning by block key puts
+      // an oversized block in one partition — the same funnel the
+      // round-8 star join already forced, paid once instead of thrice.
+      import org.apache.spark.sql.expressions.Window
+      val wBlock = Window.partitionBy(bc: _*)
+      val wGroup = Window.partitionBy(bc :+ col(groupKeyCol): _*)
+      val annotated = blocks.repartition(bc: _*)
+        .withColumn("__bsz", count(lit(1)).over(wBlock))
+        .withColumn("__rep", min(col(idCol)).over(wGroup))
+      val small = selfJoin(annotated.filter(col("__bsz") <= eff))
+      val big = annotated.filter(col("__bsz") > eff)
       // rep = group minimum, so star edges are already oriented id_a < id_b
-      val stars = big.join(reps, blockCols :+ groupKeyCol)
-        .filter(col(idCol) =!= col("__rep"))
+      val stars = big.filter(col(idCol) =!= col("__rep"))
         .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
-      val repPairs = selfJoin(reps.withColumnRenamed("__rep", idCol))
+      val repPairs = selfJoin(big.filter(col(idCol) === col("__rep")))
       small.union(stars).union(repPairs).distinct()
     }
   }
