@@ -365,12 +365,21 @@ object TextDedup {
     val ncCorpus =
       if (effCorpus == 0) cb.select(col(idCol), col("band"), col("bucket"))
       else {
-        val sized = cb.join(
-          cb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz")),
-          Seq("band", "bucket"))
-        val small = sized.filter(col("__bsz") <= effCorpus)
+        // One-exchange sizing (round 9, same shape as the engaged
+        // [[Blocking.cappedCandidates]] plan): bucket sizes come from a
+        // window over a single (band, bucket) repartition instead of a
+        // count aggregation joined back to the members — the pile's
+        // bucket rows cross the wire once. The rep leg keeps its
+        // sig-fetch join + groupBy: the stored bucket table deliberately
+        // does not carry the signature column, and the join re-clusters
+        // by id anyway, so a window there would cost the same exchange.
+        val annotated = cb.repartition(col("band"), col("bucket"))
+          .withColumn("__bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("bucket"))))
+        val small = annotated.filter(col("__bsz") <= effCorpus)
           .select(col(idCol), col("band"), col("bucket"))
-        val reps = sized.filter(col("__bsz") > effCorpus)
+        val reps = annotated.filter(col("__bsz") > effCorpus)
           .join(corpus.select(col(idCol), col("__sig")), idCol)
           .groupBy(col("band"), col("bucket"), col("__sig"))
           .agg(min(col(idCol)).as(idCol))
