@@ -11,6 +11,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // Idle load BEFORE any Spark work: the per-pass samples below include
+    // this process's own executor threads, so only this number cleanly
+    // separates external host steal from self-load.
+    val loadIdle = loadAvg()
     // Warmup pass: pay JVM/codegen/broadcast-build startup once, outside the
     // timed run (the first executed query otherwise absorbs ~4s of session
     // warmup regardless of its own cost).
@@ -37,10 +45,6 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    def loadAvg(): Double =
-      try java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val allPasses = (1 to passes).map { _ => loads += loadAvg(); timedPass() }
     val passTotals = allPasses.map(_.map(_._2).sum)
@@ -71,6 +75,7 @@ object Bench {
         s""""single_pass_total":$singlePassTotal,""" +
         s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
         s""""p50_total":$p50Total,""" +
+        s""""load_idle":$loadIdle,""" +
         s""""load_avg":${loads.mkString("[", ",", "]")},""" +
         s""""queries":$fullQs,"queries_p50":$fullP50,""" +
         s""""raw_passes":$fullRaw,"sf":"$sfDir"}"""
@@ -95,6 +100,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","passes":$passes,""" +
         s""""single_pass_total":${fmt(dec, singlePassTotal)},""" +
         s""""pass_totals":$pts,"p50_total":${fmt(dec, p50Total)},""" +
+        s""""load_idle":${fmt(2, loadIdle)},""" +
         s""""load_avg":$lds,"queries":$qs,"sf":"$sfDir"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))

@@ -236,9 +236,13 @@ object Blocking {
       // edges become a FILTER (each member row already carries its
       // group's min id) instead of a join, the representative table is
       // the `id == rep` rows instead of an aggregation, and the two
-      // self-joins reuse the same exchange. Measured (SkewBench A/B,
-      // SCALE.md round 9): the pile rows cross the wire once instead of
-      // three times. Output is the exact pair set of the round-8 shape
+      // self-joins reuse the repartition exchange. Column pruning splits
+      // the repartition into a pruned variant (small-block branch) and an
+      // unpruned one (star/rep branches), so member rows cross the wire
+      // at most TWICE — down from the round-8 chain, and with zero
+      // planner-inserted block-key shuffles (spec-locked). Measured
+      // (SkewBench A/B, SCALE.md round 9): 32k/128k piles 16.4/17.4 →
+      // 13.2/12.9 s. Output is the exact pair set of the round-8 shape
       // (BlockingSpec equality), and the healthy-corpus branch above is
       // untouched. Per-block skew note: repartitioning by block key puts
       // an oversized block in one partition — the same funnel the

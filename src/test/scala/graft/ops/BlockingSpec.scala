@@ -116,6 +116,34 @@ class BlockingSpec extends SparkSpec {
     } finally prepared.unpersist()
   }
 
+  "the engaged plan" should "cluster on the block key only via the explicit repartition" in {
+    // Structural lock on the round-9 shape: block sizing, star edges,
+    // representatives, and both self-joins all feed off the EXPLICIT
+    // block-key repartition (windows + filters — no size-count join-back,
+    // no rep groupBy, no member←reps star join). A regression to the
+    // join-based shape shows up as planner-inserted (ENSURE_REQUIREMENTS)
+    // shuffles clustering on the block key; the correct plan has zero —
+    // every block-key exchange is the REPARTITION_BY_COL one (Catalyst
+    // legitimately splits it into a pruned and an unpruned variant per
+    // consumer branch, so member rows cross the wire at most twice, vs
+    // the round-8 chain's four-plus member/agg shuffles).
+    val blocks = (0 until 400).map(i => (0, 7L, 1000L + i, "pile")) ++
+      Seq((0, 8L, 1L, "a"), (0, 8L, 2L, "b"))
+    val df = blocks.toDF("band", "bucket", "doc_id", "content")
+    val pairs = Blocking.cappedCandidates(df, Seq("band", "bucket"),
+      "doc_id", "content", maxBlock = 100)
+    pairs.collect() // finalize the adaptive plan
+    val executed = pairs.queryExecution.executedPlan.toString
+    val planned = "Exchange hashpartitioning\\(band[^)]*ENSURE_REQUIREMENTS"
+      .r.findAllIn(executed).length
+    withClue(executed) { planned shouldBe 0 }
+    val repart = "Exchange hashpartitioning\\(band[^)]*REPARTITION_BY_COL"
+      .r.findAllIn(executed).length
+    withClue(executed) { repart should be <= 2 }
+    // and the output is still the star-plus-reps pair set
+    pairs.count() shouldBe (399L + 1L) // 399 stars + the (1,2) small-block pair
+  }
+
   "simhash maxBlock" should "bound a hot quarter block and keep one group" in {
     val n = 600
     val docs = degenerateDocs(n)
