@@ -95,6 +95,49 @@ class StoreDurabilitySpec extends SparkSpec {
       .collect().toMap.keySet shouldBe Set(1L, 2L, 3L)
   }
 
+  "compact" should "never leave the store unreadable, even killed mid-rewrite" in {
+    val dir = tmpDir("graft-compact-")
+    val r1 = CorpusPipeline.ingest(
+      CorpusPipeline.emptyState(spark, "doc_id"), batch1, "doc_id", "text",
+      bench, "text")
+    CorpusStore.appendBatch(r1, dir)
+    val r2 = CorpusPipeline.ingest(
+      CorpusStore.read(spark, dir), batch2, "doc_id", "text", bench, "text")
+    val labelsBefore = r2.state.labels.as[(Long, Long)].collect().toMap
+    CorpusStore.appendBatch(r2, dir)
+    val preparedBefore = CorpusStore.read(spark, dir).prepared.count()
+
+    // simulate a compaction killed mid-rewrite: a torn prepared-1 with no
+    // _SUCCESS; reads must keep resolving the flat append-layout table
+    val torn = new File(dir, "prepared-1")
+    torn.mkdirs()
+    java.nio.file.Files.write(new File(torn, "part-00000.parquet").toPath,
+      Array[Byte](0x50, 0x41, 0x52))
+    CorpusStore.tablePath(spark, dir, "prepared") shouldBe s"$dir/prepared"
+    CorpusStore.read(spark, dir).prepared.count() shouldBe preparedBefore
+
+    // a successful compact commits PAST the torn number, GCs it and the
+    // flat dirs, and the read-back state is unchanged
+    CorpusStore.compact(spark, dir, "doc_id", targetFiles = 1)
+    CorpusStore.tablePath(spark, dir, "prepared") should endWith("prepared-2")
+    new File(dir, "prepared-1").exists() shouldBe false
+    new File(dir, "prepared").exists() shouldBe false
+    val compacted = CorpusStore.read(spark, dir)
+    compacted.prepared.count() shouldBe preparedBefore
+    compacted.labels.as[(Long, Long)].collect().toMap shouldBe labelsBefore
+
+    // append-only writes continue INTO the committed generation
+    val r3 = CorpusPipeline.ingest(
+      CorpusStore.read(spark, dir),
+      Seq((7L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", bench, "text")
+    CorpusStore.appendBatch(r3, dir)
+    val after = CorpusStore.read(spark, dir)
+    after.prepared.count() shouldBe (preparedBefore + 1)
+    after.labels.as[(Long, Long)].collect().toMap.apply(7L) shouldBe 1L
+  }
+
   "a store mutation" should "clear the auto-cap memo so the next resolution sees the pile" in {
     val dir = tmpDir("graft-memo-")
     val r1 = CorpusPipeline.ingest(
