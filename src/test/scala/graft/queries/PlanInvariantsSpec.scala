@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, IsNotNull, ScalaUDF, Size}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import graft.SparkSpec
+
+/** Registry-wide physical/logical plan invariants — the properties every
+  * round's plan audit (PLANS.md) re-confirms by hand, locked here so a
+  * regression fails CI instead of waiting for the next manual audit:
+  *
+  *  1. **Zero SortMergeJoin.** Every join in the registry is a broadcast
+  *     or shuffled-hash join by design (stats-less checkpointed frames are
+  *     broadcast explicitly); an SMJ appearing means a hint was lost or a
+  *     frame lost its stats.
+  *  2. **Zero Scala UDFs.** The engine's extension points are native
+  *     Catalyst expressions (codegen-friendly, null-safety visible to the
+  *     optimizer); a ScalaUDF in any optimized plan means someone took the
+  *     shortcut the builder brief forbids.
+  *  3. **No heavy recompute guards in Filter conditions** (the
+  *     `tools/Explain genfilters` audit): a `size(...)`/`isnotnull(...)`
+  *     over a non-attribute subtree re-evaluates that subtree per row —
+  *     the InferFilters trap that cost 2.5x on the IVF path in round 6.
+  *  4. **Predicate pushdown reaches the scan** for the two registry
+  *     queries whose filters are pushable by construction (IN-list,
+  *     closed date range): their scans must carry non-empty PushedFilters.
+  *
+  * Plans are built (not executed) against sf0.01 — the same SF as the
+  * correctness gate; building runs only the bounded preflight jobs the
+  * operators resolve eagerly (auto-cap, collapse decision, IVF training),
+  * which is exactly what a production planner would pay.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  // one shared build: constructing a query resolves its preflights, so
+  // build each DataFrame once and reuse across the invariant checks
+  private lazy val built: Seq[(String, DataFrame)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      n -> fn(spark, sfDir)
+    }
+
+  "every registered query plan" should "contain no SortMergeJoin" in {
+    built.foreach { case (n, df) =>
+      withClue(s"$n: ") {
+        df.queryExecution.executedPlan.toString should not include "SortMergeJoin"
+      }
+    }
+  }
+
+  it should "contain no Scala UDFs" in {
+    built.foreach { case (n, df) =>
+      val udfs = df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+      }.flatten
+      withClue(s"$n: ") { udfs shouldBe empty }
+    }
+  }
+
+  it should "carry no heavy recompute guards in Filter conditions" in {
+    def weight(e: Expression): Int = e.collect { case x => x }.size
+    built.foreach { case (n, df) =>
+      val hits = df.queryExecution.optimizedPlan.collect { case Filter(cond, _) =>
+        cond.collect {
+          case s @ Size(c, _) if !c.isInstanceOf[Attribute] && weight(c) > 4 =>
+            s"size over ${c.simpleString(60)} (weight ${weight(c)})"
+          case i @ IsNotNull(c) if !c.isInstanceOf[Attribute] && weight(c) > 8 =>
+            s"isnotnull over ${c.simpleString(60)} (weight ${weight(c)})"
+        }
+      }.flatten
+      withClue(s"$n: ") { hits shouldBe empty }
+    }
+  }
+
+  "pushable registry filters" should "reach the parquet scan" in {
+    val pushable = Map(
+      "q_filter_isin" -> "In(l_returnflag",
+      "q_filter_range_date" -> "GreaterThanOrEqual(o_orderdate")
+    val byName = built.toMap
+    pushable.foreach { case (n, marker) =>
+      val s = byName(n).queryExecution.executedPlan.toString
+      withClue(s"$n expected pushed marker '$marker' in:\n$s\n") {
+        s should include(marker)
+      }
+    }
+  }
+}
