@@ -81,4 +81,55 @@ object ShingleExpressions {
 
   def shingle_windows(tokens: Column, n: Int): Column =
     bridge.column(ShingleWindows(bridge.expression(tokens), n))
+
+  /** Stride-`n` variant of [[compute]]: NON-overlapping windows (the tail
+    * window may be shorter than `n`), i.e. `ceil(len / n)` chunks, chunk
+    * `i` = tokens `[i*n, min((i+1)*n, len))` joined by one space. Empty
+    * input → empty output (no whole-text fallback: chunking partitions the
+    * token sequence, it does not need every doc to emit a window).
+    */
+  def computeChunks(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    val out = new Array[Any]((len + n - 1) / n)
+    var i = 0
+    while (i * n < len) {
+      out(i) = joinRange(arr, i * n, math.min(i * n + n, len))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Non-overlapping n-token chunks of a token array — the line-builder for
+    * segment-level (C4-style line) dedup over corpora whose documents carry
+    * no natural line structure. Same motivation as [[ShingleWindows]]: a
+    * `transform(sequence(...), i => array_join(slice(toks, ...)))` HOF form
+    * re-evaluates the token-array expression once per CHUNK (the
+    * lambda-invariant recompute trap), runs interpreted, and O(len²/n)
+    * char-work per document would bite on long documents at scale.
+    */
+  case class ChunkWindows(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"chunk width must be >= 1, got $n")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"chunk_windows requires array<string> input, got $other")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      computeChunks(v.asInstanceOf[ArrayData], n)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ShingleExpressions.computeChunks($c, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "chunk_windows"
+  }
+
+  def chunk_windows(tokens: Column, n: Int): Column =
+    bridge.column(ChunkWindows(bridge.expression(tokens), n))
 }

@@ -156,6 +156,25 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** C4-style line-level dedup ([[LineDedup.dedupLines]]): drop lines shared
+    * by >= 2 documents, rebuild the text, report per-doc line counts. The
+    * synthetic corpus carries no newlines, so the query first builds
+    * line-structured text deterministically — 4-token non-overlapping chunks
+    * ([[graft.functions.ShingleExpressions.chunk_windows]], native: the HOF
+    * form re-tokenizes per chunk) joined by '\n' — which the oracle mirrors
+    * with list slicing. ~11% of chunk-lines repeat across documents at
+    * sf0.01, so the drop path is exercised for real.
+    */
+  def qExtLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      array_join(
+        graft.functions.ShingleExpressions.chunk_windows(
+          TextDedup.tokens(col("text")), 4),
+        "\n").as("text_lines"))
+    LineDedup.dedupLines(docs, "doc_id", "text_lines", minDocs = 2)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- similarity
 
   /** Brute-force cosine top-5 for the first 8 vectors as queries. */
@@ -601,6 +620,7 @@ object Qext {
     "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
     "q_ext_dedup_groups" -> (qExtDedupGroups _),
     "q_ext_decontaminate" -> (qExtDecontaminate _),
+    "q_ext_line_dedup" -> (qExtLineDedup _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
     "q_ext_sim_topk_int8" -> (qExtSimTopkInt8 _),
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
@@ -953,6 +973,35 @@ object Qext {
       "o_orderdate", "o_orderpriority")),
     "q_ext_dedup_groups" -> dedupGroupsOracleSql,
     "q_ext_decontaminate" -> decontaminateOracleSql,
+
+    // Mirrors qExtLineDedup: 4-token chunk "lines" (list slicing = the
+    // native chunk_windows), boilerplate = non-blank lines in >= 2 distinct
+    // docs, rebuild in position order. string_agg skips the dropped-line
+    // NULLs; coalesce covers an all-lines-dropped doc (Spark emits '').
+    "q_ext_line_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
+         |), chunked AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, CAST(ceil(len(t) / 4.0) AS BIGINT)),
+         |           i -> {'pos': i, 'line': array_to_string(t[i*4+1 : i*4+4], ' ')}) AS c
+         |  FROM toks
+         |), lines AS (
+         |  SELECT doc_id, u.pos AS pos, u.line AS line
+         |  FROM (SELECT doc_id, unnest(c) AS u FROM chunked)
+         |), boiler AS (
+         |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines WHERE line <> '')
+         |  GROUP BY line HAVING count(*) >= 2
+         |), flagged AS (
+         |  SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS dropped
+         |  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+         |)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+         |                      chr(10) ORDER BY pos), '') AS text_clean,
+         |  count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ext_dedup_exact" ->
       s"""WITH hashed AS (
          |  SELECT doc_id, md5($normSql) AS content_hash FROM documents
