@@ -175,6 +175,14 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-span (exact-substring) removal: cut every repeated 8-token
+    * window except its corpus-wide first occurrence ([[SpanDedup]] — the
+    * distributed re-expression of Lee et al.'s suffix-array dedup).
+    */
+  def qExtDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.dedupSpans(t(spark, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------- similarity
 
   /** Brute-force cosine top-5 for the first 8 vectors as queries. */
@@ -621,6 +629,7 @@ object Qext {
     "q_ext_dedup_groups" -> (qExtDedupGroups _),
     "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_line_dedup" -> (qExtLineDedup _),
+    "q_ext_dedup_spans" -> (qExtDedupSpans _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
     "q_ext_sim_topk_int8" -> (qExtSimTopkInt8 _),
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
@@ -1002,6 +1011,39 @@ object Qext {
          |  count(*) AS n_lines,
          |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
          |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors qExtDedupSpans: strict 8-token windows, a window repeated
+    // >= 2 times corpus-wide is a duplicate span, every occurrence except
+    // the (doc_id, gpos)-minimum is cut (position-union over overlaps).
+    // The oracle matches on the raw gram STRING where the engine matches
+    // on its md5 — identical output short of an md5 collision. Parallel
+    // select-list unnests zip in DuckDB (tok with its position).
+    "q_ext_dedup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
+         |), pos AS (
+         |  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM toks
+         |), occ AS (
+         |  SELECT doc_id, i AS gpos, array_to_string(t[i+1 : i+8], ' ') AS g FROM pos
+         |), st AS (
+         |  SELECT doc_id, gpos,
+         |         count(*) OVER (PARTITION BY g) AS n,
+         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, gpos) AS rn
+         |  FROM occ
+         |), covered AS (
+         |  SELECT DISTINCT doc_id, gpos + d AS tp
+         |  FROM st, range(8) o(d) WHERE n >= 2 AND rn > 1
+         |), tokrows AS (
+         |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS tp FROM toks
+         |), flagged AS (
+         |  SELECT r.doc_id, r.tp, r.tok, (c.tp IS NOT NULL) AS cut
+         |  FROM tokrows r LEFT JOIN covered c ON r.doc_id = c.doc_id AND r.tp = c.tp
+         |)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY tp), '') AS text_spandedup,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_ext_dedup_exact" ->
       s"""WITH hashed AS (
          |  SELECT doc_id, md5($normSql) AS content_hash FROM documents
