@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,11 +20,22 @@ object Bench {
     // this process's own executor threads, so only this number cleanly
     // separates external host steal from self-load.
     val loadIdle = loadAvg()
+    // A query that throws must surface in the artifact, not vanish into a
+    // fast "timing": BENCH_r09 recorded 5 analysis-broken queries as
+    // 0.0-0.1s results and the round closed believing the registry green.
+    // Every failure (warmup or timed) lands in `errors`, which is emitted in
+    // the JSON line; a nonzero errors map means the bench FAILED regardless
+    // of the total.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def recordError(name: String, e: Throwable): Unit =
+      if (!errors.contains(name))
+        errors(name) =
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160)}"
     // Warmup pass: pay JVM/codegen/broadcast-build startup once, outside the
     // timed run (the first executed query otherwise absorbs ~4s of session
     // warmup regardless of its own cost).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case e: Throwable => recordError(name, e) }
     }
     // N timed passes (default 3, clamped to >=1; a malformed env value falls
     // back to the default instead of throwing), MIN per query: a single pass
@@ -42,7 +54,8 @@ object Bench {
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => recordError(name, e) }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -70,6 +83,14 @@ object Bench {
     val fullRaw = allPasses.map(p =>
       p.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val fullErrs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
         s""""single_pass_total":$singlePassTotal,""" +
@@ -77,6 +98,7 @@ object Bench {
         s""""p50_total":$p50Total,""" +
         s""""load_idle":$loadIdle,""" +
         s""""load_avg":${loads.mkString("[", ",", "]")},""" +
+        s""""n_errors":${errors.size},"errors":$fullErrs,""" +
         s""""queries":$fullQs,"queries_p50":$fullP50,""" +
         s""""raw_passes":$fullRaw,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
@@ -97,14 +119,23 @@ object Bench {
         .mkString("{", ",", "}")
       val pts = passTotals.map(fmt(dec, _)).mkString("[", ",", "]")
       val lds = loads.map(fmt(2, _)).mkString("[", ",", "]")
+      // Names only in the size-budgeted stdout line (messages live in
+      // BENCH_LOCAL.json); n_errors>0 = the bench FAILED, whatever the total.
+      val errNames = errors.keys.map(jq).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","passes":$passes,""" +
         s""""single_pass_total":${fmt(dec, singlePassTotal)},""" +
         s""""pass_totals":$pts,"p50_total":${fmt(dec, p50Total)},""" +
         s""""load_idle":${fmt(2, loadIdle)},""" +
+        s""""n_errors":${errors.size},"errors":$errNames,""" +
         s""""load_avg":$lds,"queries":$qs,"sf":"$sfDir"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))
     println(out)
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -12,17 +12,25 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-      // rejects; read it as epoch-nanos BIGINT (graft.io.Sources.eventTs
-      // converts back to a timestamp deterministically).
+      // Generator drift guard: events.ts has been INT64 epoch-nanos (rounds
+      // 1-8; Spark rejects TIMESTAMP(NANOS) without nanosAsLong) and
+      // TIMESTAMP_MICROS (round 9+; nanosAsLong is then inert). Keep the
+      // config AND read adaptively (graft.io.Sources.eventTs inspects the
+      // arrived type) so either generator output analyzes.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be LOUD: round 9 lost 5 queries silently because a
+    // stderr line was the only signal and the driver's correctness JSON just
+    // omitted the missing outputs. Collect failures, emit a machine-readable
+    // line, and exit nonzero so no harness can mistake partial for green.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -41,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val line = failed.map { case (n, m) => s"${q(n)}: ${q(m)}" }
+        .mkString("{\"verify_failed\": {", ",", "}}")
+      println(line)
+      Files.writeString(Paths.get(s"$outDir/verify_failed.json"), line)
+      spark.stop()
+      sys.exit(1)
+    }
+    println(s"""{"verify_ok": ${SparkEntry.queries.size}}""")
     spark.stop()
   }
 }

@@ -17,13 +17,50 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Timestamp view of an epoch-nanos BIGINT column (events.ts is
-    * TIMESTAMP(NANOS) parquet, readable only via
-    * `spark.sql.legacy.parquet.nanosAsLong`): integer-divide to micros.
-    * DuckDB equivalent: `make_timestamp(epoch_ns(ts) // 1000)`.
+  /** Epoch-micros BIGINT view of an event-time column, adaptive to the
+    * physical type the testdata generator has used across rounds:
+    *
+    *  - INT64 epoch-nanos, surfaced as BIGINT via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (rounds 1-8): `ts div 1000`;
+    *  - parquet TIMESTAMP_MICROS with isAdjustedToUTC=false, surfaced as
+    *    TIMESTAMP_NTZ (round 9+): wall-clock interpreted as UTC;
+    *  - plain TIMESTAMP (isAdjustedToUTC=true), for completeness.
+    *
+    * Both directions are handled so a generator change can never again break
+    * analysis silently. The NTZ→timestamp cast interprets the wall clock in
+    * the session time zone — every engine session pins
+    * `spark.sql.session.timeZone=UTC` (Verify/Bench/LocalSession/SparkSpec),
+    * which matches the DuckDB oracle's `epoch_ns(ts)` view of the same file.
     */
-  def eventTs(colName: String): org.apache.spark.sql.Column =
-    timestamp_micros(expr(s"`$colName` div 1000"))
+  def eventTsMicros(df: DataFrame, colName: String = "ts"): org.apache.spark.sql.Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"`$colName` div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(colName).cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(colName))
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time physical type for `$colName`: $other " +
+          "(expected BIGINT epoch-nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+
+  /** Timestamp view of the same column — see [[eventTsMicros]] for the
+    * type-adaptivity contract. DuckDB equivalent on every physical variant:
+    * `make_timestamp(epoch_ns(ts) // 1000)`.
+    */
+  def eventTs(df: DataFrame, colName: String = "ts"): org.apache.spark.sql.Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"`$colName` div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(colName).cast(org.apache.spark.sql.types.TimestampType)
+      case org.apache.spark.sql.types.TimestampType =>
+        col(colName)
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time physical type for `$colName`: $other " +
+          "(expected BIGINT epoch-nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
 
   /** Recursive file catalog (S2): one row per file with name, path, extension,
     * size, modification time — the engine-side equivalent of

@@ -537,8 +537,10 @@ object Qext {
   def qExtRunningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    t(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+    val events = t(spark, dir, "events")
+    events
+      .select(col("event_id"), col("user_id"),
+        Sources.eventTsMicros(events).as("ts_us"),
         col("event_type"), col("value"))
       .withColumn("event_idx", row_number().over(w))
       .withColumn("cum_errors",
@@ -558,9 +560,10 @@ object Qext {
     * undefined in both engines.
     */
   def qExtAsofLastError(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val events = t(spark, dir, "events")
+    val ev = events
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+        Sources.eventTsMicros(events).as("ts_us"), col("event_type"))
     val err = ev.filter(col("event_type") === "error")
       .groupBy("user_id", "ts_us").agg(max("event_id").as("last_error_id"))
       .withColumn("last_error_us", col("ts_us"))
@@ -577,15 +580,17 @@ object Qext {
       .orderBy("event_id")
 
   /** Event-time daily aggregation per user (the batch shape of the streaming
-    * windowed count; ts read as epoch-nanos, converted via Sources.eventTs).
+    * windowed count; ts converted via the type-adaptive Sources.eventTs).
     */
-  def qExtEventsDaily(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("day", Sources.eventTs("ts").cast("date").cast("string"))
+  def qExtEventsDaily(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    events
+      .withColumn("day", Sources.eventTs(events).cast("date").cast("string"))
       .groupBy("user_id", "day")
       .agg(count(lit(1)).as("n_events"),
         count(when(col("event_type") === "error", lit(1))).as("n_errors"))
       .orderBy("user_id", "day")
+  }
 
   /** Range join showcase ([[RangeJoin.rangeJoin]]): every event assigned to
     * its 30-minute-gap session by joining against the sessionize output's
@@ -594,13 +599,15 @@ object Qext {
     * the oracle (sessionize CTE + BETWEEN join) checks value-by-value.
     */
   def qExtRangeJoinSessions(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
     val sessions = graft.streaming.EventStream.batchSessionize(
-      t(spark, dir, "events"),
-      tsMicros = expr("ts div 1000"),
+      events,
+      tsMicros = Sources.eventTsMicros(events),
       tieBreak = col("event_id"),
       gapMicros = 30L * 60 * 1000000)
-    val ev = t(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val ev = events
+      .select(col("event_id"), col("user_id"),
+        Sources.eventTsMicros(events).as("ts_us"))
     RangeJoin.rangeJoin(ev, sessions, keys = Seq("user_id"),
         timeCol = "ts_us", startCol = "start_us", endCol = "end_us")
       .select("event_id", "user_id", "ts_us", "session_idx")
@@ -610,13 +617,15 @@ object Qext {
   /** Batch gap sessionization (30-minute gap) over event time — the window
     * form of the streaming sessionizer; exact SQL oracle.
     */
-  def qExtSessionize(spark: SparkSession, dir: String): DataFrame =
+  def qExtSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
     graft.streaming.EventStream.batchSessionize(
-        t(spark, dir, "events"),
-        tsMicros = expr("ts div 1000"),
+        events,
+        tsMicros = Sources.eventTsMicros(events),
         tieBreak = col("event_id"),
         gapMicros = 30L * 60 * 1000000)
       .orderBy("user_id", "session_idx")
+  }
 
   // ============================================================ registry
 

@@ -22,8 +22,8 @@ object StreamDemo {
       srcDir.resolve("events.parquet"))
 
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", graft.io.Sources.eventTs("ts"))
+    val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val stream = raw.withColumn("ts", graft.io.Sources.eventTs(raw))
     val deduped = EventStream.dedupWithinWatermark(stream, Seq("event_id"), "1 hour")
 
     val query = EventStream.windowedCounts(deduped, window_ = "1 day", watermark = None)
