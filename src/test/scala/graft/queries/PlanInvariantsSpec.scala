@@ -73,6 +73,39 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  /** Round-10 lock: the event-time family's audited shapes (PLANS.md
+    * round-10 notes). These five queries were silently lost in round 9 when
+    * the testdata generator changed events.ts INT64-nanos → TIMESTAMP_MICROS;
+    * beyond merely planning again, their shuffle structure must not regress:
+    * the adaptive ts conversion is scan-side Project work, so the exchange
+    * counts are exactly the pre-drift audit's.
+    */
+  "the event-time query family" should "keep its audited exchange budget" in {
+    // max Exchange nodes (shuffle + broadcast) in the pre-execution plan
+    val budget = Map(
+      "q_ext_asof_last_error" -> 3, // error-agg, union window, output sort
+      "q_ext_sessionize" -> 2, // ONE user_id exchange shared by both windows
+      "q_ext_running_total" -> 2, // same single-exchange window stack
+      "q_ext_events_daily" -> 2, // partial->final agg + output sort
+      "q_ext_range_join_sessions" -> 4) // sessions stack + broadcast + sort
+    val byName = built.toMap
+    budget.foreach { case (n, cap) =>
+      val plan = byName(n).queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      withClue(s"$n expected <= $cap exchanges, got $exchanges in:\n$plan\n") {
+        exchanges should be <= cap
+      }
+    }
+  }
+
+  it should "keep the range join broadcast" in {
+    val plan = built.toMap.apply("q_ext_range_join_sessions")
+      .queryExecution.executedPlan.toString
+    withClue(s"plan:\n$plan\n") {
+      plan should include("BroadcastHashJoin")
+    }
+  }
+
   "pushable registry filters" should "reach the parquet scan" in {
     val pushable = Map(
       "q_filter_isin" -> "In(l_returnflag",
