@@ -52,4 +52,47 @@ object Decontaminate {
     tag(docs, idCol, textCol, benchmark, benchTextCol, n)
       .filter(!col("contaminated"))
       .drop("n_contaminated", "contaminated")
+
+  /** [[tag]] for benchmark sets TOO BIG to broadcast — the contract [[tag]]
+    * refuses. Same result, different shuffle story ([[Bloom]]): a Bloom
+    * sketch of the benchmark shingles (bytes bounded by construction, ~10
+    * bits per shingle at 1% fpp) prefilters the exploded train shingles
+    * scan-side — no shuffle of the corpus — and only the surviving sliver
+    * (true matches + ~fpp of the corpus shingles) pays the exact confirm
+    * join, hinted shuffle-hash because the benchmark side is by assumption
+    * beyond broadcast. False positives die in the confirm join, so the
+    * output is row-identical to [[tag]]'s.
+    *
+    * Cost anatomy at 100 TB: one aggregation over the benchmark (bounded —
+    * the benchmark is the small side even when unbroadcastable), one full
+    * scan of the corpus with a codegen'd predicate, one sliver-sized
+    * shuffle. [[tag]]'s broadcast is still preferable when the benchmark
+    * fits; this lifts the ceiling without changing semantics.
+    */
+  def tagBloom(docs: DataFrame, idCol: String, textCol: String,
+               benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+               fpp: Double = 0.01): DataFrame = {
+    // No distinct, no persist: a Bloom build is idempotent per key
+    // (duplicates re-set the same bits), the sizing pass is a shuffle-free
+    // sum of shingle counts (an overestimate of the distinct count only
+    // LOWERS the realized fpp), and the confirm join is left_semi — exists
+    // semantics, immune to right-side duplicates. Each of the three passes
+    // is one scan of the benchmark, the small side by contract.
+    val benchShingles = benchmark
+      .select(explode(TextDedup.shingles(col(benchTextCol), n)).as("__s"))
+    val nShingles = benchmark
+      .select(size(TextDedup.shingles(col(benchTextCol), n)).as("__n"))
+      .agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
+    val trainShingles = docs
+      .select(col(idCol),
+        explode(array_distinct(TextDedup.shingles(col(textCol), n))).as("__s"))
+    val matches =
+      Bloom.semiJoin(trainShingles, "__s", benchShingles, "__s",
+          expectedItems = nShingles, fpp = fpp)
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_contaminated"))
+    docs.join(matches, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
 }

@@ -156,6 +156,25 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** [[qExtDecontaminate]] through the Bloom semi-join reducer
+    * ([[Decontaminate.tagBloom]] / [[graft.ops.Bloom]]) — the scale path
+    * for benchmark sets beyond broadcast: sketch prefilter scan-side, exact
+    * shuffle-hash confirm of the sliver. Same split, same output columns,
+    * same oracle as the broadcast form — the result is EXACT by
+    * construction (false positives die in the confirm join), which is
+    * precisely what the shared oracle checks.
+    */
+  def qExtBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.trainValTestSplit(
+      t(spark, dir, "documents"), "doc_id",
+      testPct = 10, valPct = 10, salt = "corpus_v1")
+    val bench = split.filter(col("split") === "test")
+    val train = split.filter(col("split") === "train")
+    Decontaminate.tagBloom(train, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id", "n_contaminated", "contaminated")
+      .orderBy("doc_id")
+  }
+
   /** C4-style line-level dedup ([[LineDedup.dedupLines]]): drop lines shared
     * by >= 2 documents, rebuild the text, report per-doc line counts. The
     * synthetic corpus carries no newlines, so the query first builds
@@ -637,6 +656,7 @@ object Qext {
     "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
     "q_ext_dedup_groups" -> (qExtDedupGroups _),
     "q_ext_decontaminate" -> (qExtDecontaminate _),
+    "q_ext_bloom_decontaminate" -> (qExtBloomDecontaminate _),
     "q_ext_line_dedup" -> (qExtLineDedup _),
     "q_ext_dedup_spans" -> (qExtDedupSpans _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
@@ -991,6 +1011,9 @@ object Qext {
       "o_orderdate", "o_orderpriority")),
     "q_ext_dedup_groups" -> dedupGroupsOracleSql,
     "q_ext_decontaminate" -> decontaminateOracleSql,
+
+    // Bloom path is exact by construction — identical contract, same oracle
+    "q_ext_bloom_decontaminate" -> decontaminateOracleSql,
 
     // Mirrors qExtLineDedup: 4-token chunk "lines" (list slicing = the
     // native chunk_windows), boilerplate = non-blank lines in >= 2 distinct
