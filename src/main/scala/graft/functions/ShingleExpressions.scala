@@ -132,4 +132,56 @@ object ShingleExpressions {
 
   def chunk_windows(tokens: Column, n: Int): Column =
     bridge.column(ChunkWindows(bridge.expression(tokens), n))
+
+  /** Strided (overlapping) windows — the RAG/training chunk shape
+    * generalizing [[computeChunks]] (stride == width) and
+    * [[compute]] (stride == 1, minus its short-input fallback):
+    * window `i` = tokens `[i*stride, min(i*stride + width, len))`, emitted
+    * while the previous window has not already covered the end — i.e.
+    * `len <= width` → 1 window, else `1 + ceil((len-width)/stride)` —
+    * so the final window always ends at `len` and no trailing window is
+    * fully contained in its predecessor. Empty input → empty output.
+    */
+  def computeStrided(arr: ArrayData, width: Int, stride: Int): GenericArrayData = {
+    val len = arr.numElements()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val nw = if (len <= width) 1 else 1 + (len - width + stride - 1) / stride
+    val out = new Array[Any](nw)
+    var i = 0
+    while (i < nw) {
+      val from = i * stride
+      out(i) = joinRange(arr, from, math.min(from + width, len))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class StridedWindows(child: Expression, width: Int, stride: Int)
+      extends UnaryExpression {
+    require(width >= 1, s"window width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width=$width], got $stride")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"strided_windows requires array<string> input, got $other")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      computeStrided(v.asInstanceOf[ArrayData], width, stride)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ShingleExpressions.computeStrided($c, $width, $stride);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "strided_windows"
+  }
+
+  def strided_windows(tokens: Column, width: Int, stride: Int): Column =
+    bridge.column(StridedWindows(bridge.expression(tokens), width, stride))
 }

@@ -175,6 +175,16 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking ([[Chunker.chunk]]): 32-token
+    * windows every 24 tokens (8-token overlap) over the documents table —
+    * the RAG/training context-window preparation step. (doc_id, chunk_idx)
+    * is unique, so the full output order is deterministic.
+    */
+  def qExtChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Chunker.chunk(t(spark, dir, "documents"), "doc_id", "text",
+        width = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
   /** C4-style line-level dedup ([[LineDedup.dedupLines]]): drop lines shared
     * by >= 2 documents, rebuild the text, report per-doc line counts. The
     * synthetic corpus carries no newlines, so the query first builds
@@ -657,6 +667,7 @@ object Qext {
     "q_ext_dedup_groups" -> (qExtDedupGroups _),
     "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_bloom_decontaminate" -> (qExtBloomDecontaminate _),
+    "q_ext_chunk_overlap" -> (qExtChunkOverlap _),
     "q_ext_line_dedup" -> (qExtLineDedup _),
     "q_ext_dedup_spans" -> (qExtDedupSpans _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
@@ -1014,6 +1025,30 @@ object Qext {
 
     // Bloom path is exact by construction — identical contract, same oracle
     "q_ext_bloom_decontaminate" -> decontaminateOracleSql,
+
+    // Mirrors qExtChunkOverlap (W=32, S=24): window count 1 when n <= W,
+    // else 1 + ceil((n-W)/S) in integer arithmetic; DuckDB list slicing is
+    // 1-based inclusive and clamps, exactly like the native kernel's
+    // [i*S, min(i*S+W, n)) ranges. start_tok = i*S; n_tokens re-derived
+    // from the emitted window (len of the slice).
+    "q_ext_chunk_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
+         |), sized AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE 1 + ((len(t) - 32 + 23) // 24) END AS nw
+         |  FROM toks
+         |), c AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, nw), i -> {'i': i,
+         |      'txt': array_to_string(t[i*24 + 1 : i*24 + 32], ' ')})) AS u
+         |  FROM sized
+         |)
+         |SELECT doc_id, u.i AS chunk_idx, u.i * 24 AS start_tok,
+         |       len(string_split(u.txt, ' ')) AS n_tokens,
+         |       u.txt AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Mirrors qExtLineDedup: 4-token chunk "lines" (list slicing = the
     // native chunk_windows), boilerplate = non-blank lines in >= 2 distinct
