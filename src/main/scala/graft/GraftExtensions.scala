@@ -64,5 +64,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.ShingleExpressions.ShingleWindows(children(0), n)
       }))
+    // strided_windows(tokens, width, stride): both foldable integer literals
+    ext.injectFunction((FunctionIdentifier("strided_windows"),
+      new ExpressionInfo(
+        classOf[graft.functions.ShingleExpressions.StridedWindows].getName,
+        "strided_windows"),
+      { children: Seq[Expression] =>
+        require(children.size == 3,
+          s"strided_windows requires exactly 3 arguments, got ${children.size}")
+        def intLit(e: Expression, what: String): Int = e match {
+          case x if x.foldable => x.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"strided_windows $what must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"strided_windows $what must be a literal")
+        }
+        graft.functions.ShingleExpressions.StridedWindows(
+          children(0), intLit(children(1), "width"), intLit(children(2), "stride"))
+      }))
   }
 }

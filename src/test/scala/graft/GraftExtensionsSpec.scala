@@ -41,6 +41,12 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       sh.getSeq[String](0) shouldBe Seq("a b c", "b c d")
       an[Exception] should be thrownBy
         spark.sql("SELECT shingle_windows(array('x'))").collect()
+      val sw = spark.sql(
+        "SELECT strided_windows(array('a','b','c','d','e'), 3, 2) AS s")
+        .collect().head
+      sw.getSeq[String](0) shouldBe Seq("a b c", "c d e")
+      an[Exception] should be thrownBy
+        spark.sql("SELECT strided_windows(array('x'), 3)").collect()
     } finally {
       // don't stop() (shared SparkContext); restore the prior session for
       // the other suites
