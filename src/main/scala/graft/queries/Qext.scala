@@ -185,6 +185,39 @@ object Qext {
         width = 32, stride = 24)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Per-source document cap ([[Curation.capPerGroup]]): keep the 10
+    * longest documents per source (ties broken by doc_id — the explicit
+    * deterministic order the op requires). Plans as WindowGroupLimit:
+    * partitions pre-prune to their local top-10 per source before the
+    * shuffle.
+    */
+  def qExtCapPerSource(spark: SparkSession, dir: String): DataFrame =
+    Curation.capPerGroup(
+        t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
+      .orderBy("source", "rk")
+
+  /** Lang × source pivot counts ([[Curation.pivotCounts]]): the corpus
+    * composition matrix, fixed schema (the five generator langs), absent
+    * cells 0.
+    */
+  def qExtPivotLangCounts(spark: SparkSession, dir: String): DataFrame =
+    Curation.pivotCounts(t(spark, dir, "documents"),
+        rowCol = "source", pivotCol = "lang",
+        values = Seq("en", "zh", "es", "de", "fr"))
+      .orderBy("source")
+
+  /** Per-language length quartiles ([[Curation.ntileTiers]]): tier 1 = the
+    * longest quarter of each language's documents — the curriculum-
+    * selection bucketing shape, partitioned so no global single-task
+    * window exists.
+    */
+  def qExtNtileTiers(spark: SparkSession, dir: String): DataFrame =
+    Curation.ntileTiers(
+        t(spark, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", Seq(col("n_chars").desc, col("doc_id").asc), tiles = 4)
+      .orderBy("doc_id")
+
   /** C4-style line-level dedup ([[LineDedup.dedupLines]]): drop lines shared
     * by >= 2 documents, rebuild the text, report per-doc line counts. The
     * synthetic corpus carries no newlines, so the query first builds
@@ -668,6 +701,9 @@ object Qext {
     "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_bloom_decontaminate" -> (qExtBloomDecontaminate _),
     "q_ext_chunk_overlap" -> (qExtChunkOverlap _),
+    "q_ext_cap_per_source" -> (qExtCapPerSource _),
+    "q_ext_pivot_lang_counts" -> (qExtPivotLangCounts _),
+    "q_ext_ntile_tiers" -> (qExtNtileTiers _),
     "q_ext_line_dedup" -> (qExtLineDedup _),
     "q_ext_dedup_spans" -> (qExtDedupSpans _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
@@ -1025,6 +1061,35 @@ object Qext {
 
     // Bloom path is exact by construction — identical contract, same oracle
     "q_ext_bloom_decontaminate" -> decontaminateOracleSql,
+
+    // (source, rk) is unique and rk orders within source, so the full
+    // output order is pinned
+    "q_ext_cap_per_source" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, rk FROM ranked
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    "q_ext_pivot_lang_counts" ->
+      """SELECT source,
+        |  count(*) FILTER (lang = 'en') AS en,
+        |  count(*) FILTER (lang = 'zh') AS zh,
+        |  count(*) FILTER (lang = 'es') AS es,
+        |  count(*) FILTER (lang = 'de') AS de,
+        |  count(*) FILTER (lang = 'fr') AS fr
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // ntile is SQL-standard in both engines (larger buckets first); the
+    // window order is total (n_chars DESC, doc_id), so tiers are exact
+    "q_ext_ntile_tiers" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ntile(4) OVER (PARTITION BY lang
+        |                 ORDER BY n_chars DESC, doc_id ASC) AS tier
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Mirrors qExtChunkOverlap (W=32, S=24): window count 1 when n <= W,
     // else 1 + ceil((n-W)/S) in integer arithmetic; DuckDB list slicing is

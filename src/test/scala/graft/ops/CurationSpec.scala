@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[Curation]] — per-group caps (value + the WindowGroupLimit plan shape
+  * that makes them scale), fixed-schema pivot counts, per-group ntile
+  * tiers.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a", 100L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 80L),
+    (5L, "b", 50L), (6L, "b", 60L),
+    (7L, "c", 10L))
+    .toDF("doc_id", "source", "n_chars")
+
+  "capPerGroup" should "keep the top n per group under the explicit order" in {
+    val out = Curation.capPerGroup(docs, "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), n = 2)
+      .orderBy("source", "rk")
+      .as[(Long, String, Long, Int)].collect()
+    out shouldBe Array(
+      (1L, "a", 100L, 1), (2L, "a", 90L, 2), // doc 3 ties on 90, loses on id
+      (6L, "b", 60L, 1), (5L, "b", 50L, 2),
+      (7L, "c", 10L, 1))
+  }
+
+  it should "plan as WindowGroupLimit (pre-shuffle group pruning)" in {
+    val plan = Curation.capPerGroup(docs, "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), n = 2)
+      .queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("WindowGroupLimit") }
+  }
+
+  "pivotCounts" should "emit the fixed schema with zero-filled absences" in {
+    val out = Curation.pivotCounts(docs, "source", "n_chars",
+        values = Seq("90", "50", "999"))
+      .orderBy("source")
+    out.columns.toSeq shouldBe Seq("source", "90", "50", "999")
+    out.as[(String, Long, Long, Long)].collect() shouldBe Array(
+      ("a", 2L, 0L, 0L), ("b", 0L, 1L, 0L), ("c", 0L, 0L, 0L))
+  }
+
+  "ntileTiers" should "bucket per group with larger buckets first" in {
+    val out = Curation.ntileTiers(docs, "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), tiles = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Int)].collect()
+    // source a: 4 rows -> tiers (1,1,2,2) in order 100,90(id2),90(id3),80
+    out.filter(_._2 == "a").map(_._4).toSeq shouldBe Seq(1, 1, 2, 2)
+    // source b: 2 rows -> 60 tier 1, 50 tier 2
+    out.filter(_._2 == "b").sortBy(-_._3).map(_._4).toSeq shouldBe Seq(1, 2)
+    // source c: 1 row -> tier 1
+    out.filter(_._2 == "c").map(_._4).toSeq shouldBe Seq(1)
+  }
+
+  it should "reject invalid arguments" in {
+    an[IllegalArgumentException] should be thrownBy
+      Curation.capPerGroup(docs, "source", Seq(col("doc_id")), 0)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.pivotCounts(docs, "source", "n_chars", Nil)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.ntileTiers(docs, "source", Seq(col("doc_id")), 0)
+  }
+}
