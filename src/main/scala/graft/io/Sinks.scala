@@ -48,6 +48,14 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
   }
 
+  /** ORC sink, optionally partitioned — same columnar guarantees as the
+    * parquet sink for Hive-ecosystem consumers.
+    */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Date-stamped output name (S7, reference etl_payroll_pipeline_demo.py:432):
     * explicit runDate, never wall-clock (SURVEY §7.6 risk 4).
     */

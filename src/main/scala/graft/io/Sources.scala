@@ -92,4 +92,24 @@ object Sources {
     */
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** ORC source — columnar like parquet (predicate pushdown, column
+    * pruning, vectorized read all apply), the interchange format for
+    * Hive-ecosystem corpora. Schema is read from the ORC footer (columnar
+    * self-description, not data inference — the no-inference rule targets
+    * row formats).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Line-oriented text corpus: one row per line, `value` string column —
+    * the rawest ingest shape (one doc per line). `wholetext=true` flips to
+    * one row per FILE (doc-per-file corpora); whole files are
+    * unsplittable, so pair it with many small-to-medium files, never one
+    * giant file.
+    */
+  def text(spark: SparkSession, path: String,
+           wholetext: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholetext.toString)
+      .option("recursiveFileLookup", "true").text(path)
 }

@@ -108,6 +108,36 @@ object Profiler {
       df.sparkSession.sparkContext.parallelize(out, 1), schema)
   }
 
+  /** Exact interpolated quantiles of ONE value column WITHIN each group —
+    * per-stratum drift checks ("median doc length per language"). Uses the
+    * built-in `percentile` aggregate, which is the RIGHT tool in this
+    * regime and the wrong one in [[quantiles]]' whole-column regime: its
+    * per-group merge memory scales with the group's distinct-value count,
+    * intolerable when the "group" is the whole 100 TB column but bounded
+    * and embarrassingly parallel when the corpus shards into many strata
+    * (each group's map merges on its own reducer; a skewed stratum bounds
+    * memory — cap it upstream with [[Curation.capPerGroup]] or sampling if
+    * a stratum's distinct count is corpus-sized). Same two-sided linear
+    * interpolation as DuckDB `quantile_cont`, so oracle-exact.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1]: $probs")
+    val pct = percentile(col(valueCol).cast("double"),
+      array(probs.map(lit): _*)).as("__q")
+    val probNames = probs.map { p =>
+      val s = BigDecimal(p.toString) * 100
+      if (s.isWhole) s"p${s.toBigInt}"
+      else s"p${s.bigDecimal.stripTrailingZeros.toPlainString.replace('.', '_')}"
+    }
+    df.groupBy(groupCol).agg(pct)
+      .select(col(groupCol) +:
+        probNames.zipWithIndex.map { case (nm, i) =>
+          col("__q").getItem(i).as(nm)
+        }: _*)
+  }
+
   /** Exact interpolated quantiles of ALL requested columns in ONE
     * distributed rank-select pipeline (per-column pipelines would pay the
     * job-launch and shuffle overhead once per column — a wide-table exact

@@ -218,6 +218,18 @@ object Qext {
         "lang", Seq(col("n_chars").desc, col("doc_id").asc), tiles = 4)
       .orderBy("doc_id")
 
+  /** Per-language length quartile values ([[Profiler.groupedQuantiles]]):
+    * exact per-stratum quantiles via the built-in percentile aggregate —
+    * right here (per-group reducers, many groups) where the whole-column
+    * profile deliberately avoids it (see Profiler scaladoc). Interpolation
+    * at quarter probabilities over integer lengths is FP-exact in both
+    * engines, so the hash compare holds without rounding.
+    */
+  def qExtQuantilesByLang(spark: SparkSession, dir: String): DataFrame =
+    Profiler.groupedQuantiles(
+        t(spark, dir, "documents"), "lang", "n_chars")
+      .orderBy("lang")
+
   /** C4-style line-level dedup ([[LineDedup.dedupLines]]): drop lines shared
     * by >= 2 documents, rebuild the text, report per-doc line counts. The
     * synthetic corpus carries no newlines, so the query first builds
@@ -704,6 +716,7 @@ object Qext {
     "q_ext_cap_per_source" -> (qExtCapPerSource _),
     "q_ext_pivot_lang_counts" -> (qExtPivotLangCounts _),
     "q_ext_ntile_tiers" -> (qExtNtileTiers _),
+    "q_ext_quantiles_by_lang" -> (qExtQuantilesByLang _),
     "q_ext_line_dedup" -> (qExtLineDedup _),
     "q_ext_dedup_spans" -> (qExtDedupSpans _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
@@ -1061,6 +1074,15 @@ object Qext {
 
     // Bloom path is exact by construction — identical contract, same oracle
     "q_ext_bloom_decontaminate" -> decontaminateOracleSql,
+
+    // quantile_cont == Spark percentile: same rank p*(n-1) and two-sided
+    // linear interpolation; quarter-probs over ints are FP-exact
+    "q_ext_quantiles_by_lang" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.50) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // (source, rk) is unique and rk orders within source, so the full
     // output order is pinned

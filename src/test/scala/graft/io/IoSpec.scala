@@ -111,6 +111,34 @@ class IoSpec extends SparkSpec {
     rows.count(_.getAs[String]("_corrupt_record") != null) shouldBe 1
   }
 
+  "Sources.orc + Sinks.orc" should "round-trip, partitioned, with pushdown surviving" in {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L))
+      .toDF("id", "part_key", "v")
+    Sinks.orc(df, s"$dir/out", partitionBy = Seq("part_key"))
+    val back = Sources.orc(spark, s"$dir/out")
+    back.count() shouldBe 3
+    back.filter(org.apache.spark.sql.functions.col("part_key") === "A")
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    // partition pruning: the filtered scan should touch only the A partition
+    val plan = back
+      .filter(org.apache.spark.sql.functions.col("part_key") === "A")
+      .queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("PartitionFilters: [") }
+  }
+
+  "Sources.text" should "read line-per-row and wholetext-per-file" in {
+    val dir = Files.createTempDirectory("graft_txt")
+    Files.writeString(dir.resolve("a.txt"), "line one\nline two\n")
+    Files.writeString(dir.resolve("b.txt"), "solo doc\n")
+    val lines = Sources.text(spark, dir.toString)
+    lines.count() shouldBe 3
+    val docs = Sources.text(spark, dir.toString, wholetext = true)
+      .collect().map(_.getString(0)).sorted
+    docs.length shouldBe 2
+    docs.exists(_.contains("line one\nline two")) shouldBe true
+  }
+
   "Sinks.stampedName" should "format the reference's MMDDYYYY stamp" in {
     Sinks.stampedName("PreTAM_PUA", java.time.LocalDate.of(2026, 8, 12), "csv") shouldBe
       "PreTAM_PUA_08122026.csv"

@@ -74,6 +74,19 @@ class ProfilerSpec extends SparkSpec {
       .columns shouldBe Array("column", "p5", "p50", "p99_9")
   }
 
+  "groupedQuantiles" should "match the whole-column exact path within each group" in {
+    val g = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+        ("b", 10L), ("b", 20L))
+      .toDF("grp", "v")
+    val out = Profiler.groupedQuantiles(g, "grp", "v")
+      .orderBy("grp")
+      .as[(String, Double, Double, Double)].collect()
+    // a: sorted 1,2,3,4 -> p25 = 1.75, p50 = 2.5, p75 = 3.25
+    out(0) shouldBe (("a", 1.75, 2.5, 3.25))
+    // b: 10,20 -> 12.5, 15.0, 17.5
+    out(1) shouldBe (("b", 12.5, 15.0, 17.5))
+  }
+
   it should "stay one aggregation regardless of column count" in {
     // the profile of a 3-column frame runs 1 job over the data: assert by
     // checking the collect is a single-row aggregate (shape contract),
