@@ -46,6 +46,37 @@ object Curation {
       .na.fill(0L, values)
   }
 
+  /** Token-budget mixture selection: keep rows per group, in the EXPLICIT
+    * `orderBy` priority order, until the group's token budget is reached —
+    * the "mix N tokens of source X, M of source Y" recipe step of
+    * training-set assembly. A row is kept iff the cumulative token count
+    * UP TO AND INCLUDING it is within budget, so the selection
+    * deterministically overshoots by at most one document (taking the
+    * boundary doc beats silently under-filling; callers wanting
+    * strict-under semantics pass `inclusive = false`).
+    *
+    * Scale: one window aggregation partitioned by group — the same
+    * shuffle any per-group selection pays; no global order, no driver
+    * state. Budgets are a small map resolved to a CASE column.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, tokenCol: String,
+                          orderBy: Seq[Column], budgetByGroup: Map[String, Long],
+                          defaultBudget: Long,
+                          inclusive: Boolean = true): DataFrame = {
+    (budgetByGroup.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0, s"budgets must be >= 0, got $b"))
+    val budget = budgetByGroup.foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+    val keep =
+      if (inclusive) col("cum_tokens") - col(tokenCol) < budget
+      else col("cum_tokens") <= budget
+    withCum.filter(keep)
+  }
+
   /** `tiles`-quantile tier (1-based) of every row WITHIN its
     * `partitionCol` group, under an explicit deterministic order — the
     * curriculum-selection bucketing step ("top quartile per language").

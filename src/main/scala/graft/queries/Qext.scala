@@ -230,6 +230,18 @@ object Qext {
         t(spark, dir, "documents"), "lang", "n_chars")
       .orderBy("lang")
 
+  /** Token-budget mixture selection ([[Curation.tokenBudgetPerGroup]]):
+    * longest-first per source until a 2000-char budget (5000 for src1 —
+    * exercising the per-group override), boundary doc included.
+    */
+  def qExtBudgetPerSource(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetPerGroup(
+        t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        groupCol = "source", tokenCol = "n_chars",
+        orderBy = Seq(col("n_chars").desc, col("doc_id").asc),
+        budgetByGroup = Map("src1" -> 5000L), defaultBudget = 2000L)
+      .orderBy("doc_id")
+
   /** C4-style line-level dedup ([[LineDedup.dedupLines]]): drop lines shared
     * by >= 2 documents, rebuild the text, report per-doc line counts. The
     * synthetic corpus carries no newlines, so the query first builds
@@ -717,6 +729,7 @@ object Qext {
     "q_ext_pivot_lang_counts" -> (qExtPivotLangCounts _),
     "q_ext_ntile_tiers" -> (qExtNtileTiers _),
     "q_ext_quantiles_by_lang" -> (qExtQuantilesByLang _),
+    "q_ext_budget_per_source" -> (qExtBudgetPerSource _),
     "q_ext_line_dedup" -> (qExtLineDedup _),
     "q_ext_dedup_spans" -> (qExtDedupSpans _),
     "q_ext_sim_topk" -> (qExtSimTopk _),
@@ -1074,6 +1087,21 @@ object Qext {
 
     // Bloom path is exact by construction — identical contract, same oracle
     "q_ext_bloom_decontaminate" -> decontaminateOracleSql,
+
+    // keep iff tokens consumed BEFORE the row < its source's budget
+    // (boundary doc included; src1 overridden to 5000)
+    "q_ext_budget_per_source" ->
+      """WITH cum AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC
+        |                            ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_tokens,
+        |    CASE WHEN source = 'src1' THEN 5000 ELSE 2000 END AS budget
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, cum_tokens FROM cum
+        |WHERE cum_tokens - n_chars < budget ORDER BY doc_id""".stripMargin,
 
     // quantile_cont == Spark percentile: same rank p*(n-1) and two-sided
     // linear interpolation; quarter-probs over ints are FP-exact

@@ -56,6 +56,30 @@ class CurationSpec extends SparkSpec {
     out.filter(_._2 == "c").map(_._4).toSeq shouldBe Seq(1)
   }
 
+  "tokenBudgetPerGroup" should "fill each group to its budget, boundary doc included" in {
+    val out = Curation.tokenBudgetPerGroup(docs, "source", "n_chars",
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        budgetByGroup = Map("b" -> 55L), defaultBudget = 195L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // a (budget 195, order 100,90(2),90(3),80): cum 100,190,280 — doc 3
+    //   starts at 190 < 195 so it's the included boundary doc; doc 4 not
+    // b (budget 55, order 60,50): doc 6 kept (0 < 55), doc 5 starts at 60
+    // c (budget 195): 10 kept
+    out.map(r => (r._1, r._4)) shouldBe
+      Array((1L, 100L), (2L, 190L), (3L, 280L), (6L, 60L), (7L, 10L))
+  }
+
+  it should "enforce strict-under semantics when inclusive = false" in {
+    val out = Curation.tokenBudgetPerGroup(docs, "source", "n_chars",
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        budgetByGroup = Map.empty, defaultBudget = 195L, inclusive = false)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // a: cum 100,190,280 -> docs 1,2 only (280 > 195)
+    out.filter(_._2 == "a").map(_._1).toSeq shouldBe Seq(1L, 2L)
+  }
+
   it should "reject invalid arguments" in {
     an[IllegalArgumentException] should be thrownBy
       Curation.capPerGroup(docs, "source", Seq(col("doc_id")), 0)
@@ -63,5 +87,8 @@ class CurationSpec extends SparkSpec {
       Curation.pivotCounts(docs, "source", "n_chars", Nil)
     an[IllegalArgumentException] should be thrownBy
       Curation.ntileTiers(docs, "source", Seq(col("doc_id")), 0)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.tokenBudgetPerGroup(docs, "source", "n_chars",
+        Seq(col("doc_id")), Map("a" -> -1L), 10L)
   }
 }
