@@ -63,6 +63,25 @@ class ChunkerSpec extends SparkSpec {
       (3L, 0, 0, 1, ""))
   }
 
+  it should "run unchanged inside a streaming ingest (stateless projection)" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val chunked = Chunker.chunk(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      width = 3, stride = 2)
+    val query = chunked.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      input.addData((1L, "a b c d e f g"), (2L, "x"))
+      query.processAllAvailable()
+      val rows = spark.table("chunk_stream")
+        .orderBy("doc_id", "chunk_idx")
+        .as[(Long, Int, Int, Int, String)].collect()
+      rows.map(_._5).toSeq shouldBe Seq("a b c", "c d e", "e f g", "x")
+    } finally query.stop()
+  }
+
   it should "cover every token of every document exactly" in {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
