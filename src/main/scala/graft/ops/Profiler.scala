@@ -108,6 +108,37 @@ object Profiler {
       df.sparkSession.sparkContext.parallelize(out, 1), schema)
   }
 
+  /** Drift report between two profile snapshots ([[profile]] outputs of
+    * the same table at different times): one row per column present in
+    * either snapshot, with old/new null fractions, distinct counts, and
+    * range bounds side by side plus a `drift` flag — the intake check that
+    * turns "the generator/upstream changed" into a diff instead of a
+    * silent breakage (the round-9 events.ts drift was exactly this class).
+    *
+    * Pure frame algebra over two tiny profile outputs (one row per
+    * column), so cost is nil; thresholds: a column counts as drifted when
+    * it appears/disappears, its dtype changes, its null fraction moves by
+    * more than `nullFracTol`, or its min/max strings change.
+    */
+  def drift(oldProfile: DataFrame, newProfile: DataFrame,
+            nullFracTol: Double = 0.01): DataFrame = {
+    require(nullFracTol >= 0, s"nullFracTol must be >= 0: $nullFracTol")
+    def side(p: DataFrame, tag: String) = p.select(
+      col("column"),
+      col("dtype").as(s"${tag}_dtype"),
+      when(col("n_rows") > 0, col("n_nulls").cast("double") / col("n_rows"))
+        .otherwise(lit(0.0)).as(s"${tag}_null_frac"),
+      col("n_distinct").as(s"${tag}_distinct"),
+      col("min").as(s"${tag}_min"), col("max").as(s"${tag}_max"))
+    side(oldProfile, "old").join(side(newProfile, "new"), Seq("column"), "full_outer")
+      .withColumn("drift",
+        col("old_dtype").isNull || col("new_dtype").isNull ||
+          col("old_dtype") =!= col("new_dtype") ||
+          abs(col("old_null_frac") - col("new_null_frac")) > nullFracTol ||
+          (col("old_min") <=> col("new_min")) === false ||
+          (col("old_max") <=> col("new_max")) === false)
+  }
+
   /** Exact interpolated quantiles of ONE value column WITHIN each group —
     * per-stratum drift checks ("median doc length per language"). Uses the
     * built-in `percentile` aggregate, which is the RIGHT tool in this

@@ -1,0 +1,78 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** End-to-end training-corpus preparation — the composition proof that the
+  * curation operators fit together the way a real pipeline uses them:
+  *
+  *   1. exact dedup (normalize → content hash → keep-first by doc_id);
+  *   2. quality filter (labeled drop reasons kept for the audit output);
+  *   3. benchmark decontamination — broadcast form by default, the Bloom
+  *      semi-join path when `bloomBenchmark` says the benchmark outgrows
+  *      broadcast;
+  *   4. per-source token-budget mixture selection (longest-first);
+  *   5. overlapping window chunking of the surviving docs.
+  *
+  * Returns the chunk frame plus a one-row-per-stage audit summary (docs
+  * in/out per stage) — the load-summary discipline the reference applies
+  * to its payroll loads (V1), carried to the corpus pipeline.
+  *
+  * Scale posture is inherited from the parts: one content-hash shuffle
+  * (algebraic-min dedup via keepFirst's window — the tie-break order is
+  * caller-supplied), codegen'd quality predicates, broadcast-or-bloom
+  * decontamination (never an unconditional corpus shuffle), one
+  * partitioned window for the budget, shuffle-free chunking.
+  */
+object CorpusPrep {
+
+  final case class Config(
+      shingleN: Int = 3,
+      bloomBenchmark: Boolean = false,
+      budgetByGroup: Map[String, Long] = Map.empty,
+      defaultBudget: Long = Long.MaxValue,
+      chunkWidth: Int = 32,
+      chunkStride: Int = 24)
+
+  final case class Prepared(chunks: DataFrame, summary: DataFrame)
+
+  def prepare(docs: DataFrame, benchmark: DataFrame,
+              cfg: Config = Config()): Prepared = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val deduped = TextDedup.exactDedup(docs, "text",
+        tieBreak = Seq(col("doc_id").asc))
+      .drop("__content_hash")
+    val quality = TextStats.qualityFilter(deduped, "text")
+    val kept = quality.filter(col("keep")).drop("keep", "fail_reason")
+    val tagFn =
+      if (cfg.bloomBenchmark) Decontaminate.tagBloom(_: DataFrame, "doc_id",
+        "text", benchmark, "text", cfg.shingleN)
+      else Decontaminate.tag(_: DataFrame, "doc_id", "text", benchmark,
+        "text", cfg.shingleN)
+    val clean = tagFn(kept).filter(!col("contaminated"))
+      .drop("n_contaminated", "contaminated")
+    val budgeted = Curation.tokenBudgetPerGroup(
+        clean.withColumn("__n_tokens", size(TextDedup.tokens(col("text")))),
+        groupCol = "source", tokenCol = "__n_tokens",
+        orderBy = Seq(col("__n_tokens").desc, col("doc_id").asc),
+        budgetByGroup = cfg.budgetByGroup, defaultBudget = cfg.defaultBudget)
+      .drop("__n_tokens", "cum_tokens")
+    val chunks = Chunker.chunk(budgeted, "doc_id", "text",
+      cfg.chunkWidth, cfg.chunkStride)
+
+    // stage audit: count each frontier once (the stages are lazy; counting
+    // here materializes the lineage exactly once per stage boundary)
+    val summary = Seq(
+      ("input", docs.count()),
+      ("deduped", deduped.count()),
+      ("quality_kept", kept.count()),
+      ("decontaminated", clean.count()),
+      ("budgeted", budgeted.count()),
+      ("chunks", chunks.count())).toDF("stage", "n_rows")
+    Prepared(chunks, summary)
+  }
+}

@@ -74,6 +74,30 @@ class ProfilerSpec extends SparkSpec {
       .columns shouldBe Array("column", "p5", "p50", "p99_9")
   }
 
+  "drift" should "flag dtype changes, null-rate moves, range moves, and column churn" in {
+    val oldP = Profiler.profile(
+      Seq((1L, Some("a"), 10), (2L, Some("b"), 20)).toDF("id", "s", "v"))
+    // v became string-typed, s grew nulls, id range moved, v2 appeared
+    val newP = Profiler.profile(
+      Seq((5L, None: Option[String], "10", 1.0),
+          (6L, Some("b"), "20", 2.0)).toDF("id", "s", "v", "v2"))
+    val out = Profiler.drift(oldP, newP).orderBy("column")
+    val flags = out.select("column", "drift").as[(String, Boolean)]
+      .collect().toMap
+    flags shouldBe Map(
+      "id" -> true,  // min/max moved
+      "s" -> true,   // null fraction 0 -> 0.5
+      "v" -> true,   // int -> string
+      "v2" -> true)  // appeared
+  }
+
+  it should "report no drift for an identical snapshot" in {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val p = Profiler.profile(df)
+    Profiler.drift(p, p)
+      .filter(org.apache.spark.sql.functions.col("drift")).count() shouldBe 0L
+  }
+
   "groupedQuantiles" should "match the whole-column exact path within each group" in {
     val g = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
         ("b", 10L), ("b", 20L))
