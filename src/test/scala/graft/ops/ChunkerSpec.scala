@@ -63,6 +63,31 @@ class ChunkerSpec extends SparkSpec {
       (3L, 0, 0, 1, ""))
   }
 
+  it should "match the in-memory model on random inputs and parameters" in {
+    val rnd = new scala.util.Random(42)
+    def model(toks: Seq[String], width: Int, stride: Int): Seq[String] = {
+      val len = toks.length
+      if (len == 0) Seq.empty
+      else {
+        val nw = if (len <= width) 1 else 1 + ((len - width + stride - 1) / stride)
+        (0 until nw).map(i =>
+          toks.slice(i * stride, math.min(i * stride + width, len)).mkString(" "))
+      }
+    }
+    (1 to 60).foreach { _ =>
+      val len = rnd.nextInt(40)
+      val toks = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar.toString)
+      val width = 1 + rnd.nextInt(8)
+      val stride = 1 + rnd.nextInt(width)
+      val got = Seq(Tuple1(toks)).toDF("t")
+        .select(ShingleExpressions.strided_windows(col("t"), width, stride))
+        .as[Seq[String]].head()
+      withClue(s"len=$len width=$width stride=$stride: ") {
+        got shouldBe model(toks, width, stride)
+      }
+    }
+  }
+
   it should "run unchanged inside a streaming ingest (stateless projection)" in {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime

@@ -106,6 +106,22 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  /** Round-10 lock: the bloom decontamination's load-bearing shapes — the
+    * sketch predicate must prefilter scan-side (inside the plan at all:
+    * losing it silently degrades to a full-corpus confirm join) and the
+    * confirm must stay a shuffled-hash semi join, never sort-merge (the
+    * operator exists for beyond-broadcast key sides; an SMJ would re-sort
+    * both).
+    */
+  "the bloom decontamination plan" should "keep the sketch prefilter and SHJ confirm" in {
+    val plan = built.toMap.apply("q_ext_bloom_decontaminate")
+      .queryExecution.executedPlan.toString
+    withClue(s"plan:\n${plan.take(4000)}\n") {
+      plan should include("might_contain")
+      plan should include("ShuffledHashJoin")
+    }
+  }
+
   "pushable registry filters" should "reach the parquet scan" in {
     val pushable = Map(
       "q_filter_isin" -> "In(l_returnflag",
