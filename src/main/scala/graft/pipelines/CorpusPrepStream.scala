@@ -1,0 +1,233 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Chunker, Curation, Decontaminate, TextDedup, TextStats}
+import graft.streaming.LshStream
+
+/** [[CorpusPrep]] over an UNBOUNDED document stream — the curation recipe
+  * (dedup → quality → decontaminate → budget → chunk) applied per arriving
+  * micro-batch, with the two pieces of cross-batch state a continuous
+  * pipeline needs:
+  *
+  *   - the seen-content-hash table (exact dedup must drop a doc whose
+  *     duplicate arrived in ANY earlier batch, not just this one), and
+  *   - per-source consumed token counts (the mixture budget is a property
+  *     of the whole run, not of one batch).
+  *
+  * Stage order matches the batch composition deliberately: budget tokens
+  * are only spent on documents that survive dedup + quality +
+  * decontamination, so an exhausted-looking source whose arrivals are all
+  * duplicates spends nothing.
+  *
+  * Budget semantics are [[graft.streaming.BudgetStream]]'s, re-expressed in
+  * the foreachBatch world: within a batch the order is `doc_id` asc
+  * (deterministic), across batches it is arrival order, and a document is
+  * admitted iff its source's consumed count BEFORE it is under budget (the
+  * crossing doc is included; each source overshoots by at most one doc).
+  * BudgetStream itself (flatMapGroupsWithState) can't run inside
+  * foreachBatch — state operators need the streaming query graph — so the
+  * fold here keeps the consumed map on the driver: one (source → tokens)
+  * entry per source, updated from a groups-sized aggregate per batch.
+  * CorpusPrepStreamSpec asserts admission parity against a live
+  * BudgetStream query over the same batches.
+  *
+  * Near-dup defense reuses the served LSH index ([[LshStream.serve]] /
+  * [[CorpusStore.servedIndex]]): arriving docs are tagged against the
+  * stored corpus statelessly and dropped on any verified match. Stream ↔
+  * stream near-dup (and group labeling) stays [[CorpusPipeline.streamIngest]]'s
+  * job — this pipeline is the selection tier, that one is the corpus
+  * bookkeeping tier; a deployment runs prep first and feeds survivors to
+  * ingest, which is exactly what [[prepareBatch]]'s output supports.
+  *
+  * Scale posture, per batch of size B against a corpus of size C:
+  *   - exact-dedup probe: the seen-hash table is only SCANNED — the batch's
+  *     hashes are broadcast into it (inner join, batch side broadcast) and
+  *     the colliding sliver comes back to anti-join the batch. C is never
+  *     shuffled; cost is one corpus scan with a hash probe, the same shape
+  *     [[LshStream.nearDupTagStream]] uses for the LSH index. (A naive
+  *     `batch.join(seen, anti)` would hash-partition BOTH sides — at 100 TB
+  *     that is a corpus shuffle per micro-batch.)
+  *   - LSH tag: stream-side broadcast against the persisted exploded index
+  *     (see LshStream's scale notes); the drop set is batch-bounded.
+  *   - decontamination: benchmark broadcast (or the Bloom path via
+  *     `bloomBenchmark` when the benchmark outgrows broadcast).
+  *   - budget: one window over the batch partitioned by source + one
+  *     groups-sized collect to update the driver map.
+  *   - state growth: the hash table appends B rows per batch (localCheckpoint
+  *     when streaming — same contract as [[CorpusPipeline.ingest]]); a real
+  *     deployment appends to a parquet store instead and re-reads lazily.
+  */
+object CorpusPrepStream {
+
+  /** Cross-batch state: every admitted-or-seen content hash (with the doc
+    * that claimed it), and tokens consumed per source.
+    */
+  final case class PrepState(seenHashes: DataFrame, consumed: Map[String, Long])
+
+  def emptyState(spark: SparkSession, idCol: String): PrepState =
+    PrepState(
+      seenHashes = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("__content_hash", StringType),
+          StructField(idCol, LongType)))),
+      consumed = Map.empty)
+
+  /** `nearDupThreshold` applies to the served-index tag; LSH geometry
+    * (bands × rowsPerBand) must match the index's signature width.
+    */
+  final case class Config(
+      shingleN: Int = 3,
+      bloomBenchmark: Boolean = false,
+      budgetByGroup: Map[String, Long] = Map.empty,
+      defaultBudget: Long = Long.MaxValue,
+      chunkWidth: Int = 32,
+      chunkStride: Int = 24,
+      lshShingleN: Int = 3,
+      lshBands: Int = 16,
+      lshRowsPerBand: Int = 4,
+      nearDupThreshold: Double = 0.6)
+
+  /** One batch's outputs: the next state, the admitted docs (post-budget,
+    * pre-chunk — the frame to hand to [[CorpusPipeline.ingest]] or a store
+    * append), the chunks, and the per-stage audit row set.
+    */
+  final case class BatchPrepared(state: PrepState, admitted: DataFrame,
+                                 chunks: DataFrame, audit: DataFrame)
+
+  /** Run the full recipe on one (micro-)batch. `checkpointState = true`
+    * materializes the next state and the returned frames — REQUIRED from
+    * foreachBatch, where the batch's source dies with the call.
+    */
+  def prepareBatch(state: PrepState, batch: DataFrame, idCol: String,
+                   textCol: String, groupCol: String, benchmark: DataFrame,
+                   benchTextCol: String, index: Option[LshStream.ServedIndex],
+                   cfg: Config = Config(),
+                   checkpointState: Boolean = false): BatchPrepared = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    // 1. exact dedup: keep-first inside the batch, then drop every doc
+    //    whose hash any earlier batch claimed. Probe shape per the scaladoc:
+    //    broadcast the batch's hashes INTO the big seen table, anti-join
+    //    the sliver back — the seen side is scanned, never shuffled.
+    val hashed = TextDedup.exactDedup(batch, textCol,
+      tieBreak = Seq(col(idCol).asc))
+    val collidingHashes = state.seenHashes
+      .join(broadcast(hashed.select(col("__content_hash"))), "__content_hash")
+      .select(col("__content_hash"))
+    val novel = hashed.join(broadcast(collidingHashes),
+      Seq("__content_hash"), "left_anti")
+
+    // 2. quality filter (row-local expressions)
+    val kept = TextStats.qualityFilter(novel, textCol)
+      .filter(col("keep")).drop("keep", "fail_reason")
+
+    // 3. benchmark decontamination (broadcast or Bloom path)
+    val tagFn =
+      if (cfg.bloomBenchmark) Decontaminate.tagBloom(_: DataFrame, idCol,
+        textCol, benchmark, benchTextCol, cfg.shingleN)
+      else Decontaminate.tag(_: DataFrame, idCol, textCol, benchmark,
+        benchTextCol, cfg.shingleN)
+    val clean = tagFn(kept).filter(!col("contaminated"))
+      .drop("n_contaminated", "contaminated")
+
+    // 4. near-dup vs the stored corpus (served LSH index, stateless tag)
+    val fresh = index match {
+      case Some(ix) =>
+        val dupIds = LshStream.nearDupTagStream(
+            clean.select(col(idCol), col(textCol)), ix, idCol, textCol,
+            cfg.lshShingleN, cfg.lshBands, cfg.lshRowsPerBand,
+            cfg.nearDupThreshold)
+          .select(col("stream_id").as(idCol)).distinct()
+        clean.join(broadcast(dupIds), Seq(idCol), "left_anti")
+      case None => clean
+    }
+
+    // 5. token budget: remaining-per-source budgets reproduce the global
+    //    boundary rule (consumed-before < budget) batch-locally.
+    val remaining = (cfg.budgetByGroup.keySet ++ state.consumed.keySet).map { g =>
+      val b = cfg.budgetByGroup.getOrElse(g, cfg.defaultBudget)
+      g -> math.max(0L, b - state.consumed.getOrElse(g, 0L))
+    }.toMap
+    val admitted0 = Curation.tokenBudgetPerGroup(
+        fresh.withColumn("__n_tokens", size(TextDedup.tokens(col(textCol)))),
+        groupCol = groupCol, tokenCol = "__n_tokens",
+        orderBy = Seq(col(idCol).asc),
+        budgetByGroup = remaining, defaultBudget = cfg.defaultBudget)
+      .drop("cum_tokens")
+    val admitted1 =
+      if (checkpointState) admitted0.localCheckpoint() else admitted0
+    val spentRows = admitted1.groupBy(groupCol)
+      .agg(sum("__n_tokens").as("__spent"))
+      .as[(String, Long)].collect()
+    val consumed = spentRows.foldLeft(state.consumed) { case (m, (g, t)) =>
+      m.updated(g, m.getOrElse(g, 0L) + t)
+    }
+    val admitted = admitted1.drop("__n_tokens")
+
+    // 6. chunk the survivors
+    val chunks0 = Chunker.chunk(admitted, idCol, textCol,
+      cfg.chunkWidth, cfg.chunkStride)
+
+    // hash-table append: every NOVEL hash is now seen, whether or not its
+    // doc survived the later stages — a re-arrival of a rejected doc's text
+    // must not re-run the pipeline for it.
+    val nextSeen0 = state.seenHashes.unionByName(
+      novel.select(col("__content_hash"), col(idCol)))
+
+    val audit0 = Seq(
+      ("input", batch.count()),
+      ("novel", novel.count()),
+      ("quality_kept", kept.count()),
+      ("decontaminated", clean.count()),
+      ("near_dup_free", fresh.count()),
+      ("admitted", admitted1.count()),
+      ("chunks", chunks0.count())).toDF("stage", "n_rows")
+
+    val (nextSeen, chunks, audit) =
+      if (checkpointState)
+        (nextSeen0.localCheckpoint(), chunks0.localCheckpoint(),
+          audit0.localCheckpoint())
+      else (nextSeen0, chunks0, audit0)
+    BatchPrepared(PrepState(nextSeen, consumed), admitted, chunks, audit)
+  }
+
+  /** Live handle of [[streamPrepare]]: current state plus the running
+    * query.
+    */
+  final class StreamingPrep(initial: PrepState) {
+    @volatile var state: PrepState = initial
+    @volatile private[CorpusPrepStream] var queryRef:
+      org.apache.spark.sql.streaming.StreamingQuery = _
+    def query: org.apache.spark.sql.streaming.StreamingQuery = queryRef
+  }
+
+  /** Run the recipe over an unbounded stream: each micro-batch is one
+    * [[prepareBatch]] call (foreachBatch executes serially → single-writer
+    * state fold, same contract as [[CorpusPipeline.streamIngest]]).
+    * `onBatch` receives each batch's materialized result — route chunks and
+    * audit rows to sinks there.
+    */
+  def streamPrepare(stream: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, benchmark: DataFrame,
+                    benchTextCol: String,
+                    index: Option[LshStream.ServedIndex] = None,
+                    cfg: Config = Config(),
+                    onBatch: (Long, BatchPrepared) => Unit = (_, _) => ()): StreamingPrep = {
+    val handle = new StreamingPrep(
+      emptyState(stream.sparkSession, idCol))
+    handle.queryRef = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = prepareBatch(handle.state, batch, idCol, textCol, groupCol,
+          benchmark, benchTextCol, index, cfg, checkpointState = true)
+        handle.state = r.state
+        onBatch(batchId, r)
+      }
+      .start()
+    handle
+  }
+}

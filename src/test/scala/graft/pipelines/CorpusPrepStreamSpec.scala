@@ -1,0 +1,140 @@
+package graft.pipelines
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.TextDedup
+import graft.streaming.{BudgetStream, LshStream}
+
+/** Top-level so MemoryStream's product encoder needs no outer instance. */
+case class PrepDoc(doc_id: Long, source: String, text: String)
+
+/** [[CorpusPrepStream]] — cross-batch exact dedup, BudgetStream-parity
+  * admission, served-index near-dup drop, and streamed-vs-batch chunk
+  * equivalence.
+  */
+class CorpusPrepStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // passes every default quality rule (>=5 tokens, stopwords present, low
+  // punctuation); vary the tail word for distinct content
+  private def goodText(tag: String): String =
+    s"the quick brown fox jumps over the lazy dog near the river bank $tag"
+
+  // shares no 3-gram with any goodText
+  private lazy val bench = Seq((1L, "zz yy xx ww vv uu tt ss rr qq"))
+    .toDF("bench_id", "text")
+
+  private def runBatches(batches: Seq[Seq[PrepDoc]],
+                         cfg: CorpusPrepStream.Config,
+                         index: Option[LshStream.ServedIndex] = None)
+      : Seq[CorpusPrepStream.BatchPrepared] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PrepDoc]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, CorpusPrepStream.BatchPrepared)]
+    val handle = CorpusPrepStream.streamPrepare(
+      input.toDF(), "doc_id", "text", "source", bench, "text", index, cfg,
+      onBatch = (id, r) => results.synchronized { results += ((id, r)) })
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        handle.query.processAllAvailable()
+      }
+    } finally handle.query.stop()
+    results.sortBy(_._1).map(_._2).toSeq
+  }
+
+  "streamPrepare" should "drop exact duplicates across micro-batches" in {
+    val cfg = CorpusPrepStream.Config()
+    val out = runBatches(Seq(
+      Seq(PrepDoc(1, "a", goodText("alpha")), PrepDoc(2, "a", goodText("beta"))),
+      // 3 duplicates batch-1's doc 1; 4 is novel
+      Seq(PrepDoc(3, "a", goodText("alpha")), PrepDoc(4, "a", goodText("gamma"))),
+      // 5 duplicates doc 4 (previous batch), 6 duplicates doc 2 (two back)
+      Seq(PrepDoc(5, "a", goodText("gamma")), PrepDoc(6, "a", goodText("beta")))),
+      cfg)
+    out.map(_.admitted.select("doc_id").as[Long].collect().toSet) shouldBe
+      Seq(Set(1L, 2L), Set(4L), Set.empty[Long])
+    // audit: batch-3 had input 2, novel 0
+    val audit3 = out(2).audit.as[(String, Long)].collect().toMap
+    audit3("input") shouldBe 2L
+    audit3("novel") shouldBe 0L
+    // state carries every seen hash with its claiming doc
+    out(2).state.seenHashes.count() shouldBe 3L
+  }
+
+  it should "admit per-source budgets identically to BudgetStream over the same batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(PrepDoc(1, "a", goodText("one")), PrepDoc(2, "big", goodText("two two two"))),
+      Seq(PrepDoc(3, "a", goodText("three")), PrepDoc(4, "a", goodText("four")),
+        PrepDoc(5, "big", goodText("five"))),
+      Seq(PrepDoc(6, "a", goodText("six")), PrepDoc(7, "fresh", goodText("seven"))))
+    val nTok = (t: String) => t.trim.split("\\s+").length.toLong
+    val budgets = Map("big" -> 60L)
+    val default = 30L
+
+    val out = runBatches(batches,
+      CorpusPrepStream.Config(budgetByGroup = budgets, defaultBudget = default))
+    val prepAdmitted = out.flatMap(_.admitted.select("doc_id").as[Long].collect()).sorted
+
+    val input = MemoryStream[BudgetStream.Doc]
+    val query = BudgetStream.admitWithinBudget(input.toDS(), budgets, default)
+      .writeStream.format("memory").queryName("prep_budget_parity")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.map(d => BudgetStream.Doc(d.doc_id, d.source, nTok(d.text))): _*)
+        query.processAllAvailable()
+      }
+      val streamAdmitted = spark.table("prep_budget_parity")
+        .as[BudgetStream.Doc].collect().map(_.doc_id).sorted.toSeq
+      prepAdmitted shouldBe streamAdmitted
+    } finally query.stop()
+    // the driver fold tracked exactly what was admitted
+    val spentBySource = batches.flatten
+      .filter(d => prepAdmitted.contains(d.doc_id))
+      .groupBy(_.source).view.mapValues(_.map(d => nTok(d.text)).sum).toMap
+    out.last.state.consumed shouldBe spentBySource
+  }
+
+  it should "drop near-duplicates of the served corpus index" in {
+    val corpus = Seq(
+      (100L, goodText("stored alpha")),
+      (101L, goodText("stored beta"))).toDF("doc_id", "text")
+    val prepared = TextDedup.minhashPrepare(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 64)
+    val index = LshStream.serve(
+      LshStream.corpusIndex(prepared, "doc_id", bands = 16, rowsPerBand = 4),
+      "doc_id").persist()
+    try {
+      val out = runBatches(Seq(Seq(
+        // verbatim near-dup of corpus doc 100 with one changed word
+        PrepDoc(1, "a", goodText("stored alpha") + " extra"),
+        PrepDoc(2, "a", "completely different words entirely here but the and of is not misc"))),
+        CorpusPrepStream.Config(), Some(index))
+      val audit = out.head.audit.as[(String, Long)].collect().toMap
+      audit("decontaminated") shouldBe 2L
+      audit("near_dup_free") shouldBe 1L
+      out.head.admitted.select("doc_id").as[Long].collect() shouldBe Array(2L)
+    } finally index.unpersist()
+  }
+
+  it should "match batch CorpusPrep chunk-for-chunk when budgets are unbounded" in {
+    val docs = (1L to 12L).map(i => PrepDoc(i, if (i % 2 == 0) "even" else "odd",
+      goodText(s"doc $i word" * (i % 3 + 1).toInt)))
+    val batches = docs.grouped(5).toSeq
+    val cfg = CorpusPrepStream.Config(chunkWidth = 8, chunkStride = 6)
+    val streamed = runBatches(batches, cfg)
+      .flatMap(_.chunks.orderBy("doc_id", "chunk_idx").collect())
+
+    val batch = CorpusPrep.prepare(
+      docs.toDF().select(col("doc_id"), col("source"), col("text")), bench,
+      CorpusPrep.Config(chunkWidth = 8, chunkStride = 6))
+    val batchChunks = batch.chunks.orderBy("doc_id", "chunk_idx").collect()
+    streamed.sortBy(r => (r.getLong(0), r.getInt(1))) shouldBe
+      batchChunks.toSeq.sortBy(r => (r.getLong(0), r.getInt(1)))
+  }
+}
