@@ -122,12 +122,21 @@ object TextStats {
   /** Ordered (ruleName, violated?) flags for a text column. All ratios are
     * unrounded int/int double divisions — IEEE division is correctly
     * rounded, so the comparisons are engine-portable bit-for-bit.
+    *
+    * The punct denominator is the only one that can be zero (token-count
+    * denominators are >= 1: split never yields an empty array). ANSI mode
+    * makes that division THROW, so it is guarded to NULL for an empty
+    * text — the rule stays un-fired, which also matches the native form's
+    * Java division there (0/0 → NaN, and JAVA NaN comparisons are false;
+    * Spark instead orders NaN above every double, so NULL — not NaN — is
+    * the value that keeps the two forms agreeing).
     */
   def qualityFlags(c: Column, rules: QualityRules): Seq[(String, Column)] = {
     val nTokens = wsTokenCount(c)
     val meanTok = length(regexp_replace(TextDedup.normalizeText(c), " ", ""))
       .cast("double") / nTokens
-    val punct = punctCount(c).cast("double") / length(c)
+    val punct = when(length(c) > 0,
+      punctCount(c).cast("double") / length(c))
     val stop = stopwordCount(c, defaultStopwords).cast("double") / nTokens
     Seq(
       "too_few_tokens" -> (nTokens < rules.minTokens),
@@ -142,15 +151,35 @@ object TextStats {
     * order is the declaration order above; null when kept). The typical
     * pipeline keeps `filter(col("keep"))`; the labeled drop reasons feed the
     * rejected-documents audit stream.
+    *
+    * The verdict is one native expression
+    * ([[graft.functions.QualityExpressions.QualityFail]]) so a downstream
+    * `filter(col("keep"))` costs one pass over the text per row. The CASE
+    * built from [[qualityFlags]] is value-identical (QualityExpressionsSpec)
+    * but re-derives each rule's metric from scratch — inlined into a Filter
+    * condition it tokenizes the document ~6× per row, which the
+    * PlanInvariantsSpec recompute-guard audit rejects on registry plans.
     */
   def qualityFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
-                    rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
-    val flags = qualityFlags(col(textCol), rules)
-    val reason = flags.foldRight(lit(null).cast("string")) {
+                    rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame =
+    df.withColumn("fail_reason", qualityFail(col(textCol), rules))
+      .withColumn("keep", col("fail_reason").isNull)
+
+  /** The native one-pass verdict expression for a text column. */
+  def qualityFail(c: Column, rules: QualityRules = QualityRules()): Column =
+    graft.functions.QualityExpressions.quality_fail(c,
+      rules.minTokens, rules.maxTokens, rules.minMeanTokenLen,
+      rules.maxMeanTokenLen, rules.maxPunctRatio, rules.minStopwordRatio,
+      "\\b(" + defaultStopwords.mkString("|") + ")\\b")
+
+  /** The pre-round-10 column-CASE verdict — kept as the no-custom-expression
+    * reference implementation the parity spec checks against.
+    */
+  private[graft] def qualityFailHof(c: Column, rules: QualityRules): Column = {
+    val flags = qualityFlags(c, rules)
+    flags.foldRight(lit(null).cast("string")) {
       case ((name, bad), acc) => when(bad, lit(name)).otherwise(acc)
     }
-    df.withColumn("fail_reason", reason)
-      .withColumn("keep", col("fail_reason").isNull)
   }
 
   // ------------------------------------------------- vocabulary induction

@@ -38,11 +38,16 @@ object CorpusPrep {
 
   final case class Prepared(chunks: DataFrame, summary: DataFrame)
 
-  def prepare(docs: DataFrame, benchmark: DataFrame,
-              cfg: Config = Config()): Prepared = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Every stage frontier as a lazy frame — [[prepare]] adds the counted
+    * audit summary; callers needing only the composition (the registry
+    * query, the bench) use this and pay for one frontier, not six counts.
+    */
+  final case class Staged(deduped: DataFrame, kept: DataFrame,
+                          clean: DataFrame, budgeted: DataFrame,
+                          chunks: DataFrame)
 
+  def stages(docs: DataFrame, benchmark: DataFrame,
+             cfg: Config = Config()): Staged = {
     val deduped = TextDedup.exactDedup(docs, "text",
         tieBreak = Seq(col("doc_id").asc))
       .drop("__content_hash")
@@ -63,16 +68,24 @@ object CorpusPrep {
       .drop("__n_tokens", "cum_tokens")
     val chunks = Chunker.chunk(budgeted, "doc_id", "text",
       cfg.chunkWidth, cfg.chunkStride)
+    Staged(deduped, kept, clean, budgeted, chunks)
+  }
+
+  def prepare(docs: DataFrame, benchmark: DataFrame,
+              cfg: Config = Config()): Prepared = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val s = stages(docs, benchmark, cfg)
 
     // stage audit: count each frontier once (the stages are lazy; counting
     // here materializes the lineage exactly once per stage boundary)
     val summary = Seq(
       ("input", docs.count()),
-      ("deduped", deduped.count()),
-      ("quality_kept", kept.count()),
-      ("decontaminated", clean.count()),
-      ("budgeted", budgeted.count()),
-      ("chunks", chunks.count())).toDF("stage", "n_rows")
-    Prepared(chunks, summary)
+      ("deduped", s.deduped.count()),
+      ("quality_kept", s.kept.count()),
+      ("decontaminated", s.clean.count()),
+      ("budgeted", s.budgeted.count()),
+      ("chunks", s.chunks.count())).toDF("stage", "n_rows")
+    Prepared(s.chunks, summary)
   }
 }

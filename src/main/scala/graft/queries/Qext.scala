@@ -185,6 +185,34 @@ object Qext {
         width = 32, stride = 24)
       .orderBy("doc_id", "chunk_idx")
 
+  /** End-to-end corpus preparation ([[graft.pipelines.CorpusPrep.stages]]):
+    * dedup → quality → decontaminate → token-budget → chunk as ONE checked
+    * query, over the same deterministic corpus_v1 split as
+    * [[qExtDecontaminate]] (b < 10 = benchmark, b >= 20 = train). Every
+    * stage already has its own oracle-checked query; this one pins the
+    * COMPOSITION — stage order, column plumbing, and the config the stages
+    * see — against a CTE-chained oracle of the same five stages.
+    * (doc_id, chunk_idx) is unique, so the output order is total.
+    *
+    * shingleN = 5 (not the decontaminate query's adversarial 3): the
+    * synthetic corpus is ~97% 3-gram-contaminated against its own split,
+    * which would shrink the surviving pipeline to a handful of docs; at
+    * 5-grams contamination is real but rare (7/389 docs at sf0.01), so
+    * every later stage still processes a meaningful corpus.
+    */
+  def qExtCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.trainValTestSplit(
+      t(spark, dir, "documents"), "doc_id",
+      testPct = 10, valPct = 10, salt = "corpus_v1")
+    val bench = split.filter(col("split") === "test")
+    val train = split.filter(col("split") === "train")
+    graft.pipelines.CorpusPrep.stages(train, bench,
+        graft.pipelines.CorpusPrep.Config(shingleN = 5,
+          budgetByGroup = Map("src1" -> 5000L), defaultBudget = 2000L))
+      .chunks
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Per-source document cap ([[Curation.capPerGroup]]): keep the 10
     * longest documents per source (ties broken by doc_id — the explicit
     * deterministic order the op requires). Plans as WindowGroupLimit:
@@ -725,6 +753,7 @@ object Qext {
     "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_bloom_decontaminate" -> (qExtBloomDecontaminate _),
     "q_ext_chunk_overlap" -> (qExtChunkOverlap _),
+    "q_ext_corpus_prep" -> (qExtCorpusPrep _),
     "q_ext_cap_per_source" -> (qExtCapPerSource _),
     "q_ext_pivot_lang_counts" -> (qExtPivotLangCounts _),
     "q_ext_ntile_tiers" -> (qExtNtileTiers _),
@@ -1164,6 +1193,87 @@ object Qext {
          |       len(string_split(u.txt, ' ')) AS n_tokens,
          |       u.txt AS chunk_text
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Composition oracle for qExtCorpusPrep: the five stage CTEs are the
+    // per-stage oracles chained — corpus_v1 split + 3-gram bench shingles
+    // (decontaminateOracleSql), keep-first md5 dedup (q_ext_dedup_exact),
+    // the quality CASE (q_ext_quality_filter), token-budget window
+    // (q_ext_budget_per_source, on token counts with src1=5000/2000), and
+    // the 32/24 strided windows (q_ext_chunk_overlap).
+    "q_ext_corpus_prep" ->
+      s"""WITH split AS (
+         |  SELECT doc_id, source, text,
+         |    ('0x' || substr(md5('corpus_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+         |  FROM documents
+         |), train AS (
+         |  SELECT doc_id, source, text, $normSql AS norm FROM split WHERE b >= 20
+         |), benchsh AS (
+         |  SELECT DISTINCT unnest(s) AS shingle FROM (
+         |    SELECT list_distinct(CASE WHEN len(toks) >= 5
+         |      THEN list_transform(range(0, len(toks) - 4),
+         |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+         |      ELSE [norm] END) AS s
+         |    FROM (SELECT $normSql AS norm, string_split($normSql, ' ') AS toks
+         |          FROM split WHERE b < 10))
+         |), deduped AS (
+         |  SELECT doc_id, source, text, norm FROM (
+         |    SELECT doc_id, source, text, norm,
+         |           row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+         |    FROM train)
+         |  WHERE rn = 1
+         |), quality AS (
+         |  SELECT doc_id, source, norm FROM deduped
+         |  WHERE (CASE WHEN len(str_split(norm, ' ')) < 5 THEN 'r'
+         |         WHEN len(str_split(norm, ' ')) > 100000 THEN 'r'
+         |         WHEN length(regexp_replace(norm, ' ', '', 'g'))::DOUBLE
+         |              / len(str_split(norm, ' ')) < 2.0 THEN 'r'
+         |         WHEN length(regexp_replace(norm, ' ', '', 'g'))::DOUBLE
+         |              / len(str_split(norm, ' ')) > 12.0 THEN 'r'
+         |         WHEN len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
+         |              / length(text) > 0.25 THEN 'r'
+         |         WHEN len(regexp_extract_all(lower(text),
+         |           '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+         |              / len(str_split(norm, ' ')) < 0.01 THEN 'r'
+         |         ELSE NULL END) IS NULL
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+         |      THEN list_transform(range(0, len(toks) - 4),
+         |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+         |      ELSE [norm] END)) AS shingle
+         |    FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks
+         |          FROM quality)) q
+         |  JOIN benchsh USING (shingle)
+         |), cum AS (
+         |  SELECT doc_id, norm, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source
+         |                          ORDER BY n_tok DESC, doc_id ASC
+         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |    CASE WHEN source = 'src1' THEN 5000 ELSE 2000 END AS budget
+         |  FROM (
+         |    SELECT q.doc_id, q.source, q.norm,
+         |           len(str_split(q.norm, ' ')) AS n_tok
+         |    FROM quality q
+         |    WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+         |                      WHERE c.doc_id = q.doc_id))
+         |), toks AS (
+         |  SELECT doc_id, string_split(norm, ' ') AS t FROM cum
+         |  WHERE cum_tokens - n_tok < budget
+         |), sized AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE 1 + ((len(t) - 32 + 23) // 24) END AS nw
+         |  FROM toks
+         |), chunks AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, nw), i -> {'i': i,
+         |      'txt': array_to_string(t[i*24 + 1 : i*24 + 32], ' ')})) AS u
+         |  FROM sized
+         |)
+         |SELECT doc_id, u.i AS chunk_idx, u.i * 24 AS start_tok,
+         |       len(string_split(u.txt, ' ')) AS n_tokens,
+         |       u.txt AS chunk_text
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Mirrors qExtLineDedup: 4-token chunk "lines" (list slicing = the
     // native chunk_windows), boilerplate = non-blank lines in >= 2 distinct
