@@ -85,5 +85,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ShingleExpressions.StridedWindows(
           children(0), intLit(children(1), "width"), intLit(children(2), "stride"))
       }))
+    // quality_fail(text): the default Gopher-style rule bundle (the Scala
+    // API takes custom rules; SQL exposes the standard filter so
+    // `WHERE quality_fail(text) IS NULL` is the keep predicate)
+    ext.injectFunction((FunctionIdentifier("quality_fail"),
+      new ExpressionInfo(
+        classOf[graft.functions.QualityExpressions.QualityFail].getName,
+        "quality_fail"),
+      { children: Seq[Expression] =>
+        require(children.size == 1,
+          s"quality_fail requires exactly 1 argument, got ${children.size}")
+        val r = graft.ops.TextStats.QualityRules()
+        graft.functions.QualityExpressions.QualityFail(children(0),
+          r.minTokens, r.maxTokens, r.minMeanTokenLen, r.maxMeanTokenLen,
+          r.maxPunctRatio, r.minStopwordRatio,
+          "\\b(" + graft.ops.TextStats.defaultStopwords.mkString("|") + ")\\b")
+      }))
   }
 }

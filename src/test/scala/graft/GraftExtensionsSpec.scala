@@ -47,6 +47,13 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       sw.getSeq[String](0) shouldBe Seq("a b c", "c d e")
       an[Exception] should be thrownBy
         spark.sql("SELECT strided_windows(array('x'), 3)").collect()
+      val qf = spark.sql(
+        "SELECT quality_fail('the cat sat on a mat') AS keepable, " +
+          "quality_fail('aa bb') AS short").collect().head
+      qf.isNullAt(0) shouldBe true
+      qf.getString(1) shouldBe "too_few_tokens"
+      an[Exception] should be thrownBy
+        spark.sql("SELECT quality_fail('x', 'y')").collect()
     } finally {
       // don't stop() (shared SparkContext); restore the prior session for
       // the other suites
