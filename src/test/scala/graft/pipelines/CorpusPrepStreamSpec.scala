@@ -122,6 +122,38 @@ class CorpusPrepStreamSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  it should "feed admitted docs into the corpus ingest tier" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PrepDoc]
+    var ingestState = CorpusPipeline.emptyState(spark, "doc_id")
+    val handle = CorpusPrepStream.streamPrepare(
+      input.toDF(), "doc_id", "text", "source", bench, "text", None,
+      CorpusPrepStream.Config(),
+      onBatch = (_, r) => {
+        // selection tier output -> bookkeeping tier input (foreachBatch is
+        // serial, so the single-writer fold holds across both tiers)
+        val res = CorpusPipeline.ingest(ingestState,
+          r.admitted.select("doc_id", "text"), "doc_id", "text",
+          bench, "text", checkpointState = true)
+        ingestState = res.state
+      })
+    try {
+      input.addData(
+        PrepDoc(1, "a", goodText("ingest alpha")),
+        // contaminated: contains a benchmark 3-gram -> must never reach ingest
+        PrepDoc(2, "a", goodText("zz yy xx poisoned")))
+      handle.query.processAllAvailable()
+      // near-dup (not exact-dup) of doc 1 -> survives prep, groups with 1
+      input.addData(PrepDoc(10, "a", goodText("ingest alpha") + " tail"))
+      handle.query.processAllAvailable()
+    } finally handle.query.stop()
+    val labels = ingestState.labels
+      .as[(Long, Long)].collect().toMap
+    labels.keySet shouldBe Set(1L, 10L) // doc 2 never entered the corpus
+    labels(1L) shouldBe 1L
+    labels(10L) shouldBe 1L // grouped with its stored near-duplicate
+  }
+
   it should "match batch CorpusPrep chunk-for-chunk when budgets are unbounded" in {
     val docs = (1L to 12L).map(i => PrepDoc(i, if (i % 2 == 0) "even" else "odd",
       goodText(s"doc $i word" * (i % 3 + 1).toInt)))
