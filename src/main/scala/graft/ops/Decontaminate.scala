@@ -31,10 +31,26 @@ object Decontaminate {
     * still match verbatim leaks).
     */
   def tag(docs: DataFrame, idCol: String, textCol: String,
-          benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchShingles = benchmark
+          benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    tagPrepared(docs, idCol, textCol,
+      prepareBenchmark(benchmark, benchTextCol, n), n)
+
+  /** The benchmark's distinct shingle set — [[tag]]'s broadcast side,
+    * exposed so a REPEATED tagger (per micro-batch in a streaming prep
+    * tier, per split in a sharded batch run) computes it once and persists
+    * it instead of re-exploding the benchmark on every call.
+    */
+  def prepareBenchmark(benchmark: DataFrame, benchTextCol: String,
+                       n: Int = 8): DataFrame =
+    benchmark
       .select(explode(TextDedup.shingles(col(benchTextCol), n)).as("__s"))
       .distinct()
+
+  /** [[tag]] against a prepared (ideally persisted) benchmark shingle set;
+    * `n` must match the set's shingle width.
+    */
+  def tagPrepared(docs: DataFrame, idCol: String, textCol: String,
+                  benchShingles: DataFrame, n: Int): DataFrame = {
     val matches = docs
       .select(col(idCol),
         explode(array_distinct(TextDedup.shingles(col(textCol), n))).as("__s"))

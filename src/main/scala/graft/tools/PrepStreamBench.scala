@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextDedup
+import graft.pipelines.CorpusPrepStream
+import graft.streaming.LshStream
+
+/** Measure the streaming corpus-prep tier (SCALE.md evidence): per-batch
+  * wall time of [[CorpusPrepStream.streamPrepare]] — the full dedup →
+  * quality → decontaminate → LSH-tag → budget → chunk recipe — as the
+  * seen-hash state grows batch over batch.
+  *
+  * Method: documents from the SF dir arrive in `nBatches` micro-batches of
+  * `batchN` docs (fresh ids, all distinct), against a persisted served
+  * index of `2 × sf` disjoint-token docs and the q_ext_decontaminate-style
+  * benchmark slice. The interesting curve is per-batch time vs batch
+  * index: the only state that grows is the seen-hash table (batchN rows
+  * per batch), and its probe is batch-side-broadcast, so the per-batch
+  * cost should stay flat in the corpus scan + index probe and NOT grow
+  * with the number of ingested batches beyond the linear hash-table scan.
+  *
+  * Usage: `sbt "runMain graft.tools.PrepStreamBench [sfDir] [batchN] [nBatches]"`.
+  */
+object PrepStreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchN = args.drop(1).headOption.map(_.toInt).getOrElse(500)
+    val nBatches = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val spark = LocalSession(cores = 32, logLevel = "ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val corpus = ScaleGen.copies(spark,
+      docs.select("doc_id", "text"), 2, Seq("doc_id"), 1000000L, Seq("text"))
+    val index = LshStream.serve(LshStream.corpusIndex(
+      TextDedup.minhashPrepare(corpus, "doc_id", "text"), "doc_id"),
+      "doc_id").persist()
+    val nIndex = index.compact.count()
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+
+    // arriving docs: the non-bench slice under fresh ids, all texts distinct
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit(" arrival"), col("doc_id").cast("string")).as("text"))
+      .as[(Long, String, String)].collect()
+    require(arrivals.length >= batchN * nBatches,
+      s"need ${batchN * nBatches} docs, sf dir has ${arrivals.length}")
+
+    val input = MemoryStream[(Long, String, String)]
+    var chunksOut = 0L
+    val handle = CorpusPrepStream.streamPrepare(
+      input.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", bench, "text", Some(index),
+      // 5-gram decontamination, like q_ext_corpus_prep: at 3-grams the
+      // synthetic corpus is ~97% contaminated against its own slice and
+      // the tag/budget/chunk stages would measure empty frames
+      CorpusPrepStream.Config(shingleN = 5),
+      onBatch = (_, r) => chunksOut += r.chunks.count())
+
+    def feed(rows: Seq[(Long, String, String)]): Double = {
+      val t0 = System.nanoTime()
+      input.addData(rows)
+      handle.query.processAllAvailable()
+      (System.nanoTime() - t0) / 1e6
+    }
+
+    try {
+      // warm-up batch (codegen + first-plan costs), excluded
+      feed(arrivals.take(batchN))
+      val times = (1 until nBatches).map { i =>
+        val ms = feed(arrivals.slice(i * batchN, (i + 1) * batchN))
+        println(f"[prepbench] batch $i (seen=${i * batchN}): $ms%.0fms")
+        ms
+      }
+      val seen = handle.state.seenHashes.count()
+      println(f"[prepbench] index=$nIndex seen_hashes=$seen chunks=$chunksOut")
+      println(f"[prepbench] per-batch ($batchN docs): first=${times.head}%.0fms " +
+        f"last=${times.last}%.0fms mean=${times.sum / times.size}%.0fms = " +
+        f"${batchN / (times.sum / times.size / 1000)}%.0f docs/s steady-state")
+    } finally {
+      handle.close()
+      index.unpersist()
+      spark.stop()
+    }
+  }
+}

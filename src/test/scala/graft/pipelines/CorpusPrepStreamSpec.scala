@@ -42,7 +42,7 @@ class CorpusPrepStreamSpec extends SparkSpec {
         input.addData(b: _*)
         handle.query.processAllAvailable()
       }
-    } finally handle.query.stop()
+    } finally handle.close()
     results.sortBy(_._1).map(_._2).toSeq
   }
 
@@ -146,7 +146,7 @@ class CorpusPrepStreamSpec extends SparkSpec {
       // near-dup (not exact-dup) of doc 1 -> survives prep, groups with 1
       input.addData(PrepDoc(10, "a", goodText("ingest alpha") + " tail"))
       handle.query.processAllAvailable()
-    } finally handle.query.stop()
+    } finally handle.close()
     val labels = ingestState.labels
       .as[(Long, Long)].collect().toMap
     labels.keySet shouldBe Set(1L, 10L) // doc 2 never entered the corpus
