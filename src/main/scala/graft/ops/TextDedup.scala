@@ -44,6 +44,19 @@ object TextDedup {
       df.withColumn("__content_hash", contentHash(col(textCol))),
       keys = Seq("__content_hash"), order = tieBreak)
 
+  /** [[exactDedup]] for ALL-ASCENDING tie-breaks ([[Dedup.keepFirstAsc]]):
+    * `min(struct)` partial-aggregates map-side, so the hash exchange
+    * carries one candidate per (hash, input partition) instead of every
+    * row, and nothing is sorted — the right shape whenever the keep-first
+    * order is a plain ascending id (measured 1.6 → 1.0 s on 500k docs at
+    * 100×; the win grows with duplicate density).
+    */
+  def exactDedupAsc(df: DataFrame, textCol: String,
+                    tieBreakAsc: Seq[String]): DataFrame =
+    Dedup.keepFirstAsc(
+      df.withColumn("__content_hash", contentHash(col(textCol))),
+      keys = Seq("__content_hash"), orderCols = tieBreakAsc)
+
   /** Word n-gram shingles. Documents shorter than `n` tokens collapse to a
     * single whole-text shingle so they still participate.
     *

@@ -48,8 +48,8 @@ object CorpusPrep {
 
   def stages(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config()): Staged = {
-    val deduped = TextDedup.exactDedup(docs, "text",
-        tieBreak = Seq(col("doc_id").asc))
+    val deduped = TextDedup.exactDedupAsc(docs, "text",
+        tieBreakAsc = Seq("doc_id"))
       .drop("__content_hash")
     val quality = TextStats.qualityFilter(deduped, "text")
     val kept = quality.filter(col("keep")).drop("keep", "fail_reason")

@@ -128,8 +128,8 @@ object CorpusPrepStream {
     //    whose hash any earlier batch claimed. Probe shape per the scaladoc:
     //    broadcast the batch's hashes INTO the big seen table, anti-join
     //    the sliver back — the seen side is scanned, never shuffled.
-    val hashed = TextDedup.exactDedup(batch, textCol,
-      tieBreak = Seq(col(idCol).asc))
+    val hashed = TextDedup.exactDedupAsc(batch, textCol,
+      tieBreakAsc = Seq(idCol))
     val collidingHashes = state.seenHashes
       .join(broadcast(hashed.select(col("__content_hash"))), "__content_hash")
       .select(col("__content_hash"))

@@ -26,7 +26,7 @@ object Qext {
 
   /** Exact content-hash dedup: keep smallest doc_id per normalized-text md5. */
   def qExtDedupExact(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.exactDedup(t(spark, dir, "documents"), "text", Seq(col("doc_id")))
+    TextDedup.exactDedupAsc(t(spark, dir, "documents"), "text", Seq("doc_id"))
       .select(col("doc_id"), col("__content_hash").as("content_hash"))
       .orderBy("doc_id")
 
