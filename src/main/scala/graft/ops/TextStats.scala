@@ -76,6 +76,44 @@ object TextStats {
       "stopword_ratio" -> round(stopwordCount(c, defaultStopwords).cast("double") / nTokens, 4))
   }
 
+  // ------------------------------------------- model-based quality scoring
+
+  /** Linear quality-classifier weights over the [[qualityMetrics]] features
+    * (the shape a trained fastText/logistic quality model exports). The
+    * engine side of model-based quality filtering is APPLYING weights at
+    * corpus scale — training happens offline; weights are data.
+    *
+    * Defaults are a hand-set heuristic favoring mid-length, low-punct,
+    * stopword-bearing prose — replace with trained values.
+    */
+  final case class QualityWeights(
+      bias: Double = -1.0,
+      nChars: Double = 0.0005,
+      nTokens: Double = 0.002,
+      meanTokenLen: Double = 0.08,
+      punctRatio: Double = -4.0,
+      stopwordRatio: Double = 6.0)
+
+  /** The classifier's raw margin w·features + bias, rounded to 6 places.
+    *
+    * Deliberately the LOGIT, not a sigmoid probability: the multiply-add
+    * chain over the rounded metrics is IEEE-exact in a fixed evaluation
+    * order (both engines evaluate left-to-right), so the output is
+    * oracle-checkable bit-for-bit — `exp` is not correctly rounded and
+    * differs across libm implementations. Thresholding (`logit >= t`) is
+    * monotone-equivalent to thresholding the probability.
+    */
+  def qualityLogit(c: Column, w: QualityWeights = QualityWeights()): Column = {
+    val m = qualityMetrics(c).toMap
+    round(
+      lit(w.bias)
+        + lit(w.nChars) * m("n_chars")
+        + lit(w.nTokens) * m("n_tokens")
+        + lit(w.meanTokenLen) * m("mean_token_len")
+        + lit(w.punctRatio) * m("punct_ratio")
+        + lit(w.stopwordRatio) * m("stopword_ratio"), 6)
+  }
+
   /** Marker-word profiles for the n-gram language-ID heuristic. Tiny on
     * purpose: language ID at scale is profile-scoring, and the engine side of
     * that is these counting expressions; richer profiles are data, not code.

@@ -388,6 +388,20 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality scoring ([[TextStats.qualityLogit]]): a linear
+    * classifier's margin over the quality metrics, applied corpus-wide —
+    * the engine half of trained quality filtering (training is offline;
+    * weights are data). The logit's fixed-order multiply-add over the
+    * rounded metrics is IEEE-exact cross-engine, hence the exact oracle;
+    * `keep` thresholds at 0.
+    */
+  def qExtQualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val logit = TextStats.qualityLogit(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), logit.as("logit"), (logit >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style quality-rule verdict per document: keep flag + first
     * violated rule. All comparisons are on unrounded int/int IEEE
     * divisions, so the verdicts are engine-portable — exact oracle.
@@ -769,6 +783,7 @@ object Qext {
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_quality_filter" -> (qExtQualityFilter _),
+    "q_ext_quality_logit" -> (qExtQualityLogit _),
     "q_ext_lang_id" -> (qExtLangId _),
     "q_ext_lang_id_profile" -> (qExtLangIdProfile _),
     "q_ext_vocab" -> (qExtVocab _),
@@ -1507,6 +1522,29 @@ object Qext {
          |        '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
          |        / len(str_split($normSql, ' ')), 4) AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ext_quality_logit" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    len(str_split($normSql, ' ')) AS n_tokens,
+         |    round(length(regexp_replace($normSql, ' ', '', 'g'))::DOUBLE
+         |          / len(str_split($normSql, ' ')), 4) AS mean_token_len,
+         |    round(len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
+         |          / length(text), 4) AS punct_ratio,
+         |    round(len(regexp_extract_all(lower(text),
+         |          '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+         |          / len(str_split($normSql, ' ')), 4) AS stopword_ratio
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id,
+         |    round(-1.0 + 0.0005 * n_chars + 0.002 * n_tokens
+         |          + 0.08 * mean_token_len + (-4.0) * punct_ratio
+         |          + 6.0 * stopword_ratio, 6) AS logit
+         |  FROM m
+         |)
+         |SELECT doc_id, logit, logit >= 0 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_ext_lang_id" ->
       """WITH scores AS (
