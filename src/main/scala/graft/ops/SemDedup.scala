@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+  * cluster embeddings around k centroids, then compare ONLY within-cluster
+  * pairs by exact cosine and drop every row that has a same-cluster neighbor
+  * above `tau` with a smaller id (deterministic min-id survivor, the same
+  * survivor rule as the engine's other dedup families).
+  *
+  * Relationship to the sibling paths:
+  *  - [[Similarity.cosineNearDups]] blocks by sign-LSH bucket — recall tuned
+  *    by nbits, pairs bounded by bucket collisions.
+  *  - SemDeDup blocks by SEMANTIC cluster — pair count is Σ|cluster|², so k
+  *    chosen ~n/target_cluster_size bounds the quadratic term, and the
+  *    clusters themselves are a reusable curation artifact (topic counts,
+  *    per-topic sampling). Cross-cluster near-dups are deliberately not
+  *    compared: that is the paper's stated recall trade for linear-ish cost.
+  *
+  * Scale posture: assignment is map-side (k cosines per row against a
+  * driver-held, broadcast-as-literals centroid model — [[Ivf.assignExpr]]);
+  * the only shuffle is the within-cluster self-join keyed on the cluster id,
+  * whose volume is bounded by cluster sizes, not n². The assigned frame is
+  * persisted so the k-centroid scoring runs once, not once per join side.
+  * At 100 TB: raise k so clusters stay O(10^4-10^5) rows; a runaway cluster
+  * is visible in [[clusterSizes]] and can be sub-split (re-run with its
+  * members as a new corpus) — same remedy the paper applies.
+  */
+object SemDedup {
+
+  /** Survivors after semantic dedup: (idCol, cluster) — one row per kept
+    * input row, tagged with its cluster. Dropped rows are exactly those with
+    * a smaller-id same-cluster neighbor at `round(cosine, scoreDecimals) >=
+    * tau`. Rounding before the threshold keeps the drop set engine-portable
+    * (bit-identical in DuckDB over the same double arithmetic).
+    */
+  def dedup(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
+            tau: Double, scoreDecimals: Int = 6): DataFrame =
+    dedupManaged(df, idCol, vecCol, model, tau, scoreDecimals).df
+
+  /** [[dedup]] with cache-lifecycle control over the persisted assignment. */
+  def dedupManaged(df: DataFrame, idCol: String, vecCol: String,
+                   model: Ivf.Model, tau: Double,
+                   scoreDecimals: Int = 6): Managed = {
+    val assigned = Partitioning.spread(df)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("cluster", Ivf.assignExpr(col("__v"), model))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col(idCol).as("id_a"), col("__v").as("__va"),
+      col("cluster"))
+    val b = assigned.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+      col("cluster"))
+    val dups = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      .withColumn("score",
+        round(Similarity.cosine(col("__va"), col("__vb")), scoreDecimals))
+      .filter(col("score") >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    val kept = assigned.join(dups, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+    new Managed(kept, Seq(assigned))
+  }
+
+  /** Per-cluster membership counts — the "topic profile" of a corpus under
+    * the model, and the skew probe for choosing k (a cluster far above
+    * n/k is a sub-split candidate before running [[dedup]]).
+    */
+  def clusterSizes(df: DataFrame, idCol: String, vecCol: String,
+                   model: Ivf.Model): DataFrame =
+    Ivf.assign(df.select(col(idCol), col(vecCol).as("__v")), "__v", model,
+        clusterCol = "cluster")
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+}

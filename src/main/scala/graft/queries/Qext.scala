@@ -372,6 +372,32 @@ object Qext {
   private val ivfFixedModels =
     new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
 
+  /** Semantic dedup ([[SemDedup.dedup]], SemDeDup-style cluster-then-prune):
+    * the fixed-centroid model blocks pairs by nearest-centroid cluster; a
+    * row is dropped when a smaller-id same-cluster neighbor has cosine
+    * >= 0.4 (the corpus's planted near-dup threshold). Deterministic
+    * model + rounded scores → exact SQL oracle for assign→pair→prune.
+    */
+  def qExtSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    SemDedup.dedup(e, "vec_id", "embedding", model, tau = 0.4)
+      .orderBy("vec_id")
+  }
+
+  /** Corpus topic profile ([[SemDedup.clusterSizes]]): per-cluster member
+    * counts under the fixed-centroid model — the k-skew probe run before
+    * semantic dedup or per-topic sampling.
+    */
+  def qExtClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    SemDedup.clusterSizes(e, "vec_id", "embedding", model)
+      .orderBy("cluster")
+  }
+
   // ---------------------------------------------------- text analysis
 
   def qExtTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -763,6 +789,8 @@ object Qext {
     "q_ext_dedup_simhash" -> (qExtDedupSimhash _),
     "q_ext_dedup_ngram_jaccard" -> (qExtDedupNgramJaccard _),
     "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
+    "q_ext_semdedup" -> (qExtSemdedup _),
+    "q_ext_cluster_assign" -> (qExtClusterAssign _),
     "q_ext_dedup_groups" -> (qExtDedupGroups _),
     "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_bloom_decontaminate" -> (qExtBloomDecontaminate _),
@@ -1418,6 +1446,61 @@ object Qext {
         |)
         |SELECT id_a, id_b, score FROM pairs WHERE score >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ext_semdedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |), vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |), assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE round(CASE WHEN sqrt(list_dot_product(va.emb, va.emb))
+        |                        * sqrt(list_dot_product(vb.emb, vb.emb)) = 0 THEN 0
+        |              ELSE list_dot_product(va.emb, vb.emb)
+        |                   / (sqrt(list_dot_product(va.emb, va.emb))
+        |                      * sqrt(list_dot_product(vb.emb, vb.emb))) END, 6) >= 0.4
+        |)
+        |SELECT a.vec_id, a.cluster FROM assigned a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q_ext_cluster_assign" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |), vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |), assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |)
+        |SELECT cluster, count(*) AS n FROM assigned
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q_ext_sim_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
