@@ -101,5 +101,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           r.maxPunctRatio, r.minStopwordRatio,
           "\\b(" + graft.ops.TextStats.defaultStopwords.mkString("|") + ")\\b")
       }))
+    // misra_gries(col, capacity): bounded-state heavy-hitters aggregate;
+    // capacity must be a foldable integer literal
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(
+        classOf[graft.functions.SketchExpressions.MisraGries].getName,
+        "misra_gries"),
+      { children: Seq[Expression] =>
+        require(children.size == 2,
+          s"misra_gries requires exactly 2 arguments, got ${children.size}")
+        val cap = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"misra_gries capacity must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "misra_gries capacity must be a literal")
+        }
+        graft.functions.SketchExpressions.MisraGries(children(0), cap)
+          .toAggregateExpression()
+      }))
   }
 }

@@ -456,6 +456,17 @@ object Qext {
   /** Corpus vocabulary top-200 by total frequency (tokenizer-induction
     * first step); integer counts, fully deterministic order.
     */
+  /** Heavy-hitter tokens via the Misra-Gries aggregate
+    * ([[Sketches.tokenHeavyHitters]]): capacity 64 over a 31-token
+    * synthetic vocabulary — the exact regime, so counts equal true
+    * frequencies and the groupBy-count SQL is a true oracle. The lossy
+    * regime's lower-bound guarantees are covered by SketchSpec.
+    */
+  def qExtHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Sketches.tokenHeavyHitters(t(spark, dir, "documents"), "text",
+        capacity = 64, topN = 20)
+      .orderBy(col("cnt").desc, col("token").asc)
+
   def qExtVocab(spark: SparkSession, dir: String): DataFrame =
     TextStats.vocabulary(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("tf").desc, col("token").asc).limit(200)
@@ -815,6 +826,7 @@ object Qext {
     "q_ext_lang_id" -> (qExtLangId _),
     "q_ext_lang_id_profile" -> (qExtLangIdProfile _),
     "q_ext_vocab" -> (qExtVocab _),
+    "q_ext_heavy_hitters" -> (qExtHeavyHitters _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_pii_redact" -> (qExtPiiRedact _),
@@ -1706,6 +1718,15 @@ object Qext {
          |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
          |      FROM documents)
          |GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200""".stripMargin,
+
+    // Exact-regime Misra-Gries (capacity 64 > 31 distinct tokens): counts
+    // equal true frequencies, so the plain top-20 frequency query is a
+    // true oracle for the sketch path.
+    "q_ext_heavy_hitters" ->
+      s"""SELECT tok AS token, count(*)::BIGINT AS cnt
+         |FROM (SELECT unnest(string_split($normSql, ' ')) AS tok
+         |      FROM documents)
+         |GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
 
     // Rational idf (n+1)/(df+1): every double op here (division, multiply)
     // is IEEE-correctly-rounded, so scores are bit-identical to Spark's.

@@ -54,6 +54,13 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       qf.getString(1) shouldBe "too_few_tokens"
       an[Exception] should be thrownBy
         spark.sql("SELECT quality_fail('x', 'y')").collect()
+      val mg = spark.sql(
+        "SELECT misra_gries(t, 8) AS hh FROM VALUES ('a'),('b'),('a') AS v(t)")
+        .collect().head
+      mg.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))) shouldBe Seq("a" -> 2L, "b" -> 1L)
+      an[Exception] should be thrownBy
+        spark.sql("SELECT misra_gries('x')").collect()
     } finally {
       // don't stop() (shared SparkContext); restore the prior session for
       // the other suites
