@@ -56,8 +56,20 @@ object SemDedup {
       .withColumn("score",
         round(Similarity.cosine(col("__va"), col("__vb")), scoreDecimals))
       .filter(col("score") >= tau)
-      .select(col("id_b").as(idCol)).distinct()
-    val kept = assigned.join(dups, Seq(idCol), "left_anti")
+      .select(col("id_b").as(idCol))
+    // Survivor selection without an anti-join: union a drop-tagged leg and
+    // keep ids whose max tag is 0 — one hash shuffle on the id with partial
+    // aggregation (duplicate drop votes collapse map-side), no sort, no
+    // broadcast-size assumption on the dup set (which can be a large
+    // fraction of a crawl corpus), and no distinct() pre-shuffle.
+    val kept = assigned
+      .select(col(idCol), col("cluster"), lit(0).as("__drop"))
+      .unionByName(dups
+        .select(col(idCol), lit(null).cast("int").as("cluster"),
+          lit(1).as("__drop")))
+      .groupBy(idCol)
+      .agg(max("cluster").as("cluster"), max("__drop").as("__d"))
+      .filter(col("__d") === 0)
       .select(col(idCol), col("cluster"))
     new Managed(kept, Seq(assigned))
   }
