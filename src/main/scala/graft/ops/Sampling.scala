@@ -73,6 +73,84 @@ object Sampling {
       .repartitionByRange(col("__shuffle_key"), col(keyCol))
       .sortWithinPartitions(col("__shuffle_key"), col(keyCol))
 
+  /** Systematic weighted sampling: ~`k` draws with inclusion probability
+    * proportional to an integer weight (token count, byte length — the
+    * natural corpus weights), by walking the cumulative-weight line in
+    * ascending id order with stride W/k. Row i is drawn
+    * `floor(cum_i*k/W) - floor(cum_{i-1}*k/W)` times (`copies` — a row
+    * heavier than W/k oversamples, explicitly). Output: (idCol, weight,
+    * copies) for drawn rows, ascending id.
+    *
+    * Everything is EXACT integer arithmetic — long prefix sums, 128-bit
+    * products — so the sample is a pure function of the data, independent
+    * of partitioning, and bit-reproducible in any engine with 128-bit
+    * integers (DuckDB: HUGEINT), unlike exponential-keys weighted sampling
+    * (Efraimidis-Spirakis), whose pow/log draws are not portably rounded.
+    *
+    * Scale posture: one range exchange (ascending id — usually the
+    * ingest order, so often already clustered), then a two-pass
+    * distributed prefix sum: pass 1 reduces each partition to ONE long
+    * (collected — partition-count-bounded, like the IVF centroid pull),
+    * pass 2 walks each partition with its exclusive offset. No global
+    * single-partition window, no driver row traffic. `mapPartitions` is
+    * justified here: a running prefix walk is genuinely per-partition
+    * imperative state with no Column-algebra form that avoids the
+    * one-partition global window.
+    *
+    * Weights must be non-negative (zero-weight rows are never drawn;
+    * negative weights would corrupt the walk and throw).
+    */
+  def systematicWeighted(df: DataFrame, idCol: String, weightCol: String,
+                         k: Long): DataFrame =
+    systematicWeightedManaged(df, idCol, weightCol, k).df
+
+  /** [[systematicWeighted]] with cache-lifecycle control. The sorted frame
+    * MUST stay persisted until the result is consumed: pass 2's offsets are
+    * keyed by the partition ids pass 1 observed, and an unpersisted
+    * recompute could re-sample different range boundaries.
+    */
+  def systematicWeightedManaged(df: DataFrame, idCol: String,
+                                weightCol: String, k: Long): Managed = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(idCol).cast("long").as("__id"), col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(col("__id"))
+      .sortWithinPartitions("__id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: one (partitionId, sum) pair per partition
+    val partTotals = sorted.mapPartitions { it =>
+      var s = 0L
+      it.foreach { case (_, w) =>
+        require(w >= 0, s"negative weight $w")
+        s = Math.addExact(s, w)
+      }
+      Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> s)
+    }.collect().sortBy(_._1)
+    val total = partTotals.map(_._2).sum
+    val result =
+      if (total == 0L)
+        spark.emptyDataset[(Long, Long, Long)].toDF(idCol, "weight", "copies")
+      else {
+        val offsets = partTotals.map(_._1)
+          .zip(partTotals.scanLeft(0L)(_ + _._2)).toMap
+        val bigK = BigInt(k); val bigW = BigInt(total)
+        // pass 2: walk each partition from its exclusive offset
+        sorted.mapPartitions { it =>
+          var cum = offsets(org.apache.spark.TaskContext.getPartitionId())
+          it.flatMap { case (id, w) =>
+            val lo = BigInt(cum) * bigK / bigW
+            cum += w
+            val copies = (BigInt(cum) * bigK / bigW - lo).toLong
+            if (copies > 0) Iterator.single((id, w, copies)) else Iterator.empty
+          }
+        }.toDF(idCol, "weight", "copies")
+      }
+    new Managed(result, Seq(sorted.toDF()))
+  }
+
   /** Label each row train/val/test by key hash: test gets `testPct`
     * buckets, validation the next `valPct`, train the rest.
     */

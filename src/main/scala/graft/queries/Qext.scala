@@ -456,6 +456,16 @@ object Qext {
   /** Corpus vocabulary top-200 by total frequency (tokenizer-induction
     * first step); integer counts, fully deterministic order.
     */
+  /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
+    * draws proportional to n_chars, exact integer prefix-sum walk — the
+    * sample is a pure function of the data (partitioning-independent),
+    * and 128-bit products make the DuckDB HUGEINT oracle exact.
+    */
+  def qExtSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.systematicWeighted(t(spark, dir, "documents"), "doc_id",
+        "n_chars", k = 100)
+      .orderBy("doc_id")
+
   /** Heavy-hitter tokens via the Misra-Gries aggregate
     * ([[Sketches.tokenHeavyHitters]]): capacity 64 over a 31-token
     * synthetic vocabulary — the exact regime, so counts equal true
@@ -827,6 +837,7 @@ object Qext {
     "q_ext_lang_id_profile" -> (qExtLangIdProfile _),
     "q_ext_vocab" -> (qExtVocab _),
     "q_ext_heavy_hitters" -> (qExtHeavyHitters _),
+    "q_ext_sample_weighted" -> (qExtSampleWeighted _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_pii_redact" -> (qExtPiiRedact _),
@@ -1718,6 +1729,23 @@ object Qext {
          |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
          |      FROM documents)
          |GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200""".stripMargin,
+
+    // Exact integer arithmetic end-to-end: BIGINT prefix sums, HUGEINT
+    // products — the stride walk is bit-identical to the engine's BigInt
+    // form at any k and weight scale.
+    "q_ext_sample_weighted" ->
+      """WITH w AS (SELECT doc_id, n_chars::BIGINT AS wt FROM documents),
+        |tot AS (SELECT sum(wt)::HUGEINT AS W FROM w),
+        |c AS (SELECT doc_id, wt,
+        |             sum(wt) OVER (ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum
+        |      FROM w)
+        |SELECT c.doc_id, c.wt AS weight,
+        |       ((c.cum * 100) // t.W
+        |        - ((c.cum - c.wt) * 100) // t.W)::BIGINT AS copies
+        |FROM c, tot t
+        |WHERE (c.cum * 100) // t.W > ((c.cum - c.wt) * 100) // t.W
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact-regime Misra-Gries (capacity 64 > 31 distinct tokens): counts
     // equal true frequencies, so the plain top-20 frequency query is a

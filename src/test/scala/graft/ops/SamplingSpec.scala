@@ -61,4 +61,41 @@ class SamplingSpec extends SparkSpec {
       .filter($"split" === "test").select("id").as[Long].collect().toSet
     test10.subsetOf(test20) shouldBe true
   }
+
+  "systematicWeighted" should "draw exactly k copies in total" in {
+    val df = (1L to 200L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val out = Sampling.systematicWeighted(df, "id", "w", k = 50)
+    out.agg(org.apache.spark.sql.functions.sum("copies"))
+      .as[Long].head() shouldBe 50L
+  }
+
+  it should "be a pure function of the data, independent of partitioning" in {
+    val rows = (1L to 300L).map(i => (i, i % 11 + 1))
+    val a = Sampling.systematicWeighted(rows.toDF("id", "w").repartition(1),
+      "id", "w", k = 40).orderBy("id").as[(Long, Long, Long)].collect()
+    val b = Sampling.systematicWeighted(rows.toDF("id", "w").repartition(17),
+      "id", "w", k = 40).orderBy("id").as[(Long, Long, Long)].collect()
+    b shouldBe a
+  }
+
+  it should "oversample a dominant row and never draw zero-weight rows" in {
+    val df = ((1L to 20L).map(i => (i, 1L)) :+ (21L -> 80L))
+      .map { case (i, w) => (i, w) }.toDF("id", "w")
+      .union(Seq((22L, 0L)).toDF("id", "w"))
+    val out = Sampling.systematicWeighted(df, "id", "w", k = 10)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    out(21L) shouldBe 8L // 80% of the mass → 8 of 10 draws
+    out.keySet should not contain 22L
+    // every drawn count is within 1 of the exact proportional share
+    out.foreach { case (id, c) =>
+      val w = if (id == 21L) 80.0 else 1.0
+      math.abs(c - 10.0 * w / 100.0) should be <= 1.0
+    }
+  }
+
+  it should "reject negative weights" in {
+    val df = Seq((1L, 5L), (2L, -3L)).toDF("id", "w")
+    an[Exception] should be thrownBy
+      Sampling.systematicWeighted(df, "id", "w", k = 2).collect()
+  }
 }
