@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Temperature-rebalanced mixture weights at α = 1/2: the sampling
+    * distribution over groups is p_g ∝ n_g^α — the standard multilingual /
+    * multi-source upsampling curve (α = 1 is proportional, α = 0 uniform;
+    * 1/2 sits between, boosting small groups without drowning large ones).
+    * α is FIXED at 1/2 because sqrt is the one power IEEE requires
+    * correctly rounded — the weights are bit-reproducible cross-engine,
+    * where a pow(n, 0.3) would not be.
+    *
+    * Output per group: `n`, `w` = round(√n, 6), `rate` (normalized — the
+    * group's share of draws; w summed as DECIMAL so the total is exact and
+    * order-independent), and `boost` = rate·N/n (the up/down-sampling
+    * factor vs proportional: >1 means upsample). Feed `rate` × budget into
+    * [[Sampling.systematicWeighted]] (or a per-group cap) to realize the
+    * mixture.
+    *
+    * Scale: one partial-agg count shuffle of \|groups\| rows + a 1-row
+    * broadcast — nothing touches the corpus twice.
+    */
+  def sqrtTemperatureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val w = counts.withColumn("w", round(sqrt(col("n")), 6))
+    val tot = w.agg(sum(col("w").cast("decimal(38,6)")).as("__W"),
+      sum("n").as("__N"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("rate", round(col("w") / col("__W").cast("double"), 6))
+      .withColumn("boost", round(col("rate") * col("__N") / col("n"), 6))
+      .select(col(groupCol), col("n"), col("w"), col("rate"), col("boost"))
+  }
+
   /** Keep at most `n` rows per group under an EXPLICIT total order
     * (`orderBy` must be deterministic — tie-break on a unique column; the
     * engine-wide rule that every kept-vs-dropped decision is reproducible).

@@ -456,6 +456,15 @@ object Qext {
   /** Corpus vocabulary top-200 by total frequency (tokenizer-induction
     * first step); integer counts, fully deterministic order.
     */
+  /** Mixture weights at temperature α = 1/2
+    * ([[Curation.sqrtTemperatureWeights]]): per-language sampling rates
+    * p ∝ √n with the exact-decimal normalizer — sqrt is correctly
+    * rounded by IEEE, so the whole computation has an exact oracle.
+    */
+  def qExtMixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    Curation.sqrtTemperatureWeights(t(spark, dir, "documents"), "lang")
+      .orderBy("lang")
+
   /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
     * draws proportional to n_chars, exact integer prefix-sum walk — the
     * sample is a pure function of the data (partitioning-independent),
@@ -838,6 +847,7 @@ object Qext {
     "q_ext_vocab" -> (qExtVocab _),
     "q_ext_heavy_hitters" -> (qExtHeavyHitters _),
     "q_ext_sample_weighted" -> (qExtSampleWeighted _),
+    "q_ext_mixture_weights" -> (qExtMixtureWeights _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_pii_redact" -> (qExtPiiRedact _),
@@ -1729,6 +1739,19 @@ object Qext {
          |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
          |      FROM documents)
          |GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200""".stripMargin,
+
+    // sqrt is IEEE-correctly-rounded and the normalizer sums DECIMAL(38,6)
+    // (exact, order-independent), so every double op here reproduces
+    // bit-for-bit: an exact oracle despite the irrational weights.
+    "q_ext_mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, round(sqrt(n), 6) AS w FROM c),
+        |t AS (SELECT sum(w::DECIMAL(38,6)) AS wtot, sum(n) AS ntot FROM w),
+        |r AS (SELECT w.lang, w.n, w.w,
+        |             round(w.w / t.wtot::DOUBLE, 6) AS rate, t.ntot AS ntot
+        |      FROM w, t)
+        |SELECT lang, n, w, rate, round(rate * ntot / n, 6) AS boost
+        |FROM r ORDER BY lang""".stripMargin,
 
     // Exact integer arithmetic end-to-end: BIGINT prefix sums, HUGEINT
     // products — the stride walk is bit-identical to the engine's BigInt

@@ -91,4 +91,22 @@ class CurationSpec extends SparkSpec {
       Curation.tokenBudgetPerGroup(docs, "source", "n_chars",
         Seq(col("doc_id")), Map("a" -> -1L), 10L)
   }
+
+  "sqrtTemperatureWeights" should "boost small groups and damp large ones" in {
+    // 100 'big' rows vs 4 'small': proportional shares 0.9615/0.0385,
+    // sqrt-temperature shares 10/12 and 2/12.
+    val df = (Seq.fill(100)("big") ++ Seq.fill(4)("small")).toDF("g")
+    val out = Curation.sqrtTemperatureWeights(df, "g")
+      .orderBy("g").collect()
+    val big = out(0); val small = out(1)
+    big.getAs[Long]("n") shouldBe 100L
+    big.getAs[Double]("w") shouldBe 10.0
+    small.getAs[Double]("w") shouldBe 2.0
+    big.getAs[Double]("rate") shouldBe (10.0 / 12) +- 1e-6
+    small.getAs[Double]("rate") shouldBe (2.0 / 12) +- 1e-6
+    big.getAs[Double]("boost") should be < 1.0   // downsample the giant
+    small.getAs[Double]("boost") should be > 1.0 // upsample the minority
+    // rates form a distribution
+    out.map(_.getAs[Double]("rate")).sum shouldBe 1.0 +- 1e-5
+  }
 }
