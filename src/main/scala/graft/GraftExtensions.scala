@@ -101,6 +101,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           r.maxPunctRatio, r.minStopwordRatio,
           "\\b(" + graft.ops.TextStats.defaultStopwords.mkString("|") + ")\\b")
       }))
+    // compress_ratio(text): deflate-based repetition/noise quality signal
+    ext.injectFunction((FunctionIdentifier("compress_ratio"),
+      new ExpressionInfo(
+        classOf[graft.functions.CompressExpression.CompressRatio].getName,
+        "compress_ratio"),
+      { children: Seq[Expression] =>
+        require(children.size == 1,
+          s"compress_ratio requires exactly 1 argument, got ${children.size}")
+        graft.functions.CompressExpression.CompressRatio(children(0))
+      }))
     // misra_gries(col, capacity): bounded-state heavy-hitters aggregate;
     // capacity must be a foldable integer literal
     ext.injectFunction((FunctionIdentifier("misra_gries"),

@@ -12,6 +12,16 @@ object TextStats {
   /** Whitespace token count. */
   def wsTokenCount(c: Column): Column = size(TextDedup.tokens(c))
 
+  /** Deflate compression ratio of the raw text
+    * ([[graft.functions.CompressExpression]]): low → templated/repetitive
+    * (LZ77 catches long-range duplication the bigram metrics miss), very
+    * high → incompressible noise. Engine-deterministic, not cross-engine
+    * portable (zlib match choice) — the one TextStats signal without a
+    * SQL oracle.
+    */
+  def compressionRatio(c: Column): Column =
+    graft.functions.CompressExpression.compress_ratio(c)
+
   /** BPE-ish token count: letter runs, single digits, and single
     * non-alphanumeric marks each count as one token (a crude but
     * deterministic proxy for subword tokenizers).

@@ -456,6 +456,19 @@ object Qext {
   /** Corpus vocabulary top-200 by total frequency (tokenizer-induction
     * first step); integer counts, fully deterministic order.
     */
+  /** Deflate compression-ratio quality signal
+    * ([[TextStats.compressionRatio]]). Deliberately declared WITHOUT a
+    * SQL oracle (the only such query): deflate output depends on the
+    * engine's zlib, so the driver's rows-only check plus the
+    * CompressRatioSpec semantics tests are the contract. Rounded to 4 for
+    * a stable display; the ordering column is doc_id alone.
+    */
+  def qExtCompressRatio(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextStats.compressionRatio(col("text")), 4).as("compress_ratio"))
+      .orderBy("doc_id")
+
   /** Mixture weights at temperature α = 1/2
     * ([[Curation.sqrtTemperatureWeights]]): per-language sampling rates
     * p ∝ √n with the exact-decimal normalizer — sqrt is correctly
@@ -848,6 +861,7 @@ object Qext {
     "q_ext_heavy_hitters" -> (qExtHeavyHitters _),
     "q_ext_sample_weighted" -> (qExtSampleWeighted _),
     "q_ext_mixture_weights" -> (qExtMixtureWeights _),
+    "q_ext_compress_ratio" -> (qExtCompressRatio _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_pii_redact" -> (qExtPiiRedact _),
