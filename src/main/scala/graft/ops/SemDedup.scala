@@ -74,6 +74,60 @@ object SemDedup {
     new Managed(kept, Seq(assigned))
   }
 
+  /** Incremental semantic dedup of a NEW batch against an already-deduped
+    * stored corpus (the [[graft.pipelines.CorpusStore]] posture — mirrors
+    * [[TextDedup.minhashIncrement]]): a batch row is dropped when a
+    * same-cluster neighbor at cosine >= tau exists EITHER in the stored
+    * corpus (any id) or earlier in the batch (smaller id). Returns batch
+    * survivors as (idCol, cluster).
+    *
+    * `storedAssigned` must carry (idCol, vecCol, clusterCol) produced by a
+    * prior [[Ivf.assign]] under the SAME model — assignment is stored
+    * column data, not recomputed per increment (the signature-store
+    * lesson: recomputing per batch re-scores the whole corpus).
+    *
+    * Invariant (IncrementGuard-style, asserted in SemDedupSpec): when
+    * stored ids precede batch ids, stored-survivors ∪ increment ==
+    * [[dedup]] of the full corpus.
+    */
+  def dedupIncrement(batch: DataFrame, storedAssigned: DataFrame,
+                     idCol: String, vecCol: String, model: Ivf.Model,
+                     tau: Double, clusterCol: String = "cluster",
+                     scoreDecimals: Int = 6): Managed = {
+    val ba = Partitioning.spread(batch)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("cluster", Ivf.assignExpr(col("__v"), model))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val b = ba.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+      col("cluster"))
+    val storedSide = storedAssigned
+      .select(col(vecCol).as("__va"), col(clusterCol).as("cluster"))
+    // stored neighbors: any same-cluster hit drops the batch row
+    val vsStored = b.join(storedSide, "cluster")
+      .withColumn("score",
+        round(Similarity.cosine(col("__va"), col("__vb")), scoreDecimals))
+      .filter(col("score") >= tau)
+      .select(col("id_b").as(idCol))
+    // within-batch: smaller-id neighbor drops the larger id
+    val a = ba.select(col(idCol).as("id_a"), col("__v").as("__va"),
+      col("cluster"))
+    val within = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      .withColumn("score",
+        round(Similarity.cosine(col("__va"), col("__vb")), scoreDecimals))
+      .filter(col("score") >= tau)
+      .select(col("id_b").as(idCol))
+    val kept = ba
+      .select(col(idCol), col("cluster"), lit(0).as("__drop"))
+      .unionByName(vsStored.unionByName(within)
+        .select(col(idCol), lit(null).cast("int").as("cluster"),
+          lit(1).as("__drop")))
+      .groupBy(idCol)
+      .agg(max("cluster").as("cluster"), max("__drop").as("__d"))
+      .filter(col("__d") === 0)
+      .select(col(idCol), col("cluster"))
+    new Managed(kept, Seq(ba))
+  }
+
   /** Per-cluster membership counts — the "topic profile" of a corpus under
     * the model, and the skew probe for choosing k (a cluster far above
     * n/k is a sub-split candidate before running [[dedup]]).

@@ -36,6 +36,36 @@ class SemDedupSpec extends SparkSpec {
     kept.map(_._1) shouldBe Array(0L, 3L)
   }
 
+  "SemDedup.dedupIncrement" should "equal the full run when stored ids precede batch ids" in {
+    val m = model
+    val stored = vecs.filter(col("vec_id") < 3)
+    val batch = vecs.filter(col("vec_id") >= 3)
+    // stored corpus deduped + assigned once, as a store would hold it
+    val storedKept = SemDedup.dedup(stored, "vec_id", "embedding", m, tau = 0.9)
+    val storedAssigned = stored
+      .join(storedKept.select("vec_id"), "vec_id")
+      .withColumn("cluster", Ivf.assignExpr(col("embedding"), m))
+    val increment = SemDedup.dedupIncrement(batch, storedAssigned,
+        "vec_id", "embedding", m, tau = 0.9)
+      .use(_.orderBy("vec_id").as[(Long, Int)].collect())
+    val full = SemDedup.dedup(vecs, "vec_id", "embedding", m, tau = 0.9)
+      .orderBy("vec_id").as[(Long, Int)].collect()
+    val storedPart = storedKept.orderBy("vec_id").as[(Long, Int)].collect()
+    (storedPart ++ increment).sortBy(_._1) shouldBe full
+  }
+
+  it should "drop a batch row that matches only a stored neighbor" in {
+    val m = model
+    // batch = the near-dup of stored 0 and the lone vector
+    val stored = vecs.filter(col("vec_id") === 0L)
+      .withColumn("cluster", Ivf.assignExpr(col("embedding"), m))
+    val batch = vecs.filter(col("vec_id") === 2L || col("vec_id") === 5L)
+    val kept = SemDedup.dedupIncrement(batch, stored,
+        "vec_id", "embedding", m, tau = 0.9)
+      .use(_.orderBy("vec_id").as[(Long, Int)].collect())
+    kept.map(_._1) shouldBe Array(5L) // 2 folds into stored 0; 5 survives
+  }
+
   "SemDedup.clusterSizes" should "count members per cluster" in {
     val sizes = SemDedup.clusterSizes(vecs, "vec_id", "embedding", model)
       .orderBy("cluster").as[(Int, Long)].collect()
