@@ -386,6 +386,31 @@ object Qext {
       .orderBy("vec_id")
   }
 
+  /** Topic keywords per semantic cluster: embedding-space clustering
+    * (fixed-centroid assignment) joined with doc tokens; top-3 tokens per
+    * cluster by frequency (token asc tie-break). The "what is this
+    * cluster about" readout over [[SemDedup]]'s assignment — embeddings
+    * and documents share ids in the synthetic corpus (vec_id = doc_id).
+    */
+  def qExtClusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    val assigned = e
+      .select(col("vec_id").as("doc_id"),
+        Ivf.assignExpr(col("embedding"), model).as("cluster"))
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextDedup.tokens(col("text"))).as("token"))
+    val counts = toks.join(assigned, "doc_id")
+      .groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("tf").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("cluster", "token", "tf", "rank")
+      .orderBy("cluster", "rank")
+  }
+
   /** Corpus topic profile ([[SemDedup.clusterSizes]]): per-cluster member
     * counts under the fixed-centroid model — the k-skew probe run before
     * semantic dedup or per-topic sampling.
@@ -724,6 +749,43 @@ object Qext {
       .orderBy(col("g_type"), col("g_bucket"),
         col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
 
+  /** Full CUBE over (lang, source): all four grouping-set combinations in
+    * one pass — the lang × source inspection matrix with margins, the
+    * cube sibling of q_ext_agg_rollup. Spark plans a single Expand +
+    * aggregate (4 grouping sets), not four scans.
+    */
+  def qExtAggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"))
+      .select("lang", "source", "g_lang", "g_source", "n")
+      .orderBy(col("g_lang"), col("g_source"),
+        col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** Fuzzy key pairs by edit distance: normalized 16-char prefixes of a
+    * bounded probe set, levenshtein <= 8 — the typo-tolerant record-link
+    * step exact hashing misses. Both engines implement unit-cost
+    * Wagner-Fischer over code points: exact integer oracle.
+    */
+  def qExtFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    // coalesce makes the prefix NON-NULLABLE so the cross join infers no
+    // isnotnull(<normalize+substring>) constraint filter, which would
+    // re-evaluate the whole normalize pipeline per row (recompute guard)
+    val d = t(spark, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        coalesce(substring(TextDedup.normalizeText(col("text")), 1, 16),
+          lit("")).as("__p"))
+    val a = d.select(col("doc_id").as("id_a"), col("__p").as("__pa"))
+    val b = d.select(col("doc_id").as("id_b"), col("__p").as("__pb"))
+    b.crossJoin(broadcast(a)).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__pa"), col("__pb")))
+      .filter(col("dist") <= 8)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Running totals per user over event time ([[Window]] cumulative frame):
     * event index, cumulative error count, and running max value — the
     * order-sensitive window family (lag/lead/running aggregates) that
@@ -834,6 +896,7 @@ object Qext {
     "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
     "q_ext_semdedup" -> (qExtSemdedup _),
     "q_ext_cluster_assign" -> (qExtClusterAssign _),
+    "q_ext_cluster_topics" -> (qExtClusterTopics _),
     "q_ext_dedup_groups" -> (qExtDedupGroups _),
     "q_ext_decontaminate" -> (qExtDecontaminate _),
     "q_ext_bloom_decontaminate" -> (qExtBloomDecontaminate _),
@@ -882,6 +945,8 @@ object Qext {
     "q_ext_filter_blocklist" -> (qExtFilterBlocklist _),
     "q_ext_shuffle_order" -> (qExtShuffleOrder _),
     "q_ext_agg_rollup" -> (qExtAggRollup _),
+    "q_ext_agg_cube" -> (qExtAggCube _),
+    "q_ext_fuzzy_pairs" -> (qExtFuzzyPairs _),
     "q_ext_running_total" -> (qExtRunningTotal _),
   )
 
@@ -1184,6 +1249,25 @@ object Qext {
         |GROUP BY ROLLUP(event_type, user_bucket)
         |ORDER BY g_type, g_bucket,
         |         event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
+    "q_ext_agg_cube" ->
+      """SELECT lang, source,
+        |       GROUPING(lang) AS g_lang,
+        |       GROUPING(source) AS g_source,
+        |       count(*) AS n
+        |FROM documents
+        |GROUP BY CUBE(lang, source)
+        |ORDER BY g_lang, g_source,
+        |         lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_ext_fuzzy_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(substr($normSql, 1, 16), '') AS p
+         |  FROM documents WHERE doc_id < 60
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       levenshtein(a.p, b.p) AS dist
+         |FROM d a, d b
+         |WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_ext_running_total" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
@@ -1548,6 +1632,39 @@ object Qext {
         |)
         |SELECT cluster, count(*) AS n FROM assigned
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q_ext_cluster_topics" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cents AS (
+         |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+         |  WHERE vec_id % 31 = 0 AND vec_id < 496
+         |), vc AS (
+         |  SELECT v.vec_id, c.cid,
+         |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+         |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+         |         ELSE list_dot_product(v.emb, c.emb)
+         |              / (sqrt(list_dot_product(v.emb, v.emb))
+         |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+         |  FROM v, cents c
+         |), assigned AS (
+         |  SELECT vec_id AS doc_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM vc) WHERE rn = 1
+         |), toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents
+         |), counts AS (
+         |  SELECT a.cluster, t.token, count(*)::BIGINT AS tf
+         |  FROM toks t JOIN assigned a USING (doc_id)
+         |  GROUP BY a.cluster, t.token
+         |)
+         |SELECT cluster, token, tf, rank FROM (
+         |  SELECT cluster, token, tf,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY tf DESC, token ASC) AS rank
+         |  FROM counts) WHERE rank <= 3
+         |ORDER BY cluster, rank""".stripMargin,
 
     "q_ext_sim_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
