@@ -401,7 +401,10 @@ object Qext {
         Ivf.assignExpr(col("embedding"), model).as("cluster"))
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(TextDedup.tokens(col("text"))).as("token"))
-    val counts = toks.join(assigned, "doc_id")
+    // explicit broadcast: the optimizer sees the documents scan's parquet
+    // size, not the explode fan-out, and would otherwise broadcast the
+    // exploded TOKEN side (measured 1.64 s → 0.52 s floor at sf0.1)
+    val counts = toks.join(broadcast(assigned), "doc_id")
       .groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("tf").desc, col("token").asc)
