@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** [[SketchStream.runningTokenHeavyHitters]] — the streaming-state form of
+  * the Misra-Gries summary: cross-batch merge through the state store
+  * equals the batch aggregate over the union of all batches (exact
+  * regime), and state stays bounded by capacity.
+  */
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def summary(rows: Array[Row]): Seq[(String, Long)] = {
+    rows.length shouldBe 1
+    rows.head.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  "runningTokenHeavyHitters" should "merge across micro-batches to the batch answer" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = SketchStream.runningTokenHeavyHitters(
+        input.toDS().toDF("doc_id", "text"), "text", capacity = 32)
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      query.processAllAvailable()
+      summary(spark.table("sketch_stream").collect()) shouldBe
+        Seq("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L)
+
+      input.addData((3L, "gamma gamma delta"), (4L, "alpha"))
+      query.processAllAvailable()
+      // running summary == batch aggregate over all four docs
+      summary(spark.table("sketch_stream").collect()) shouldBe
+        Seq("alpha" -> 3L, "gamma" -> 3L, "beta" -> 2L, "delta" -> 1L)
+    } finally query.stop()
+  }
+
+  it should "keep state bounded by capacity under pressure" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = SketchStream.runningTokenHeavyHitters(
+        input.toDS().toDF("doc_id", "text"), "text", capacity = 2)
+      .writeStream.format("memory").queryName("sketch_stream_cap")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, Seq.fill(50)("hot").mkString(" ")))
+      query.processAllAvailable()
+      input.addData((2L, (1 to 30).map(i => s"rare$i").mkString(" ")))
+      query.processAllAvailable()
+      val s = summary(spark.table("sketch_stream_cap").collect())
+      s.length should be <= 2 // summary never exceeds capacity
+      // 80 tokens total, capacity 2 → anything over 80/3 = 26.7 survives
+      s.map(_._1) should contain("hot")
+      val hot = s.toMap.apply("hot")
+      hot should be <= 50L
+      hot should be >= (50L - 80L / 3)
+    } finally query.stop()
+  }
+}
