@@ -156,6 +156,30 @@ object Ivf {
     Model(ids.toIndexedSeq.map(byId(_)))
   }
 
+  /** Persist a model as a tiny (cid, centroid) parquet table — the
+    * operational form: search/assignment sessions LOAD the model instead
+    * of re-training or re-deriving it, and the table is auditable and
+    * diffable like any other store artifact (the CorpusStore posture
+    * applied to the quantizer).
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] table; centroid order restored by cid. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val rows = spark.read.parquet(path).select("cid", "centroid").collect()
+    require(rows.nonEmpty, s"empty model at $path")
+    Model(rows.sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray).toIndexedSeq)
+  }
+
   /** Tag every row with its coarse cluster (map-side; persist/write the
     * result partitioned by `ivf_cluster` to make probes partition-pruned).
     *

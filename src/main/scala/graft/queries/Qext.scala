@@ -235,6 +235,19 @@ object Qext {
         values = Seq("en", "zh", "es", "de", "fr"))
       .orderBy("source")
 
+  /** Unpivot (melt) of the lang × source count matrix back to long form —
+    * the wide→long reshape (Spark `unpivot`, DuckDB `UNPIVOT`), zero rows
+    * dropped: zero-count cells survive as explicit zeros, which is what
+    * makes melt the audit-friendly inverse of pivot.
+    */
+  def qExtUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "zh", "es", "de", "fr")
+    Curation.pivotCounts(t(spark, dir, "documents"),
+        rowCol = "source", pivotCol = "lang", values = langs)
+      .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
+      .orderBy("source", "lang")
+  }
+
   /** Per-language length quartiles ([[Curation.ntileTiers]]): tier 1 = the
     * longest quarter of each language's documents — the curriculum-
     * selection bucketing shape, partitioned so no global single-task
@@ -907,6 +920,7 @@ object Qext {
     "q_ext_corpus_prep" -> (qExtCorpusPrep _),
     "q_ext_cap_per_source" -> (qExtCapPerSource _),
     "q_ext_pivot_lang_counts" -> (qExtPivotLangCounts _),
+    "q_ext_unpivot" -> (qExtUnpivot _),
     "q_ext_ntile_tiers" -> (qExtNtileTiers _),
     "q_ext_quantiles_by_lang" -> (qExtQuantilesByLang _),
     "q_ext_budget_per_source" -> (qExtBudgetPerSource _),
@@ -1338,6 +1352,17 @@ object Qext {
         |  count(*) FILTER (lang = 'de') AS de,
         |  count(*) FILTER (lang = 'fr') AS fr
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // melt inverse of the pivot: every (source, lang) cell materializes,
+    // zero-count cells as explicit zeros
+    "q_ext_unpivot" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |l AS (SELECT unnest(['en','zh','es','de','fr']) AS lang),
+        |c AS (SELECT source, lang, count(*)::BIGINT AS n
+        |      FROM documents GROUP BY source, lang)
+        |SELECT s.source, l.lang, coalesce(c.n, 0)::BIGINT AS n
+        |FROM s CROSS JOIN l LEFT JOIN c USING (source, lang)
+        |ORDER BY source, lang""".stripMargin,
 
     // ntile is SQL-standard in both engines (larger buckets first); the
     // window order is total (n_chars DESC, doc_id), so tiers are exact

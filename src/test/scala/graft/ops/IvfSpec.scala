@@ -149,4 +149,30 @@ class IvfSpec extends SparkSpec {
       .orderBy("rank").select("cand_id").as[Long].collect()
     ivf shouldBe brute
   }
+
+  "saveModel/loadModel" should "round-trip centroids bit-exactly and preserve assignment" in {
+    val model = Ivf.fixedModel(vecs, "vec_id", "embedding", Seq(0L, 1L))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_model").toString + "/m"
+    Ivf.saveModel(spark, model, path)
+    val back = Ivf.loadModel(spark, path)
+    back.k shouldBe model.k
+    back.centroids.zip(model.centroids).foreach { case (a, b) =>
+      a.toSeq shouldBe b.toSeq
+    }
+    val before = Ivf.assign(vecs, "embedding", model)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().sorted
+    val after = Ivf.assign(vecs, "embedding", back)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().sorted
+    after shouldBe before
+  }
+
+  it should "reject an empty model table" in {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_model_empty").toString + "/m"
+    import spark.implicits._
+    Seq.empty[(Int, Seq[Double])].toDF("cid", "centroid")
+      .write.parquet(path)
+    an[IllegalArgumentException] should be thrownBy Ivf.loadModel(spark, path)
+  }
 }
