@@ -106,6 +106,24 @@ object Curation {
     withCum.filter(keep)
   }
 
+  /** [[tokenBudgetPerGroup]] with the budget carried as a COLUMN — for
+    * budgets DERIVED from the corpus itself (e.g. per-group shares from
+    * [[sqrtTemperatureWeights]] joined on) rather than a driver-held map.
+    * Same boundary rule: the document that crosses the budget line is
+    * included (`inclusive = true`) or excluded strictly.
+    */
+  def tokenBudgetFromColumn(df: DataFrame, groupCol: String, tokenCol: String,
+                            orderBy: Seq[Column], budgetCol: Column,
+                            inclusive: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+    val keep =
+      if (inclusive) col("cum_tokens") - col(tokenCol) < budgetCol
+      else col("cum_tokens") <= budgetCol
+    withCum.filter(keep)
+  }
+
   /** `tiles`-quantile tier (1-based) of every row WITHIN its
     * `partitionCol` group, under an explicit deterministic order — the
     * curriculum-selection bucketing step ("top quartile per language").

@@ -519,6 +519,45 @@ object Qext {
     Curation.sqrtTemperatureWeights(t(spark, dir, "documents"), "lang")
       .orderBy("lang")
 
+  /** Mixture REALIZATION: the composition that turns
+    * [[Curation.sqrtTemperatureWeights]] rates into an admitted corpus —
+    * per-lang char budgets = floor(rate × 20000) derived relationally,
+    * broadcast onto the docs, then boundary-inclusive budget admission
+    * ([[Curation.tokenBudgetFromColumn]]) in doc_id order. End-to-end
+    * deterministic and oracle-exact (integer cumsums, IEEE sqrt).
+    */
+  def qExtMixtureRealize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val budgets = Curation.sqrtTemperatureWeights(docs, "lang")
+      .select(col("lang"), floor(col("rate") * 20000).cast("long").as("budget"))
+    Curation.tokenBudgetFromColumn(
+        docs.join(broadcast(budgets), "lang"),
+        "lang", "n_chars", Seq(col("doc_id")), col("budget"))
+      .select("doc_id", "lang", "n_chars", "budget")
+      .orderBy("doc_id")
+  }
+
+  /** Conversion funnel per user: first signup, first purchase at-or-after
+    * it, and the latency between them — the min-over-partition +
+    * filtered-aggregate sequence shape. One shuffle on user_id; the
+    * groupBy after the window reuses the partitioning (no second
+    * exchange).
+    */
+  def qExtEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val tsUs = Sources.eventTsMicros(ev)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    ev.select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      .withColumn("signup_us",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("ts_us") >= col("signup_us"))
+      .groupBy("user_id", "signup_us")
+      .agg(min("ts_us").as("purchase_us"))
+      .withColumn("latency_us", col("purchase_us") - col("signup_us"))
+      .orderBy("user_id")
+  }
+
   /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
     * draws proportional to n_chars, exact integer prefix-sum walk — the
     * sample is a pure function of the data (partitioning-independent),
@@ -941,6 +980,8 @@ object Qext {
     "q_ext_heavy_hitters" -> (qExtHeavyHitters _),
     "q_ext_sample_weighted" -> (qExtSampleWeighted _),
     "q_ext_mixture_weights" -> (qExtMixtureWeights _),
+    "q_ext_mixture_realize" -> (qExtMixtureRealize _),
+    "q_ext_event_funnel" -> (qExtEventFunnel _),
     "q_ext_compress_ratio" -> (qExtCompressRatio _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
@@ -1911,6 +1952,39 @@ object Qext {
         |      FROM w, t)
         |SELECT lang, n, w, rate, round(rate * ntot / n, 6) AS boost
         |FROM r ORDER BY lang""".stripMargin,
+
+    // rates CTE == q_ext_mixture_weights; budgets floor(rate*20000);
+    // admission is the same HUGEINT-exact windowed cumsum as the budget
+    // family, boundary doc included
+    "q_ext_mixture_realize" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, round(sqrt(n), 6) AS w FROM c),
+        |t AS (SELECT sum(w::DECIMAL(38,6)) AS wtot FROM w),
+        |b AS (SELECT w.lang,
+        |             floor(round(w.w / t.wtot::DOUBLE, 6) * 20000)::BIGINT AS budget
+        |      FROM w, t),
+        |d AS (SELECT doc_id, lang, n_chars,
+        |             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM documents)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.budget
+        |FROM d JOIN b USING (lang)
+        |WHERE d.cum - d.n_chars < b.budget
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ext_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), s AS (
+        |  SELECT user_id, min(ts_us) AS signup_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |)
+        |SELECT ev.user_id, s.signup_us, min(ev.ts_us) AS purchase_us,
+        |       min(ev.ts_us) - s.signup_us AS latency_us
+        |FROM ev JOIN s USING (user_id)
+        |WHERE ev.event_type = 'purchase' AND ev.ts_us >= s.signup_us
+        |GROUP BY ev.user_id, s.signup_us
+        |ORDER BY ev.user_id""".stripMargin,
 
     // Exact integer arithmetic end-to-end: BIGINT prefix sums, HUGEINT
     // products — the stride walk is bit-identical to the engine's BigInt
