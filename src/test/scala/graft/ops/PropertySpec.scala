@@ -80,4 +80,47 @@ class PropertySpec extends SparkSpec {
       Reshape.unionHarmonize(Seq(da, db)).count() shouldBe (a.size + b.size).toLong
     }
   }
+
+  "misra_gries" should "hold the presence and lower-bound guarantees on random skewed streams" in {
+    val tokenGen = Gen.frequency(
+      5 -> Gen.const("heavy"), 2 -> Gen.const("warm"),
+      3 -> Gen.choose(0, 500).map(i => s"rare$i"))
+    (1 to trials).foreach { _ =>
+      val toks = sample(tokenGen, 400)
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      val cap = 4
+      val got = toks.toDF("token")
+        .repartition(5)
+        .agg(graft.functions.SketchExpressions.misra_gries(col("token"), cap))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      got.size should be <= cap
+      got.foreach { case (t, c) =>
+        c should be <= truth(t)          // lower bound never exceeds truth
+        c should be >= truth(t) - n / (cap + 1)
+      }
+      truth.filter(_._2 > n / (cap + 1)).keys
+        .foreach(t => got.keySet should contain(t)) // guaranteed presence
+    }
+  }
+
+  "systematicWeighted" should "draw k copies with per-row proportionality within 1" in {
+    val rowGen = Gen.zip(Gen.choose(1L, 500L), Gen.choose(0L, 20L))
+    (1 to trials).foreach { i =>
+      val rows = sample(rowGen, 60).groupBy(_._1).map {
+        case (id, ws) => (id, ws.head._2)
+      }.toSeq
+      val total = rows.map(_._2).sum
+      if (total > 0) {
+        val k = 10L + i
+        val out = Sampling.systematicWeighted(rows.toDF("id", "w"), "id", "w", k)
+          .as[(Long, Long, Long)].collect()
+        out.map(_._3).sum shouldBe k
+        out.foreach { case (_, w, c) =>
+          math.abs(c - k.toDouble * w / total) should be <= 1.0
+        }
+      }
+    }
+  }
 }
