@@ -51,6 +51,49 @@ object CorpusPrep {
     val deduped = TextDedup.exactDedupAsc(docs, "text",
         tieBreakAsc = Seq("doc_id"))
       .drop("__content_hash")
+    downstream(deduped, benchmark, cfg)
+  }
+
+  /** [[stages]] with a SEMANTIC dedup stage ([[SemDedup]]) between exact
+    * dedup and quality: docs with an embedding are cluster-pruned at
+    * cosine >= `tau` under `model`; docs WITHOUT an embedding pass
+    * through untouched — absence of a vector is not evidence of
+    * duplication (the multimodal-boundary rule). The returned `deduped`
+    * frontier is the post-semantic one.
+    */
+  def stagesWithSemantic(docs: DataFrame, benchmark: DataFrame,
+                         embeddings: DataFrame, embIdCol: String,
+                         embVecCol: String, model: Ivf.Model, tau: Double,
+                         cfg: Config = Config()): Staged = {
+    val deduped = TextDedup.exactDedupAsc(docs, "text",
+        tieBreakAsc = Seq("doc_id"))
+      .drop("__content_hash")
+    downstream(semanticStage(deduped, embeddings, embIdCol, embVecCol,
+      model, tau), benchmark, cfg)
+  }
+
+  /** Drop semantic near-dups from a doc frame: embeddings joined on id
+    * (co-partitioned doc_id shuffles), [[SemDedup.dedup]] survivors join
+    * back, vectorless docs kept. Exposed as a standalone combinator so
+    * any pipeline point can take a semantic pass.
+    */
+  def semanticStage(docs: DataFrame, embeddings: DataFrame, embIdCol: String,
+                    embVecCol: String, model: Ivf.Model,
+                    tau: Double): DataFrame = {
+    val vecs = embeddings.select(col(embIdCol).as("doc_id"),
+      col(embVecCol).as("__emb"))
+    val tagged = docs.join(vecs, Seq("doc_id"), "left")
+    val surv = SemDedup.dedup(
+        tagged.filter(col("__emb").isNotNull).select(col("doc_id"), col("__emb")),
+        "doc_id", "__emb", model, tau)
+      .select(col("doc_id"), lit(1).as("__sem_keep"))
+    tagged.join(surv, Seq("doc_id"), "left")
+      .filter(col("__emb").isNull || col("__sem_keep").isNotNull)
+      .drop("__emb", "__sem_keep")
+  }
+
+  private def downstream(deduped: DataFrame, benchmark: DataFrame,
+                         cfg: Config): Staged = {
     val quality = TextStats.qualityFilter(deduped, "text")
     val kept = quality.filter(col("keep")).drop("keep", "fail_reason")
     val tagFn =

@@ -45,4 +45,37 @@ class CorpusPrepSpec extends SparkSpec {
     val b = bloomPath.chunks.orderBy("doc_id", "chunk_idx").collect()
     b shouldBe a
   }
+
+  "stagesWithSemantic" should "prune semantic dups and keep vectorless docs" in {
+    import graft.ops.{Ivf, SemDedup}
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ivf.fixedModel(embeddings, "vec_id", "embedding",
+      Seq(0L, 7L, 14L, 21L))
+    val plain = CorpusPrep.stages(train, bench,
+      CorpusPrep.Config(defaultBudget = 30L))
+    val sem = CorpusPrep.stagesWithSemantic(train, bench, embeddings,
+      "vec_id", "embedding", model, tau = 0.4,
+      CorpusPrep.Config(defaultBudget = 30L))
+    val plainIds = plain.deduped.select("doc_id").as[Long].collect().toSet
+    val semIds = sem.deduped.select("doc_id").as[Long].collect().toSet
+    semIds.subsetOf(plainIds) shouldBe true
+    // the semantic pass engages: embedding near-dups exist in the corpus
+    semIds.size should be < plainIds.size
+    // vectorless docs (no embedding row) are never dropped by the stage
+    val vectorless = plainIds.diff(
+      embeddings.select("vec_id").as[Long].collect().toSet)
+    vectorless.subsetOf(semIds) shouldBe true
+    // the dropped set matches a direct SemDedup run on the embedded subset
+    val embedded = train.join(
+        embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .join(plain.deduped.select("doc_id"), "doc_id")
+    val directKept = SemDedup.dedup(embedded, "doc_id", "embedding",
+        model, tau = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    semIds shouldBe (vectorless ++ directKept)
+    // downstream stages still run on the pruned frontier
+    sem.chunks.count() should be > 0L
+  }
 }
