@@ -37,22 +37,46 @@ object SemDedup {
     * (bit-identical in DuckDB over the same double arithmetic).
     */
   def dedup(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
-            tau: Double, scoreDecimals: Int = 6): DataFrame =
-    dedupManaged(df, idCol, vecCol, model, tau, scoreDecimals).df
+            tau: Double, scoreDecimals: Int = 6,
+            maxCluster: Int = Blocking.Auto): DataFrame =
+    dedupManaged(df, idCol, vecCol, model, tau, scoreDecimals, maxCluster).df
 
-  /** [[dedup]] with cache-lifecycle control over the persisted assignment. */
+  /** [[dedup]] with cache-lifecycle control over the persisted assignment.
+    *
+    * `maxCluster` is the engine-wide hot-block guard ([[Blocking]], keyed
+    * on the raw vector — exact): identical-vector members of a runaway
+    * cluster collapse onto their min-id representative before pairing.
+    * The SURVIVOR SET is unchanged when engaged (star edges always carry
+    * the group's min id, so every uncapped drop vote is still cast —
+    * SemDedupSpec asserts equality on a pile); only the candidate volume
+    * shrinks. Default [[Blocking.Auto]]: a healthy corpus runs the exact
+    * uncapped plan; 0 = strictly uncapped.
+    */
   def dedupManaged(df: DataFrame, idCol: String, vecCol: String,
                    model: Ivf.Model, tau: Double,
-                   scoreDecimals: Int = 6): Managed = {
+                   scoreDecimals: Int = 6,
+                   maxCluster: Int = Blocking.Auto): Managed = {
     val assigned = Partitioning.spread(df)
       .select(col(idCol), col(vecCol).as("__v"))
       .withColumn("cluster", Ivf.assignExpr(col("__v"), model))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col(idCol).as("id_a"), col("__v").as("__va"),
-      col("cluster"))
-    val b = assigned.select(col(idCol).as("id_b"), col("__v").as("__vb"),
-      col("cluster"))
-    val dups = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+    val eff =
+      if (maxCluster < 0) Blocking.resolveAutoCap(assigned, Seq("cluster"))
+      else maxCluster
+    val pairs =
+      if (eff == 0) {
+        val a = assigned.select(col(idCol).as("id_a"), col("__v").as("__va"),
+          col("cluster"))
+        val b = assigned.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+          col("cluster"))
+        a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      } else
+        Blocking.cappedCandidates(assigned, Seq("cluster"), idCol, "__v", eff)
+          .join(assigned.select(col(idCol).as("id_a"), col("__v").as("__va")),
+            "id_a")
+          .join(assigned.select(col(idCol).as("id_b"), col("__v").as("__vb")),
+            "id_b")
+    val dups = pairs
       .withColumn("score",
         round(Similarity.cosine(col("__va"), col("__vb")), scoreDecimals))
       .filter(col("score") >= tau)

@@ -66,6 +66,22 @@ class SemDedupSpec extends SparkSpec {
     kept.map(_._1) shouldBe Array(5L) // 2 folds into stored 0; 5 survives
   }
 
+  "SemDedup.dedup with the hot-cluster cap" should "preserve the survivor set on an identical-vector pile" in {
+    import org.apache.spark.sql.functions.col
+    // a pile of 40 identical vectors + the base fixture, forced cap of 8
+    val pile = (100L until 140L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val corpus = vecs.unionByName(pile.toDF("vec_id", "embedding"))
+    val m = model
+    val uncapped = SemDedup.dedup(corpus, "vec_id", "embedding", m,
+        tau = 0.9, maxCluster = 0)
+      .orderBy("vec_id").as[(Long, Int)].collect()
+    val capped = SemDedup.dedup(corpus, "vec_id", "embedding", m,
+        tau = 0.9, maxCluster = 8)
+      .orderBy("vec_id").as[(Long, Int)].collect()
+    capped shouldBe uncapped
+    capped.map(_._1) shouldBe Array(0L, 3L, 5L) // pile folds into 0
+  }
+
   "SemDedup.clusterSizes" should "count members per cluster" in {
     val sizes = SemDedup.clusterSizes(vecs, "vec_id", "embedding", model)
       .orderBy("cluster").as[(Int, Long)].collect()
