@@ -36,6 +36,30 @@ object SemDedupProbe {
       dt
     }
     println(f"[semdedup-probe] k=$k floor=${times.min}%.2fs")
+
+    // recall of the cluster blocking: fraction of ALL cosine>=tau pairs
+    // whose members land in the same cluster (the SemDeDup recall trade)
+    import graft.ops.Similarity
+    val v = graft.ops.Partitioning.spread(e)
+      .select(col("vec_id"), col("embedding").as("__v"))
+      .withColumn("__c", Ivf.assignExpr(col("__v"), model))
+      .persist()
+    val a = v.select(col("vec_id").as("id_a"), col("__v").as("__va"),
+      col("__c").as("__ca"))
+    val b = v.select(col("vec_id").as("id_b"), col("__v").as("__vb"),
+      col("__c").as("__cb"))
+    val all = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("s", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("s") >= tau)
+      .select((col("__ca") === col("__cb")).as("same_cluster"))
+      .groupBy().agg(count(lit(1)).as("pairs"),
+        coalesce(sum(when(col("same_cluster"), 1L).otherwise(0L)), lit(0L))
+          .as("same"))
+      .head()
+    v.unpersist(false)
+    val (pairs, same) = (all.getLong(0), all.getLong(1))
+    println(f"[semdedup-probe] k=$k dup_pairs=$pairs within_cluster=$same " +
+      f"recall=${if (pairs == 0) 1.0 else same.toDouble / pairs}%.3f")
     spark.stop()
   }
 }
