@@ -101,6 +101,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           r.maxPunctRatio, r.minStopwordRatio,
           "\\b(" + graft.ops.TextStats.defaultStopwords.mkString("|") + ")\\b")
       }))
+    // nfc_normalize(text): Unicode canonical composition (pre-dedup
+    // canonicalization; name matches DuckDB's)
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.UnicodeExpressions.NfcNormalize].getName,
+        "nfc_normalize"),
+      { children: Seq[Expression] =>
+        require(children.size == 1,
+          s"nfc_normalize requires exactly 1 argument, got ${children.size}")
+        graft.functions.UnicodeExpressions.NfcNormalize(children(0))
+      }))
     // compress_ratio(text): deflate-based repetition/noise quality signal
     ext.injectFunction((FunctionIdentifier("compress_ratio"),
       new ExpressionInfo(

@@ -497,6 +497,20 @@ object Qext {
   /** Corpus vocabulary top-200 by total frequency (tokenizer-induction
     * first step); integer counts, fully deterministic order.
     */
+  /** Unicode-canonical content hashes
+    * ([[graft.functions.UnicodeExpressions]]): md5 over NFC-normalized
+    * text — the canonicalization content-hash dedup needs so composed and
+    * decomposed renderings of the same text collide. Oracle via DuckDB's
+    * own `nfc_normalize`; the composed/decomposed collision semantics are
+    * spec-covered (the synthetic corpus is ASCII).
+    */
+  def qExtUnicodeNfc(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(graft.functions.UnicodeExpressions.nfc_normalize(col("text")))
+          .as("norm_hash"))
+      .orderBy("doc_id")
+
   /** Deflate compression-ratio quality signal
     * ([[TextStats.compressionRatio]]). Deliberately declared WITHOUT a
     * SQL oracle (the only such query): deflate output depends on the
@@ -983,6 +997,7 @@ object Qext {
     "q_ext_mixture_realize" -> (qExtMixtureRealize _),
     "q_ext_event_funnel" -> (qExtEventFunnel _),
     "q_ext_compress_ratio" -> (qExtCompressRatio _),
+    "q_ext_unicode_nfc" -> (qExtUnicodeNfc _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
     "q_ext_fingerprint" -> (qExtFingerprint _),
     "q_ext_pii_redact" -> (qExtPiiRedact _),
@@ -1952,6 +1967,10 @@ object Qext {
         |      FROM w, t)
         |SELECT lang, n, w, rate, round(rate * ntot / n, 6) AS boost
         |FROM r ORDER BY lang""".stripMargin,
+
+    "q_ext_unicode_nfc" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // rates CTE == q_ext_mixture_weights; budgets floor(rate*20000);
     // admission is the same HUGEINT-exact windowed cumsum as the budget
