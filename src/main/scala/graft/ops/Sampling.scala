@@ -151,6 +151,86 @@ object Sampling {
     new Managed(result, Seq(sorted.toDF()))
   }
 
+  /** Per-group [[systematicWeighted]]: an independent stride walk per
+    * stratum (~`kFor(group)` draws within each group, proportional to the
+    * integer weight) — the realization step for per-group quotas such as
+    * [[Curation.sqrtTemperatureWeights]] rates × a draw budget. Output:
+    * (groupCol, idCol, weight, copies), drawn rows only.
+    *
+    * Same exactness and partitioning-independence as the global form; the
+    * two-pass prefix sum generalizes with per-(partition, group) offsets
+    * (rows are range-partitioned and sorted by (group, id), so each
+    * group's walk is contiguous across partitions). Driver state is
+    * O(groups × partitions) longs — strata-scale (languages, domains),
+    * not key-scale. Groups absent from `kByGroup` use `defaultK`; groups
+    * with k <= 0 are never drawn; `groupCol` values must be non-null.
+    */
+  def systematicWeightedPerGroup(df: DataFrame, groupCol: String,
+                                 idCol: String, weightCol: String,
+                                 kByGroup: Map[String, Long],
+                                 defaultK: Long): DataFrame =
+    systematicWeightedPerGroupManaged(df, groupCol, idCol, weightCol,
+      kByGroup, defaultK).df
+
+  /** [[systematicWeightedPerGroup]] with cache-lifecycle control (same
+    * persistence requirement as the global form).
+    */
+  def systematicWeightedPerGroupManaged(df: DataFrame, groupCol: String,
+                                        idCol: String, weightCol: String,
+                                        kByGroup: Map[String, Long],
+                                        defaultK: Long): Managed = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(col("__g"), col("__id"))
+      .sortWithinPartitions("__g", "__id")
+      .as[(String, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, group) sums — groups are contiguous within
+    // a sorted partition, so this is a streaming fold
+    val partTotals = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (g, _, w) =>
+        require(g != null, "null group in systematicWeightedPerGroup")
+        require(w >= 0, s"negative weight $w")
+        sums(g) = Math.addExact(sums.getOrElse(g, 0L), w)
+      }
+      sums.iterator.map { case (g, s) => (pid, g, s) }
+    }.collect()
+    val totals = partTotals.groupBy(_._2)
+      .map { case (g, xs) => g -> xs.map(_._3).sum }
+    // exclusive offset of each (pid, group): sums of the same group in
+    // lower-numbered partitions
+    val offsets = partTotals.map { case (pid, g, _) =>
+      (pid, g) -> partTotals
+        .filter(x => x._2 == g && x._1 < pid).map(_._3).sum
+    }.toMap
+    val ks = totals.keys.map(g =>
+      g -> kByGroup.getOrElse(g, defaultK)).toMap
+    val result = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curG: String = null
+      var cum = 0L
+      it.flatMap { case (g, id, w) =>
+        if (g != curG) { curG = g; cum = offsets((pid, g)) }
+        val kg = ks(g); val wg = totals(g)
+        if (kg <= 0 || wg == 0) { cum += w; Iterator.empty }
+        else {
+          val lo = BigInt(cum) * kg / wg
+          cum += w
+          val copies = (BigInt(cum) * kg / wg - lo).toLong
+          if (copies > 0) Iterator.single((g, id, w, copies))
+          else Iterator.empty
+        }
+      }
+    }.toDF(groupCol, idCol, "weight", "copies")
+    new Managed(result, Seq(sorted.toDF()))
+  }
+
   /** Label each row train/val/test by key hash: test gets `testPct`
     * buckets, validation the next `valPct`, train the rest.
     */

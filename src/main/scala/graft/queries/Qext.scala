@@ -524,6 +524,17 @@ object Qext {
         round(TextStats.compressionRatio(col("text")), 4).as("compress_ratio"))
       .orderBy("doc_id")
 
+  /** Per-stratum systematic weighted sample
+    * ([[Sampling.systematicWeightedPerGroup]]): an independent ~20-draw
+    * stride walk per language, proportional to n_chars — the per-group
+    * quota realization. Exact integer arithmetic per group; HUGEINT
+    * oracle.
+    */
+  def qExtSampleWeightedGrouped(spark: SparkSession, dir: String): DataFrame =
+    Sampling.systematicWeightedPerGroup(t(spark, dir, "documents"),
+        "lang", "doc_id", "n_chars", kByGroup = Map.empty, defaultK = 20L)
+      .orderBy("doc_id")
+
   /** Mixture weights at temperature α = 1/2
     * ([[Curation.sqrtTemperatureWeights]]): per-language sampling rates
     * p ∝ √n with the exact-decimal normalizer — sqrt is correctly
@@ -993,6 +1004,7 @@ object Qext {
     "q_ext_vocab" -> (qExtVocab _),
     "q_ext_heavy_hitters" -> (qExtHeavyHitters _),
     "q_ext_sample_weighted" -> (qExtSampleWeighted _),
+    "q_ext_sample_weighted_grouped" -> (qExtSampleWeightedGrouped _),
     "q_ext_mixture_weights" -> (qExtMixtureWeights _),
     "q_ext_mixture_realize" -> (qExtMixtureRealize _),
     "q_ext_event_funnel" -> (qExtEventFunnel _),
@@ -1954,6 +1966,20 @@ object Qext {
          |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
          |      FROM documents)
          |GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200""".stripMargin,
+
+    "q_ext_sample_weighted_grouped" ->
+      """WITH w AS (SELECT lang, doc_id, n_chars::BIGINT AS wt FROM documents),
+        |tot AS (SELECT lang, sum(wt)::HUGEINT AS W FROM w GROUP BY lang),
+        |c AS (SELECT lang, doc_id, wt,
+        |             sum(wt) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum
+        |      FROM w)
+        |SELECT c.lang, c.doc_id, c.wt AS weight,
+        |       ((c.cum * 20) // t.W
+        |        - ((c.cum - c.wt) * 20) // t.W)::BIGINT AS copies
+        |FROM c JOIN tot t USING (lang)
+        |WHERE (c.cum * 20) // t.W > ((c.cum - c.wt) * 20) // t.W
+        |ORDER BY doc_id""".stripMargin,
 
     // sqrt is IEEE-correctly-rounded and the normalizer sums DECIMAL(38,6)
     // (exact, order-independent), so every double op here reproduces

@@ -98,4 +98,35 @@ class SamplingSpec extends SparkSpec {
     an[Exception] should be thrownBy
       Sampling.systematicWeighted(df, "id", "w", k = 2).collect()
   }
+
+  "systematicWeightedPerGroup" should "walk each group independently with its own k" in {
+    val df = ((1L to 100L).map(i => ("a", i, 2L)) ++
+      (101L to 130L).map(i => ("b", i, 1L))).toDF("g", "id", "w")
+    val out = Sampling.systematicWeightedPerGroup(df, "g", "id", "w",
+        kByGroup = Map("a" -> 10L, "b" -> 3L), defaultK = 0L)
+      .as[(String, Long, Long, Long)].collect()
+    out.filter(_._1 == "a").map(_._4).sum shouldBe 10L
+    out.filter(_._1 == "b").map(_._4).sum shouldBe 3L
+    // within each group, draws match a direct global walk on that group
+    val onlyB = Sampling.systematicWeighted(
+        df.filter($"g" === "b").select("id", "w"), "id", "w", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    out.filter(_._1 == "b").map(t => (t._2, t._3, t._4)).toSet shouldBe onlyB
+  }
+
+  it should "be partitioning-independent and skip k<=0 groups" in {
+    val rows = (1L to 200L).map(i => (s"g${i % 3}", i, i % 5 + 1))
+    val a = Sampling.systematicWeightedPerGroup(
+        rows.toDF("g", "id", "w").repartition(1), "g", "id", "w",
+        Map("g0" -> 7L, "g1" -> 0L), defaultK = 5L)
+      .orderBy("id").as[(String, Long, Long, Long)].collect()
+    val b = Sampling.systematicWeightedPerGroup(
+        rows.toDF("g", "id", "w").repartition(13), "g", "id", "w",
+        Map("g0" -> 7L, "g1" -> 0L), defaultK = 5L)
+      .orderBy("id").as[(String, Long, Long, Long)].collect()
+    b shouldBe a
+    a.map(_._1).toSet shouldBe Set("g0", "g2") // g1 never drawn
+    a.filter(_._1 == "g0").map(_._4).sum shouldBe 7L
+    a.filter(_._1 == "g2").map(_._4).sum shouldBe 5L
+  }
 }
