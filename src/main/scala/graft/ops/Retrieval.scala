@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus: BM25 scoring (Robertson &
+  * Spärck Jones probabilistic relevance framework; the Okapi BM25 form
+  * of Robertson et al., TREC-3 1994) and reciprocal-rank fusion
+  * (Cormack, Clarke & Büttcher, SIGIR 2009) for combining a sparse
+  * (term-based) and a dense (embedding-based) ranking — the standard
+  * hybrid-search baseline for RAG / training-data retrieval stacks.
+  *
+  * Scale shape: scoring touches only the posting rows for the query
+  * terms (explode -> IN-list filter -> (doc, term) partial-combined
+  * count), the per-term document frequencies broadcast (|terms| rows),
+  * and the global top-N is orderBy+limit — Spark plans
+  * TakeOrderedAndProject (per-partition bounded heaps, no full sort).
+  * No join ever carries the corpus: the only wide exchange is the
+  * (doc, term) aggregation, whose volume is bounded by matches, not
+  * documents.
+  */
+object Retrieval {
+
+  /** BM25 variant notes:
+    *  - idf is the RATIONAL form `(N - df + 0.5)/(df + 0.5) + 1` — the
+    *    classic formula wraps this in ln(); libm log is not IEEE
+    *    correctly-rounded, division is, so dropping the (monotone) log
+    *    makes scores bit-identical across engines (same trick as
+    *    [[TextStats.rationalIdf]]). Adding 1 keeps idf positive (the
+    *    Lucene convention) so high-df terms never score negative.
+    *  - per-doc term scores sum in the CALLER-GIVEN term order via a
+    *    fixed left-associated fold (FP addition is not associative; a
+    *    data-ordered sum would be partitioning-dependent).
+    *
+    * Returns (idCol, n_terms = how many query terms the doc contains,
+    * score) for the `topN` documents by (score desc, id asc).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topN: Int = 20, scoreDecimals: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // corpus stats: N and mean doc length. Two driver scalars from one
+    // tiny aggregate (guard-style collect — the frame is one row).
+    val stats = docs
+      .select(size(TextDedup.tokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+
+    // postings for the query terms only: dl rides along from the same
+    // tokenization (no second pass / no join back to the corpus)
+    val tf = docs
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+    // document frequency per term: |terms| rows -> broadcast
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+
+    val idf = (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val den = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / lit(avgdl)))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .withColumn("__s", idf * ((col("tf") * lit(k1 + 1.0)) / den))
+
+    // fixed-order per-doc sum: one conditional aggregate per term, then a
+    // left-associated fold — deterministic regardless of partitioning
+    val termSums = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("__s"))).as(s"__s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col(idCol))
+      .agg(termSums.head, termSums.tail :+ count(lit(1)).as("n_terms"): _*)
+      .select(col(idCol), col("n_terms"),
+        round(total, scoreDecimals).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
+  /** Attach 1-based ranks to a retrieval result by (score desc, id asc).
+    * Call AFTER a top-N cut: the input is bounded (<= N rows), so the
+    * single-partition rank window is O(N), not a corpus funnel.
+    */
+  def ranked(topped: DataFrame, idCol: String, rankName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol).asc)
+    topped.withColumn(rankName, row_number().over(w))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists:
+    * `rrf(d) = sum over lists of 1/(kRrf + rank_list(d))`, missing list
+    * membership contributing 0. Join-free: the two (id, rank) lists
+    * union and group — the algebraic form (each id has at most one rank
+    * per list, so `min` selects it) that avoids the full-outer join a
+    * naive fusion plans (full outer cannot broadcast; on stats-less
+    * frames it degrades to sort-merge). Both inputs are top-N bounded,
+    * so the union is O(N) rows.
+    *
+    * Returns (id, rank_a, rank_b, rrf) for the `topN` ids by
+    * (rrf desc, id asc). The 1/(k+r) terms are single IEEE divisions of
+    * small integers and the two-term sum is fixed-order — exact across
+    * engines unrounded; rrf is still rounded to `scoreDecimals` for
+    * hash-compare hygiene.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankA: String = "rank_a", rankB: String = "rank_b",
+              kRrf: Int = 60, topN: Int = 20,
+              scoreDecimals: Int = 9): DataFrame = {
+    val ua = a.select(col(idCol), col(rankA),
+      lit(null).cast("int").as(rankB))
+    val ub = b.select(col(idCol), lit(null).cast("int").as(rankA),
+      col(rankB))
+    val fused = ua.unionByName(ub)
+      .groupBy(col(idCol))
+      .agg(min(col(rankA)).as(rankA), min(col(rankB)).as(rankB))
+    val rrf =
+      coalesce(lit(1.0) / (lit(kRrf) + col(rankA)), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf) + col(rankB)), lit(0.0))
+    fused
+      .select(col(idCol), col(rankA), col(rankB),
+        round(rrf, scoreDecimals).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topN)
+  }
+}

@@ -966,6 +966,76 @@ object Qext {
       .orderBy("user_id", "session_idx")
   }
 
+  // --------------------------------------------------- retrieval / top-k
+
+  /** Shared BM25 query terms: one rare token (df 25 at sf0.01 — high idf)
+    * and two common ones, so the ranking exercises idf discrimination,
+    * multi-term accumulation, and the missing-term zero path.
+    */
+  private[queries] val bm25Terms = Seq("dup", "spark", "merge")
+
+  /** BM25 top-20 ([[Retrieval.bm25]]): rational-idf variant (division is
+    * IEEE correctly-rounded; libm log is not), fixed-order term sum —
+    * exact oracle. Postings-only scoring + TakeOrderedAndProject top-N;
+    * the corpus is never joined or globally sorted.
+    */
+  def qExtBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(t(spark, dir, "documents"), "doc_id", "text",
+        bm25Terms, topN = 20)
+      .orderBy(col("score").desc, col("doc_id").asc)
+
+  /** Hybrid retrieval: BM25 sparse ranking fused with a dense cosine
+    * ranking (query = embedding of vec_id 0, self excluded) by
+    * reciprocal-rank fusion ([[Retrieval.rrfFuse]] — union+groupBy, no
+    * full-outer join). Both legs are top-50; ranks attach AFTER the cut
+    * so the rank windows are O(50). At sf0.1 embeddings cover only a
+    * prefix of doc ids — the fusion's missing-leg path is exercised for
+    * real, not just in specs.
+    */
+  def qExtHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val sparse = Retrieval.ranked(
+      Retrieval.bm25(docs, "doc_id", "text", bm25Terms, topN = 50),
+      "doc_id", "rank_sparse").select("doc_id", "rank_sparse")
+    val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
+        "vec_id", "embedding", k = 50)
+      .select(col("cand_id").as("doc_id"), col("rank").as("rank_dense"))
+    Retrieval.rrfFuse(sparse, dense, "doc_id",
+        rankA = "rank_sparse", rankB = "rank_dense", topN = 20)
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
+  /** Longest 5 docs per source via the bounded-heap aggregate
+    * ([[TopK.perGroupTopK]]): the shuffle carries at most
+    * |sources| x 5 structs after map-side combine — the window form this
+    * replaces shuffles and sorts the whole corpus. Oracle is that window
+    * form in DuckDB (identical answer by the total order).
+    */
+  def qExtTopkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    TopK.perGroupTopK(t(spark, dir, "documents"), Seq("source"),
+        col("n_chars"), col("doc_id"), k = 5,
+        payloadName = "doc_id", ordName = "n_chars")
+      .orderBy("source", "rank")
+
+  /** Per-source length quantiles via the deterministic compactor sketch
+    * ([[graft.functions.QuantileSketchExpression.MrlQuantiles]]):
+    * capacity 1024 >= any sf0.01 group, so the summary is exact and the
+    * nearest-rank (ceil) SQL is a true oracle; the compacting regime's
+    * error bound is covered by QuantileSketchSpec. The bounded-state
+    * alternative to q_ext_profile_quantiles' exact rank-select.
+    */
+  def qExtQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(graft.functions.QuantileSketchExpression
+        .mrl_quantiles(col("n_chars"), capacity = 1024, probs).as("__q"))
+      .select(col("source") +: probs.indices.map(i =>
+        col("__q").getItem(i).as(s"p${(probs(i) * 100).round}")): _*)
+      .orderBy("source")
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1033,6 +1103,10 @@ object Qext {
     "q_ext_agg_cube" -> (qExtAggCube _),
     "q_ext_fuzzy_pairs" -> (qExtFuzzyPairs _),
     "q_ext_running_total" -> (qExtRunningTotal _),
+    "q_ext_bm25_topk" -> (qExtBm25Topk _),
+    "q_ext_hybrid_rrf" -> (qExtHybridRrf _),
+    "q_ext_topk_per_group" -> (qExtTopkPerGroup _),
+    "q_ext_quantile_sketch" -> (qExtQuantileSketch _),
   )
 
   private val normSql =
@@ -2335,5 +2409,135 @@ object Qext {
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
         |FROM events GROUP BY user_id, day
         |ORDER BY user_id, day""".stripMargin,
+
+    // BM25 mirror of Retrieval.bm25: rational idf, fixed-order term sum.
+    // Every fractional literal is ::DOUBLE (DuckDB parses bare 0.5 as
+    // DECIMAL, whose arithmetic is exact-decimal, not IEEE); expression
+    // association matches the Scala Column build token for token, so each
+    // double op is the same correctly-rounded operation in both engines.
+    "q_ext_bm25_topk" -> bm25OracleSql(topN = 20, withRank = false),
+
+    // Hybrid RRF: the sparse leg is the BM25 CTE (top 50 + rank), the
+    // dense leg mirrors q_ext_sim_topk's cosine with query vec_id = 0;
+    // fusion is 1/(60+rank) with missing legs contributing 0. DuckDB may
+    // use a real FULL JOIN here — the engine's union+groupBy form exists
+    // precisely because full outer cannot broadcast in Spark.
+    "q_ext_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(topN = 50)},
+         |sparse AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |           AS rank_sparse
+         |  FROM bm25
+         |), v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |dscored AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+         |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+         |               ELSE list_dot_product(q.emb, c.emb)
+         |                    / (sqrt(list_dot_product(q.emb, q.emb))
+         |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+         |  FROM v q, v c WHERE q.vec_id = 0 AND q.vec_id <> c.vec_id
+         |), dense AS (
+         |  SELECT doc_id, rank_dense FROM (
+         |    SELECT doc_id,
+         |           row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |             AS rank_dense
+         |    FROM dscored)
+         |  WHERE rank_dense <= 50
+         |)
+         |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |       s.rank_sparse, d.rank_dense,
+         |       round(coalesce((1.0::DOUBLE) / (60 + s.rank_sparse), 0.0::DOUBLE)
+         |             + coalesce((1.0::DOUBLE) / (60 + d.rank_dense), 0.0::DOUBLE),
+         |             9) AS rrf
+         |FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // The window form the heap aggregate replaces — identical answer
+    // because (n_chars desc, doc_id asc) is a total order.
+    "q_ext_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars DESC, doc_id ASC)
+        |              AS INTEGER) AS rank
+        |  FROM documents
+        |)
+        |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+
+    // Nearest-rank (ceil) quantiles per source — the sketch runs in its
+    // exact regime at verify SF (capacity >= every group), so this is a
+    // true oracle. ceil(p * n) is forced to DOUBLE multiplication to
+    // match the engine's math.ceil(p * total) IEEE arithmetic.
+    "q_ext_quantile_sketch" -> {
+      val cols = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+        0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
+        s"  max(CASE WHEN rn <= greatest(1, ceil(($p::DOUBLE) * n)) THEN v END) AS $name"
+      }.mkString(",\n")
+      s"""WITH r AS (
+         |  SELECT source, n_chars::DOUBLE AS v,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars::DOUBLE) AS rn,
+         |         count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents
+         |)
+         |SELECT source,
+         |$cols
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
   )
+
+  /** BM25 CTE chain shared by the standalone and hybrid oracles: stats
+    * (N, avgdl as the same sum::DOUBLE / count division the engine
+    * performs), postings for [[bm25Terms]], per-term df, per-posting
+    * scores, fixed-order per-doc sum, top-`topN` cut. Produces a CTE
+    * named `bm25` with (doc_id, n_terms, score).
+    */
+  private def bm25Ctes(topN: Int): String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val fixedSum = bm25Terms.map(t =>
+      s"coalesce(sum(CASE WHEN token = '$t' THEN s END), 0.0::DOUBLE)")
+      .mkString("\n         + ")
+    s"""stats AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |         sum(len(string_split($normSql, ' ')))::DOUBLE / count(*) AS avgdl
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, len(string_split($normSql, ' ')) AS dl,
+       |         unnest(string_split($normSql, ' ')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, dl, token, count(*)::BIGINT AS tf
+       |  FROM toks WHERE token IN ($termList)
+       |  GROUP BY doc_id, dl, token
+       |), dfreq AS (
+       |  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |         (((SELECT n FROM stats) - dfreq.df + (0.5::DOUBLE))
+       |            / (dfreq.df + (0.5::DOUBLE)) + (1.0::DOUBLE))
+       |         * ((tf.tf * ((1.2::DOUBLE) + (1.0::DOUBLE)))
+       |            / (tf.tf + (1.2::DOUBLE)
+       |               * ((1.0::DOUBLE) - (0.75::DOUBLE)
+       |                  + (0.75::DOUBLE) * (tf.dl / (SELECT avgdl FROM stats)))))
+       |           AS s
+       |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+       |), agg AS (
+       |  SELECT doc_id,
+       |         $fixedSum AS raw,
+       |         count(*)::BIGINT AS n_terms
+       |  FROM scored GROUP BY doc_id
+       |), bm25 AS (
+       |  SELECT doc_id, n_terms, round(raw, 6) AS score FROM agg
+       |  ORDER BY score DESC, doc_id LIMIT $topN
+       |)""".stripMargin
+  }
+
+  /** Standalone BM25 oracle built from [[bm25Ctes]]. */
+  private def bm25OracleSql(topN: Int, withRank: Boolean): String =
+    s"""WITH ${bm25Ctes(topN)}
+       |SELECT doc_id, n_terms, score FROM bm25
+       |ORDER BY score DESC, doc_id""".stripMargin
 }
