@@ -144,5 +144,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SketchExpressions.MisraGries(children(0), cap)
           .toAggregateExpression()
       }))
+    // top_k_by(ord, payload, k): bounded-heap per-group top-k aggregate;
+    // k must be a foldable integer literal
+    ext.injectFunction((FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(
+        classOf[graft.functions.TopKExpressions.TopKBy].getName, "top_k_by"),
+      { children: Seq[Expression] =>
+        require(children.size == 3,
+          s"top_k_by requires exactly 3 arguments, got ${children.size}")
+        val k = children(2) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"top_k_by k must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "top_k_by k must be a literal")
+        }
+        graft.functions.TopKExpressions.TopKBy(children(0), children(1), k)
+          .toAggregateExpression()
+      }))
+    // mrl_quantiles(col, capacity, array(probs...)): deterministic
+    // compactor quantile sketch; capacity and probs must be foldable
+    ext.injectFunction((FunctionIdentifier("mrl_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.functions.QuantileSketchExpression.MrlQuantiles].getName,
+        "mrl_quantiles"),
+      { children: Seq[Expression] =>
+        require(children.size == 3,
+          s"mrl_quantiles requires exactly 3 arguments, got ${children.size}")
+        val cap = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"mrl_quantiles capacity must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "mrl_quantiles capacity must be a literal")
+        }
+        val probs = children(2) match {
+          case e if e.foldable => e.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toDoubleArray().toSeq
+            case other => throw new IllegalArgumentException(
+              s"mrl_quantiles probs must be a double-array literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "mrl_quantiles probs must be a literal array")
+        }
+        graft.functions.QuantileSketchExpression.MrlQuantiles(
+          children(0), cap, probs).toAggregateExpression()
+      }))
   }
 }

@@ -34,4 +34,31 @@ object SketchStream {
                                capacity: Int): DataFrame =
     docs.select(explode(TextDedup.tokens(col(textCol))).as("token"))
       .agg(SketchExpressions.misra_gries(col("token"), capacity).as("hh"))
+
+  /** Running per-group quantile summary
+    * ([[graft.functions.QuantileSketchExpression.MrlQuantiles]]): the
+    * compactor stack lives in the streaming-aggregation state store, so a
+    * live "p50/p90/p99 document length per source" view costs
+    * O(capacity * log n) state per group — never the stream. Same
+    * bounded-state/no-watermark posture as the heavy-hitters summary:
+    * exact while a group's total stays under capacity, deterministic
+    * MRL error bound after.
+    */
+  def runningQuantiles(rows: DataFrame, groupCol: String, valueCol: String,
+                       capacity: Int, probs: Seq[Double]): DataFrame =
+    rows.groupBy(col(groupCol))
+      .agg(graft.functions.QuantileSketchExpression
+        .mrl_quantiles(col(valueCol), capacity, probs).as("quantiles"))
+
+  /** Running per-group top-k ([[graft.functions.TopKExpressions.TopKBy]]):
+    * a live "k best items per group so far" leaderboard with O(k) state
+    * per group — the heap IS the streaming state, and because (ord desc,
+    * payload asc) is a total order the running answer equals the batch
+    * answer over everything seen, independent of batch boundaries.
+    */
+  def runningTopK(rows: DataFrame, groupCol: String, ordCol: String,
+                  payloadCol: String, k: Int): DataFrame =
+    rows.groupBy(col(groupCol))
+      .agg(graft.functions.TopKExpressions
+        .top_k_by(col(ordCol), col(payloadCol), k).as("top"))
 }

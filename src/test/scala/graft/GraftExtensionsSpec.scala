@@ -61,6 +61,19 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
         .map(r => (r.getString(0), r.getLong(1))) shouldBe Seq("a" -> 2L, "b" -> 1L)
       an[Exception] should be thrownBy
         spark.sql("SELECT misra_gries('x')").collect()
+      val tk = spark.sql(
+        "SELECT top_k_by(v, id, 2) AS t FROM VALUES (1L, 10L), (3L, 11L), " +
+          "(2L, 12L) AS x(v, id)").collect().head
+      tk.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq(3L -> 11L, 2L -> 12L)
+      an[Exception] should be thrownBy
+        spark.sql("SELECT top_k_by(1L, 2L)").collect()
+      val mq = spark.sql(
+        "SELECT mrl_quantiles(v, 64, array(0.5D, 1.0D)) AS q FROM VALUES " +
+          "(1.0D), (2.0D), (3.0D) AS x(v)").collect().head
+      mq.getSeq[Double](0) shouldBe Seq(2.0, 3.0)
+      an[Exception] should be thrownBy
+        spark.sql("SELECT mrl_quantiles(1.0D, 64)").collect()
     } finally {
       // don't stop() (shared SparkContext); restore the prior session for
       // the other suites
