@@ -141,4 +141,31 @@ object Curation {
     val w = Window.partitionBy(col(partitionCol)).orderBy(orderBy: _*)
     df.withColumn("tier", ntile(tiles).over(w))
   }
+
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [pLo, pHi] interpolated-quantile interval — the standard
+    * outlier-taming step before length/score-based curation (a handful
+    * of pathological documents otherwise dominate means, budgets, and
+    * temperature weights).
+    *
+    * Shape: one aggregation pass computes the two bounds per group
+    * (built-in `percentile`, the same exact interpolated statistic the
+    * DuckDB `quantile_cont` oracle computes), the |groups|-row bounds
+    * frame broadcasts back, and the clip itself is a codegen'd
+    * least/greatest — comparisons only, no arithmetic, so clipped
+    * values are input values (or the bound) bit-for-bit. Adds
+    * `<valueCol>_clipped` (double).
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol).cast("double"), lit(pLo)).as("__lo"),
+      percentile(col(valueCol).cast("double"), lit(pHi)).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

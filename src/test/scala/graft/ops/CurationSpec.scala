@@ -109,4 +109,22 @@ class CurationSpec extends SparkSpec {
     // rates form a distribution
     out.map(_.getAs[Double]("rate")).sum shouldBe 1.0 +- 1e-5
   }
+
+  "winsorize" should "clip per group to the quantile interval and leave interior values" in {
+    // group a: 1..10 (p10=1.9, p90=9.1); group b: constant 5s + one outlier
+    val rows = (1 to 10).map(v => ("a", v)) ++ Seq(("b", 5), ("b", 5), ("b", 500))
+    val out = Curation.winsorize(rows.toDF("g", "v"), "g", "v", 0.10, 0.90)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getAs[Double]("v_clipped")))
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    a.head._3 shouldBe 1.9 +- 1e-12  // 1 clipped UP to p10
+    a.last._3 shouldBe 9.1 +- 1e-12  // 10 clipped DOWN to p90
+    a.map(_._3).filter(c => c > 2 && c < 9) shouldBe
+      a.map(_._2.toDouble).filter(v => v > 2 && v < 9) // interior untouched
+    val b = out.filter(_._1 == "b").map(_._3).sorted
+    b.head shouldBe 5.0 // constants stay
+    b.last should be < 500.0 // the outlier is tamed
+    an[IllegalArgumentException] should be thrownBy
+      Curation.winsorize(rows.toDF("g", "v"), "g", "v", 0.9, 0.1)
+  }
 }
