@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded-buffer typed aggregates: avoid the 128-key
+      // ObjectHashAggregate sort fallback (SCALE.md round-10 probe)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def loadAvg(): Double =

@@ -18,6 +18,10 @@ object Verify {
       // config AND read adaptively (graft.io.Sources.eventTs inspects the
       // arrived type) so either generator output analyzes.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded-buffer typed aggregates: avoid the 128-key
+      // ObjectHashAggregate sort fallback (SCALE.md round-10 probe)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

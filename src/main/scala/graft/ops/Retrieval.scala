@@ -48,15 +48,76 @@ object Retrieval {
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n
 
-    // postings for the query terms only: dl rides along from the same
-    // tokenization (no second pass / no join back to the corpus)
-    val tf = docs
+    // contains-any prefilter BEFORE tokenization: a token present in
+    // tokens(normalize(text)) is necessarily a substring of lower(text)
+    // (tokens are space-free and normalization only lowercases/collapses
+    // whitespace), so this is a conservative superset — docs without any
+    // query term never pay the explode. Measured at 100x (500k docs,
+    // 0-match terms): 8.3s -> scan-bound; the explode was the whole cost.
+    val candidates = docs.filter(
+      terms.map(t => lower(col(textCol)).contains(t)).reduce(_ || _))
+    val tf = candidates
       .select(col(idCol), TextDedup.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("token"))
       .filter(col("token").isInCollection(terms))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, idCol, terms, n, avgdl, k1, b, topN, scoreDecimals)
+  }
+
+  /** Build the INVERTED INDEX: full postings (token, id, tf, dl) plus a
+    * one-row stats table, written as parquet. This is the ingest-time
+    * form — at corpus scale you tokenize ONCE at ingest and serve every
+    * query from the stored postings (the same warm-path shape as the
+    * minhash signature store): a query then costs a token-pruned scan,
+    * not a corpus pass.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 indexDir: String): Unit = {
+    docs
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("token"))
+      .groupBy(col("token"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$indexDir/postings")
+    docs.select(size(TextDedup.tokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** BM25 over a stored [[buildIndex]] index: the term filter is an
+    * IN-list on a scan column, so it PUSHES to the parquet reader
+    * (PushedFilters: In(token, ...)) — a query reads the terms'
+    * postings slivers, never the corpus. Scores are identical to
+    * [[bm25]] over the same corpus (same stats, same arithmetic), which
+    * is what lets the registry query share the plain form's oracle.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, idCol: String, terms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75,
+                    topN: Int = 20, scoreDecimals: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val stats = spark.read.parquet(s"$indexDir/stats").head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("token").isInCollection(terms))
+    scoreBm25(tf, idCol, terms, n, avgdl, k1, b, topN, scoreDecimals)
+  }
+
+  /** Shared scoring tail over a (idCol, dl, token, tf) postings frame.
+    * The frame is persisted: both the df aggregation and the scored
+    * output read it — without the pin Spark recomputes the lineage (no
+    * exchange reuse fires across the two subtrees; measured round 10).
+    * Size is bounded by |matching docs| x |terms| — small by retrieval
+    * selectivity, same rationale as the other ops' signature pins.
+    */
+  private def scoreBm25(tfIn: DataFrame, idCol: String, terms: Seq[String],
+                        n: Long, avgdl: Double, k1: Double, b: Double,
+                        topN: Int, scoreDecimals: Int): DataFrame = {
+    val tf = tfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // document frequency per term: |terms| rows -> broadcast
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -58,6 +58,23 @@ object Qext {
     t
   }
 
+  /** Per-(JVM, sf dir) BM25 inverted index ([[Retrieval.buildIndex]]),
+    * built once on first use — the ingest-then-query shape, same
+    * lifecycle as [[minhashStore]] (tmpdir + shutdown-hook cleanup).
+    */
+  private val bm25Indexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25Index(spark: SparkSession, dir: String): String = {
+    sigStoreCleanup // shared hook; bm25Indexes registers through sigStores
+    bm25Indexes.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25index-")
+      Retrieval.buildIndex(t(spark, dir, "documents"), "doc_id", "text",
+        p.toString)
+      sigStores.put(s"bm25:$dir", p.toString) // ride the cleanup hook
+      p.toString
+    })
+  }
+
   private def minhashStore(spark: SparkSession, dir: String): DataFrame = {
     sigStoreCleanup // register the hook once, before the first store exists
     val path = sigStores.computeIfAbsent(dir, _ => {
@@ -984,6 +1001,17 @@ object Qext {
         bm25Terms, topN = 20)
       .orderBy(col("score").desc, col("doc_id").asc)
 
+  /** BM25 over the stored inverted index ([[Retrieval.bm25FromIndex]] on
+    * [[bm25Index]]): the warm ingest-then-query path — the term IN-list
+    * pushes to the postings parquet scan, so a query reads slivers, not
+    * the corpus. Result identical to q_ext_bm25_topk (same stats, same
+    * arithmetic) — shares its oracle.
+    */
+  def qExtBm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25FromIndex(spark, bm25Index(spark, dir), "doc_id",
+        bm25Terms, topN = 20)
+      .orderBy(col("score").desc, col("doc_id").asc)
+
   /** Hybrid retrieval: BM25 sparse ranking fused with a dense cosine
     * ranking (query = embedding of vec_id 0, self excluded) by
     * reciprocal-rank fusion ([[Retrieval.rrfFuse]] — union+groupBy, no
@@ -1034,6 +1062,48 @@ object Qext {
       .select(col("source") +: probs.indices.map(i =>
         col("__q").getItem(i).as(s"p${(probs(i) * 100).round}")): _*)
       .orderBy("source")
+  }
+
+  /** Per-source winsorization ([[Curation.winsorize]]): clip n_chars into
+    * its source's [p05, p95] interpolated-quantile interval. The clip is
+    * comparison-only (least/greatest), so outputs are either the input
+    * value or the quantile bound — and Spark `percentile` ==
+    * DuckDB `quantile_cont` bit-for-bit on this data is already the
+    * q_ext_quantiles_by_lang precedent.
+    */
+  def qExtWinsorize(spark: SparkSession, dir: String): DataFrame =
+    Curation.winsorize(t(spark, dir, "documents"), "source", "n_chars",
+        pLo = 0.05, pHi = 0.95)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_chars_clipped"))
+      .orderBy("doc_id")
+
+  /** URL canonicalization ([[UrlOps]]) over deterministic synthetic URLs
+    * (the corpus has no URL column; same manufactured-fixture pattern as
+    * q_ext_pii_redact). The fixture varies scheme, casing, default vs
+    * explicit port, trailing slash, tracking params, and fragments by
+    * customer key, so every canonicalization rule fires on real rows.
+    * The oracle derives the expected canonical form INDEPENDENTLY from
+    * the key arithmetic — a ground-truth statement, not an
+    * implementation mirror.
+    */
+  def qExtUrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val url = concat(
+      when(k % 2 === 0, lit("HTTPS://WWW.Shop")).otherwise(lit("http://shop")),
+      (k % 50).cast("string"), lit(".Example.COM"),
+      when(k % 2 === 0, lit(":443")).otherwise(lit(":8080")),
+      lit("/items/item"), k.cast("string"),
+      when(k % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=news&id="), k.cast("string"),
+      lit("&utm_campaign=c"), (k % 7).cast("string"),
+      when(k % 5 === 0, lit("#frag")).otherwise(lit("")))
+    t(spark, dir, "customer")
+      .select(k, url.as("url"))
+      .select(k, col("url"),
+        UrlOps.canonicalUrl(col("url")).as("url_canonical"),
+        UrlOps.urlDomain(col("url")).as("domain"))
+      .orderBy("c_custkey")
   }
 
   // ============================================================ registry
@@ -1107,6 +1177,9 @@ object Qext {
     "q_ext_hybrid_rrf" -> (qExtHybridRrf _),
     "q_ext_topk_per_group" -> (qExtTopkPerGroup _),
     "q_ext_quantile_sketch" -> (qExtQuantileSketch _),
+    "q_ext_winsorize" -> (qExtWinsorize _),
+    "q_ext_url_canonical" -> (qExtUrlCanonical _),
+    "q_ext_bm25_indexed" -> (qExtBm25Indexed _),
   )
 
   private val normSql =
@@ -2415,7 +2488,11 @@ object Qext {
     // DECIMAL, whose arithmetic is exact-decimal, not IEEE); expression
     // association matches the Scala Column build token for token, so each
     // double op is the same correctly-rounded operation in both engines.
-    "q_ext_bm25_topk" -> bm25OracleSql(topN = 20, withRank = false),
+    "q_ext_bm25_topk" -> bm25OracleSql(topN = 20),
+
+    // identical computation served from the stored inverted index —
+    // same ground truth
+    "q_ext_bm25_indexed" -> bm25OracleSql(topN = 20),
 
     // Hybrid RRF: the sparse leg is the BM25 CTE (top 50 + rank), the
     // dense leg mirrors q_ext_sim_topk's cosine with query vec_id = 0;
@@ -2487,6 +2564,45 @@ object Qext {
          |$cols
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // Clip is comparison-only; clipped outputs equal either the input or
+    // the interpolated bound (quantile_cont == Spark percentile, the
+    // q_ext_quantiles_by_lang precedent).
+    "q_ext_winsorize" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         quantile_cont(n_chars, 0.05) AS lo,
+        |         quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT doc_id, source, n_chars,
+        |       least(greatest(n_chars::DOUBLE, lo), hi) AS n_chars_clipped
+        |FROM documents JOIN b USING (source)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Ground-truth oracle: the canonical form is derived directly from
+    // the key arithmetic that synthesized the URL (scheme/port by k%2,
+    // trailing slash by k%3, fragment by k%5, tracking params always
+    // stripped, host lowercased with www. dropped) — independent of the
+    // engine's parser.
+    "q_ext_url_canonical" ->
+      """SELECT c_custkey,
+        |  (CASE WHEN c_custkey % 2 = 0
+        |        THEN 'HTTPS://WWW.Shop' ELSE 'http://shop' END)
+        |  || (c_custkey % 50)::VARCHAR || '.Example.COM'
+        |  || (CASE WHEN c_custkey % 2 = 0 THEN ':443' ELSE ':8080' END)
+        |  || '/items/item' || c_custkey::VARCHAR
+        |  || (CASE WHEN c_custkey % 3 = 0 THEN '/' ELSE '' END)
+        |  || '?utm_source=news&id=' || c_custkey::VARCHAR
+        |  || '&utm_campaign=c' || (c_custkey % 7)::VARCHAR
+        |  || (CASE WHEN c_custkey % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+        |  (CASE WHEN c_custkey % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |  || 'shop' || (c_custkey % 50)::VARCHAR || '.example.com'
+        |  || (CASE WHEN c_custkey % 2 = 0 THEN '' ELSE ':8080' END)
+        |  || '/items/item' || c_custkey::VARCHAR
+        |  || '?id=' || c_custkey::VARCHAR AS url_canonical,
+        |  'shop' || (c_custkey % 50)::VARCHAR || '.example.com' AS domain
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 
   /** BM25 CTE chain shared by the standalone and hybrid oracles: stats
@@ -2536,7 +2652,7 @@ object Qext {
   }
 
   /** Standalone BM25 oracle built from [[bm25Ctes]]. */
-  private def bm25OracleSql(topN: Int, withRank: Boolean): String =
+  private def bm25OracleSql(topN: Int): String =
     s"""WITH ${bm25Ctes(topN)}
        |SELECT doc_id, n_terms, score FROM bm25
        |ORDER BY score DESC, doc_id""".stripMargin

@@ -18,6 +18,13 @@ object LocalSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The engine's typed aggregates (top_k_by, mrl_quantiles,
+      // misra_gries) have BOUNDED per-group buffers by design, so the
+      // ObjectHashAggregate sort-based fallback (default: 128 distinct
+      // keys per task!) only costs — measured 5.4s -> 0.5s on the
+      // 100x top-k-per-group (tools/FallbackProbe, SCALE.md round 10).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark

@@ -21,5 +21,9 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded-buffer typed aggregates: avoid the 128-key
+      // ObjectHashAggregate sort fallback (SCALE.md round-10 probe)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
     .getOrCreate()
 }

@@ -68,6 +68,17 @@ class RetrievalSpec extends SparkSpec {
     r shouldBe Seq(1L, 2L) // equal scores -> id ascending wins the cut
   }
 
+  "bm25FromIndex" should "equal the direct form over the same corpus" in {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    val terms = Seq("apple", "banana")
+    val direct = Retrieval.bm25(docs, "doc_id", "text", terms, topN = 10)
+      .collect().map(_.toSeq).toSeq
+    val indexed = Retrieval.bm25FromIndex(spark, dir, "doc_id", terms, topN = 10)
+      .collect().map(_.toSeq).toSeq
+    indexed shouldBe direct
+  }
+
   "rrfFuse" should "sum reciprocal ranks with missing legs as zero" in {
     val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank_a")
     val b = Seq((11L, 1), (12L, 2)).toDF("id", "rank_b")
