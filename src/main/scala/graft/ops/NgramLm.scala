@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model — train on the corpus, score each
+  * document by average log-likelihood under add-one smoothing (Jurafsky &
+  * Martin ch. 3; the KenLM-style data-quality signal: fluent text scores
+  * high, boilerplate/garbage scores low, and the score is a standard
+  * curation filter alongside [[TextStats]] heuristics).
+  *
+  * Scale shape: training is two groupBy-counts over the exploded bigram
+  * stream (map-side partial aggregation collapses the token skew);
+  * scoring joins the doc-bigram stream to the count tables on the
+  * token keys — co-keyed shuffle joins, no broadcast assumption (a
+  * 100 TB corpus's bigram table is itself huge). The vocabulary size is
+  * a single in-plan broadcast scalar.
+  *
+  * Engine-portable scoring: each bigram term ln((c(w1,w2)+1)/(c(w1)+V))
+  * is computed as `floor(1e9·(ln(cb+1) − ln(cu+V)) + 0.5)` — an integer
+  * "nano-nats" value. Per-doc totals are then BIGINT sums: exact,
+  * associative, partition-order-independent, and identical in the SQL
+  * oracle (a raw double sum would be partial-agg-order dependent — the
+  * skill-documented FP-aggregate hazard). The only FP steps (ln of an
+  * integer, one multiply, one floor) are deterministic per-value in any
+  * IEEE engine.
+  */
+object NgramLm {
+
+  /** Nano-nat scale for integer log-likelihood terms. */
+  val LnScale: Double = 1e9
+
+  /** (idCol, w1, w2): the document bigram stream (normalized tokens,
+    * adjacent pairs in order; documents with <2 tokens emit nothing).
+    */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
+    val pairs = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    docs.select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** Integer nano-nat term for one bigram occurrence. */
+  private def termScaled(cb: Column, cu: Column, vocab: Column): Column =
+    floor(lit(LnScale) * (log(cb + 1) - log(cu + vocab)) + 0.5).cast("long")
+
+  /** Per-document add-one-smoothed bigram log-likelihood, self-trained on
+    * the same corpus: (idCol, n_bigrams, ll_scaled, avg_ll) where
+    * ll_scaled is the exact BIGINT nano-nat sum and avg_ll =
+    * round(ll_scaled / n / 1e9, 6) nats per bigram. Documents with <2
+    * tokens are absent (no bigrams to score).
+    */
+  def avgLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = docBigrams(docs, idCol, textCol)
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // |vocab| over the full token stream (w1 ∪ final tokens): one
+    // single-row broadcast, not a driver scalar
+    val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
+    val vocab = docs.select(explode(ts).as("w")).agg(
+      count_distinct(col("w")).as("v"))
+    big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        termScaled(col("cb"), col("cu"), col("v")).as("t"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("t").as("ll_scaled"))
+      .withColumn("avg_ll",
+        round(col("ll_scaled").cast("double") / col("n_bigrams") / LnScale, 6))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Brin & Page 1998) over an edge list — the canonical
+  * iterative link-analysis operator: web-crawl corpora rank pages for
+  * quality-weighted sampling, and citation/reference graphs rank
+  * documents for curation. One groupBy-sum per iteration; no
+  * vertex-program framework needed — the power iteration IS a join+agg.
+  *
+  * Integer-exact: ranks are scaled BIGINTs (mass [[Scale]] = 1e12 split
+  * across nodes) and every step is integer floor-division arithmetic.
+  * Floating-point PageRank is partition-order-dependent (double sums
+  * don't associate); the scaled-integer form makes the fixpoint a pure
+  * function of the graph — the same value on any cluster layout, and
+  * token-for-token reproducible by the SQL oracle (`div` == `//` on
+  * non-negatives). The cost is ≤1 scaled-unit (1e-12) truncation per
+  * term — far below any ranking-relevant signal.
+  *
+  * Scale shape: edges are the big frame; each iteration shuffles the
+  * rank frame (|V| narrow rows) onto the edge partitioning (join on
+  * src, groupBy dst) — shuffle volume O(|V| + |E|) per iteration,
+  * rounds fixed. The edge+outdeg frame is computed and pinned ONCE;
+  * dangling mass (nodes with no out-edges) is redistributed through a
+  * broadcast single-row aggregate, not a per-iteration driver job.
+  * Rank frames persist one generation and release as the next
+  * materializes (same deferred-release discipline as [[Bpe]]).
+  */
+object PageRank {
+
+  /** Total rank mass; per-node ranks are BIGINTs out of this. */
+  val Scale: Long = 1000000000000L
+
+  /** `iterations` power-iteration steps at `dampingPct`/100 damping.
+    * Returns (node, rank_scaled): rank_scaled sums to ~[[Scale]]
+    * (minus sub-unit truncation). Multi-edges contribute multiply —
+    * `distinct` the edge frame upstream if simple-graph semantics are
+    * wanted.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist(lvl)
+    // teleport share is a per-node literal: one k=1 driver scalar (|V|),
+    // same floor-div on both engines
+    val n = nodes.count()
+    val teleport = ((100L - dampingPct) * Scale / 100L) / n
+
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // (src, dst, od) pinned once — every iteration reads it
+    val eod = e.join(outdeg, "src").persist(lvl)
+
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
+      .persist(lvl)
+    var prev: Option[DataFrame] = None
+    (1 to iterations).foreach { _ =>
+      val contrib = eod.join(ranks, eod("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div od").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      // dangling nodes hold mass but emit no edges: redistribute their
+      // per-node share via a single-row broadcast (stays in-plan — no
+      // per-iteration driver job)
+      val dang = ranks.join(outdeg, ranks("node") === outdeg("src"),
+          "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(teleport) + expr(
+            s"$dampingPct * (coalesce(contrib, 0) + dang_sum div $n) div 100"))
+            .as("rank"))
+        .persist(lvl)
+      // contrib's shuffle materializes `next` lazily on first action; the
+      // grandparent pin can go now, the parent after `next` computes
+      prev.foreach(_.unpersist(false))
+      prev = Some(ranks)
+      ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank").as("rank_scaled"))
+    prev.foreach(_.unpersist(false))
+    out
+  }
+}

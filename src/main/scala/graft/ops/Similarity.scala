@@ -102,6 +102,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Contrastive hard-negative mining: per query, the k highest-cosine
+    * candidates carrying a DIFFERENT label — the negatives that sit
+    * closest to the decision boundary, which contrastive training
+    * (SimCLR/CLIP-style) weights far above random negatives. Same
+    * broadcast-queries / map-side-score / bounded-window shape as
+    * [[bruteForceTopK]]; the label inequality is a map-side filter, so
+    * same-label pairs never reach the top-k shuffle.
+    *
+    * Returns (query_id, cand_id, cand_label, score, rank).
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String, k: Int,
+                    scoreDecimals: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val c = Partitioning.spread(candidates).select(col(idCol).as("cand_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("cand_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id") &&
+        col("__ql") =!= col("cand_label"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cand_label", "score", "rank")
+  }
+
   /** Deterministic random hyperplanes: `nbits` unit-free direction vectors of
     * dimension `dim`, from a seeded RNG (no wall-clock, no Spark randomness).
     */

@@ -383,4 +383,43 @@ object TextStats {
       .agg(min(struct((-col("__score")).as("s"), col("lang").as("l"))).as("__best"))
       .select(col(idCol), col("__best.l").as("lang"))
   }
+
+  // ------------------------------------------------------ script detection
+
+  /** Unicode-script character classes (BMP literal ranges — the pattern
+    * strings embed the boundary characters themselves, so the same
+    * pattern text drives any RE2/Java-regex engine; astral planes
+    * excluded to keep length() = code points in every engine). Declared
+    * order is the [[dominantScript]] tie-break order.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "cjk" -> "[一-鿿]")
+
+  /** Characters of `c` in the class: length minus length-after-removal —
+    * one codegen'd regexp_replace per class, no explode.
+    */
+  def scriptCount(c: Column, rangePattern: String): Column =
+    length(c) - length(regexp_replace(c, rangePattern, ""))
+
+  /** Dominant script: argmax over [[scriptRanges]] counts, ties to the
+    * earlier-declared script, zero everywhere → "none". Script mix is the
+    * cheap first split of a multilingual crawl (routes documents to
+    * per-script language ID / tokenizers before any model runs).
+    */
+  def dominantScript(c: Column): Column = {
+    val counts = scriptRanges.map { case (name, p) => name -> scriptCount(c, p) }
+    val allZero = counts.map(_._2 === 0).reduce(_ && _)
+    // fixed-order argmax: the first script whose count is >= all later ones
+    val cases = counts.tails.collect {
+      case (name, cnt) +: rest if rest.nonEmpty =>
+        (name, rest.map { case (_, other) => cnt >= other }.reduce(_ && _))
+    }.toSeq
+    val chain = cases.foldRight(lit(scriptRanges.last._1): Column) {
+      case ((name, cond), els) => when(cond, lit(name)).otherwise(els)
+    }
+    when(allZero, lit("none")).otherwise(chain)
+  }
 }

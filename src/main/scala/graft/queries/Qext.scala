@@ -1021,10 +1021,13 @@ object Qext {
     * real, not just in specs.
     */
   def qExtHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
+    // sparse leg from the stored inverted index ([[bm25Index]]) — scores
+    // identical to the direct form, and the hybrid query shouldn't
+    // re-tokenize a corpus the ingest path already indexed
     val sparse = Retrieval.ranked(
-      Retrieval.bm25(docs, "doc_id", "text", bm25Terms, topN = 50),
+      Retrieval.bm25FromIndex(spark, bm25Index(spark, dir), "doc_id",
+        bm25Terms, topN = 50),
       "doc_id", "rank_sparse").select("doc_id", "rank_sparse")
     val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
         "vec_id", "embedding", k = 50)
@@ -1106,6 +1109,122 @@ object Qext {
       .orderBy("c_custkey")
   }
 
+  /** Script detection ([[TextStats.dominantScript]]) over a mixed-script
+    * fixture (the corpus is pure ASCII, so — like the PII and URL
+    * fixtures — the script mix is manufactured from customer keys:
+    * cyrillic/greek/CJK snippets long enough to outvote the latin name).
+    * Counts are length-minus-stripped-length per class; the argmax is a
+    * fixed-order CASE — both mirror token-for-token in SQL.
+    */
+  def qExtScriptDetect(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val text = concat(col("c_name"),
+      when(k % 4 === 1, lit(" привет мир"))
+        .when(k % 4 === 2, lit(" γειά σου κόσμε"))
+        .when(k % 4 === 3, lit(" 你好世界你好世界你好"))
+        .otherwise(lit("")))
+    val withText = t(spark, dir, "customer").select(k, text.as("text"))
+    withText.select(
+        k +:
+        TextStats.scriptRanges.map { case (name, p) =>
+          TextStats.scriptCount(col("text"), p).cast("long").as(s"n_$name")
+        } :+
+        TextStats.dominantScript(col("text")).as("script"): _*)
+      .orderBy("c_custkey")
+  }
+
+  /** Snapshot diff ([[SnapshotDiff.diff]]): yesterday's corpus (drops
+    * doc_id % 10 == 0) vs today's (drops % 11 == 0, edits % 7 == 0), so
+    * all four statuses occur. Content equality via the normalized md5
+    * ([[TextDedup.contentHash]]); the DuckDB oracle is a literal
+    * full-outer join — the form the engine's union+groupBy replaces.
+    */
+  def qExtSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val a = docs.filter(col("doc_id") % 10 =!= 0)
+    val b = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(lit("v2 "), col("text"))).otherwise(col("text")))
+    SnapshotDiff.diff(a, b, "doc_id", df => TextDedup.contentHash(df("text")))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge induction ([[Bpe.learnMerges]]): the first 12 merges
+    * learned from the corpus — tokenizer training as a first-class
+    * engine operation. Iterations run over the compact (word, count)
+    * table, never the corpus; ties break lexicographically, so the
+    * merge sequence is a pure function of the input and the generated
+    * CTE-chain oracle (one level per iteration) reproduces it exactly.
+    */
+  def qExtBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.learnMerges(t(spark, dir, "documents"), "text", numMerges = 12)
+      .orderBy("merge_rank")
+
+  /** PageRank ([[PageRank.pageRank]], 5 iterations) over a manufactured
+    * 3-regular link graph (dst = (doc_id·{3,5,7}+{1,2,3}) mod N — the
+    * corpus has no link column, so the graph is a deterministic function
+    * of the ids, like the PII/URL/script fixtures). Integer-scaled ranks
+    * make the result partitioning-independent and the oracle (a generated
+    * CTE chain, one (contrib, dangling, rank) level per iteration)
+    * token-for-token exact.
+    */
+  def qExtPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.count() // graph modulus: one k=1 driver scalar
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 3 + 1) % n,
+          (col("doc_id") * 5 + 2) % n,
+          (col("doc_id") * 7 + 3) % n)).as("dst"))
+      .distinct()
+    PageRank.pageRank(edges, "src", "dst", iterations = 5)
+      .orderBy(col("rank_scaled").desc, col("node").asc)
+      .limit(100)
+  }
+
+  /** SCD2 history merge ([[Scd2.merge]]): the [[qExtSnapshotDiff]] drops
+    * replayed as a version history — snapshot A bootstraps at 2026-01-01,
+    * snapshot B merges at 2026-02-01, and the result is the full version
+    * chain (closed betas, reopened v2s, deleted gammas, fresh deltas).
+    * The oracle is the full-outer-join + two-branch-union form the
+    * engine's single union+groupBy+explode replaces.
+    */
+  def qExtScd2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val hashOf = (df: DataFrame) => TextDedup.contentHash(df("text"))
+    val a = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val b = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(lit("v2 "), col("text"))).otherwise(col("text")))
+      .select("doc_id", "text")
+    val hist = Scd2.init(a, "doc_id", Seq("text"), hashOf, "2026-01-01")
+    Scd2.merge(hist, b, "doc_id", Seq("text"), hashOf, "2026-02-01")
+      .orderBy("doc_id", "valid_from")
+  }
+
+  /** Contrastive hard-negative mining ([[Similarity.hardNegatives]]):
+    * for 8 query vectors, the 5 closest candidates whose label differs —
+    * the SimCLR/CLIP negative-selection primitive. Same broadcast +
+    * bounded-window shape as [[qExtSimTopk]] with the label filter
+    * applied map-side.
+    */
+  def qExtHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Bigram-LM quality scoring ([[NgramLm.avgLogProb]]): add-one-smoothed
+    * average log-likelihood per document, self-trained on the corpus.
+    * Integer nano-nat terms make the per-doc sums exact BIGINTs (the FP
+    * double-aggregate hazard never arises); avg_ll is two correctly-
+    * rounded IEEE divisions of the same integers on both engines.
+    */
+  def qExtLmScore(spark: SparkSession, dir: String): DataFrame =
+    NgramLm.avgLogProb(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1180,6 +1299,13 @@ object Qext {
     "q_ext_winsorize" -> (qExtWinsorize _),
     "q_ext_url_canonical" -> (qExtUrlCanonical _),
     "q_ext_bm25_indexed" -> (qExtBm25Indexed _),
+    "q_ext_script_detect" -> (qExtScriptDetect _),
+    "q_ext_snapshot_diff" -> (qExtSnapshotDiff _),
+    "q_ext_bpe_merges" -> (qExtBpeMerges _),
+    "q_ext_pagerank" -> (qExtPagerank _),
+    "q_ext_scd2" -> (qExtScd2 _),
+    "q_ext_hard_negatives" -> (qExtHardNegatives _),
+    "q_ext_lm_score" -> (qExtLmScore _),
   )
 
   private val normSql =
@@ -2494,6 +2620,136 @@ object Qext {
     // same ground truth
     "q_ext_bm25_indexed" -> bm25OracleSql(topN = 20),
 
+    // Same class literals and fixed-order argmax as TextStats.scriptRanges
+    // / dominantScript; counts are length minus stripped length.
+    "q_ext_script_detect" -> {
+      val mk = "c_name || (CASE WHEN c_custkey % 4 = 1 THEN ' привет мир' " +
+        "WHEN c_custkey % 4 = 2 THEN ' γειά σου κόσμε' " +
+        "WHEN c_custkey % 4 = 3 THEN ' 你好世界你好世界你好' ELSE '' END)"
+      val counts = graft.ops.TextStats.scriptRanges.map { case (name, p) =>
+        s"length(text) - length(regexp_replace(text, '$p', '', 'g')) AS n_$name"
+      }.mkString(",\n        |       ")
+      s"""WITH t AS (SELECT c_custkey, $mk AS text FROM customer),
+         |c AS (SELECT c_custkey,
+         |       $counts
+         |FROM t)
+         |SELECT c_custkey, n_latin, n_cyrillic, n_greek, n_cjk,
+         |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_greek = 0
+         |            AND n_cjk = 0 THEN 'none'
+         |       WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+         |            AND n_latin >= n_cjk THEN 'latin'
+         |       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+         |            THEN 'cyrillic'
+         |       WHEN n_greek >= n_cjk THEN 'greek'
+         |       ELSE 'cjk' END AS script
+         |FROM c ORDER BY c_custkey""".stripMargin
+    },
+
+    // The full-outer-join form the engine's union+groupBy replaces.
+    "q_ext_snapshot_diff" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |), b0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |), b AS (SELECT doc_id, md5($normSql) AS h FROM b0)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |       a.h AS hash_a, b.h AS hash_b,
+         |       CASE WHEN a.h IS NULL THEN 'added'
+         |            WHEN b.h IS NULL THEN 'removed'
+         |            WHEN a.h = b.h THEN 'unchanged'
+         |            ELSE 'changed' END AS status
+         |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // Generated CTE chain, one (pairs, best, rewrite) level per BPE
+    // iteration — the same greedy leftmost-non-overlapping replace
+    // semantics as Bpe.applyMerge (DuckDB replace == Java replace:
+    // literal, no rescan of replaced output).
+    "q_ext_bpe_merges" -> bpeOracleSql(numMerges = 12),
+
+    // Generated CTE chain, one (contrib, dangling, rank) level per power
+    // iteration; all-integer floor-div arithmetic (`//` == Spark `div` on
+    // non-negatives) so the ranks match bit-for-bit.
+    "q_ext_pagerank" -> pagerankOracleSql(iterations = 5),
+
+    // Same cosine/rank shape as the q_ext_sim_topk oracle with the
+    // other-label predicate; cand_label travels to the output.
+    "q_ext_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM v q, v c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id AND q.label <> c.label
+        |), ranked AS (
+        |  SELECT query_id, cand_id, cand_label, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, cand_label, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Integer nano-nat terms (floor(1e9·(ln(cb+1)−ln(cu+V)) + 0.5)) summed
+    // as BIGINT — no double aggregate; avg_ll is two exact-operand IEEE
+    // divisions, identical per-value on both engines.
+    "q_ext_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |                             x -> x <> '') AS ts
+         |  FROM documents
+         |), big AS (
+         |  SELECT doc_id, (u).a AS w1, (u).b AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |                          j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
+         |    FROM toks)
+         |), cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM big GROUP BY w1, w2),
+         |cu AS (SELECT w1, count(*)::BIGINT AS cu FROM big GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM
+         |        (SELECT unnest(ts) AS w FROM toks)),
+         |terms AS (
+         |  SELECT b.doc_id,
+         |         floor(1e9 * (ln(cb.cb + 1) - ln(cu.cu + (SELECT v FROM v)))
+         |               + 0.5)::BIGINT AS t
+         |  FROM big b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+         |             JOIN cu ON b.w1 = cu.w1)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(t)::BIGINT AS ll_scaled,
+         |       round(sum(t)::BIGINT::DOUBLE / count(*) / 1e9, 6) AS avg_ll
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SCD2 as the literal full-outer-join + branch-union the engine's
+    // union+groupBy+explode replaces: old-version branch (close on change
+    // or delete) plus new-version branch (open on change or insert).
+    "q_ext_scd2" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text, md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |), b0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |), b AS (SELECT doc_id, text, md5($normSql) AS h FROM b0),
+         |j AS (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         a.text AS text_a, a.h AS ha, b.text AS text_b, b.h AS hb
+         |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, text_a AS text, ha AS content_hash,
+         |       '2026-01-01' AS valid_from,
+         |       CASE WHEN hb IS NULL OR hb <> ha THEN '2026-02-01' END AS valid_to,
+         |       (hb IS NOT NULL AND hb = ha) AS is_current
+         |FROM j WHERE ha IS NOT NULL
+         |UNION ALL
+         |SELECT doc_id, text_b, hb, '2026-02-01', NULL, true
+         |FROM j WHERE hb IS NOT NULL AND (ha IS NULL OR ha <> hb)
+         |ORDER BY doc_id, valid_from""".stripMargin,
+
     // Hybrid RRF: the sparse leg is the BM25 CTE (top 50 + rank), the
     // dense leg mirrors q_ext_sim_topk's cosine with query vec_id = 0;
     // fusion is 1/(60+rank) with missing legs contributing 0. DuckDB may
@@ -2649,6 +2905,85 @@ object Qext {
        |  SELECT doc_id, n_terms, round(raw, 6) AS score FROM agg
        |  ORDER BY score DESC, doc_id LIMIT $topN
        |)""".stripMargin
+  }
+
+  /** BPE-merge oracle: CTE chain with one (pairs, best, rewrite) level
+    * per iteration. w0 is the char-split word table; p_i aggregates
+    * adjacent pairs, b_i is the deterministic argmax, w_{i+1} the
+    * rewrite; the result unions the b_i rows in rank order.
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    // working form mirrors Bpe: single boundary separators, double
+    // interior ones — "SEP sym (SEP SEP sym)* SEP"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""w0 AS MATERIALIZED (
+         |  SELECT chr(1) || array_to_string(regexp_extract_all(word, '.'),
+         |                                   chr(1) || chr(1)) || chr(1) AS sym,
+         |         count(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word)""".stripMargin)
+    (0 until numMerges).foreach { i =>
+      ctes += s"""p$i AS MATERIALIZED (
+         |  SELECT (u).a AS pa, (u).b AS pb, sum(cnt)::BIGINT AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(ss)),
+         |                  j -> {'a': ss[j], 'b': ss[j + 1]})) AS u, cnt
+         |    FROM (SELECT list_filter(string_split(sym, chr(1)), x -> x <> '') AS ss,
+         |                 cnt
+         |          FROM w$i)
+         |  ) GROUP BY pa, pb)""".stripMargin
+      ctes += s"b$i AS MATERIALIZED (SELECT pa, pb, n FROM p$i ORDER BY n DESC, pa ASC, pb ASC LIMIT 1)"
+      ctes += s"""w${i + 1} AS MATERIALIZED (
+         |  SELECT replace(sym,
+         |           chr(1) || (SELECT pa FROM b$i) || chr(1) || chr(1)
+         |             || (SELECT pb FROM b$i) || chr(1),
+         |           chr(1) || (SELECT pa || pb FROM b$i) || chr(1)) AS sym, cnt
+         |  FROM w$i)""".stripMargin
+    }
+    val rows = (0 until numMerges).map(i =>
+      s"SELECT $i + 1 AS merge_rank, pa AS pair_a, pb AS pair_b, n AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") + "\n" + rows + " ORDER BY merge_rank"
+  }
+
+  /** PageRank oracle: the same manufactured 3-regular graph and the same
+    * scaled-integer power iteration as [[qExtPagerank]], one
+    * (c_i, d_i, r_i) CTE level per iteration. Teleport/damping mirror
+    * [[PageRank.pageRank]]'s defaults (85/100, Scale 1e12).
+    */
+  private def pagerankOracleSql(iterations: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |           unnest([(doc_id * 3 + 1) % nc.c, (doc_id * 5 + 2) % nc.c,
+        |                   (doc_id * 7 + 3) % nc.c]) AS dst
+        |    FROM documents, (SELECT count(*) AS c FROM documents) nc))""".stripMargin,
+      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
+      "nn AS (SELECT count(*) AS c FROM nodes)",
+      "od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src)",
+      """r0 AS MATERIALIZED (SELECT node,
+        |  (SELECT 1000000000000 // c FROM nn) AS rank FROM nodes)""".stripMargin)
+    (0 until iterations).foreach { i =>
+      // ::BIGINT on every sum: DuckDB sums BIGINT into HUGEINT, which
+      // pandas renders as float64 and the stringified compare rejects
+      ctes += s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank // od.od)::BIGINT AS contrib
+         |  FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst)""".stripMargin
+      ctes += s"""d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS ds FROM r$i r
+         |  LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL)""".stripMargin
+      ctes += s"""r${i + 1} AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    (SELECT 15 * 1000000000000 // 100 // c FROM nn)
+         |      + 85 * (coalesce(c$i.contrib, 0)
+         |              + (SELECT ds FROM d$i) // (SELECT c FROM nn)) // 100 AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT node, rank AS rank_scaled FROM r$iterations " +
+      "ORDER BY rank_scaled DESC, node ASC LIMIT 100"
   }
 
   /** Standalone BM25 oracle built from [[bm25Ctes]]. */

@@ -34,6 +34,22 @@ class SimilaritySpec extends SparkSpec {
     top shouldBe Array(1L, 2L, 3L) // 1.0, ~0.994, 0.0
   }
 
+  "hardNegatives" should "rank nearest other-label candidates only" in {
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),  // same label: excluded
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 1),  // hardest negative
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(
+        labeled.filter($"vec_id" === 0), labeled,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    negs shouldBe Array((2L, 1), (3L, 1), (4L, 2)) // 1 never appears
+  }
+
   "annTopK" should "return the identical vector first for its own bucket" in {
     val top = Similarity.annTopK(
       vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",

@@ -140,4 +140,30 @@ class TextStatsSpec extends SparkSpec {
     frac("ab", 3) shouldBe 0.0 // fewer than n tokens -> no n-grams
     frac("", 2) shouldBe 0.0
   }
+
+  "dominantScript" should "pick the majority script with fixed-order ties" in {
+    def script(text: String): String =
+      Seq(text).toDF("t")
+        .select(TextStats.dominantScript(col("t"))).as[String]
+        .collect().head
+    script("hello world") shouldBe "latin"
+    script("привет мир") shouldBe "cyrillic"
+    script("γειά σου κόσμε") shouldBe "greek"
+    script("你好世界") shouldBe "cjk"
+    script("123 !?.") shouldBe "none"
+    script("") shouldBe "none"
+    script("ab пр") shouldBe "latin" // tie -> earlier-declared script
+    script("hi приветик") shouldBe "cyrillic" // majority wins over latin
+  }
+
+  "scriptCount" should "count class characters only" in {
+    val r = Seq("aб1γ好x").toDF("t").select(
+      TextStats.scriptRanges.map { case (n, p) =>
+        TextStats.scriptCount(col("t"), p).as(n)
+      }: _*).collect().head
+    r.getInt(0) shouldBe 2 // a, x
+    r.getInt(1) shouldBe 1 // б
+    r.getInt(2) shouldBe 1 // γ
+    r.getInt(3) shouldBe 1 // 好
+  }
 }
