@@ -63,17 +63,22 @@ object PageRank {
       .persist(lvl)
     var prev: Option[DataFrame] = None
     (1 to iterations).foreach { _ =>
-      val contrib = eod.join(ranks, eod("src") === ranks("node"))
+      // shuffle_hash hints throughout: the cached frames are stats-less,
+      // and Catalyst's fallback is SortMergeJoin — a wasted sort on
+      // narrow co-keyed frames (locked out registry-wide by
+      // PlanInvariantsSpec)
+      val contrib = eod.join(ranks.hint("shuffle_hash"),
+          eod("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div od").as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
       // dangling nodes hold mass but emit no edges: redistribute their
       // per-node share via a single-row broadcast (stays in-plan — no
       // per-iteration driver job)
-      val dang = ranks.join(outdeg, ranks("node") === outdeg("src"),
-          "left_anti")
+      val dang = ranks.join(outdeg.hint("shuffle_hash"),
+          ranks("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
       val next = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(teleport) + expr(
