@@ -85,6 +85,10 @@ object Bpe {
     val spark = docs.sparkSession
     var words = wordCounts(docs, textCol)
       .select(charSplit(col("word")).as("sym"), col("cnt"))
+      // (measured: coalescing the vocab table to few partitions SLOWS the
+      // iteration loop ~15% at sf0.1 — the pair explode wants the
+      // parallelism more than it minds the task count; keep the agg's
+      // native partitioning)
       // the working table is read twice per iteration (best pair, then
       // rewrite); pin it — |distinct words| narrow rows — and swap the
       // pin as merges apply

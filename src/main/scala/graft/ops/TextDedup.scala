@@ -44,6 +44,33 @@ object TextDedup {
       df.withColumn("__content_hash", contentHash(col(textCol))),
       keys = Seq("__content_hash"), order = tieBreak)
 
+  /** Cross-source duplicate-overlap matrix: for every unordered source
+    * pair (a < b), how many distinct content hashes occur in BOTH — the
+    * corpus-mixing diagnostic (how much of source B is already in source
+    * A decides whether adding B buys new mass or re-weights old mass).
+    *
+    * Join-free: one shuffle groups hashes, `collect_set(source)` is
+    * bounded by the source-catalog cardinality (tens, not corpus-scale —
+    * for per-DOMAIN overlap at web scale, cap or bucket the set
+    * upstream), and the sorted set explodes into its unordered pairs
+    * in-plan. A hash self-join would shuffle the corpus twice and melt
+    * on duplicate-heavy hashes.
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String,
+                    hashOf: Column): DataFrame = {
+    val sets = docs.select(hashOf.as("__h"), col(sourceCol).as("__src"))
+      .distinct()
+      .groupBy("__h").agg(array_sort(collect_set(col("__src"))).as("__ss"))
+      .filter(size(col("__ss")) > 1)
+    sets.select(explode(flatten(transform(col("__ss"), (a, i) =>
+        transform(
+          slice(col("__ss"), i + 2,
+            greatest(size(col("__ss")) - (i + 1), lit(0))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** [[exactDedup]] for ALL-ASCENDING tie-breaks ([[Dedup.keepFirstAsc]]):
     * `min(struct)` partial-aggregates map-side, so the hash exchange
     * carries one candidate per (hash, input partition) instead of every

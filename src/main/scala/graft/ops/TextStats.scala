@@ -245,6 +245,37 @@ object TextStats {
       .agg(sum("tf").cast("long").as("tf"), count(lit(1)).as("df"))
   }
 
+  /** Coverage curve of the top-N vocabulary: what fraction of the
+    * corpus's token mass do the N most frequent tokens cover? The
+    * tokenizer-design measure (how big must a vocab be before OOV mass
+    * is negligible) and the Zipf sanity check on a new corpus.
+    *
+    * Scale shape: the full-vocab aggregation is the only corpus-sized
+    * work; the top-N selection is TakeOrdered (distributed heap, no
+    * global sort), and the cumulative window runs over the N surviving
+    * rows — bounded by the constant, like the IVF centroid pulls. The
+    * total token mass rides along as a single-row broadcast. Exact
+    * BIGINT cumulative sums; coverage is one correctly-rounded IEEE
+    * division per row.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val v = vocabulary(docs, idCol, textCol).select("token", "tf")
+    val total = v.agg(sum("tf").cast("long").as("__total"))
+    val order = Seq(col("tf").desc, col("token").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    v.orderBy(order: _*).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .withColumn("cum_tf", sum("tf").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("tf"), col("cum_tf"),
+        round(col("cum_tf").cast("double") / col("__total"), 6).as("coverage"))
+  }
+
   /** Assign deterministic integer ids to a [[vocabulary]] (or any
     * token-frequency table): rank by tf desc, token asc — id 0 is the most
     * frequent token, exactly reproducible by any engine.

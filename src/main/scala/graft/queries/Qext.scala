@@ -1225,6 +1225,32 @@ object Qext {
     NgramLm.avgLogProb(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Vocabulary coverage curve ([[TextStats.vocabCoverage]]): cumulative
+    * token mass of the top-200 tokens — the tokenizer-sizing measure.
+    * TakeOrdered + constant-bounded window; exact BIGINT cumsums.
+    */
+  def qExtVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextStats.vocabCoverage(t(spark, dir, "documents"), "doc_id", "text",
+        topN = 200)
+      .orderBy("rank")
+
+  /** Cross-source duplicate-overlap matrix ([[TextDedup.sourceOverlap]]).
+    * The corpus has no natural cross-source exact dups, so — like the
+    * PII/URL/script fixtures — shared boilerplate is manufactured
+    * (doc_id % 5 == 0 collapses to one of three shared texts), giving
+    * every source pair a non-trivial overlap count. The oracle is the
+    * hash self-join the engine's set-explode replaces.
+    */
+  def qExtSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val text2 = when(col("doc_id") % 5 === 0,
+      concat(lit("shared boilerplate "), (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
+    TextDedup.sourceOverlap(docs.withColumn("text", text2), "source",
+        TextDedup.contentHash(col("text")))
+      .orderBy("source_a", "source_b")
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1306,6 +1332,8 @@ object Qext {
     "q_ext_scd2" -> (qExtScd2 _),
     "q_ext_hard_negatives" -> (qExtHardNegatives _),
     "q_ext_lm_score" -> (qExtLmScore _),
+    "q_ext_vocab_coverage" -> (qExtVocabCoverage _),
+    "q_ext_source_overlap" -> (qExtSourceOverlap _),
   )
 
   private val normSql =
@@ -2723,6 +2751,41 @@ object Qext {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(t)::BIGINT AS ll_scaled,
          |       round(sum(t)::BIGINT::DOUBLE / count(*) / 1e9, 6) AS avg_ll
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact BIGINT cumulative sums over the top-200 ranks; coverage is
+    // one IEEE division per row against the broadcast total.
+    "q_ext_vocab_coverage" ->
+      s"""WITH v AS (
+         |  SELECT tok AS token, count(*)::BIGINT AS tf
+         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok
+         |), tot AS (SELECT sum(tf)::BIGINT AS total FROM v),
+         |top AS (SELECT token, tf FROM v ORDER BY tf DESC, token ASC LIMIT 200),
+         |c AS (
+         |  SELECT row_number() OVER (ORDER BY tf DESC, token ASC)::INT AS rank,
+         |         token, tf,
+         |         sum(tf) OVER (ORDER BY tf DESC, token ASC
+         |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tf
+         |  FROM top)
+         |SELECT rank, token, tf, cum_tf,
+         |       round(cum_tf::DOUBLE / (SELECT total FROM tot), 6) AS coverage
+         |FROM c ORDER BY rank""".stripMargin,
+
+    // The hash self-join form the engine's set-explode replaces; string
+    // comparison is byte-lexicographic in both engines.
+    "q_ext_source_overlap" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |         CASE WHEN doc_id % 5 = 0
+         |              THEN 'shared boilerplate ' || (doc_id % 3)
+         |              ELSE text END AS text
+         |  FROM documents
+         |), h AS (SELECT DISTINCT md5($normSql) AS h, source FROM d)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       count(*)::BIGINT AS n_shared
+         |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+         |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
 
     // SCD2 as the literal full-outer-join + branch-union the engine's
     // union+groupBy+explode replaces: old-version branch (close on change

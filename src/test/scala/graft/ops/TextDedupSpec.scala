@@ -218,4 +218,25 @@ class TextDedupSpec extends SparkSpec {
     n shouldBe TextDedup.minhashNearDups(docs, "doc_id", "text",
       threshold = 0.5).count()
   }
+
+  "sourceOverlap" should "count distinct shared hashes per unordered source pair" in {
+    import spark.implicits._
+    val d = Seq(
+      ("dup1", "s1"), ("dup1", "s2"), ("dup1", "s3"), // 3-way pile
+      ("dup2", "s1"), ("dup2", "s2"),                 // s1-s2 again
+      ("dup2", "s1"),                                 // same-source repeat: no pair
+      ("only", "s3")).toDF("text", "src")
+    val got = TextDedup.sourceOverlap(d, "src",
+        TextDedup.contentHash(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    got shouldBe Map(
+      ("s1", "s2") -> 2L, ("s1", "s3") -> 1L, ("s2", "s3") -> 1L)
+  }
+
+  it should "plan no self-join (set explode)" in {
+    TextDedup.sourceOverlap(docs, "doc_id",
+        TextDedup.contentHash(col("text")))
+      .queryExecution.executedPlan.toString should not include "Join"
+  }
 }

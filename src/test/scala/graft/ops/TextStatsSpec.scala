@@ -166,4 +166,22 @@ class TextStatsSpec extends SparkSpec {
     r.getInt(2) shouldBe 1 // γ
     r.getInt(3) shouldBe 1 // 好
   }
+
+  "vocabCoverage" should "accumulate exact token mass in rank order" in {
+    // corpus mass 8: a=4, b=2, c=1, d=1
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("id", "text")
+    val rows = TextStats.vocabCoverage(docs, "id", "text", topN = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    rows shouldBe Array(
+      (1, "a", 4L, 4L, 0.5),
+      (2, "b", 2L, 6L, 0.75),
+      (3, "c", 1L, 7L, 0.875)) // tie c/d -> token asc
+  }
+
+  it should "cap at the vocabulary size" in {
+    TextStats.vocabCoverage(Seq((1L, "x y")).toDF("id", "text"), "id",
+      "text", topN = 10).count() shouldBe 2L
+  }
 }
