@@ -30,18 +30,59 @@ object NgramLm {
   /** Nano-nat scale for integer log-likelihood terms. */
   val LnScale: Double = 1e9
 
-  /** (idCol, w1, w2): the document bigram stream (normalized tokens,
-    * adjacent pairs in order; documents with <2 tokens emit nothing).
+  /** (idCol, keep..., w1, w2): the document bigram stream (normalized
+    * tokens, adjacent pairs in order; documents with <2 tokens emit
+    * nothing). `keep` columns ride along untouched (e.g. an event-time
+    * column for the streaming scorer).
     */
-  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String,
+                 keep: Seq[String] = Nil): DataFrame = {
     val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
     val pairs = zip_with(
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    docs.select(col(idCol), explode(pairs).as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    docs.select(col(idCol) +: keep.map(col) :+ explode(pairs).as("p"): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("p.w1").as("w1")
+        :+ col("p.w2").as("w2"): _*)
   }
+
+  /** A trained bigram model: the three static frames scoring joins
+    * against. `vocab` is a single-row (v: BIGINT) frame — kept in-plan
+    * (broadcast), never a driver scalar.
+    */
+  final case class Model(bigrams: DataFrame, contexts: DataFrame,
+                         vocab: DataFrame)
+
+  /** Train on a corpus: bigram counts, context counts, |vocab|. */
+  def train(docs: DataFrame, textCol: String): Model = {
+    val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
+    val pairs = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val big = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    Model(
+      bigrams = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb")),
+      contexts = big.groupBy("w1").agg(count(lit(1)).as("cu")),
+      vocab = docs.select(explode(ts).as("w"))
+        .agg(count_distinct(col("w")).as("v")))
+  }
+
+  /** Attach the integer nano-nat term to a (w1, w2, ...) bigram frame
+    * under `model`, OOV-safe: unseen bigrams/contexts count 0, so a fully
+    * unseen pair scores ln(1/V) — the add-one floor. Left stream-static
+    * joins keep this usable from Structured Streaming.
+    */
+  def withTermScaled(big: DataFrame, model: Model): DataFrame =
+    big.join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .withColumn("__one", lit(1))
+      .join(broadcast(model.vocab.withColumn("__one", lit(1))), "__one")
+      .withColumn("t", termScaled(coalesce(col("cb"), lit(0L)),
+        coalesce(col("cu"), lit(0L)), col("v")))
+      .drop("__one", "cb", "cu", "v")
 
   /** Integer nano-nat term for one bigram occurrence. */
   private def termScaled(cb: Column, cu: Column, vocab: Column): Column =

@@ -41,6 +41,35 @@ object Packing {
       .drop("__before")
   }
 
+  /** Power-of-2 upper bound of a positive count: 1, 2, 4, 8, … — the
+    * standard length-bucketing grid for padded batching. Integer-only
+    * (`length(bin(n-1))` bits, then a shift): a float `ceil(log2 n)`
+    * rounds differently across engines at exact powers of two.
+    */
+  def pow2Bucket(n: Column): Column =
+    when(n <= 1, n.cast("long"))
+      .otherwise(call_function("shiftleft", lit(1L),
+        length(bin(n - 1)).cast("int")))
+
+  /** Length-bucket histogram with padding-waste accounting: batch shapes
+    * are chosen per bucket, every doc pads to its bucket's upper bound,
+    * and `waste_pct` is the fraction of padded slots that are padding —
+    * the measure that decides bucket granularity vs. [[packOffsets]]-style
+    * concat packing. One groupBy on a derived integer key; all-integer
+    * aggregates plus one IEEE division per bucket.
+    */
+  def lengthBuckets(df: DataFrame, tokens: Column): DataFrame =
+    df.withColumn("__n", tokens.cast("long"))
+      .filter(col("__n") > 0)
+      .groupBy(pow2Bucket(col("__n")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__n").as("sum_tokens"),
+        max("__n").as("max_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste_pct",
+        round((col("padded_tokens") - col("sum_tokens")).cast("double")
+          / col("padded_tokens") * 100, 4))
+
   /** Per-sequence summary of [[packOffsets]] output: how full each packed
     * sequence is (the utilization metric a packing job reports).
     */

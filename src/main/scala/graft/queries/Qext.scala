@@ -1251,6 +1251,16 @@ object Qext {
       .orderBy("source_a", "source_b")
   }
 
+  /** Length-bucket padding-waste histogram ([[Packing.lengthBuckets]]):
+    * power-of-2 token-length buckets with the padded-slot waste each
+    * would cost — the measure that sizes bucketed batching against
+    * concat packing. Integer-only bucketing (length(bin(n-1)) bits).
+    */
+  def qExtLengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Packing.lengthBuckets(t(spark, dir, "documents"),
+        TextStats.wsTokenCount(col("text")))
+      .orderBy("bucket")
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1334,6 +1344,7 @@ object Qext {
     "q_ext_lm_score" -> (qExtLmScore _),
     "q_ext_vocab_coverage" -> (qExtVocabCoverage _),
     "q_ext_source_overlap" -> (qExtSourceOverlap _),
+    "q_ext_length_buckets" -> (qExtLengthBuckets _),
   )
 
   private val normSql =
@@ -2771,6 +2782,25 @@ object Qext {
          |SELECT rank, token, tf, cum_tf,
          |       round(cum_tf::DOUBLE / (SELECT total FROM tot), 6) AS coverage
          |FROM c ORDER BY rank""".stripMargin,
+
+    // Same integer pow-2 bucketing (bits via length(bin(n-1)), shift on
+    // BIGINT); the only FP step is one division per bucket.
+    "q_ext_length_buckets" ->
+      s"""WITH n AS (
+         |  SELECT len(str_split($normSql, ' '))::BIGINT AS n FROM documents
+         |), p AS (
+         |  SELECT n, CASE WHEN n <= 1 THEN n
+         |                 ELSE 1::BIGINT << length(bin(n - 1)) END AS bucket
+         |  FROM n WHERE n > 0
+         |), a AS (
+         |  SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens,
+         |         max(n)::BIGINT AS max_tokens
+         |  FROM p GROUP BY bucket)
+         |SELECT bucket, n_docs, sum_tokens, max_tokens,
+         |       n_docs * bucket AS padded_tokens,
+         |       round((n_docs * bucket - sum_tokens)::DOUBLE
+         |             / (n_docs * bucket) * 100, 4) AS waste_pct
+         |FROM a ORDER BY bucket""".stripMargin,
 
     // The hash self-join form the engine's set-explode replaces; string
     // comparison is byte-lexicographic in both engines.

@@ -105,4 +105,28 @@ class PackingSpec extends SparkSpec {
     again.select("id").as[Long].collect().sorted shouldBe
       kept.select("id").as[Long].collect().sorted
   }
+
+  "pow2Bucket" should "round up to the next power of two, exact powers kept" in {
+    val got = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 1023L, 1024L, 1025L)
+      .toDF("n").select(col("n"), Packing.pow2Bucket(col("n")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 4L, 4L -> 4L, 5L -> 8L,
+      7L -> 8L, 8L -> 8L, 9L -> 16L, 1023L -> 1024L, 1024L -> 1024L,
+      1025L -> 2048L)
+  }
+
+  "lengthBuckets" should "account padding waste per bucket" in {
+    // bucket 8: docs of 6 and 7 -> padded 16, sum 13, waste 18.75%
+    // bucket 4: docs of 4 and 2(->2)? no: 2 -> bucket 2
+    val rows = Packing.lengthBuckets(docs, tokens = col("n"))
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "sum_tokens", "padded_tokens", "waste_pct")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    rows shouldBe Array(
+      (1L, 1L, 1L, 1L, 0.0),          // the 1-token doc
+      (2L, 1L, 2L, 2L, 0.0),          // the 2-token doc
+      (4L, 1L, 4L, 4L, 0.0),          // the 4-token doc
+      (8L, 2L, 13L, 16L, 18.75),      // 6 + 7
+      (16L, 1L, 12L, 16L, 25.0))      // 12
+  }
 }
