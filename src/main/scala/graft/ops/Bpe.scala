@@ -78,10 +78,83 @@ object Bpe {
   /** Learn `numMerges` merges over the corpus. Returns the merge table
     * (merge_rank, pair_a, pair_b, pair_count) in learned order; stops
     * early if no pair remains (every word fused to one symbol).
+    *
+    * Two-tier: the corpus ALWAYS collapses distributed to the
+    * (word, count) table; the merge loop then runs driver-local when that
+    * table fits under `driverVocabMax` rows (the IVF-centroid k-bounded
+    * pull, at vocab scale — every practical BPE trainer is a driver loop
+    * over the aggregated vocabulary, and 2·numMerges cluster jobs over a
+    * 31-row table cost ~0.25 s EACH in scheduling alone), falling back to
+    * the distributed iteration beyond the cap. Both paths compute the
+    * identical merge sequence (spec-locked): the local loop's
+    * leftmost-non-overlapping array merge is the same greedy
+    * simultaneous-merge rule as the literal `replace`.
     */
-  def learnMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  driverVocabMax: Long = 200000L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    val wc = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (wc.count() <= driverVocabMax) {
+        val local = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+        import spark.implicits._
+        return learnMergesLocal(local, numMerges)
+          .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
+      }
+    } finally wc.unpersist(false)
+    learnMergesDistributed(docs, textCol, numMerges)
+  }
+
+  /** Driver-local merge loop over a collected (word, count) vocabulary —
+    * exact [[learnMergesDistributed]] semantics in memory.
+    */
+  private[ops] def learnMergesLocal(vocab: Array[(String, Long)],
+                                    numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (ss, c) =>
+        var j = 0
+        while (j < ss.length - 1) {
+          val k = (ss(j), ss(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // count desc, pair asc — the same total order as the orderBy
+        val ((pa, pb), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((i + 1, pa, pb, n))
+        words = words.map { case (ss, c) =>
+          // greedy leftmost non-overlapping, matching the literal replace
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < ss.length) {
+            if (j < ss.length - 1 && ss(j) == pa && ss(j + 1) == pb) {
+              out += pa + pb; j += 2
+            } else { out += ss(j); j += 1 }
+          }
+          (out.toArray, c)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed merge loop — one best-pair job per iteration over
+    * the cached working table. The scale path when the vocabulary
+    * outgrows the driver cap.
+    */
+  private[ops] def learnMergesDistributed(docs: DataFrame, textCol: String,
+                                          numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     var words = wordCounts(docs, textCol)
       .select(charSplit(col("word")).as("sym"), col("cnt"))

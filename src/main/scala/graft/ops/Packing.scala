@@ -59,16 +59,22 @@ object Packing {
     * aggregates plus one IEEE division per bucket.
     */
   def lengthBuckets(df: DataFrame, tokens: Column): DataFrame =
-    df.withColumn("__n", tokens.cast("long"))
-      .filter(col("__n") > 0)
+    df.select(tokens.cast("long").as("__n"))
       .groupBy(pow2Bucket(col("__n")).as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum("__n").as("sum_tokens"),
         max("__n").as("max_tokens"))
+      // no row filter anywhere: a `tokens > 0` predicate — pre-agg, or
+      // post-agg on the grouping key (the optimizer pushes it back
+      // through the aggregate) — puts size(split(...)) in a Filter that
+      // re-evaluates the tokenization per row (the genfilters recompute
+      // trap PlanInvariantsSpec locks out). Degenerate docs (n <= 0)
+      // surface as their own bucket == n rows with null waste; callers
+      // that want them gone filter the AGGREGATED output themselves.
       .withColumn("padded_tokens", col("n_docs") * col("bucket"))
-      .withColumn("waste_pct",
+      .withColumn("waste_pct", when(col("bucket") > 0,
         round((col("padded_tokens") - col("sum_tokens")).cast("double")
-          / col("padded_tokens") * 100, 4))
+          / col("padded_tokens") * 100, 4)))
 
   /** Per-sequence summary of [[packOffsets]] output: how full each packed
     * sequence is (the utilization metric a packing job reports).

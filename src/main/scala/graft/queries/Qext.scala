@@ -1261,6 +1261,23 @@ object Qext {
         TextStats.wsTokenCount(col("text")))
       .orderBy("bucket")
 
+  /** BPE encode ([[Bpe.segment]]): the vocabulary segmented under the
+    * first 12 learned merges — tokenizer training AND application as
+    * engine operations. The merge table is a k-bounded driver pull
+    * (numMerges rows, like the IVF centroids); segmentation itself is
+    * `numMerges` literal replaces over the vocab table.
+    */
+  def qExtBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.segment(Bpe.wordCounts(docs, "text"), "word", merges)
+      .select(col("word"), array_join(col("segments"), " ").as("segments"),
+        col("n_segments").cast("long").as("n_segments"), col("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(200)
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1345,6 +1362,7 @@ object Qext {
     "q_ext_vocab_coverage" -> (qExtVocabCoverage _),
     "q_ext_source_overlap" -> (qExtSourceOverlap _),
     "q_ext_length_buckets" -> (qExtLengthBuckets _),
+    "q_ext_bpe_encode" -> (qExtBpeEncode _),
   )
 
   private val normSql =
@@ -2709,6 +2727,10 @@ object Qext {
     // literal, no rescan of replaced output).
     "q_ext_bpe_merges" -> bpeOracleSql(numMerges = 12),
 
+    // The same generated chain's FINAL working table, read back as
+    // (word, segments): training and encoding share one ground truth.
+    "q_ext_bpe_encode" -> bpeEncodeOracleSql(numMerges = 12, topN = 200),
+
     // Generated CTE chain, one (contrib, dangling, rank) level per power
     // iteration; all-integer floor-div arithmetic (`//` == Spark `div` on
     // non-negatives) so the ranks match bit-for-bit.
@@ -3036,6 +3058,30 @@ object Qext {
       s"SELECT $i + 1 AS merge_rank, pa AS pair_a, pb AS pair_b, n AS pair_count FROM b$i")
       .mkString(" UNION ALL ")
     "WITH " + ctes.mkString(",\n") + "\n" + rows + " ORDER BY merge_rank"
+  }
+
+  /** BPE-encode oracle: the [[bpeOracleSql]] chain's FINAL working table
+    * w_numMerges IS the vocabulary segmented under the learned merges —
+    * strip separators to recover the word, split on them for the
+    * segments.
+    */
+  private def bpeEncodeOracleSql(numMerges: Int, topN: Int): String = {
+    val chain = bpeOracleSql(numMerges)
+    val ctes = chain.substring("WITH ".length, chain.indexOf(
+      "\nSELECT 0 + 1 AS merge_rank"))
+    // NB: `ctes` contains continuation lines starting with `||` — it must
+    // stay OUTSIDE any stripMargin literal (the margin strip would eat
+    // the first pipe of a leading `||`)
+    val tail =
+      s"""seg AS (
+         |  SELECT replace(sym, chr(1), '') AS word,
+         |         list_filter(string_split(sym, chr(1)), x -> x <> '') AS ss,
+         |         cnt
+         |  FROM w$numMerges)
+         |SELECT word, array_to_string(ss, ' ') AS segments,
+         |       len(ss)::BIGINT AS n_segments, cnt
+         |FROM seg ORDER BY cnt DESC, word ASC LIMIT $topN""".stripMargin
+    s"WITH $ctes,\n" + tail
   }
 
   /** PageRank oracle: the same manufactured 3-regular graph and the same

@@ -36,6 +36,20 @@ class BpeSpec extends SparkSpec {
     merges(Seq("ab ab"), 10).size shouldBe 1 // only (a,b) exists
   }
 
+  it should "compute identical merges on the local and distributed paths" in {
+    val docs = Seq("low low lower", "lowest newest", "wide wider widest")
+      .toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    // driverVocabMax = 0 forces the distributed loop through the public API
+    rows(Bpe.learnMerges(docs, "text", 8, driverVocabMax = 0L)) shouldBe
+      rows(Bpe.learnMerges(docs, "text", 8))
+    rows(Bpe.learnMergesDistributed(docs, "text", 8)) shouldBe
+      rows(Bpe.learnMerges(docs, "text", 8))
+  }
+
   "segment" should "encode training words to their trained state" in {
     val docs = Seq("low low", "lowest").toDF("text")
     val learned = Bpe.learnMerges(docs, "text", 3)

@@ -129,4 +129,11 @@ class PackingSpec extends SparkSpec {
       (8L, 2L, 13L, 16L, 18.75),      // 6 + 7
       (16L, 1L, 12L, 16L, 25.0))      // 12
   }
+
+  it should "surface degenerate zero-length docs as a null-waste bucket" in {
+    val rows = Packing.lengthBuckets(Seq(0L, 3L).toDF("n"), col("n"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(5)))
+    rows shouldBe Array((0L, 1L, true), (4L, 1L, false))
+  }
 }
