@@ -106,6 +106,17 @@ object Scd2 {
     closed.unionByName(emitted)
   }
 
+  /** Time-travel read: the version of each key live at `asOfDate` — which
+    * document text did training run X actually sample? A row is live when
+    * `valid_from <= asOfDate < valid_to` (open versions have null
+    * valid_to). Plain attribute predicates: they push to the parquet scan
+    * of a stored history, and with the history partitioned by
+    * `is_current` a current-date read prunes to the current tier alone.
+    */
+  def asOf(history: DataFrame, asOfDate: String): DataFrame =
+    history.filter(col("valid_from") <= asOfDate &&
+      (col("valid_to").isNull || col("valid_to") > asOfDate))
+
   /** Shared struct type for both union sides (payload + content_hash). */
   private def snapSideType(snapshot: DataFrame, payloadCols: Seq[String],
                            hashOf: DataFrame => Column)

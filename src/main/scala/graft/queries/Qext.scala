@@ -1278,6 +1278,27 @@ object Qext {
       .orderBy(col("cnt").desc, col("word").asc).limit(200)
   }
 
+  /** SCD2 time-travel read ([[Scd2.asOf]]): the corpus as it stood
+    * between the two [[qExtScd2]] drops — the "which text did run X
+    * sample" audit query. Attribute-only predicates (pushable on a
+    * stored history).
+    */
+  def qExtScd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val hashOf = (df: DataFrame) => TextDedup.contentHash(df("text"))
+    val a = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val b = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(lit("v2 "), col("text"))).otherwise(col("text")))
+      .select("doc_id", "text")
+    val hist = Scd2.merge(
+      Scd2.init(a, "doc_id", Seq("text"), hashOf, "2026-01-01"),
+      b, "doc_id", Seq("text"), hashOf, "2026-02-01")
+    Scd2.asOf(hist, "2026-01-15")
+      .select("doc_id", "text", "valid_from")
+      .orderBy("doc_id")
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1363,6 +1384,7 @@ object Qext {
     "q_ext_source_overlap" -> (qExtSourceOverlap _),
     "q_ext_length_buckets" -> (qExtLengthBuckets _),
     "q_ext_bpe_encode" -> (qExtBpeEncode _),
+    "q_ext_scd2_asof" -> (qExtScd2AsOf _),
   )
 
   private val normSql =
@@ -2838,6 +2860,15 @@ object Qext {
          |       count(*)::BIGINT AS n_shared
          |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
          |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
+
+    // Ground truth derived independently of the history machinery: the
+    // state live between the drops IS snapshot A (every January version
+    // survives until the Feb 1 merge), so merge-then-asOf must
+    // reconstruct it exactly.
+    "q_ext_scd2_asof" ->
+      """SELECT doc_id, text, '2026-01-01' AS valid_from
+        |FROM documents WHERE doc_id % 10 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // SCD2 as the literal full-outer-join + branch-union the engine's
     // union+groupBy+explode replaces: old-version branch (close on change

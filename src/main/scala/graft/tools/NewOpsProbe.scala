@@ -23,24 +23,33 @@ object NewOpsProbe {
     val spark = LocalSession(cores = 32, logLevel = "ERROR")
     import spark.implicits._
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[newops] $label%-42s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+    val reps = 3
+    // min over reps, after a warmup run: single cold measurements conflate
+    // codegen/JVM warmup with operator cost (SCALE.md measurement
+    // discipline; the first cold pagerank measured 31 s vs a 1.9 s floor)
+    def time[A](label: String)(f: => A): Unit = {
+      f // warmup
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[newops] $label%-42s min=${times.min}%.2f s " +
+        s"all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
 
     // --- PageRank sweep: 3-regular modular graphs ---
-    Seq(5000L, 50000L, 500000L, 2000000L).foreach { n =>
+    Seq(5000L, 500000L, 2000000L).foreach { n =>
       val edges = spark.range(n).toDF("src")
         .select(col("src"), explode(array(
           (col("src") * 3 + 1) % n, (col("src") * 5 + 2) % n,
           (col("src") * 7 + 3) % n)).as("dst"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()
       time(s"pagerank |V|=$n 5 iters") {
         PageRank.pageRank(edges, "src", "dst", iterations = 5)
           .agg(sum("rank_scaled")).collect()
       }
+      edges.unpersist()
     }
 
     // --- corpus family at `copies`× sf0.1 ---
@@ -56,10 +65,10 @@ object NewOpsProbe {
     time(s"vocab_coverage ${copies}x") {
       TextStats.vocabCoverage(docs, "doc_id", "text", topN = 200).count()
     }
+    val text2 = when(col("doc_id") % 5 === 0,
+      concat(lit("shared boilerplate "), (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
     time(s"source_overlap ${copies}x") {
-      val text2 = when(col("doc_id") % 5 === 0,
-        concat(lit("shared boilerplate "), (col("doc_id") % 3).cast("string")))
-        .otherwise(col("text"))
       TextDedup.sourceOverlap(docs.withColumn("text", text2), "source",
         TextDedup.contentHash(col("text"))).count()
     }

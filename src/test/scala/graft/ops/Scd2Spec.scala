@@ -63,4 +63,20 @@ class Scd2Spec extends SparkSpec {
   it should "plan no join (union+groupBy, closed tier outside the shuffle)" in {
     hist2.queryExecution.executedPlan.toString should not include "Join"
   }
+
+  "asOf" should "read the version live at a date" in {
+    // between the two drops: the January versions, including later-deleted 3
+    rows(Scd2.asOf(hist2, "2026-01-15")).map(r => r._1 -> r._2).toMap shouldBe
+      Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    // after the second drop: the February state
+    rows(Scd2.asOf(hist2, "2026-02-15")).map(r => r._1 -> r._2).toMap shouldBe
+      Map(1L -> "alpha", 2L -> "BETA v2", 4L -> "delta")
+    // before any load: empty
+    rows(Scd2.asOf(hist2, "2025-12-31")) shouldBe empty
+  }
+
+  it should "exclude a version on its own close date (half-open interval)" in {
+    rows(Scd2.asOf(hist2, "2026-02-01")).map(_._2).toSet should
+      contain noneOf ("beta", "gamma")
+  }
 }
