@@ -39,7 +39,28 @@ object PageRank {
     * wanted.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, dampingPct: Int = 85): DataFrame = {
+               iterations: Int, dampingPct: Int = 85): DataFrame =
+    iterate(edges, srcCol, dstCol, iterations, dampingPct, seeds = None)
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    * personalized PageRank whose teleport — and dangling mass — return
+    * ONLY to a trusted seed set. Trust flows out along links; spam/junk
+    * far from the seeds receives asymptotically nothing. The standard
+    * quality-propagation pass over a web-crawl link graph (seed =
+    * hand-vetted domains), reusing the exact-integer iteration.
+    * `seeds` is a one-column frame of trusted node ids (must appear in
+    * the graph; others are ignored by the inner join).
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                iterations: Int, dampingPct: Int = 85): DataFrame =
+    iterate(edges, srcCol, dstCol, iterations, dampingPct,
+      seeds = Some(seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct()))
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+                      iterations: Int, dampingPct: Int,
+                      seeds: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -47,19 +68,30 @@ object PageRank {
 
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
+    val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().persist(lvl)
-    // teleport share is a per-node literal: one k=1 driver scalar (|V|),
-    // same floor-div on both engines
-    val n = nodes.count()
-    val teleport = ((100L - dampingPct) * Scale / 100L) / n
+      .distinct()
+    // nodes carry a seed flag (everyone is a "seed" in plain PageRank:
+    // uniform teleport); seeds outside the graph are dropped by the
+    // inner-join semantics of the flag build
+    val nodes = seeds.fold(allNodes.withColumn("is_seed", lit(true))) { s =>
+      allNodes.join(s.withColumn("is_seed", lit(true)).hint("shuffle_hash"),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    }.persist(lvl)
+    // teleport share is a per-node literal over the RECEIVING set: one
+    // k=1 driver scalar (|V| or |S|), same floor-div on both engines
+    val nRecv = nodes.filter(col("is_seed")).count()
+    require(nRecv > 0, "seed set does not intersect the graph")
+    val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
 
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // (src, dst, od) pinned once — every iteration reads it
     val eod = e.join(outdeg, "src").persist(lvl)
 
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
+    var ranks = nodes
+      .select(col("node"), col("is_seed"),
+        when(col("is_seed"), lit(Scale / nRecv)).otherwise(lit(0L)).as("rank"))
       .persist(lvl)
     var prev: Option[DataFrame] = None
     (1 to iterations).foreach { _ =>
@@ -72,17 +104,18 @@ object PageRank {
         .select(col("dst").as("node"), expr("rank div od").as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
       // dangling nodes hold mass but emit no edges: redistribute their
-      // per-node share via a single-row broadcast (stays in-plan — no
-      // per-iteration driver job)
+      // per-node share to the receiving set via a single-row broadcast
+      // (stays in-plan — no per-iteration driver job)
       val dang = ranks.join(outdeg.hint("shuffle_hash"),
           ranks("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
       val next = nodes
         .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(teleport) + expr(
-            s"$dampingPct * (coalesce(contrib, 0) + dang_sum div $n) div 100"))
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) + expr(
+            s"$dampingPct * (coalesce(contrib, 0) + " +
+              s"(CASE WHEN is_seed THEN dang_sum div $nRecv ELSE 0 END)) div 100"))
             .as("rank"))
         .persist(lvl)
       // contrib's shuffle materializes `next` lazily on first action; the

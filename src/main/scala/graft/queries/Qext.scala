@@ -1299,6 +1299,27 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** TrustRank ([[PageRank.trustRank]], 5 iterations) over the same
+    * manufactured graph as [[qExtPagerank]] with seeds doc_id % 50 == 0 —
+    * quality propagation from a trusted 2% of the corpus. Same
+    * exact-integer iteration; teleport and dangling mass return only to
+    * seeds.
+    */
+  def qExtTrustrank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 3 + 1) % n,
+          (col("doc_id") * 5 + 2) % n,
+          (col("doc_id") * 7 + 3) % n)).as("dst"))
+      .distinct()
+    val seeds = docs.filter(col("doc_id") % 50 === 0).select("doc_id")
+    PageRank.trustRank(edges, "src", "dst", seeds, "doc_id", iterations = 5)
+      .orderBy(col("rank_scaled").desc, col("node").asc)
+      .limit(100)
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1385,6 +1406,7 @@ object Qext {
     "q_ext_length_buckets" -> (qExtLengthBuckets _),
     "q_ext_bpe_encode" -> (qExtBpeEncode _),
     "q_ext_scd2_asof" -> (qExtScd2AsOf _),
+    "q_ext_trustrank" -> (qExtTrustrank _),
   )
 
   private val normSql =
@@ -2758,6 +2780,10 @@ object Qext {
     // non-negatives) so the ranks match bit-for-bit.
     "q_ext_pagerank" -> pagerankOracleSql(iterations = 5),
 
+    // Seeded variant of the same chain: teleport and dangling mass land
+    // only on is_seed nodes, divisor |S| instead of |V|.
+    "q_ext_trustrank" -> trustrankOracleSql(iterations = 5),
+
     // Same cosine/rank shape as the q_ext_sim_topk oracle with the
     // other-label predicate; cand_label travels to the output.
     "q_ext_hard_negatives" ->
@@ -3149,6 +3175,49 @@ object Qext {
          |    (SELECT 15 * 1000000000000 // 100 // c FROM nn)
          |      + 85 * (coalesce(c$i.contrib, 0)
          |              + (SELECT ds FROM d$i) // (SELECT c FROM nn)) // 100 AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT node, rank AS rank_scaled FROM r$iterations " +
+      "ORDER BY rank_scaled DESC, node ASC LIMIT 100"
+  }
+
+  /** TrustRank oracle: [[pagerankOracleSql]]'s graph with the seed-flag
+    * variant — teleport/dangling land only on seeds (node % 50 == 0),
+    * divisor |S|.
+    */
+  private def trustrankOracleSql(iterations: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |           unnest([(doc_id * 3 + 1) % nc.c, (doc_id * 5 + 2) % nc.c,
+        |                   (doc_id * 7 + 3) % nc.c]) AS dst
+        |    FROM documents, (SELECT count(*) AS c FROM documents) nc))""".stripMargin,
+      """nodes AS MATERIALIZED (SELECT DISTINCT node, node % 50 = 0 AS is_seed
+        |  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
+      "nn AS (SELECT count(*) AS c FROM nodes WHERE is_seed)",
+      "od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src)",
+      """r0 AS MATERIALIZED (SELECT node, is_seed,
+        |  CASE WHEN is_seed THEN (SELECT 1000000000000 // c FROM nn)
+        |       ELSE 0 END AS rank FROM nodes)""".stripMargin)
+    (0 until iterations).foreach { i =>
+      ctes += s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank // od.od)::BIGINT AS contrib
+         |  FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst)""".stripMargin
+      ctes += s"""d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS ds FROM r$i r
+         |  LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL)""".stripMargin
+      ctes += s"""r${i + 1} AS MATERIALIZED (
+         |  SELECT nodes.node, nodes.is_seed,
+         |    (CASE WHEN nodes.is_seed
+         |          THEN (SELECT 15 * 1000000000000 // 100 // c FROM nn)
+         |          ELSE 0 END)
+         |      + 85 * (coalesce(c$i.contrib, 0)
+         |              + (CASE WHEN nodes.is_seed
+         |                      THEN (SELECT ds FROM d$i) // (SELECT c FROM nn)
+         |                      ELSE 0 END)) // 100 AS rank
          |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }
     "WITH " + ctes.mkString(",\n") +

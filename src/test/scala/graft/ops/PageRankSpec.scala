@@ -39,6 +39,41 @@ class PageRankSpec extends SparkSpec {
     r(2L) should be > r(1L) // 2 receives 1's mass plus its own teleport
   }
 
+  "trustRank" should "reduce to pageRank when every node is a seed" in {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    val seeds = Seq(1L, 2L, 3L).toDF("node")
+    val tr = PageRank.trustRank(edges.toDF("src", "dst"), "src", "dst",
+        seeds, "node", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tr shouldBe ranks(edges, 2)
+  }
+
+  it should "starve nodes unreachable from the seeds" in {
+    // two disjoint 2-cycles; seed only in the first
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    val tr = PageRank.trustRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tr(3L) shouldBe 0L
+    tr(4L) shouldBe 0L
+    tr(1L) should be > 0L
+    tr(2L) should be > 0L
+    // all mass stays in the seeded component (minus truncation)
+    (tr(1L) + tr(2L)) should be > (PageRank.Scale - 100L)
+  }
+
+  it should "match the hand-computed seeded step" in {
+    // 1 -> 2 -> 3 -> 1, seed {1}: r0 = (1e12, 0, 0);
+    // r1: node2 gets 85% of node1's mass, others only teleport-at-seed
+    val tr = PageRank.trustRank(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tr(1L) shouldBe 150000000000L // teleport only (node 3 held 0)
+    tr(2L) shouldBe 85L * PageRank.Scale / 100L
+    tr(3L) shouldBe 0L
+  }
+
   it should "be invariant to input partitioning (integer arithmetic)" in {
     val edges = (0L until 40L).flatMap(i =>
       Seq((i, (i * 3 + 1) % 40), (i, (i * 7 + 2) % 40)))
