@@ -58,14 +58,56 @@ object PageRank {
       seeds = Some(seeds.select(col(seedCol).cast("long").as("node"))
         .distinct()))
 
-  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
-                      iterations: Int, dampingPct: Int,
-                      seeds: Option[DataFrame]): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+  /** Iterate until the L1 rank delta drops to `epsilonScaled` scaled
+    * units or `maxIterations`, whichever first — the operational mode
+    * (fixed-round [[pageRank]] stays the oracle-checkable contract).
+    * The per-round convergence check is a driver scalar, as in every
+    * iterative framework: one extra co-keyed join+agg job per round.
+    * Returns (ranks, iterationsRun, finalDeltaScaled).
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        epsilonScaled: Long, maxIterations: Int = 50,
+                        dampingPct: Int = 85): (DataFrame, Int, Long) = {
+    require(epsilonScaled >= 0, s"epsilonScaled must be >= 0, got $epsilonScaled")
+    val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds = None)
+    var ranks = ctx.r0
+    var prev: Option[DataFrame] = None
+    var iters = 0
+    var delta = Long.MaxValue
+    while (iters < maxIterations && delta > epsilonScaled) {
+      // localCheckpoint per round: unlike the fixed-iteration loop (plan
+      // depth bounded by the small iteration count), this loop is
+      // unbounded — without truncation each round's plan embeds every
+      // earlier round's and the driver OOMs composing explain strings
+      // (observed in-spec at ~20 rounds). The eager checkpoint doubles as
+      // the round's materializing action.
+      val raw = step(ctx, ranks)
+      val next = raw.localCheckpoint(true)
+      raw.unpersist(false)
+      delta = next.join(ranks.withColumnRenamed("rank", "rank_prev")
+          .select("node", "rank_prev").hint("shuffle_hash"), Seq("node"))
+        .agg(coalesce(sum(abs(col("rank") - col("rank_prev"))), lit(0L)))
+        .head().getLong(0)
+      prev.foreach(_.unpersist(false))
+      prev = Some(ranks)
+      ranks = next
+      iters += 1
+    }
+    val out = ranks.select(col("node"), col("rank").as("rank_scaled"))
+    prev.foreach(_.unpersist(false))
+    (out, iters, delta)
+  }
+
+  /** Immutable per-run context: pinned graph frames + integer constants. */
+  private final case class Ctx(nodes: DataFrame, eod: DataFrame,
+                               outdeg: DataFrame, r0: DataFrame,
+                               teleport: Long, nRecv: Long, dampingPct: Int)
+
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+                      dampingPct: Int, seeds: Option[DataFrame]): Ctx = {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val allNodes = e.select(col("src").as("node"))
@@ -84,40 +126,64 @@ object PageRank {
     val nRecv = nodes.filter(col("is_seed")).count()
     require(nRecv > 0, "seed set does not intersect the graph")
     val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
-
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // (src, dst, od) pinned once — every iteration reads it
     val eod = e.join(outdeg, "src").persist(lvl)
-
-    var ranks = nodes
+    val r0 = nodes
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), lit(Scale / nRecv)).otherwise(lit(0L)).as("rank"))
       .persist(lvl)
+    Ctx(nodes, eod, outdeg, r0, teleport, nRecv, dampingPct)
+  }
+
+  /** One power-iteration step; the result is persisted (materialized by
+    * the caller's next action over it).
+    */
+  private def step(ctx: Ctx, ranks: DataFrame): DataFrame = {
+    // shuffle_hash hints throughout: the cached frames are stats-less,
+    // and Catalyst's fallback is SortMergeJoin — a wasted sort on
+    // narrow co-keyed frames (locked out registry-wide by
+    // PlanInvariantsSpec)
+    val contrib = ctx.eod.join(ranks.hint("shuffle_hash"),
+        ctx.eod("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("rank div od").as("c"))
+      .groupBy("node").agg(sum("c").as("contrib"))
+    // dangling nodes hold mass but emit no edges: redistribute their
+    // per-node share to the receiving set via a single-row broadcast
+    // (stays in-plan — no per-iteration driver job)
+    val dang = ranks.join(ctx.outdeg.hint("shuffle_hash"),
+        ranks("node") === ctx.outdeg("src"), "left_anti")
+      .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
+    ctx.nodes
+      .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      .crossJoin(broadcast(dang))
+      .select(col("node"), col("is_seed"),
+        (when(col("is_seed"), lit(ctx.teleport)).otherwise(lit(0L)) + expr(
+          s"${ctx.dampingPct} * (coalesce(contrib, 0) + " +
+            s"(CASE WHEN is_seed THEN dang_sum div ${ctx.nRecv} ELSE 0 END)) div 100"))
+          .as("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+                      iterations: Int, dampingPct: Int,
+                      seeds: Option[DataFrame]): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds)
+    var ranks = ctx.r0
     var prev: Option[DataFrame] = None
-    (1 to iterations).foreach { _ =>
-      // shuffle_hash hints throughout: the cached frames are stats-less,
-      // and Catalyst's fallback is SortMergeJoin — a wasted sort on
-      // narrow co-keyed frames (locked out registry-wide by
-      // PlanInvariantsSpec)
-      val contrib = eod.join(ranks.hint("shuffle_hash"),
-          eod("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("rank div od").as("c"))
-        .groupBy("node").agg(sum("c").as("contrib"))
-      // dangling nodes hold mass but emit no edges: redistribute their
-      // per-node share to the receiving set via a single-row broadcast
-      // (stays in-plan — no per-iteration driver job)
-      val dang = ranks.join(outdeg.hint("shuffle_hash"),
-          ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
-      val next = nodes
-        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), col("is_seed"),
-          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) + expr(
-            s"$dampingPct * (coalesce(contrib, 0) + " +
-              s"(CASE WHEN is_seed THEN dang_sum div $nRecv ELSE 0 END)) div 100"))
-            .as("rank"))
-        .persist(lvl)
+    (1 to iterations).foreach { i =>
+      val stepped = step(ctx, ranks)
+      // lineage truncation every 8 rounds: each round's plan nests every
+      // earlier round's, and past ~20 nested AQE plans the driver OOMs
+      // just composing explain strings (values unaffected — the eager
+      // checkpoint only materializes what the next action would anyway)
+      val next =
+        if (i % 8 == 0 && i < iterations) {
+          val cp = stepped.localCheckpoint(true)
+          stepped.unpersist(false)
+          cp
+        } else stepped
       // contrib's shuffle materializes `next` lazily on first action; the
       // grandparent pin can go now, the parent after `next` computes
       prev.foreach(_.unpersist(false))

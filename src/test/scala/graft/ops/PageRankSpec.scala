@@ -39,6 +39,28 @@ class PageRankSpec extends SparkSpec {
     r(2L) should be > r(1L) // 2 receives 1's mass plus its own teleport
   }
 
+  "pageRankConverged" should "stop immediately on a stationary start" in {
+    val (df, iters, delta) = PageRank.pageRankConverged(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), "src", "dst",
+      epsilonScaled = 0L, maxIterations = 10)
+    iters shouldBe 1
+    delta shouldBe 0L
+    df.collect().map(_.getLong(1)).toSeq shouldBe Seq(500000000000L, 500000000000L)
+  }
+
+  it should "match the fixed-iteration form after the same number of rounds" in {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    // damping 0.85 contracts deltas geometrically: 0.85^k <= 1e-3 of the
+    // 1e12 mass needs ~43 rounds
+    val (df, iters, delta) = PageRank.pageRankConverged(
+      edges.toDF("src", "dst"), "src", "dst",
+      epsilonScaled = 1000000000L, maxIterations = 60)
+    delta should be <= 1000000000L
+    iters should be < 60
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      ranks(edges, iters)
+  }
+
   "trustRank" should "reduce to pageRank when every node is a seed" in {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
     val seeds = Seq(1L, 2L, 3L).toDF("node")
