@@ -70,6 +70,43 @@ object NgramLm {
         .agg(count_distinct(col("w")).as("v")))
   }
 
+  /** Pointwise mutual information over adjacent pairs (Church & Hanks
+    * 1990): PMI(a,b) = ln( P(a,b) / (P1(a)·P2(b)) ) with the left/right
+    * positional marginals, in integer nano-nats — the collocation miner
+    * (multi-word expressions, named entities, tokenizer-merge candidates
+    * beyond raw frequency). `minCount` drops the unstable low-frequency
+    * tail BEFORE ranking (rare pairs otherwise own the top by pure
+    * sparsity); the filter is on aggregated attributes, no recompute.
+    *
+    * Returns (w1, w2, n_pair, pmi_scaled) — top `topN` by PMI desc with
+    * lexicographic tie-break. Two groupBy-counts plus two co-keyed joins;
+    * TakeOrdered bounds the output.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+                   topN: Int = 100): DataFrame = {
+    val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
+    val pairs = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val big = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val cl = big.groupBy("w1").agg(count(lit(1)).as("n_left"))
+    val cr = big.groupBy("w2").agg(count(lit(1)).as("n_right"))
+    val n = big.agg(count(lit(1)).as("n_total"))
+    cb.filter(col("n_pair") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        floor(lit(LnScale) *
+          (log(col("n_pair")) + log(col("n_total"))
+            - log(col("n_left")) - log(col("n_right"))) + 0.5)
+          .cast("long").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
+
   /** Attach the integer nano-nat term to a (w1, w2, ...) bigram frame
     * under `model`, OOV-safe: unseen bigrams/contexts count 0, so a fully
     * unseen pair scores ln(1/V) — the add-one floor. Left stream-static

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): PageRank
+  * over the word co-occurrence graph — the unsupervised keyword/keyphrase
+  * baseline, here as a pure composition of engine operators:
+  * [[TextStats.vocabIds]] (deterministic token ids) × [[NgramLm.docBigrams]]
+  * (adjacency) × [[PageRank.pageRank]] (integer-exact iteration).
+  *
+  * Graph: distinct adjacent-token pairs, symmetrized (TextRank's graph is
+  * undirected; a directed power iteration over both edge directions is
+  * the standard equivalent). Rank mass concentrates on tokens that
+  * co-occur with MANY DISTINCT other tokens — connectivity, not raw
+  * frequency (a token repeated in one boilerplate pair stays low).
+  *
+  * Every stage is the engine's scale shape: vocab ids by distributed
+  * rank, edges by distinct on the bigram stream, ranks by the O(|V|+|E|)
+  * iteration. Integer ranks make the whole composition oracle-checkable
+  * end-to-end.
+  */
+object TextRank {
+
+  /** Top-`topN` corpus keywords: (token, rank_scaled), rank desc, token
+    * tie-break.
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               iterations: Int = 5, topN: Int = 50): DataFrame = {
+    val ids = TextStats.vocabIds(
+      TextStats.vocabulary(docs, idCol, textCol))
+    val big = NgramLm.docBigrams(docs, idCol, textCol)
+      .select("w1", "w2").distinct()
+    // token ids are vocab-sized: broadcast both lookups (the bigram
+    // stream is the big side)
+    val dir = big
+      .join(broadcast(ids.withColumnRenamed("token", "w1")
+        .withColumnRenamed("token_id", "src")), Seq("w1"))
+      .join(broadcast(ids.withColumnRenamed("token", "w2")
+        .withColumnRenamed("token_id", "dst")), Seq("w2"))
+      .select("src", "dst")
+    val edges = dir.union(dir.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    PageRank.pageRank(edges, "src", "dst", iterations)
+      .join(broadcast(ids), col("node") === col("token_id"))
+      .select(col("token"), col("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("token").asc)
+      .limit(topN)
+  }
+}

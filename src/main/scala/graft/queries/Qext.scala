@@ -1320,6 +1320,24 @@ object Qext {
       .limit(100)
   }
 
+  /** PMI collocations ([[NgramLm.collocations]]): top adjacent pairs by
+    * pointwise mutual information with a count floor — multi-word
+    * expressions and tokenizer-merge candidates beyond raw frequency.
+    * Integer nano-nat PMI, exact compare.
+    */
+  def qExtCollocations(spark: SparkSession, dir: String): DataFrame =
+    NgramLm.collocations(t(spark, dir, "documents"), "text",
+      minCount = 5L, topN = 100)
+
+  /** TextRank keywords ([[TextRank.keywords]]): PageRank over the
+    * symmetric adjacent-token graph — vocab ids × bigram edges ×
+    * integer power iteration, oracle-checked END TO END (the entire
+    * three-operator composition reproduces bit-for-bit in SQL).
+    */
+  def qExtTextrank(spark: SparkSession, dir: String): DataFrame =
+    TextRank.keywords(t(spark, dir, "documents"), "doc_id", "text",
+      iterations = 5, topN = 50)
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1407,6 +1425,8 @@ object Qext {
     "q_ext_bpe_encode" -> (qExtBpeEncode _),
     "q_ext_scd2_asof" -> (qExtScd2AsOf _),
     "q_ext_trustrank" -> (qExtTrustrank _),
+    "q_ext_collocations" -> (qExtCollocations _),
+    "q_ext_textrank" -> (qExtTextrank _),
   )
 
   private val normSql =
@@ -2784,6 +2804,11 @@ object Qext {
     // only on is_seed nodes, divisor |S| instead of |V|.
     "q_ext_trustrank" -> trustrankOracleSql(iterations = 5),
 
+    // The full three-operator composition in SQL: rank-ordered vocab ids,
+    // symmetrized distinct bigram edges, the integer iteration chain,
+    // join back to tokens.
+    "q_ext_textrank" -> textrankOracleSql(iterations = 5, topN = 50),
+
     // Same cosine/rank shape as the q_ext_sim_topk oracle with the
     // other-label predicate; cand_label travels to the output.
     "q_ext_hard_negatives" ->
@@ -2805,6 +2830,28 @@ object Qext {
         |)
         |SELECT query_id, cand_id, cand_label, score, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Same nano-nat discipline as q_ext_lm_score; the PMI is the engine's
+    // exact sum-of-logs form (a single ln(ratio) can differ in the last
+    // nano-nat).
+    "q_ext_collocations" ->
+      s"""WITH big AS (
+         |  SELECT (u).a AS w1, (u).b AS w2 FROM (
+         |    SELECT unnest(list_transform(range(1, len(ts)),
+         |                  j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
+         |    FROM (SELECT list_filter(string_split($normSql, ' '),
+         |                             x -> x <> '') AS ts FROM documents))
+         |), cb AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM big GROUP BY w1, w2),
+         |cl AS (SELECT w1, count(*)::BIGINT AS n_left FROM big GROUP BY w1),
+         |cr AS (SELECT w2, count(*)::BIGINT AS n_right FROM big GROUP BY w2),
+         |n AS (SELECT count(*)::BIGINT AS n_total FROM big)
+         |SELECT cb.w1, cb.w2, cb.n_pair,
+         |       floor(1e9 * (ln(cb.n_pair) + ln((SELECT n_total FROM n))
+         |                    - ln(cl.n_left) - ln(cr.n_right))
+         |             + 0.5)::BIGINT AS pmi_scaled
+         |FROM cb JOIN cl ON cb.w1 = cl.w1 JOIN cr ON cb.w2 = cr.w2
+         |WHERE cb.n_pair >= 5
+         |ORDER BY pmi_scaled DESC, cb.w1 ASC, cb.w2 ASC LIMIT 100""".stripMargin,
 
     // Integer nano-nat terms (floor(1e9·(ln(cb+1)−ln(cu+V)) + 0.5)) summed
     // as BIGINT — no double aggregate; avg_ll is two exact-operand IEEE
@@ -3223,6 +3270,67 @@ object Qext {
     "WITH " + ctes.mkString(",\n") +
       s"\nSELECT node, rank AS rank_scaled FROM r$iterations " +
       "ORDER BY rank_scaled DESC, node ASC LIMIT 100"
+  }
+
+  /** TextRank oracle: vocab ids (tf desc, token asc, 0-based) +
+    * symmetrized distinct adjacent-token edges + the [[pagerankOracleSql]]
+    * iteration body + the token join-back. Vocab keeps unfiltered tokens
+    * (matching [[TextStats.vocabulary]]); the bigram stream filters
+    * empties (matching [[NgramLm.docBigrams]]).
+    */
+  private def textrankOracleSql(iterations: Int, topN: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""toks AS MATERIALIZED (
+         |  SELECT list_filter(string_split($normSql, ' '),
+         |                     x -> x <> '') AS ts
+         |  FROM documents)""".stripMargin,
+      s"""vocab AS (
+         |  SELECT tok AS token, count(*)::BIGINT AS tf
+         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok)""".stripMargin,
+      """ids AS MATERIALIZED (
+        |  SELECT token,
+        |         row_number() OVER (ORDER BY tf DESC, token ASC) - 1 AS token_id
+        |  FROM vocab)""".stripMargin,
+      """big AS (
+        |  SELECT DISTINCT (u).a AS w1, (u).b AS w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(ts)),
+        |                  j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
+        |    FROM toks))""".stripMargin,
+      """dir AS (
+        |  SELECT i1.token_id AS src, i2.token_id AS dst
+        |  FROM big JOIN ids i1 ON big.w1 = i1.token
+        |           JOIN ids i2 ON big.w2 = i2.token)""".stripMargin,
+      """e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM dir
+        |    UNION ALL SELECT dst AS src, src AS dst FROM dir))""".stripMargin,
+      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
+      "nn AS (SELECT count(*) AS c FROM nodes)",
+      "od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src)",
+      """r0 AS MATERIALIZED (SELECT node,
+        |  (SELECT 1000000000000 // c FROM nn) AS rank FROM nodes)""".stripMargin)
+    (0 until iterations).foreach { i =>
+      ctes += s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank // od.od)::BIGINT AS contrib
+         |  FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst)""".stripMargin
+      ctes += s"""d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS ds FROM r$i r
+         |  LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL)""".stripMargin
+      ctes += s"""r${i + 1} AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    (SELECT 15 * 1000000000000 // 100 // c FROM nn)
+         |      + 85 * (coalesce(c$i.contrib, 0)
+         |              + (SELECT ds FROM d$i) // (SELECT c FROM nn)) // 100 AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT ids.token, r.rank AS rank_scaled FROM r$iterations r " +
+      "JOIN ids ON r.node = ids.token_id " +
+      s"ORDER BY rank_scaled DESC, token ASC LIMIT $topN"
   }
 
   /** Standalone BM25 oracle built from [[bm25Ctes]]. */

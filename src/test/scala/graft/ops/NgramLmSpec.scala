@@ -44,6 +44,33 @@ class NgramLmSpec extends SparkSpec {
     r(0L) should be > r(99L)
   }
 
+  "collocations" should "rank exclusive pairs above promiscuous ones" in {
+    // N=16: (k,l)=6, (m,n)=6, (k,n)=2, (m,l)=2; marginals all 8
+    val docs = (Seq.fill(6)("k l") ++ Seq.fill(6)("m n") ++
+      Seq.fill(2)("k n") ++ Seq.fill(2)("m l")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = NgramLm.collocations(docs, "text", minCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // mirror the engine's sum-of-logs form exactly (ln(cb·N/(cl·cr)) as a
+    // single log can differ in the last nano-nat)
+    def pmi(cb: Long, cl: Long, cr: Long): Long =
+      math.floor(1e9 * (math.log(cb) + math.log(16.0)
+        - math.log(cl) - math.log(cr)) + 0.5).toLong
+    rows.take(2).toSeq shouldBe Seq(
+      ("k", "l", 6L, pmi(6, 8, 8)), // ln 1.5, tie-broken by w1 asc
+      ("m", "n", 6L, pmi(6, 8, 8)))
+    rows.map(_._4).toSeq shouldBe rows.map(_._4).toSeq.sorted.reverse
+    rows.filter(r => r._1 == "k" && r._2 == "n").head._4 shouldBe pmi(2, 8, 8)
+  }
+
+  it should "drop pairs under the count floor" in {
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("id", "text")
+    NgramLm.collocations(docs, "text", minCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("a", "b"))
+  }
+
   it should "be invariant to input partitioning (integer sums)" in {
     val corpus = (0L until 50L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} end"))
     val one = NgramLm.avgLogProb(corpus.toDF("id", "text"), "id", "text")
