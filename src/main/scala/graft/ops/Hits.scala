@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg, JACM 1999): the mutually-recursive
+  * link ranking — a good hub points at good authorities, a good authority
+  * is pointed at by good hubs. On a crawl graph the authority score finds
+  * canonical content pages and the hub score finds index/directory pages;
+  * together with [[PageRank]] they triangulate document quality.
+  *
+  * Integer state, deterministic normalization: scores live as scaled
+  * BIGINTs (mass [[PageRank.Scale]]), each half-step re-normalizes to the
+  * scale with `floor(raw·1e12 / total)` computed in DOUBLE — both factors
+  * are exact integers on both engines, and IEEE multiply/divide/floor are
+  * correctly rounded per-operation, so the quantized scores are
+  * bit-identical cross-engine without 128-bit arithmetic (the raw·Scale
+  * product overflows BIGINT; L1 normalization replaces Kleinberg's L2,
+  * standard in practice and exactly portable). Totals ride along as
+  * in-plan single-row broadcasts.
+  *
+  * Scale shape: per half-step one co-keyed join (edges onto scores), one
+  * groupBy-sum, one left join back to nodes — O(|V|+|E|) shuffle, fixed
+  * rounds; lineage truncated every 4 rounds like [[PageRank]].
+  */
+object Hits {
+
+  /** `iterations` full hub↔authority rounds. Returns
+    * (node, hub_scaled, auth_scaled); each column sums to ~Scale minus
+    * per-node truncation.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist(lvl)
+    val n = nodes.count()
+
+    // one L1-normalized half-step: scores flow across `edgeFrom`→`edgeTo`
+    def halfStep(scores: DataFrame, scoreCol: String,
+                 edgeFrom: String, edgeTo: String, outCol: String): DataFrame = {
+      val raw = nodes.join(
+        e.join(scores.hint("shuffle_hash"), e(edgeFrom) === scores("node"))
+          .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
+          .groupBy("node").agg(sum("__s").as("__raw"))
+          .hint("shuffle_hash"),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val tot = raw.agg(coalesce(sum("__raw"), lit(0L)).as("__tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("__tot") > 0,
+            floor(col("__raw").cast("double") * lit(PageRank.Scale.toDouble)
+              / col("__tot").cast("double")).cast("long"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+
+    var hubs = nodes.select(col("node"),
+      lit(PageRank.Scale / n).as("hub")).persist(lvl)
+    var auths: DataFrame = null
+    var prevH: Option[DataFrame] = None
+    var prevA: Option[DataFrame] = None
+    (1 to iterations).foreach { i =>
+      val a = halfStep(hubs, "hub", "src", "dst", "auth").persist(lvl)
+      val h = halfStep(a, "auth", "dst", "src", "hub").persist(lvl)
+      val (aT, hT) =
+        if (i % 4 == 0 && i < iterations) {
+          val ac = a.localCheckpoint(true); a.unpersist(false)
+          val hc = h.localCheckpoint(true); h.unpersist(false)
+          (ac, hc)
+        } else (a, h)
+      prevA.foreach(_.unpersist(false)); prevA = Option(auths)
+      prevH.foreach(_.unpersist(false)); prevH = Option(hubs)
+      auths = aT
+      hubs = hT
+    }
+    hubs.join(auths.hint("shuffle_hash"), Seq("node"))
+      .select(col("node"), col("hub").as("hub_scaled"),
+        col("auth").as("auth_scaled"))
+  }
+}

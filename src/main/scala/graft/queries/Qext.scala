@@ -1338,6 +1338,24 @@ object Qext {
     TextRank.keywords(t(spark, dir, "documents"), "doc_id", "text",
       iterations = 5, topN = 50)
 
+  /** HITS ([[Hits.hits]], 3 rounds) over the [[qExtPagerank]] graph:
+    * hub/authority scores with the deterministic-IEEE L1 normalization —
+    * quantized scores identical cross-engine without 128-bit arithmetic.
+    */
+  def qExtHits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 3 + 1) % n,
+          (col("doc_id") * 5 + 2) % n,
+          (col("doc_id") * 7 + 3) % n)).as("dst"))
+      .distinct()
+    Hits.hits(edges, "src", "dst", iterations = 3)
+      .orderBy(col("auth_scaled").desc, col("node").asc)
+      .limit(100)
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1427,6 +1445,7 @@ object Qext {
     "q_ext_trustrank" -> (qExtTrustrank _),
     "q_ext_collocations" -> (qExtCollocations _),
     "q_ext_textrank" -> (qExtTextrank _),
+    "q_ext_hits" -> (qExtHits _),
   )
 
   private val normSql =
@@ -2809,6 +2828,11 @@ object Qext {
     // join back to tokens.
     "q_ext_textrank" -> textrankOracleSql(iterations = 5, topN = 50),
 
+    // Hub/authority half-steps with the same floor(raw·1e12/total)
+    // DOUBLE normalization — every factor an exact integer, every IEEE
+    // op correctly rounded, so the quantized scores match bit-for-bit.
+    "q_ext_hits" -> hitsOracleSql(iterations = 3, topN = 100),
+
     // Same cosine/rank shape as the q_ext_sim_topk oracle with the
     // other-label predicate; cand_label travels to the output.
     "q_ext_hard_negatives" ->
@@ -3331,6 +3355,53 @@ object Qext {
       s"\nSELECT ids.token, r.rank AS rank_scaled FROM r$iterations r " +
       "JOIN ids ON r.node = ids.token_id " +
       s"ORDER BY rank_scaled DESC, token ASC LIMIT $topN"
+  }
+
+  /** HITS oracle: the same manufactured graph as [[pagerankOracleSql]],
+    * one (raw-auth, total, auth, raw-hub, total, hub) CTE level per
+    * round, L1-normalized via the deterministic DOUBLE floor.
+    */
+  private def hitsOracleSql(iterations: Int, topN: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |           unnest([(doc_id * 3 + 1) % nc.c, (doc_id * 5 + 2) % nc.c,
+        |                   (doc_id * 7 + 3) % nc.c]) AS dst
+        |    FROM documents, (SELECT count(*) AS c FROM documents) nc))""".stripMargin,
+      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
+      "nn AS (SELECT count(*) AS c FROM nodes)",
+      """h0 AS MATERIALIZED (SELECT node,
+        |  (SELECT 1000000000000 // c FROM nn) AS h FROM nodes)""".stripMargin)
+    def norm(raw: String, tot: String): String =
+      s"CASE WHEN (SELECT t FROM $tot) > 0 THEN " +
+        s"floor($raw::DOUBLE * 1000000000000 / (SELECT t FROM $tot))::BIGINT " +
+        "ELSE 0 END"
+    (1 to iterations).foreach { i =>
+      ctes += s"""ra$i AS (
+         |  SELECT nodes.node, coalesce(s.v, 0)::BIGINT AS raw
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(h.h)::BIGINT AS v
+         |    FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst) s
+         |  ON nodes.node = s.node)""".stripMargin
+      ctes += s"ta$i AS (SELECT sum(raw)::BIGINT AS t FROM ra$i)"
+      ctes += s"""a$i AS MATERIALIZED (
+         |  SELECT node, ${norm("raw", s"ta$i")} AS a FROM ra$i)""".stripMargin
+      ctes += s"""rh$i AS (
+         |  SELECT nodes.node, coalesce(s.v, 0)::BIGINT AS raw
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS node, sum(a.a)::BIGINT AS v
+         |    FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src) s
+         |  ON nodes.node = s.node)""".stripMargin
+      ctes += s"th$i AS (SELECT sum(raw)::BIGINT AS t FROM rh$i)"
+      ctes += s"""h$i AS MATERIALIZED (
+         |  SELECT node, ${norm("raw", s"th$i")} AS h FROM rh$i)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled " +
+      s"FROM h$iterations h JOIN a$iterations a ON h.node = a.node " +
+      s"ORDER BY auth_scaled DESC, h.node ASC LIMIT $topN"
   }
 
   /** Standalone BM25 oracle built from [[bm25Ctes]]. */
