@@ -1356,6 +1356,49 @@ object Qext {
       .limit(100)
   }
 
+  /** Markov transition matrix over the event stream: per ordered
+    * (from_type → to_type) pair, count and transition probability — the
+    * user-journey model behind next-action prediction and anomaly
+    * flagging. One window (lead over the per-user time order, unique by
+    * (ts_us, event_id) tie-break), one groupBy, an integer totals join;
+    * probability is a single IEEE division per row.
+    */
+  def qExtEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+    val pairs = ev.select(col("user_id"), col("event_id"),
+        col("event_type"), Sources.eventTsMicros(ev).as("ts_us"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Weekly cohort retention: users bucketed by first-seen week (integer
+    * epoch-day div 7 — no date_trunc, which disagrees on week starts
+    * across engines), distinct actives per (cohort_week, week_offset).
+    * All-integer output.
+    */
+  def qExtCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val weeksNamed = ev.select(col("user_id"),
+        Sources.eventTsMicros(ev).as("__us"))
+      .select(col("user_id"), expr(s"__us div ${86400000000L * 7}").as("week"))
+      .distinct()
+    val first = weeksNamed.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeksNamed.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1446,6 +1489,8 @@ object Qext {
     "q_ext_collocations" -> (qExtCollocations _),
     "q_ext_textrank" -> (qExtTextrank _),
     "q_ext_hits" -> (qExtHits _),
+    "q_ext_event_transitions" -> (qExtEventTransitions _),
+    "q_ext_cohort_retention" -> (qExtCohortRetention _),
   )
 
   private val normSql =
@@ -2832,6 +2877,42 @@ object Qext {
     // DOUBLE normalization — every factor an exact integer, every IEEE
     // op correctly rounded, so the quantized scores match bit-for-bit.
     "q_ext_hits" -> hitsOracleSql(iterations = 3, topN = 100),
+
+    // lead() over the same unique (ts_us, event_id) per-user order;
+    // probability is one IEEE division of exact integers per row.
+    "q_ext_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), nxt AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_us, event_id) AS to_type
+        |  FROM ev
+        |), pairs AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        |), tot AS (
+        |  SELECT from_type, sum(n)::BIGINT AS n_from FROM pairs GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n, t.n_from,
+        |       round(p.n::DOUBLE / t.n_from, 6) AS p
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Integer week buckets (epoch-micros div 7 days) — date_trunc week
+    // starts disagree across engines; distinct-count output only.
+    "q_ext_cohort_retention" ->
+      s"""WITH wk AS (
+         |  SELECT DISTINCT user_id,
+         |         (epoch_ns(ts) // 1000) // ${86400000000L * 7} AS week
+         |  FROM events
+         |), first AS (
+         |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+         |SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+         |       count(DISTINCT w.user_id)::BIGINT AS n_users
+         |FROM wk w JOIN first f USING (user_id)
+         |GROUP BY f.cohort_week, week_offset
+         |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // Same cosine/rank shape as the q_ext_sim_topk oracle with the
     // other-label predicate; cand_label travels to the output.
