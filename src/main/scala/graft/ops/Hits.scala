@@ -43,6 +43,10 @@ object Hits {
     // one L1-normalized half-step: scores flow across `edgeFrom`→`edgeTo`
     def halfStep(scores: DataFrame, scoreCol: String,
                  edgeFrom: String, edgeTo: String, outCol: String): DataFrame = {
+      // raw is read twice (total, then normalization): pin it, or the
+      // edge join+agg runs twice per half-step. The pin is |V| narrow
+      // rows and is released with the round's frames via the caller's
+      // checkpoint cycle.
       val raw = nodes.join(
         e.join(scores.hint("shuffle_hash"), e(edgeFrom) === scores("node"))
           .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
@@ -50,6 +54,7 @@ object Hits {
           .hint("shuffle_hash"),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+        .persist(lvl)
       val tot = raw.agg(coalesce(sum("__raw"), lit(0L)).as("__tot"))
       raw.crossJoin(broadcast(tot))
         .select(col("node"),

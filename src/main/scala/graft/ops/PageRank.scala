@@ -126,7 +126,11 @@ object PageRank {
     val nRecv = nodes.filter(col("is_seed")).count()
     require(nRecv > 0, "seed set does not intersect the graph")
     val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // outdeg is read by the dangling join EVERY iteration: unpinned it
+    // re-derives the whole edge pipeline per round — invisible when
+    // edges is a parquet scan, a large tax when it is a derived frame
+    // (TextRank's explode+join+distinct edge pipeline)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od")).persist(lvl)
     // (src, dst, od) pinned once — every iteration reads it
     val eod = e.join(outdeg, "src").persist(lvl)
     val r0 = nodes

@@ -27,8 +27,13 @@ object TextRank {
     */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                iterations: Int = 5, topN: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ids is read three times (two edge lookups + the final join-back)
+    // and edges feeds PageRank's nodes/outdeg/eod builds — pin both or
+    // the corpus-side pipelines re-derive per consumer (the 28 s sf0.1
+    // first measurement was dominated by exactly these re-derivations)
     val ids = TextStats.vocabIds(
-      TextStats.vocabulary(docs, idCol, textCol))
+      TextStats.vocabulary(docs, idCol, textCol)).persist(lvl)
     val big = NgramLm.docBigrams(docs, idCol, textCol)
       .select("w1", "w2").distinct()
     // token ids are vocab-sized: broadcast both lookups (the bigram
@@ -40,7 +45,7 @@ object TextRank {
         .withColumnRenamed("token_id", "dst")), Seq("w2"))
       .select("src", "dst")
     val edges = dir.union(dir.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct()
+      col("src").as("dst"))).distinct().persist(lvl)
     PageRank.pageRank(edges, "src", "dst", iterations)
       .join(broadcast(ids), col("node") === col("token_id"))
       .select(col("token"), col("rank_scaled"))
