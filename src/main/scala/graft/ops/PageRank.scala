@@ -178,12 +178,15 @@ object PageRank {
     var prev: Option[DataFrame] = None
     (1 to iterations).foreach { i =>
       val stepped = step(ctx, ranks)
-      // lineage truncation every 8 rounds: each round's plan nests every
-      // earlier round's, and past ~20 nested AQE plans the driver OOMs
-      // just composing explain strings (values unaffected — the eager
-      // checkpoint only materializes what the next action would anyway)
+      // lineage truncation every 2 rounds: each round references the
+      // previous ranks TWICE (contrib + dangling), so an un-truncated
+      // nest doubles the plan tree per round — planning cost and driver
+      // heap blow up geometrically when the edge frame is itself a
+      // derived pipeline (measured on TextRank/HITS; values unaffected —
+      // the eager checkpoint only materializes what the next action
+      // would anyway)
       val next =
-        if (i % 8 == 0 && i < iterations) {
+        if (i % 2 == 0 && i < iterations) {
           val cp = stepped.localCheckpoint(true)
           stepped.unpersist(false)
           cp
