@@ -101,7 +101,8 @@ object PageRank {
   /** Immutable per-run context: pinned graph frames + integer constants. */
   private final case class Ctx(nodes: DataFrame, eod: DataFrame,
                                outdeg: DataFrame, r0: DataFrame,
-                               teleport: Long, nRecv: Long, dampingPct: Int)
+                               teleport: Long, nRecv: Long, dampingPct: Int,
+                               hasDangling: Boolean)
 
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
                       dampingPct: Int, seeds: Option[DataFrame]): Ctx = {
@@ -137,7 +138,13 @@ object PageRank {
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), lit(Scale / nRecv)).otherwise(lit(0L)).as("rank"))
       .persist(lvl)
-    Ctx(nodes, eod, outdeg, r0, teleport, nRecv, dampingPct)
+    // dangling detection, once: graphs whose every node emits edges (the
+    // common case — symmetric graphs can't dangle at all) skip the
+    // per-round redistribution broadcast stage entirely; dang_sum is
+    // identically 0 there, so values are unchanged
+    val nNodes = nodes.count()
+    val hasDangling = outdeg.count() < nNodes
+    Ctx(nodes, eod, outdeg, r0, teleport, nRecv, dampingPct, hasDangling)
   }
 
   /** One power-iteration step; the result is persisted (materialized by
@@ -152,19 +159,26 @@ object PageRank {
         ctx.eod("src") === ranks("node"))
       .select(col("dst").as("node"), expr("rank div od").as("c"))
       .groupBy("node").agg(sum("c").as("contrib"))
-    // dangling nodes hold mass but emit no edges: redistribute their
-    // per-node share to the receiving set via a single-row broadcast
-    // (stays in-plan — no per-iteration driver job)
-    val dang = ranks.join(ctx.outdeg.hint("shuffle_hash"),
-        ranks("node") === ctx.outdeg("src"), "left_anti")
-      .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
-    ctx.nodes
+    val joined = ctx.nodes
       .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-      .crossJoin(broadcast(dang))
+    val base =
+      if (!ctx.hasDangling) joined // dang_sum ≡ 0: no broadcast stage
+      else {
+        // dangling nodes hold mass but emit no edges: redistribute their
+        // per-node share to the receiving set via a single-row broadcast
+        // (stays in-plan — no per-iteration driver job)
+        val dang = ranks.join(ctx.outdeg.hint("shuffle_hash"),
+            ranks("node") === ctx.outdeg("src"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
+        joined.crossJoin(broadcast(dang))
+      }
+    val dangTerm =
+      if (!ctx.hasDangling) "0"
+      else s"(CASE WHEN is_seed THEN dang_sum div ${ctx.nRecv} ELSE 0 END)"
+    base
       .select(col("node"), col("is_seed"),
         (when(col("is_seed"), lit(ctx.teleport)).otherwise(lit(0L)) + expr(
-          s"${ctx.dampingPct} * (coalesce(contrib, 0) + " +
-            s"(CASE WHEN is_seed THEN dang_sum div ${ctx.nRecv} ELSE 0 END)) div 100"))
+          s"${ctx.dampingPct} * (coalesce(contrib, 0) + $dangTerm) div 100"))
           .as("rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
