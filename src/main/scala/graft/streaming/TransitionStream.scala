@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming Markov-transition extraction: the unbounded form of
+  * `Qext.qExtEventTransitions`'s lead() — per user, each arriving event
+  * pairs with the previous one into a (from_type → to_type) transition
+  * record, at per-event latency. Downstream a plain (windowed) streaming
+  * aggregation turns the transition stream into live transition-matrix
+  * counts; emitting the RECORDS rather than the counts keeps this
+  * operator append-mode and composable (route, alert, or aggregate).
+  *
+  * State per user is one (ts, event_id, event_type) triple — O(users),
+  * no watermark needed (the latest event stays relevant until
+  * superseded). Within a micro-batch events apply in the batch query's
+  * (ts, event_id) order, so the emitted transitions are identical
+  * whether events arrive in one batch or one-per-batch (spec'd);
+  * out-of-order stragglers older than the held event are dropped and
+  * counted nowhere (at-least-once sources re-deliver; exactly the rows
+  * the batch lead() would never pair in that order either).
+  */
+object TransitionStream {
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Timestamp,
+                      event_type: String)
+
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, from_ts: Timestamp,
+                              to_ts: Timestamp)
+
+  /** Per-user held event (public: Catalyst codegen instantiates state
+    * classes reflectively).
+    */
+  final case class Last(tsMs: Long, eventId: Long, eventType: String)
+
+  implicit private val lastEnc: Encoder[Last] = Encoders.product[Last]
+
+  def transitions(events: Dataset[Ev]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Last, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[Last]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            cur match {
+              case Some(c) if e.ts.getTime < c.tsMs ||
+                  (e.ts.getTime == c.tsMs && e.event_id < c.eventId) =>
+              // stale straggler: older than the held event — drop
+              case Some(c) =>
+                out += Transition(userId, c.eventType, e.event_type,
+                  new Timestamp(c.tsMs), e.ts)
+                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
+              case None =>
+                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}
