@@ -36,7 +36,7 @@ object NewOpsProbe {
         s"all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    // --- PageRank sweep: 3-regular modular graphs ---
+    // --- PageRank / HITS sweep: 3-regular modular graphs ---
     Seq(5000L, 500000L, 2000000L).foreach { n =>
       val edges = spark.range(n).toDF("src")
         .select(col("src"), explode(array(
@@ -48,6 +48,10 @@ object NewOpsProbe {
       time(s"pagerank |V|=$n 5 iters") {
         PageRank.pageRank(edges, "src", "dst", iterations = 5)
           .agg(sum("rank_scaled")).collect()
+      }
+      time(s"hits |V|=$n 3 iters") {
+        graft.ops.Hits.hits(edges, "src", "dst", iterations = 3)
+          .agg(sum("auth_scaled")).collect()
       }
       edges.unpersist()
     }
