@@ -1399,6 +1399,26 @@ object Qext {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Generic connected components ([[DedupGroups.resolveFromPairs]] on a
+    * non-dedup graph): stride-4 chains segmented per 100-id block, so
+    * every component is a 25-node PATH — genuine multi-hop label
+    * propagation (the near-clique dedup components converge in 1-2
+    * rounds and never exercise it) — and the min-id label is PROVABLY
+    * `doc_id div 100 · 100 + doc_id mod 4`: an arithmetic ground truth
+    * fully independent of the union-find machinery, like the scd2_asof
+    * oracle. (The unsegmented N/4-length rings were measured at 6.1 s —
+    * the log-diameter round count is real; 25-hop paths keep the
+    * demonstration and the cost proportionate.)
+    */
+  def qExtComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = docs.filter(col("doc_id") % 100 < 96)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 4).as("id_b"))
+    DedupGroups.resolveFromPairs(docs.select("doc_id"), "doc_id", pairs)
+      .select(col("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1491,6 +1511,7 @@ object Qext {
     "q_ext_hits" -> (qExtHits _),
     "q_ext_event_transitions" -> (qExtEventTransitions _),
     "q_ext_cohort_retention" -> (qExtCohortRetention _),
+    "q_ext_components" -> (qExtComponents _),
   )
 
   private val normSql =
@@ -2877,6 +2898,13 @@ object Qext {
     // DOUBLE normalization — every factor an exact integer, every IEEE
     // op correctly rounded, so the quantized scores match bit-for-bit.
     "q_ext_hits" -> hitsOracleSql(iterations = 3, topN = 100),
+
+    // Arithmetic ground truth, independent of the union-find machinery:
+    // each block-segmented stride-4 path's minimum id is its block base
+    // plus the residue.
+    "q_ext_components" ->
+      """SELECT doc_id, (doc_id // 100) * 100 + doc_id % 4 AS group_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // lead() over the same unique (ts_us, event_id) per-user order;
     // probability is one IEEE division of exact integers per row.
