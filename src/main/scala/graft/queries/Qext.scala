@@ -1419,6 +1419,28 @@ object Qext {
       .orderBy("doc_id")
   }
 
+  /** Per-source duplication rate: docs, distinct content hashes, and the
+    * duplicate fraction per source — the first number a curation
+    * dashboard shows per feed (which sources are mostly boilerplate?).
+    * Same manufactured shared-boilerplate fixture as
+    * [[qExtSourceOverlap]]; one groupBy with a distinct-count, one IEEE
+    * division per source.
+    */
+  def qExtDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val text2 = when(col("doc_id") % 5 === 0,
+      concat(lit("shared boilerplate "), (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
+    docs.withColumn("text", text2)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(TextDedup.contentHash(col("text"))).as("n_distinct"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   // ============================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1512,6 +1534,7 @@ object Qext {
     "q_ext_event_transitions" -> (qExtEventTransitions _),
     "q_ext_cohort_retention" -> (qExtCohortRetention _),
     "q_ext_components" -> (qExtComponents _),
+    "q_ext_dup_rate_by_source" -> (qExtDupRateBySource _),
   )
 
   private val normSql =
@@ -2898,6 +2921,22 @@ object Qext {
     // DOUBLE normalization — every factor an exact integer, every IEEE
     // op correctly rounded, so the quantized scores match bit-for-bit.
     "q_ext_hits" -> hitsOracleSql(iterations = 3, topN = 100),
+
+    // One distinct-count per source over the same boilerplate fixture;
+    // the rate is one exact-integer IEEE division per source.
+    "q_ext_dup_rate_by_source" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |         CASE WHEN doc_id % 5 = 0
+         |              THEN 'shared boilerplate ' || (doc_id % 3)
+         |              ELSE text END AS text
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT md5($normSql))::BIGINT AS n_distinct,
+         |       (count(*) - count(DISTINCT md5($normSql)))::BIGINT AS n_dup_docs,
+         |       round((count(*) - count(DISTINCT md5($normSql)))::DOUBLE
+         |             / count(*), 6) AS dup_rate
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // Arithmetic ground truth, independent of the union-find machinery:
     // each block-segmented stride-4 path's minimum id is its block base
