@@ -187,7 +187,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val probs = children(2) match {
           case e if e.foldable => e.eval() match {
             case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-              a.toDoubleArray().toSeq
+              // A bare SQL literal like array(0.25, 0.5) types as
+              // array<decimal>, so convert per-element instead of
+              // assuming the physical layout is already doubles.
+              val elemType = e.dataType match {
+                case org.apache.spark.sql.types.ArrayType(et, _) => et
+                case other => throw new IllegalArgumentException(
+                  s"mrl_quantiles probs must be an array literal, got $other")
+              }
+              (0 until a.numElements()).map { i =>
+                a.get(i, elemType) match {
+                  case null => throw new IllegalArgumentException(
+                    "mrl_quantiles probs must not contain nulls")
+                  case d: java.lang.Double => d.doubleValue()
+                  case f: java.lang.Float => f.doubleValue()
+                  case dec: org.apache.spark.sql.types.Decimal =>
+                    dec.toDouble
+                  case i0: java.lang.Integer => i0.doubleValue()
+                  case l: java.lang.Long => l.doubleValue()
+                  case other => throw new IllegalArgumentException(
+                    s"mrl_quantiles probs must be numeric, got $other")
+                }
+              }
             case other => throw new IllegalArgumentException(
               s"mrl_quantiles probs must be a double-array literal, got $other")
           }

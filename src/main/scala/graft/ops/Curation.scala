@@ -160,12 +160,16 @@ object Curation {
                 pLo: Double, pHi: Double): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1,
       s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
-    val bounds = df.groupBy(col(groupCol)).agg(
+    val bounds = df.groupBy(col(groupCol).as("__g")).agg(
       percentile(col(valueCol).cast("double"), lit(pLo)).as("__lo"),
       percentile(col(valueCol).cast("double"), lit(pHi)).as("__hi"))
-    df.join(broadcast(bounds), groupCol)
+    // Null-safe join key: groupBy emits a bounds row for the null group,
+    // and `<=>` lets rows with a null group key reach it (a plain inner
+    // equi-join would silently drop them). least/greatest skip nulls, so
+    // a group whose bound is null (all-null values) passes through.
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"), "left")
       .withColumn(s"${valueCol}_clipped",
         least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop("__g", "__lo", "__hi")
   }
 }

@@ -113,6 +113,12 @@ object Retrieval {
     * exchange reuse fires across the two subtrees; measured round 10).
     * Size is bounded by |matching docs| x |terms| — small by retrieval
     * selectivity, same rationale as the other ops' signature pins.
+    *
+    * Cache lifecycle: the pin is released before returning — the top-N
+    * result (<= topN rows) is materialized via eager localCheckpoint,
+    * then the postings frame unpersists (the Hits pattern). Repeated
+    * bm25 calls in a long-lived session therefore do NOT accumulate
+    * pinned frames.
     */
   private def scoreBm25(tfIn: DataFrame, idCol: String, terms: Seq[String],
                         n: Long, avgdl: Double, k1: Double, b: Double,
@@ -136,12 +142,15 @@ object Retrieval {
     val total = terms.indices
       .map(i => coalesce(col(s"__s$i"), lit(0.0)))
       .reduceLeft(_ + _)
-    scored.groupBy(col(idCol))
+    val result = scored.groupBy(col(idCol))
       .agg(termSums.head, termSums.tail :+ count(lit(1)).as("n_terms"): _*)
       .select(col(idCol), col("n_terms"),
         round(total, scoreDecimals).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topN)
+      .localCheckpoint(true) // eager: <= topN rows, severs the tf lineage
+    tf.unpersist()
+    result
   }
 
   /** Attach 1-based ranks to a retrieval result by (score desc, id asc).

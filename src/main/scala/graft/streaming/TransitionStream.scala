@@ -18,9 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * superseded). Within a micro-batch events apply in the batch query's
   * (ts, event_id) order, so the emitted transitions are identical
   * whether events arrive in one batch or one-per-batch (spec'd);
-  * out-of-order stragglers older than the held event are dropped and
-  * counted nowhere (at-least-once sources re-deliver; exactly the rows
-  * the batch lead() would never pair in that order either).
+  * out-of-order stragglers at-or-older than the held event — including
+  * an at-least-once redelivery of the held event itself — are dropped
+  * and counted nowhere (exactly the rows the batch lead() would never
+  * pair in that order either).
   */
 object TransitionStream {
 
@@ -50,8 +51,11 @@ object TransitionStream {
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             cur match {
               case Some(c) if e.ts.getTime < c.tsMs ||
-                  (e.ts.getTime == c.tsMs && e.event_id < c.eventId) =>
-              // stale straggler: older than the held event — drop
+                  (e.ts.getTime == c.tsMs && e.event_id <= c.eventId) =>
+              // stale straggler OR at-least-once redelivery of the held
+              // event itself ((ts, event_id) <= held) — drop; emitting on
+              // equality would fabricate a phantom self-transition with
+              // from_ts == to_ts
               case Some(c) =>
                 out += Transition(userId, c.eventType, e.event_type,
                   new Timestamp(c.tsMs), e.ts)

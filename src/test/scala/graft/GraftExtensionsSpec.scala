@@ -72,6 +72,12 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
         "SELECT mrl_quantiles(v, 64, array(0.5D, 1.0D)) AS q FROM VALUES " +
           "(1.0D), (2.0D), (3.0D) AS x(v)").collect().head
       mq.getSeq[Double](0) shouldBe Seq(2.0, 3.0)
+      // bare numeric literals type as array<decimal> — must convert, not
+      // ClassCastException (round-11 fix)
+      val mqDec = spark.sql(
+        "SELECT mrl_quantiles(v, 64, array(0.5, 1.0)) AS q FROM VALUES " +
+          "(1.0D), (2.0D), (3.0D) AS x(v)").collect().head
+      mqDec.getSeq[Double](0) shouldBe Seq(2.0, 3.0)
       an[Exception] should be thrownBy
         spark.sql("SELECT mrl_quantiles(1.0D, 64)").collect()
     } finally {

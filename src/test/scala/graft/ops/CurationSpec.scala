@@ -127,4 +127,19 @@ class CurationSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Curation.winsorize(rows.toDF("g", "v"), "g", "v", 0.9, 0.1)
   }
+
+  it should "keep and clip rows whose group key is null" in {
+    // Null forms its own group (null-safe join key): rows must survive
+    // and clip within the null group, not vanish via an inner equi-join.
+    val rows = Seq((Option("a"), 1), (Option("a"), 2), (Option("a"), 3),
+      (Option.empty[String], 5), (Option.empty[String], 5),
+      (Option.empty[String], 500))
+    val out = Curation.winsorize(rows.toDF("g", "v"), "g", "v", 0.10, 0.90)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1),
+        r.getAs[Double]("v_clipped")))
+    out.length shouldBe 6 // nothing dropped
+    val nulls = out.filter(_._1.isEmpty).map(_._3).sorted
+    nulls.head shouldBe 5.0
+    nulls.last should be < 500.0 // null-group outlier tamed too
+  }
 }

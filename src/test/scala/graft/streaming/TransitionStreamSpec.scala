@@ -47,6 +47,15 @@ class TransitionStreamSpec extends SparkSpec {
     perEvent shouldBe one
   }
 
+  it should "drop an at-least-once redelivery of the held event" in {
+    // Exact duplicate of the latest event (same ts AND event_id): must be
+    // dropped, not emitted as a phantom self-transition with from_ts==to_ts.
+    val dup = evs.find(_.event_id == 3L).get
+    val out = run(Seq(evs, Seq(dup)), "tr_dup")
+    out.size shouldBe 2
+    out.exists(t => t.from_ts == t.to_ts) shouldBe false
+  }
+
   it should "drop stragglers older than the held event" in {
     val late = Ev(1L, 9L, ts("2023-12-31 00:00:00"), "ancient")
     val out = run(Seq(evs, Seq(late)), "tr_d")
