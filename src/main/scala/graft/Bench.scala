@@ -77,6 +77,13 @@ object Bench {
     val results = byQuery.map { case (k, mn, _) => k -> mn }
     val total = results.map(_._2).sum
     val p50Total = byQuery.map(_._3).sum
+    // The 2x perf gate is arithmetic over s/query vs the round-1 engine
+    // baseline (11.7s / 42 queries = 0.279 s/query at sf0.1, BASELINE.md):
+    // emit the ratio in the artifact so the round-over-round trend
+    // (1.3x r9 -> 1.61x r10) is self-evident without cross-file math.
+    val r1SecPerQuery = 0.279
+    val sPerQuery = if (results.nonEmpty) total / results.size else 0.0
+    val ratioVsR1 = sPerQuery / r1SecPerQuery
     // Full-precision record for local round-over-round analysis: per-query
     // min AND p50, plus every raw pass, so no re-measurement is ever needed
     // to adjudicate a driver-side artifact (this file is committed).
@@ -100,6 +107,8 @@ object Bench {
         s""""single_pass_total":$singlePassTotal,""" +
         s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
         s""""p50_total":$p50Total,""" +
+        s""""n_queries":${results.size},"s_per_query":$sPerQuery,""" +
+        s""""ratio_vs_r1":$ratioVsR1,""" +
         s""""load_idle":$loadIdle,""" +
         s""""load_avg":${loads.mkString("[", ",", "]")},""" +
         s""""n_errors":${errors.size},"errors":$fullErrs,""" +
@@ -129,6 +138,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","passes":$passes,""" +
         s""""single_pass_total":${fmt(dec, singlePassTotal)},""" +
         s""""pass_totals":$pts,"p50_total":${fmt(dec, p50Total)},""" +
+        s""""n_queries":${results.size},""" +
+        s""""s_per_query":${fmt(3, sPerQuery)},""" +
+        s""""ratio_vs_r1":${fmt(2, ratioVsR1)},""" +
         s""""load_idle":${fmt(2, loadIdle)},""" +
         s""""n_errors":${errors.size},"errors":$errNames,""" +
         s""""load_avg":$lds,"queries":$qs,"sf":"$sfDir"}"""

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -16,12 +17,19 @@ import org.apache.spark.sql.functions._
   * correctly rounded per-operation, so the quantized scores are
   * bit-identical cross-engine without 128-bit arithmetic (the raw·Scale
   * product overflows BIGINT; L1 normalization replaces Kleinberg's L2,
-  * standard in practice and exactly portable). Totals ride along as
-  * in-plan single-row broadcasts.
+  * standard in practice and exactly portable). The L1 total is ONE driver
+  * scalar per half-step over the pinned |V|-row raw frame — the half-step
+  * checkpoint is a driver action anyway, so folding the total into a
+  * literal deletes the crossJoin+broadcast stage the in-plan form paid
+  * (round-11 bench lever; identical arithmetic, identical values).
   *
   * Scale shape: per half-step one co-keyed join (edges onto scores), one
   * groupBy-sum, one left join back to nodes — O(|V|+|E|) shuffle, fixed
-  * rounds; lineage truncated every 4 rounds like [[PageRank]].
+  * rounds; lineage truncated per half-step like [[PageRank]].
+  *
+  * Cache lifecycle: the plain form pins the edge/node frames for the
+  * session (job-per-query shape); [[hitsManaged]] hands back a release
+  * handle covering the pins AND the per-half-step checkpoint blocks.
   */
 object Hits {
 
@@ -30,9 +38,35 @@ object Hits {
     * per-node truncation.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iterations: Int): DataFrame = {
+           iterations: Int): DataFrame =
+    hitsManaged(edges, srcCol, dstCol, iterations).df
+
+  /** The raw (un-normalized) half-step frame: scores flow across
+    * `edgeFrom`→`edgeTo` via one co-keyed join, one groupBy-sum, and one
+    * left join back to nodes. Package-visible so the plan-invariants
+    * suite can lock its join strategy (the shuffle_hash hints on the
+    * stats-less cached inputs are load-bearing — losing them degrades
+    * every half-step to SortMergeJoin) on exactly the code the iteration
+    * runs, since the real half-steps materialize eagerly and leave no
+    * inspectable plan behind.
+    */
+  private[graft] def rawHalfStep(e: DataFrame, nodes: DataFrame,
+                                 scores: DataFrame, scoreCol: String,
+                                 edgeFrom: String, edgeTo: String): DataFrame =
+    nodes.join(
+      e.join(scores.hint("shuffle_hash"), e(edgeFrom) === scores("node"))
+        .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
+        .groupBy("node").agg(sum("__s").as("__raw"))
+        .hint("shuffle_hash"),
+      Seq("node"), "left")
+      .select(col("node"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+
+  /** [[hits]] with an explicit cache-release handle. */
+  def hitsManaged(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int): Managed = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).persist(lvl)
     val nodes = e.select(col("src").as("node"))
@@ -45,30 +79,27 @@ object Hits {
                  edgeFrom: String, edgeTo: String, outCol: String): DataFrame = {
       // raw is read twice (total, then normalization): pin it, or the
       // edge join+agg runs twice per half-step. The pin is |V| narrow
-      // rows and is released with the round's frames via the caller's
-      // checkpoint cycle.
-      val raw = nodes.join(
-        e.join(scores.hint("shuffle_hash"), e(edgeFrom) === scores("node"))
-          .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
-          .groupBy("node").agg(sum("__s").as("__raw"))
-          .hint("shuffle_hash"),
-        Seq("node"), "left")
-        .select(col("node"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      // rows and is released as soon as the half-step checkpoints.
+      val raw = rawHalfStep(e, nodes, scores, scoreCol, edgeFrom, edgeTo)
         .persist(lvl)
-      val tot = raw.agg(coalesce(sum("__raw"), lit(0L)).as("__tot"))
+      // L1 total as a driver scalar off the pin — see the class doc; the
+      // arithmetic below is literal-for-literal what the in-plan
+      // broadcast form computed
+      val tot = raw.agg(coalesce(sum("__raw"), lit(0L))).head().getLong(0)
       // eager localCheckpoint per half-step: each half-step references
-      // its input twice (main path + the total's broadcast subplan), so
-      // an un-truncated nest DOUBLES the plan tree per half-step —
-      // measured 5.9 s/round at |V|=500 and driver OOM at 3 rounds,
-      // pure planning cost. The checkpoint is the half-step's
-      // materializing action; raw's pin releases immediately after.
-      val out = raw.crossJoin(broadcast(tot))
+      // its input twice (main path + the total), so an un-truncated nest
+      // DOUBLES the plan tree per half-step — measured 5.9 s/round at
+      // |V|=500 and driver OOM at 3 rounds, pure planning cost. The
+      // checkpoint is the half-step's materializing action; raw's pin
+      // releases immediately after.
+      val out = raw
         .select(col("node"),
-          when(col("__tot") > 0,
+          (if (tot > 0)
             floor(col("__raw").cast("double") * lit(PageRank.Scale.toDouble)
-              / col("__tot").cast("double")).cast("long"))
-            .otherwise(lit(0L)).as(outCol))
+              / lit(tot.toDouble)).cast("long")
+          else lit(0L)).as(outCol))
         .localCheckpoint(true)
+      cpRdds ++= Managed.checkpointRdds(out)
       raw.unpersist(false)
       out
     }
@@ -78,16 +109,24 @@ object Hits {
     var auths: DataFrame = null
     (1 to iterations).foreach { _ =>
       // half-steps are eagerly checkpointed — the previous round's
-      // frames release as soon as the new ones exist
+      // frames (cache pins AND checkpoint blocks: both new half-steps
+      // have materialized, so the old blocks are provably dead) release
+      // as soon as the new ones exist, bounding live checkpoint storage
+      // to ~2 |V|-row frames regardless of iteration count
       val a = halfStep(hubs, "hub", "src", "dst", "auth")
       val h = halfStep(a, "auth", "dst", "src", "hub")
-      if (auths != null) auths.unpersist(false)
+      if (auths != null) {
+        auths.unpersist(false)
+        Managed.checkpointRdds(auths).foreach(_.unpersist(false))
+      }
       hubs.unpersist(false)
+      Managed.checkpointRdds(hubs).foreach(_.unpersist(false))
       auths = a
       hubs = h
     }
-    hubs.join(auths.hint("shuffle_hash"), Seq("node"))
+    val out = hubs.join(auths.hint("shuffle_hash"), Seq("node"))
       .select(col("node"), col("hub").as("hub_scaled"),
         col("auth").as("auth_scaled"))
+    new Managed(out, Seq(e, nodes), cpRdds.toSeq)
   }
 }

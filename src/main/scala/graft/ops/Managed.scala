@@ -1,29 +1,55 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 
-/** A lazily-built result frame together with the intermediate frames the
-  * operator persisted to build it.
+/** A lazily-built result frame together with the intermediate state the
+  * operator persisted to build it — cached DataFrames and (for iterative
+  * operators) the locally-checkpointed RDDs backing lineage truncation.
   *
   * The near-dup operators ([[TextDedup]], [[Similarity.cosineNearDups]])
   * persist their signature tables — load-bearing for plan shape — but hand
   * back a lazy frame, so they cannot unpersist for the caller. The managed
   * variants return this handle instead: `use` scopes the caches to one
   * materialization, `release` frees them explicitly. Long-lived sessions
-  * issuing many near-dup jobs should prefer these over the blunt
+  * issuing many near-dup or graph jobs should prefer these over the blunt
   * `spark.catalog.clearCache()`.
+  *
+  * Checkpoint caveat: when `rdds` is non-empty (the graph tier), `release`
+  * unpersists truncated-lineage blocks that CANNOT be recomputed — the
+  * result frame must not be executed again after release. `use` is the
+  * safe shape; with bare `release`, materialize first.
   */
-final class Managed(val df: DataFrame, caches: Seq[DataFrame]) {
+final class Managed(val df: DataFrame, val caches: Seq[DataFrame],
+                    val rdds: Seq[RDD[_]] = Nil) {
 
-  /** Unpersist the operator's intermediate caches (non-blocking). Safe to
-    * call more than once. The result frame stays valid but recomputes — and
-    * re-inlines the signature expressions — if executed again afterwards.
+  /** Unpersist the operator's intermediate caches and checkpoint blocks
+    * (non-blocking). Safe to call more than once. A purely cache-backed
+    * result frame stays valid but recomputes — and re-inlines the
+    * signature expressions — if executed again afterwards; a
+    * checkpoint-backed one (see class doc) does not.
     */
-  def release(): Unit = caches.foreach(_.unpersist(false))
+  def release(): Unit = {
+    caches.foreach(_.unpersist(false))
+    rdds.foreach(_.unpersist(false))
+  }
 
   /** Run `f` — which must MATERIALIZE the frame (write/collect/count) — then
     * release the caches.
     */
   def use[T](f: DataFrame => T): T =
     try f(df) finally release()
+}
+
+object Managed {
+
+  /** The persisted RDDs backing a `localCheckpoint`ed frame (empty for
+    * any other frame): eager local checkpoints pin their blocks in the
+    * block manager outside the SQL cache, so `DataFrame.unpersist` never
+    * reaches them — a release handle must unpersist the RDDs directly.
+    */
+  def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,6 +27,12 @@ import org.apache.spark.sql.functions._
   * broadcast single-row aggregate, not a per-iteration driver job.
   * Rank frames persist one generation and release as the next
   * materializes (same deferred-release discipline as [[Bpe]]).
+  *
+  * Cache lifecycle: the plain forms pin the graph frames (nodes, edges
+  * with out-degrees) for the life of the session — fine for
+  * job-per-query use. Long-lived serving sessions should call the
+  * `*Managed` forms, whose [[Managed]] handle releases the pins AND the
+  * lineage-truncation checkpoint blocks after the result materializes.
   */
 object PageRank {
 
@@ -40,6 +47,11 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85): DataFrame =
+    iterate(edges, srcCol, dstCol, iterations, dampingPct, seeds = None).df
+
+  /** [[pageRank]] with an explicit cache-release handle. */
+  def pageRankManaged(edges: DataFrame, srcCol: String, dstCol: String,
+                      iterations: Int, dampingPct: Int = 85): Managed =
     iterate(edges, srcCol, dstCol, iterations, dampingPct, seeds = None)
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
@@ -54,9 +66,22 @@ object PageRank {
   def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
                 iterations: Int, dampingPct: Int = 85): DataFrame =
+    trustRankManaged(edges, srcCol, dstCol, seeds, seedCol, iterations,
+      dampingPct).df
+
+  /** [[trustRank]] with an explicit cache-release handle. */
+  def trustRankManaged(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedCol: String,
+                       iterations: Int, dampingPct: Int = 85): Managed =
     iterate(edges, srcCol, dstCol, iterations, dampingPct,
       seeds = Some(seeds.select(col(seedCol).cast("long").as("node"))
         .distinct()))
+
+  /** [[pageRankConverged]]'s managed result: the rank handle plus how the
+    * loop terminated.
+    */
+  final case class Converged(ranks: Managed, iterations: Int,
+                             deltaScaled: Long)
 
   /** Iterate until the L1 rank delta drops to `epsilonScaled` scaled
     * units or `maxIterations`, whichever first — the operational mode
@@ -68,8 +93,22 @@ object PageRank {
   def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
                         epsilonScaled: Long, maxIterations: Int = 50,
                         dampingPct: Int = 85): (DataFrame, Int, Long) = {
+    val c = pageRankConvergedManaged(edges, srcCol, dstCol, epsilonScaled,
+      maxIterations, dampingPct)
+    (c.ranks.df, c.iterations, c.deltaScaled)
+  }
+
+  /** [[pageRankConverged]] with an explicit cache-release handle — the
+    * converged loop checkpoints EVERY round, so long-lived sessions
+    * accumulate one checkpoint block set per round without it.
+    */
+  def pageRankConvergedManaged(edges: DataFrame, srcCol: String,
+                               dstCol: String, epsilonScaled: Long,
+                               maxIterations: Int = 50,
+                               dampingPct: Int = 85): Converged = {
     require(epsilonScaled >= 0, s"epsilonScaled must be >= 0, got $epsilonScaled")
     val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds = None)
+    val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     var ranks = ctx.r0
     var prev: Option[DataFrame] = None
     var iters = 0
@@ -83,26 +122,40 @@ object PageRank {
       // the round's materializing action.
       val raw = step(ctx, ranks)
       val next = raw.localCheckpoint(true)
+      cpRdds ++= Managed.checkpointRdds(next)
       raw.unpersist(false)
       delta = next.join(ranks.withColumnRenamed("rank", "rank_prev")
           .select("node", "rank_prev").hint("shuffle_hash"), Seq("node"))
         .agg(coalesce(sum(abs(col("rank") - col("rank_prev"))), lit(0L)))
         .head().getLong(0)
-      prev.foreach(_.unpersist(false))
+      // the grandparent round is provably dead here (this round's frame
+      // is materialized and the delta read only parent+child): free its
+      // cache pin AND checkpoint blocks in-loop, bounding live
+      // checkpoint storage to 2 |V|-row frames however long the loop runs
+      prev.foreach { p =>
+        p.unpersist(false)
+        Managed.checkpointRdds(p).foreach(_.unpersist(false))
+      }
       prev = Some(ranks)
       ranks = next
       iters += 1
     }
     val out = ranks.select(col("node"), col("rank").as("rank_scaled"))
-    prev.foreach(_.unpersist(false))
-    (out, iters, delta)
+    prev.foreach { p =>
+      p.unpersist(false)
+      Managed.checkpointRdds(p).foreach(_.unpersist(false))
+    }
+    Converged(new Managed(out, ctx.pins, cpRdds.toSeq), iters, delta)
   }
 
   /** Immutable per-run context: pinned graph frames + integer constants. */
   private final case class Ctx(nodes: DataFrame, eod: DataFrame,
                                outdeg: DataFrame, r0: DataFrame,
                                teleport: Long, nRecv: Long, dampingPct: Int,
-                               hasDangling: Boolean)
+                               hasDangling: Boolean) {
+    /** Every frame prepare() pinned, for a release handle. */
+    def pins: Seq[DataFrame] = Seq(nodes, eod, outdeg, r0)
+  }
 
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
                       dampingPct: Int, seeds: Option[DataFrame]): Ctx = {
@@ -185,23 +238,28 @@ object PageRank {
 
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
                       iterations: Int, dampingPct: Int,
-                      seeds: Option[DataFrame]): DataFrame = {
+                      seeds: Option[DataFrame]): Managed = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds)
+    val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     var ranks = ctx.r0
     var prev: Option[DataFrame] = None
     (1 to iterations).foreach { i =>
       val stepped = step(ctx, ranks)
-      // lineage truncation every 2 rounds: each round references the
+      // lineage truncation every 3 rounds: each round references the
       // previous ranks TWICE (contrib + dangling), so an un-truncated
       // nest doubles the plan tree per round — planning cost and driver
       // heap blow up geometrically when the edge frame is itself a
       // derived pipeline (measured on TextRank/HITS; values unaffected —
       // the eager checkpoint only materializes what the next action
-      // would anyway)
+      // would anyway). Cadence 3, not 2: the base frames all pin, so a
+      // 3-round nest stays small, and each skipped checkpoint saves a
+      // full |V|-row materialize+store pass (round-11 bench lever,
+      // pre-measured in the round-10 scale notes).
       val next =
-        if (i % 2 == 0 && i < iterations) {
+        if (i % 3 == 0 && i < iterations) {
           val cp = stepped.localCheckpoint(true)
+          cpRdds ++= Managed.checkpointRdds(cp)
           stepped.unpersist(false)
           cp
         } else stepped
@@ -213,6 +271,8 @@ object PageRank {
     }
     val out = ranks.select(col("node"), col("rank").as("rank_scaled"))
     prev.foreach(_.unpersist(false))
-    out
+    // the final ranks frame stays pinned (out reads it lazily): it joins
+    // the prepare() pins in the release handle
+    new Managed(out, ctx.pins :+ ranks, cpRdds.toSeq)
   }
 }

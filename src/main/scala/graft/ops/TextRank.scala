@@ -23,10 +23,19 @@ import org.apache.spark.sql.functions._
 object TextRank {
 
   /** Top-`topN` corpus keywords: (token, rank_scaled), rank desc, token
-    * tie-break.
+    * tie-break. Pins the vocab/edge frames for the session (job-per-query
+    * shape); long-lived sessions should use [[keywordsManaged]].
     */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
-               iterations: Int = 5, topN: Int = 50): DataFrame = {
+               iterations: Int = 5, topN: Int = 50): DataFrame =
+    keywordsManaged(docs, idCol, textCol, iterations, topN).df
+
+  /** [[keywords]] with an explicit cache-release handle covering the
+    * vocab-id and edge pins plus everything the inner [[PageRank]] run
+    * pinned or checkpointed.
+    */
+  def keywordsManaged(docs: DataFrame, idCol: String, textCol: String,
+                      iterations: Int = 5, topN: Int = 50): Managed = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ids is read three times (two edge lookups + the final join-back)
     // and edges feeds PageRank's nodes/outdeg/eod builds — pin both or
@@ -46,10 +55,12 @@ object TextRank {
       .select("src", "dst")
     val edges = dir.union(dir.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().persist(lvl)
-    PageRank.pageRank(edges, "src", "dst", iterations)
+    val pr = PageRank.pageRankManaged(edges, "src", "dst", iterations)
+    val out = pr.df
       .join(broadcast(ids), col("node") === col("token_id"))
       .select(col("token"), col("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("token").asc)
       .limit(topN)
+    new Managed(out, Seq(ids, edges) ++ pr.caches, pr.rdds)
   }
 }

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, IsNotNull, ScalaUDF, Size}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import graft.SparkSpec
 
 /** Registry-wide physical/logical plan invariants — the properties every
@@ -41,11 +43,83 @@ class PlanInvariantsSpec extends SparkSpec {
       n -> fn(spark, sfDir)
     }
 
-  "every registered query plan" should "contain no SortMergeJoin" in {
+  /** The root plan plus every cached subplan reachable through
+    * InMemoryTableScan nodes: the graph tier's iteration steps live
+    * INSIDE un-materialized InMemoryRelations (the final rank generation
+    * is persisted, not yet built at plan time), where a plain
+    * executedPlan.toString never looks — exactly where a lost
+    * shuffle_hash hint silently degrades a step to SortMergeJoin.
+    */
+  private def withCachedSubplans(p: SparkPlan): Seq[SparkPlan] = {
+    // AdaptiveSparkPlanExec and QueryStageExec are LEAF nodes wrapping
+    // their real subtree in a field — collect() never descends on its
+    // own, so expand them explicitly alongside the cached relations
+    val nested = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q.plan
+      case s: InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    p +: nested.flatMap(withCachedSubplans)
+  }
+
+  "every registered query plan" should "contain no SortMergeJoin (cached subplans included)" in {
     built.foreach { case (n, df) =>
-      withClue(s"$n: ") {
-        df.queryExecution.executedPlan.toString should not include "SortMergeJoin"
+      withCachedSubplans(df.queryExecution.executedPlan).foreach { p =>
+        withClue(s"$n: ") {
+          p.toString should not include "SortMergeJoin"
+        }
       }
+    }
+  }
+
+  /** Round-11 lock (graph-tier hint contract): the iteration-step joins
+    * run over stats-less cached frames, where Catalyst's no-hint fallback
+    * is SortMergeJoin — caught live once in round 10. PageRank-family
+    * steps are visible through the nested cached plans above; HITS
+    * half-steps materialize eagerly during build and leave no plan
+    * behind, so the half-step SHAPE ([[graft.ops.Hits.rawHalfStep]] — the
+    * exact method the iteration calls) is planned here over persisted
+    * stats-less inputs, mirroring the real call site.
+    */
+  "the graph tier" should "expose its iteration steps to the SMJ check via cached subplans" in {
+    val byName = built.toMap
+    Seq("q_ext_pagerank", "q_ext_trustrank", "q_ext_textrank").foreach { n =>
+      val plans = withCachedSubplans(byName(n).queryExecution.executedPlan)
+      withClue(s"$n: iteration step not nested-visible — the SMJ lock " +
+        "above would no longer cover it: ") {
+        plans.size should be > 1
+      }
+      // the nested step must actually contain the per-iteration joins
+      withClue(s"$n: ") {
+        plans.map(_.toString).count(s =>
+          s.contains("ShuffledHashJoin") || s.contains("BroadcastHashJoin")
+        ) should be >= 1
+      }
+    }
+  }
+
+  it should "plan HITS half-steps as hash joins over stats-less cached inputs" in {
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = (0L until 50L).map(i => (i, (i * 7 + 1) % 50))
+      .toDF("src", "dst").persist(lvl)
+    val nodes = e.select(org.apache.spark.sql.functions.col("src").as("node"))
+      .distinct().persist(lvl)
+    val scores = nodes.withColumn("hub",
+      org.apache.spark.sql.functions.lit(1000L))
+    try {
+      val plan = graft.ops.Hits
+        .rawHalfStep(e, nodes, scores, "hub", "src", "dst")
+        .queryExecution.executedPlan.toString
+      withClue(s"half-step plan:\n$plan\n") {
+        plan should not include "SortMergeJoin"
+        plan should include("ShuffledHashJoin")
+      }
+    } finally {
+      e.unpersist(false); nodes.unpersist(false)
     }
   }
 
