@@ -79,9 +79,7 @@ object DedupGroups {
     * standard Spark lifecycle, same as any `rdd.checkpoint()` user.
     */
   private def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(false))
+    Managed.checkpointRdds(df).foreach(_.unpersist(false))
 
   /** True iff the big→small edge set is a star forest: no source has two
     * targets and no node is both a source and a target. Any star forest

@@ -22,6 +22,15 @@ object TextStats {
   def compressionRatio(c: Column): Column =
     graft.functions.CompressExpression.compress_ratio(c)
 
+  /** Portable LZ compression ratio ([[graft.functions.LzExpressions]]):
+    * the same long-range-duplication signal with a NORMATIVE algorithm —
+    * reimplementable bit-for-bit by any engine (LzRatioSpec holds an
+    * independent naive implementation to exactly that standard), unlike
+    * deflate's zlib-version-dependent byte count.
+    */
+  def lzRatio(c: Column): Column =
+    graft.functions.LzExpressions.lz_ratio(c)
+
   /** BPE-ish token count: letter runs, single digits, and single
     * non-alphanumeric marks each count as one token (a crude but
     * deterministic proxy for subword tokenizers).

@@ -79,10 +79,16 @@ object CorpusPipeline {
     * volume instead of rewriting the corpus. Checkpointed when
     * `checkpointState` is set, like the state.
     */
+  /** `transients`: internal checkpointed frames the batch no longer needs
+    * once the result is consumed — carried out so the streaming driver can
+    * release their blocks (a localCheckpoint block lives outside the SQL
+    * cache and otherwise survives until session teardown).
+    */
   final case class BatchResult(state: CorpusState, report: DataFrame,
                                deltaPrepared: DataFrame,
                                deltaBuckets: DataFrame,
-                               newPairs: DataFrame)
+                               newPairs: DataFrame,
+                               transients: Seq[DataFrame] = Nil)
 
   /** `checkpointState = true` materializes the next state's tables
     * (localCheckpoint) before returning — REQUIRED when `batch` is a
@@ -137,8 +143,21 @@ object CorpusPipeline {
     // checkpointed `tagged` if re-read); without this every ingest — and every
     // micro-batch in streamIngest — would leak one cached DataFrame.
     inc.release()
-    BatchResult(nextState, report, deltaPrepared, deltaBuckets, newPairs)
+    // transients: `tagged` (the batch's checkpointed decontamination
+    // frontier) and — only once the state has its OWN checkpoint — the
+    // pre-checkpoint labels frame, whose lineage holds mergeLabels'
+    // converged star-forest checkpoint blocks (otherwise released only
+    // when the GC happens to collect them)
+    BatchResult(nextState, report, deltaPrepared, deltaBuckets, newPairs,
+      transients = Seq(tagged) ++ (if (checkpointState) Seq(labels) else Nil))
   }
+
+  /** Drop the localCheckpoint blocks behind `dfs` (no-op for frames that
+    * aren't checkpoint-backed). The frames must not be executed again.
+    */
+  private def releaseCp(dfs: DataFrame*): Unit =
+    dfs.foreach(df =>
+      graft.ops.Managed.checkpointRdds(df).foreach(_.unpersist(false)))
 
   /** Live handle of [[streamIngest]]: the current corpus state (updated
     * after every micro-batch) and the running query.
@@ -154,6 +173,14 @@ object CorpusPipeline {
     * micro-batch is one [[ingest]] call (foreachBatch executes serially,
     * so the state fold is single-writer). `onBatch` receives each batch's
     * materialized report — route it to a sink there.
+    *
+    * Block lifecycle (round 11): after BOTH hooks return, the superseded
+    * state generation's checkpoint blocks AND the batch's per-batch
+    * frames (report, deltas, new pairs, internals) are released — without
+    * this an unbounded stream accumulates one block set per micro-batch
+    * until session teardown. Hooks must therefore MATERIALIZE (write/
+    * collect) anything they keep; retaining the frames themselves across
+    * batches is unsupported.
     */
   def streamIngest(stream: DataFrame, idCol: String, textCol: String,
                    benchmark: DataFrame, benchTextCol: String,
@@ -163,6 +190,7 @@ object CorpusPipeline {
     val handle = new StreamingIngest(emptyState(stream.sparkSession, idCol))
     handle.queryRef = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = handle.state
         val r = ingest(handle.state, batch, idCol, textCol,
           benchmark, benchTextCol, shingleN, threshold, checkpointState = true)
         val report = r.report.localCheckpoint() // materialize off the dead source
@@ -171,6 +199,11 @@ object CorpusPipeline {
         // full result (checkpointed deltas included) for store-commit hooks
         // ([[CorpusStore.appendBatch]])
         onResult(batchId, r)
+        // the new state is checkpointed (lineage-free) and the hooks are
+        // done: the old generation and this batch's frames are dead
+        releaseCp(prev.prepared, prev.pairs, prev.labels, prev.buckets)
+        releaseCp(r.transients: _*)
+        releaseCp(report, r.deltaPrepared, r.deltaBuckets, r.newPairs)
       }
       .start()
     handle

@@ -95,8 +95,13 @@ object CorpusPrepStream {
     * pre-chunk — the frame to hand to [[CorpusPipeline.ingest]] or a store
     * append), the chunks, and the per-stage audit row set.
     */
+  /** `transients`: internal checkpointed stage frontiers, carried out so
+    * the streaming driver can release their blocks after the batch's
+    * hooks return (same lifecycle as [[CorpusPipeline.BatchResult]]).
+    */
   final case class BatchPrepared(state: PrepState, admitted: DataFrame,
-                                 chunks: DataFrame, audit: DataFrame)
+                                 chunks: DataFrame, audit: DataFrame,
+                                 transients: Seq[DataFrame] = Nil)
 
   /** Run the full recipe on one (micro-)batch. `checkpointState = true`
     * materializes the next state and the returned frames — REQUIRED from
@@ -211,7 +216,11 @@ object CorpusPrepStream {
         (nextSeen0.localCheckpoint(), chunks0.localCheckpoint(),
           audit0.localCheckpoint())
       else (nextSeen0, chunks0, audit0)
-    BatchPrepared(PrepState(nextSeen, consumed), admitted, chunks, audit)
+    // novel/clean/fresh/admitted1 are checkpoint-backed only when
+    // checkpointState; Managed.checkpointRdds is a no-op otherwise, so
+    // listing them unconditionally is safe
+    BatchPrepared(PrepState(nextSeen, consumed), admitted, chunks, audit,
+      transients = Seq(novel, clean, fresh, admitted1))
   }
 
   /** Live handle of [[streamPrepare]]: current state plus the running
@@ -254,13 +263,27 @@ object CorpusPrepStream {
     handle.benchRef = benchSh
     handle.queryRef = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = handle.state
         val r = prepareBatch(handle.state, batch, idCol, textCol, groupCol,
           benchmark, benchTextCol, index, cfg, checkpointState = true,
           preparedBenchShingles = benchSh)
         handle.state = r.state
         onBatch(batchId, r)
+        // release the superseded hash-table generation and this batch's
+        // checkpoint blocks (the new state is checkpointed; the hook has
+        // materialized what it keeps — same contract as streamIngest)
+        releaseCp(prev.seenHashes)
+        releaseCp(r.transients: _*)
+        releaseCp(r.chunks, r.audit)
       }
       .start()
     handle
   }
+
+  /** Drop the localCheckpoint blocks behind `dfs` (no-op for frames that
+    * aren't checkpoint-backed). The frames must not be executed again.
+    */
+  private def releaseCp(dfs: DataFrame*): Unit =
+    dfs.foreach(df =>
+      graft.ops.Managed.checkpointRdds(df).foreach(_.unpersist(false)))
 }

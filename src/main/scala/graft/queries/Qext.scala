@@ -528,17 +528,22 @@ object Qext {
           .as("norm_hash"))
       .orderBy("doc_id")
 
-  /** Deflate compression-ratio quality signal
-    * ([[TextStats.compressionRatio]]). Deliberately declared WITHOUT a
+  /** Compression-ratio quality signals: deflate
+    * ([[TextStats.compressionRatio]]) and the portable normative LZ
+    * ([[TextStats.lzRatio]], round 11). Deliberately declared WITHOUT a
     * SQL oracle (the only such query): deflate output depends on the
-    * engine's zlib, so the driver's rows-only check plus the
-    * CompressRatioSpec semantics tests are the contract. Rounded to 4 for
-    * a stable display; the ordering column is doc_id alone.
+    * engine's zlib and DuckDB cannot run the normative LZ — so the
+    * driver's rows-only check plus the spec contracts hold it:
+    * CompressRatioSpec for the deflate signal's semantics, LzRatioSpec
+    * for BIT-EXACT equality of lz_ratio against an independently-written
+    * reference compressor (the check no zlib version drift can touch).
+    * Rounded to 4 for a stable display; ordering column is doc_id alone.
     */
   def qExtCompressRatio(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        round(TextStats.compressionRatio(col("text")), 4).as("compress_ratio"))
+        round(TextStats.compressionRatio(col("text")), 4).as("compress_ratio"),
+        round(TextStats.lzRatio(col("text")), 4).as("lz_ratio"))
       .orderBy("doc_id")
 
   /** Per-stratum systematic weighted sample

@@ -83,6 +83,34 @@ class CorpusPipelineSpec extends SparkSpec {
     spark.sharedState.cacheManager.isEmpty shouldBe true
   }
 
+  "streamIngest" should "hold live checkpoint blocks bounded across micro-batches" in {
+    // round-11 lifecycle: superseded state generations and per-batch
+    // frames (report, deltas, pairs, internals) release after the hooks
+    // return; after the stream stops only the FINAL state's blocks live
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val h = CorpusPipeline.streamIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "text")
+    try {
+      (1 to 4).foreach { k =>
+        input.addData((k.toLong,
+          s"bounded blocks probe content number $k with words"))
+        h.query.processAllAvailable()
+      }
+    } finally h.query.stop()
+    val s = h.state
+    val finalIds = Seq(s.prepared, s.pairs, s.labels, s.buckets)
+      .flatMap(graft.ops.Managed.checkpointRdds).map(_.id).toSet
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      .diff(before).diff(finalIds)
+    val detail = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => leaked(id) }
+      .map { case (id, r) => s"$id=${r.toString}" }
+    withClue(s"leaked persistent RDDs $detail: ") { leaked shouldBe empty }
+  }
+
   "streamIngest" should "fold micro-batches into the same state as batch ingest" in {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime

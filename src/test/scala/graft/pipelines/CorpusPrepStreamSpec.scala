@@ -26,17 +26,35 @@ class CorpusPrepStreamSpec extends SparkSpec {
   private lazy val bench = Seq((1L, "zz yy xx ww vv uu tt ss rr qq"))
     .toDF("bench_id", "text")
 
+  /** One batch's result, MATERIALIZED inside the onBatch hook: since
+    * round 11 streamPrepare releases the batch's checkpoint blocks after
+    * the hook returns (unbounded streams otherwise accumulate one block
+    * set per micro-batch), so the frames must be read in-hook — the same
+    * contract a production sink follows.
+    */
+  private case class Mat(admitted: Seq[Long],
+                         audit: Map[String, Long],
+                         chunks: Seq[org.apache.spark.sql.Row],
+                         seenCount: Long,
+                         consumed: Map[String, Long])
+
   private def runBatches(batches: Seq[Seq[PrepDoc]],
                          cfg: CorpusPrepStream.Config,
                          index: Option[LshStream.ServedIndex] = None)
-      : Seq[CorpusPrepStream.BatchPrepared] = {
+      : Seq[Mat] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PrepDoc]
-    val results = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, CorpusPrepStream.BatchPrepared)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Mat)]
     val handle = CorpusPrepStream.streamPrepare(
       input.toDF(), "doc_id", "text", "source", bench, "text", index, cfg,
-      onBatch = (id, r) => results.synchronized { results += ((id, r)) })
+      onBatch = (id, r) => results.synchronized {
+        results += ((id, Mat(
+          r.admitted.select("doc_id").as[Long].collect().toSeq,
+          r.audit.as[(String, Long)].collect().toMap,
+          r.chunks.orderBy("doc_id", "chunk_idx").collect().toSeq,
+          r.state.seenHashes.count(),
+          r.state.consumed)))
+      })
     try {
       batches.foreach { b =>
         input.addData(b: _*)
@@ -55,14 +73,14 @@ class CorpusPrepStreamSpec extends SparkSpec {
       // 5 duplicates doc 4 (previous batch), 6 duplicates doc 2 (two back)
       Seq(PrepDoc(5, "a", goodText("gamma")), PrepDoc(6, "a", goodText("beta")))),
       cfg)
-    out.map(_.admitted.select("doc_id").as[Long].collect().toSet) shouldBe
+    out.map(_.admitted.toSet) shouldBe
       Seq(Set(1L, 2L), Set(4L), Set.empty[Long])
     // audit: batch-3 had input 2, novel 0
-    val audit3 = out(2).audit.as[(String, Long)].collect().toMap
+    val audit3 = out(2).audit
     audit3("input") shouldBe 2L
     audit3("novel") shouldBe 0L
     // state carries every seen hash with its claiming doc
-    out(2).state.seenHashes.count() shouldBe 3L
+    out(2).seenCount shouldBe 3L
   }
 
   it should "admit per-source budgets identically to BudgetStream over the same batches" in {
@@ -78,7 +96,7 @@ class CorpusPrepStreamSpec extends SparkSpec {
 
     val out = runBatches(batches,
       CorpusPrepStream.Config(budgetByGroup = budgets, defaultBudget = default))
-    val prepAdmitted = out.flatMap(_.admitted.select("doc_id").as[Long].collect()).sorted
+    val prepAdmitted = out.flatMap(_.admitted).sorted
 
     val input = MemoryStream[BudgetStream.Doc]
     val query = BudgetStream.admitWithinBudget(input.toDS(), budgets, default)
@@ -97,7 +115,7 @@ class CorpusPrepStreamSpec extends SparkSpec {
     val spentBySource = batches.flatten
       .filter(d => prepAdmitted.contains(d.doc_id))
       .groupBy(_.source).view.mapValues(_.map(d => nTok(d.text)).sum).toMap
-    out.last.state.consumed shouldBe spentBySource
+    out.last.consumed shouldBe spentBySource
   }
 
   it should "drop near-duplicates of the served corpus index" in {
@@ -115,10 +133,10 @@ class CorpusPrepStreamSpec extends SparkSpec {
         PrepDoc(1, "a", goodText("stored alpha") + " extra"),
         PrepDoc(2, "a", "completely different words entirely here but the and of is not misc"))),
         CorpusPrepStream.Config(), Some(index))
-      val audit = out.head.audit.as[(String, Long)].collect().toMap
+      val audit = out.head.audit
       audit("decontaminated") shouldBe 2L
       audit("near_dup_free") shouldBe 1L
-      out.head.admitted.select("doc_id").as[Long].collect() shouldBe Array(2L)
+      out.head.admitted shouldBe Seq(2L)
     } finally index.unpersist()
   }
 
@@ -154,13 +172,36 @@ class CorpusPrepStreamSpec extends SparkSpec {
     labels(10L) shouldBe 1L // grouped with its stored near-duplicate
   }
 
+  it should "hold live checkpoint blocks bounded across micro-batches" in {
+    // round-11 lifecycle: after the stream stops, the only surviving
+    // checkpoint blocks from the whole run are the FINAL state
+    // generation's — superseded generations and per-batch frames released
+    // batch-by-batch (previously: one block set leaked per micro-batch)
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val input = MemoryStream[PrepDoc]
+    val handle = CorpusPrepStream.streamPrepare(
+      input.toDF(), "doc_id", "text", "source", bench, "text", None,
+      CorpusPrepStream.Config())
+    try {
+      (1 to 4).foreach { k =>
+        input.addData(PrepDoc(k.toLong, "a", goodText(s"bounded $k")))
+        handle.query.processAllAvailable()
+      }
+    } finally handle.close()
+    val finalIds = graft.ops.Managed
+      .checkpointRdds(handle.state.seenHashes).map(_.id).toSet
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      .diff(before).diff(finalIds)
+    withClue(s"leaked persistent RDDs $leaked: ") { leaked shouldBe empty }
+  }
+
   it should "match batch CorpusPrep chunk-for-chunk when budgets are unbounded" in {
     val docs = (1L to 12L).map(i => PrepDoc(i, if (i % 2 == 0) "even" else "odd",
       goodText(s"doc $i word" * (i % 3 + 1).toInt)))
     val batches = docs.grouped(5).toSeq
     val cfg = CorpusPrepStream.Config(chunkWidth = 8, chunkStride = 6)
-    val streamed = runBatches(batches, cfg)
-      .flatMap(_.chunks.orderBy("doc_id", "chunk_idx").collect())
+    val streamed = runBatches(batches, cfg).flatMap(_.chunks)
 
     val batch = CorpusPrep.prepare(
       docs.toDF().select(col("doc_id"), col("source"), col("text")), bench,

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.CohortStream.{Change, Ev}
+
+/** [[CohortStream]]: live retention matrix == the batch computation on
+  * any batch split, including a cohort-shifting out-of-order straggler
+  * (the retraction path).
+  */
+class CohortStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def run(batches: Seq[Seq[Ev]], name: String): Seq[Change] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = CohortStream.changes(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[Change].collect().toSeq
+    } finally query.stop()
+  }
+
+  /** The batch ground truth (same algebra as Qext.qExtCohortRetention). */
+  private def batchMatrix(evs: Seq[Ev]): Map[(Long, Long), Long] = {
+    val weeks = evs.map(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L * 7)))
+      .distinct
+    val first = weeks.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    weeks.groupBy { case (u, w) => (first(u), w - first(u)) }
+      .map { case (k, us) => k -> us.map(_._1).distinct.size.toLong }
+  }
+
+  private def matrix(changes: Seq[Change]): Map[(Long, Long), Long] =
+    changes.groupBy(c => (c.cohort_week, c.week_offset))
+      .map { case (k, cs) => k -> cs.map(_.delta).sum }
+      .filter(_._2 > 0)
+
+  // user 1: weeks 0, 1, 3 of 2024; user 2: week 1 only; user 3: weeks 1, 2
+  private val evs = Seq(
+    Ev(1L, ts("2024-01-03 10:00:00")), Ev(1L, ts("2024-01-04 09:00:00")),
+    Ev(1L, ts("2024-01-10 10:00:00")), Ev(1L, ts("2024-01-24 10:00:00")),
+    Ev(2L, ts("2024-01-11 08:00:00")),
+    Ev(3L, ts("2024-01-09 08:00:00")), Ev(3L, ts("2024-01-18 08:00:00")))
+
+  "changes" should "reproduce the batch retention matrix in one batch" in {
+    matrix(run(Seq(evs), "co_a")) shouldBe batchMatrix(evs)
+  }
+
+  it should "be batch-boundary independent (per-event feed)" in {
+    matrix(run(evs.map(Seq(_)), "co_b")) shouldBe batchMatrix(evs)
+  }
+
+  it should "retract and re-emit when a straggler moves a user's cohort" in {
+    // user 3's first event arrives LAST and lies two weeks EARLIER than
+    // the cohort week the stream had assigned — the whole user-3 row
+    // must move cohorts, exercising the retraction path
+    val straggler = Ev(3L, ts("2023-12-27 08:00:00"))
+    val full = evs :+ straggler
+    val got = run(Seq(evs, Seq(straggler)), "co_c")
+    got.exists(_.delta == -1L) shouldBe true // retraction actually fired
+    matrix(got) shouldBe batchMatrix(full)
+  }
+
+  it should "ignore duplicate deliveries of a known week" in {
+    val dup = evs.head.copy(ts = ts("2024-01-03 23:00:00")) // same week
+    matrix(run(Seq(evs, Seq(dup)), "co_d")) shouldBe batchMatrix(evs)
+  }
+
+  "counts" should "sum the change stream into the live matrix" in {
+    val changes = run(Seq(evs), "co_e")
+    val live = CohortStream.counts(changes.toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    live shouldBe batchMatrix(evs)
+  }
+}
