@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * literal deletes the crossJoin+broadcast stage the in-plan form paid
   * (round-11 bench lever; identical arithmetic, identical values).
   *
-  * Scale shape: per half-step one co-keyed join (edges onto scores), one
-  * groupBy-sum, one left join back to nodes — O(|V|+|E|) shuffle, fixed
-  * rounds; lineage truncated per half-step like [[PageRank]].
+  * Scale shape: per half-step ONE co-keyed join (edges onto scores) and
+  * one groupBy-sum — O(|V|+|E|) shuffle, fixed rounds; zero-score nodes
+  * ride as absences (see [[rawHalfStep]]) and the full node set is
+  * restored once in the output join; lineage truncated per half-step
+  * like [[PageRank]].
   *
   * Cache lifecycle: the plain form pins the edge/node frames for the
   * session (job-per-query shape); [[hitsManaged]] hands back a release
@@ -42,24 +44,27 @@ object Hits {
     hitsManaged(edges, srcCol, dstCol, iterations).df
 
   /** The raw (un-normalized) half-step frame: scores flow across
-    * `edgeFrom`→`edgeTo` via one co-keyed join, one groupBy-sum, and one
-    * left join back to nodes. Package-visible so the plan-invariants
-    * suite can lock its join strategy (the shuffle_hash hints on the
-    * stats-less cached inputs are load-bearing — losing them degrades
-    * every half-step to SortMergeJoin) on exactly the code the iteration
-    * runs, since the real half-steps materialize eagerly and leave no
-    * inspectable plan behind.
+    * `edgeFrom`→`edgeTo` via one co-keyed join and one groupBy-sum —
+    * nothing else. Nodes receiving no mass are simply ABSENT, which is
+    * arithmetic-identical to carrying an explicit 0 row: an absent node
+    * contributes nothing to the next half-step's edge join (= a 0 score
+    * would), nothing to the L1 total, and normalizes to 0 — so the
+    * per-half-step left-join-back-to-nodes the round-10 shape paid
+    * (one |V|-row join × 2 × iterations) is deleted outright and the
+    * full node set is restored ONCE in the final output join
+    * (round-11 lever; HitsSpec values bit-identical). Package-visible so
+    * the plan-invariants suite can lock the join strategy (the
+    * shuffle_hash hint on the stats-less cached input is load-bearing —
+    * losing it degrades every half-step to SortMergeJoin) on exactly the
+    * code the iteration runs, since the real half-steps materialize
+    * eagerly and leave no inspectable plan behind.
     */
-  private[graft] def rawHalfStep(e: DataFrame, nodes: DataFrame,
-                                 scores: DataFrame, scoreCol: String,
-                                 edgeFrom: String, edgeTo: String): DataFrame =
-    nodes.join(
-      e.join(scores.hint("shuffle_hash"), e(edgeFrom) === scores("node"))
-        .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
-        .groupBy("node").agg(sum("__s").as("__raw"))
-        .hint("shuffle_hash"),
-      Seq("node"), "left")
-      .select(col("node"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+  private[graft] def rawHalfStep(e: DataFrame, scores: DataFrame,
+                                 scoreCol: String, edgeFrom: String,
+                                 edgeTo: String): DataFrame =
+    e.join(scores.hint("shuffle_hash"), e(edgeFrom) === scores("node"))
+      .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
+      .groupBy("node").agg(sum("__s").as("__raw"))
 
   /** [[hits]] with an explicit cache-release handle. */
   def hitsManaged(edges: DataFrame, srcCol: String, dstCol: String,
@@ -78,9 +83,9 @@ object Hits {
     def halfStep(scores: DataFrame, scoreCol: String,
                  edgeFrom: String, edgeTo: String, outCol: String): DataFrame = {
       // raw is read twice (total, then normalization): pin it, or the
-      // edge join+agg runs twice per half-step. The pin is |V| narrow
+      // edge join+agg runs twice per half-step. The pin is <=|V| narrow
       // rows and is released as soon as the half-step checkpoints.
-      val raw = rawHalfStep(e, nodes, scores, scoreCol, edgeFrom, edgeTo)
+      val raw = rawHalfStep(e, scores, scoreCol, edgeFrom, edgeTo)
         .persist(lvl)
       // L1 total as a driver scalar off the pin — see the class doc; the
       // arithmetic below is literal-for-literal what the in-plan
@@ -124,9 +129,13 @@ object Hits {
       auths = a
       hubs = h
     }
-    val out = hubs.join(auths.hint("shuffle_hash"), Seq("node"))
-      .select(col("node"), col("hub").as("hub_scaled"),
-        col("auth").as("auth_scaled"))
+    // restore the full node set ONCE: nodes absent from a half-step frame
+    // are exactly the zero-score nodes (see rawHalfStep doc)
+    val out = nodes
+      .join(hubs.hint("shuffle_hash"), Seq("node"), "left")
+      .join(auths.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub_scaled"),
+        coalesce(col("auth"), lit(0L)).as("auth_scaled"))
     new Managed(out, Seq(e, nodes), cpRdds.toSeq)
   }
 }

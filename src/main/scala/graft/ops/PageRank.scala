@@ -175,9 +175,15 @@ object PageRank {
         Seq("node"), "left")
         .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
     }.persist(lvl)
-    // teleport share is a per-node literal over the RECEIVING set: one
-    // k=1 driver scalar (|V| or |S|), same floor-div on both engines
-    val nRecv = nodes.filter(col("is_seed")).count()
+    // |V| and |receiving set| from ONE aggregate job over the nodes pin
+    // (round 11: these were two separate count() jobs — at tiny per-job
+    // cost × five graph queries the scheduling overhead was measurable;
+    // same floor-div on both engines)
+    val nodeStats = nodes.agg(count(lit(1)).as("__n"),
+      coalesce(sum(when(col("is_seed"), 1L).otherwise(0L)), lit(0L))
+        .as("__recv")).head()
+    val nNodes = nodeStats.getLong(0)
+    val nRecv = nodeStats.getLong(1)
     require(nRecv > 0, "seed set does not intersect the graph")
     val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
     // outdeg is read by the dangling join EVERY iteration: unpinned it
@@ -195,7 +201,6 @@ object PageRank {
     // common case — symmetric graphs can't dangle at all) skip the
     // per-round redistribution broadcast stage entirely; dang_sum is
     // identically 0 there, so values are unchanged
-    val nNodes = nodes.count()
     val hasDangling = outdeg.count() < nNodes
     Ctx(nodes, eod, outdeg, r0, teleport, nRecv, dampingPct, hasDangling)
   }

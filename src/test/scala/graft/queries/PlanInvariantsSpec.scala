@@ -112,7 +112,7 @@ class PlanInvariantsSpec extends SparkSpec {
       org.apache.spark.sql.functions.lit(1000L))
     try {
       val plan = graft.ops.Hits
-        .rawHalfStep(e, nodes, scores, "hub", "src", "dst")
+        .rawHalfStep(e, scores, "hub", "src", "dst")
         .queryExecution.executedPlan.toString
       withClue(s"half-step plan:\n$plan\n") {
         plan should not include "SortMergeJoin"
