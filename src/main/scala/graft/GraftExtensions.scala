@@ -122,6 +122,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"compress_ratio requires exactly 1 argument, got ${children.size}")
         graft.functions.CompressExpression.CompressRatio(children(0))
       }))
+    // lz_ratio(text): the NORMATIVE portable-LZ companion signal
+    // (round 11) — same shape, library-version-independent definition
+    ext.injectFunction((FunctionIdentifier("lz_ratio"),
+      new ExpressionInfo(
+        classOf[graft.functions.LzExpressions.LzRatio].getName,
+        "lz_ratio"),
+      { children: Seq[Expression] =>
+        require(children.size == 1,
+          s"lz_ratio requires exactly 1 argument, got ${children.size}")
+        graft.functions.LzExpressions.LzRatio(children(0))
+      }))
     // misra_gries(col, capacity): bounded-state heavy-hitters aggregate;
     // capacity must be a foldable integer literal
     ext.injectFunction((FunctionIdentifier("misra_gries"),

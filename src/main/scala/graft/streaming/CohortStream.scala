@@ -89,4 +89,64 @@ object CohortStream {
     changes.groupBy(col("cohort_week"), col("week_offset"))
       .agg(sum(col("delta")).as("n_users"))
       .filter(col("n_users") > 0)
+
+  /** Bounded-horizon form of [[changes]] for TRUE-unbounded deployments:
+    * per-user state times out `horizonWeeks` of EVENT TIME after the
+    * user's latest activity (requires `events` to carry a watermark on
+    * `ts` — `withWatermark` upstream). Semantics change, deliberately:
+    * a user silent past the horizon who later returns starts a NEW
+    * cohort at the return week (the "resurrected user" convention of
+    * bounded-retention dashboards) — their pre-horizon rows REMAIN in
+    * the summed matrix (historical cohorts are immutable once their
+    * horizon passes; nothing is retracted by a timeout). Within the
+    * horizon the semantics — including the cohort-moving retraction
+    * path — are exactly [[changes]]'s. State per user: one cohort week
+    * + at most `horizonWeeks` active weeks, and the user count with
+    * live state is bounded by the horizon's active users, not all-time
+    * users — the property the all-time form cannot offer.
+    */
+  def changesWindowed(events: Dataset[Ev], horizonWeeks: Int): Dataset[Change] = {
+    require(horizonWeeks >= 1, s"horizonWeeks must be >= 1, got $horizonWeeks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Cohort, Change](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Cohort]) =>
+          if (state.hasTimedOut) {
+            // horizon passed in event time: drop the state, retract
+            // nothing — the cohort's history stands
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Change]
+            var cur = state.getOption
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              val w = Math.floorDiv(e.ts.getTime, WeekMs)
+              cur match {
+                case None =>
+                  out += Change(w, 0L, 1L)
+                  cur = Some(Cohort(w, Seq(w)))
+                case Some(c) if c.weeks.contains(w) =>
+                case Some(c) if w >= c.cohortWeek =>
+                  out += Change(c.cohortWeek, w - c.cohortWeek, 1L)
+                  cur = Some(Cohort(c.cohortWeek, c.weeks :+ w))
+                case Some(c) =>
+                  c.weeks.foreach(s =>
+                    out += Change(c.cohortWeek, s - c.cohortWeek, -1L))
+                  val weeks = w +: c.weeks
+                  weeks.foreach(s => out += Change(w, s - w, 1L))
+                  cur = Some(Cohort(w, weeks))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(maxTs + horizonWeeks.toLong * WeekMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

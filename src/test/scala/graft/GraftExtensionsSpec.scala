@@ -54,6 +54,13 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       qf.getString(1) shouldBe "too_few_tokens"
       an[Exception] should be thrownBy
         spark.sql("SELECT quality_fail('x', 'y')").collect()
+      // lz_ratio: the normative portable-LZ quality signal (round 11)
+      val lz = spark.sql("SELECT lz_ratio('z') AS one, " +
+        "lz_ratio(repeat('abcd', 100)) AS rep").collect().head
+      lz.getDouble(0) shouldBe (9.0 / 8.0) +- 1e-12 // single literal
+      lz.getDouble(1) should be < 0.2 // periodic text compresses hard
+      an[Exception] should be thrownBy
+        spark.sql("SELECT lz_ratio(1)").collect()
       val mg = spark.sql(
         "SELECT misra_gries(t, 8) AS hh FROM VALUES ('a'),('b'),('a') AS v(t)")
         .collect().head

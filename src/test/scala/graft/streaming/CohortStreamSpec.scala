@@ -76,6 +76,57 @@ class CohortStreamSpec extends SparkSpec {
     matrix(run(Seq(evs, Seq(dup)), "co_d")) shouldBe batchMatrix(evs)
   }
 
+  private def runWindowed(batches: Seq[Seq[Ev]], horizonWeeks: Int,
+                          name: String): Seq[Change] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // 30-day allowed lateness: stragglers inside it reach the state
+    // function (a 0s watermark would filter them as late data before the
+    // operator ever saw them); timeouts still fire once the watermark
+    // (= max event time - 30d) passes a user's horizon
+    val query = CohortStream.changesWindowed(
+        input.toDS().withWatermark("ts", "30 days"), horizonWeeks)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[Change].collect().toSeq
+    } finally query.stop()
+  }
+
+  "changesWindowed" should "match the all-time form inside the horizon" in {
+    matrix(runWindowed(Seq(evs), horizonWeeks = 52, "cow_a")) shouldBe
+      batchMatrix(evs)
+  }
+
+  it should "start a returning user as a NEW cohort after the horizon" in {
+    // user 9 active in week W, silent 10 weeks (>> horizon 2), returns:
+    // the return must be cohort_week = return week / offset 0, NOT an
+    // offset-10 row of the original cohort — and the original row stays
+    val early = Ev(9L, ts("2024-01-03 10:00:00"))
+    val late = Ev(9L, ts("2024-03-13 10:00:00")) // 10 weeks later
+    // a third user's late event advances the watermark past 9's horizon
+    val tick = Ev(8L, ts("2024-03-12 00:00:00"))
+    val got = matrix(runWindowed(
+      Seq(Seq(early), Seq(tick), Seq(late)), horizonWeeks = 2, "cow_b"))
+    val wEarly = Math.floorDiv(early.ts.getTime, 86400000L * 7)
+    val wLate = Math.floorDiv(late.ts.getTime, 86400000L * 7)
+    got((wEarly, 0L)) shouldBe 1L // history immutable
+    got((wLate, 0L)) should be >= 1L // resurrected as a new cohort
+    got.keySet should not contain ((wEarly, wLate - wEarly)) // no offset-10 row
+  }
+
+  it should "keep the retraction path within the horizon" in {
+    val a = Ev(5L, ts("2024-01-10 10:00:00"))
+    val b = Ev(5L, ts("2024-01-03 10:00:00")) // earlier week, inside horizon
+    val got = runWindowed(Seq(Seq(a), Seq(b)), horizonWeeks = 52, "cow_c")
+    got.exists(_.delta == -1L) shouldBe true
+    matrix(got) shouldBe batchMatrix(Seq(a, b))
+  }
+
   "counts" should "sum the change stream into the live matrix" in {
     val changes = run(Seq(evs), "co_e")
     val live = CohortStream.counts(changes.toDF())
