@@ -605,6 +605,26 @@ object Qext {
       .orderBy("user_id")
   }
 
+  /** Timed three-step funnel ([[Funnel.timedFunnel]]):
+    * signup → click → purchase, each within 3 days of the previous
+    * step's chosen event — first-touch greedy min-chains over integer
+    * microsecond timestamps, so the whole computation is exactly
+    * reproducible in SQL (the plain [[qExtEventFunnel]] keeps the
+    * unbounded-gap two-step shape). 3 days cuts real chains at both
+    * SFs (150/128/89 users per step at sf0.01; 1500/1112/819 at sf0.1),
+    * so every `reached` tier occurs.
+    */
+  def qExtFunnelTimed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Funnel.timedFunnel(
+        ev.select(col("user_id"), col("event_type"),
+          Sources.eventTsMicros(ev).as("ts_us")),
+        "user_id", "event_type", "ts_us",
+        steps = Seq("signup", "click", "purchase"),
+        maxGapUs = 3L * 86400000000L)
+      .orderBy("user_id")
+  }
+
   /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
     * draws proportional to n_chars, exact integer prefix-sum walk — the
     * sample is a pure function of the data (partitioning-independent),
@@ -1488,6 +1508,7 @@ object Qext {
     "q_ext_mixture_weights" -> (qExtMixtureWeights _),
     "q_ext_mixture_realize" -> (qExtMixtureRealize _),
     "q_ext_event_funnel" -> (qExtEventFunnel _),
+    "q_ext_funnel_timed" -> (qExtFunnelTimed _),
     "q_ext_compress_ratio" -> (qExtCompressRatio _),
     "q_ext_unicode_nfc" -> (qExtUnicodeNfc _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
@@ -2537,6 +2558,33 @@ object Qext {
         |WHERE ev.event_type = 'purchase' AND ev.ts_us >= s.signup_us
         |GROUP BY ev.user_id, s.signup_us
         |ORDER BY ev.user_id""".stripMargin,
+
+    // First-touch greedy min-chains over integer microseconds — the
+    // timed-funnel definition is the same chain in both engines.
+    "q_ext_funnel_timed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_us) AS step1_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT ev.user_id, min(ev.ts_us) AS step2_us
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.step1_us
+        |    AND ev.ts_us <= s1.step1_us + 259200000000
+        |  GROUP BY ev.user_id
+        |), s3 AS (
+        |  SELECT ev.user_id, min(ev.ts_us) AS step3_us
+        |  FROM ev JOIN s2 USING (user_id)
+        |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.step2_us
+        |    AND ev.ts_us <= s2.step2_us + 259200000000
+        |  GROUP BY ev.user_id
+        |)
+        |SELECT s1.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+        |       1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+        |         AS reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
 
     // Exact integer arithmetic end-to-end: BIGINT prefix sums, HUGEINT
     // products — the stride walk is bit-identical to the engine's BigInt
