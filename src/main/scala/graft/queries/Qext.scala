@@ -1008,6 +1008,24 @@ object Qext {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Per-session outcome classification
+    * ([[graft.streaming.EventStream.classifySessions]]): the
+    * q_ext_sessionize stitching plus bounce / abandoned / converted
+    * labels and integer durations — one shared user_id exchange, all
+    * integer arithmetic, CASE precedence defined (conversion wins over
+    * bounce). All three outcomes occur at both SFs.
+    */
+  def qExtSessionOutcomes(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    graft.streaming.EventStream.classifySessions(
+        events,
+        tsMicros = Sources.eventTsMicros(events),
+        tieBreak = col("event_id"),
+        gapMicros = 30L * 60 * 1000000,
+        convertType = "purchase")
+      .orderBy("user_id", "session_idx")
+  }
+
   // --------------------------------------------------- retrieval / top-k
 
   /** Shared BM25 query terms: one rare token (df 25 at sf0.01 — high idf)
@@ -1526,6 +1544,7 @@ object Qext {
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
+    "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
     "q_ext_range_join_sessions" -> (qExtRangeJoinSessions _),
     "q_ext_profile_quantiles" -> (qExtProfileQuantiles _),
     "q_ext_filter_blocklist" -> (qExtFilterBlocklist _),
@@ -2856,6 +2875,37 @@ object Qext {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Sessionize CTEs + per-type conversion count folded into the same
+    // aggregate; CASE precedence mirrors the engine's definition
+    "q_ext_session_outcomes" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ordered
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |         min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_conversions
+        |  FROM numbered GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, session_idx, n_events, start_us, end_us, n_conversions,
+        |       end_us - start_us AS duration_us,
+        |       CASE WHEN n_conversions > 0 THEN 'converted'
+        |            WHEN n_events = 1 THEN 'bounce'
+        |            ELSE 'abandoned' END AS outcome
+        |FROM sessions
         |ORDER BY user_id, session_idx""".stripMargin,
 
     // Sessionize CTEs (same as q_ext_sessionize) + key-equality BETWEEN

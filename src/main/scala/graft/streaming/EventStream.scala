@@ -60,6 +60,42 @@ object EventStream {
         max(col("__ts_us")).as("end_us"))
   }
 
+  /** Per-session OUTCOME classification — the funnel-adjacent question
+    * "of the sessions we stitched, which bounced, which abandoned, which
+    * converted?": same gap-sessionization as [[batchSessionize]] (one
+    * user_id exchange shared by the window stack and the session
+    * aggregate), with the per-type conversion count folded into the same
+    * aggregate. Precedence is a DEFINITION: `converted` if the session
+    * contains any `convertType` event (even a one-event session),
+    * else `bounce` if it has exactly one event, else `abandoned`.
+    * duration_us = end - start (0 for bounces) — all integer, so the
+    * whole classification is oracle-exact.
+    */
+  def classifySessions(events: DataFrame,
+                       tsMicros: org.apache.spark.sql.Column,
+                       tieBreak: org.apache.spark.sql.Column,
+                       gapMicros: Long, convertType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(tsMicros, tieBreak)
+    events
+      .withColumn("__ts_us", tsMicros)
+      .withColumn("__new_session",
+        when(col("__ts_us") - lag(col("__ts_us"), 1).over(byUser) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("__new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ts_us")).as("start_us"),
+        max(col("__ts_us")).as("end_us"),
+        sum(when(col("event_type") === convertType, 1L).otherwise(0L))
+          .as("n_conversions"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .withColumn("outcome",
+        when(col("n_conversions") > 0, "converted")
+          .when(col("n_events") === 1, "bounce")
+          .otherwise("abandoned"))
+  }
+
   /** Streaming exact dedup: drops rows whose `keys` were already seen within
     * the watermark horizon — the unbounded-stream counterpart of
     * `Dedup`/`TextDedup.exactDedup` (state bounded by the watermark, evicted

@@ -17,6 +17,33 @@ class EventStreamSpec extends SparkSpec {
     EventStream.Event(3, ts("2024-01-01 01:05:00"), 1, "click", 3.0),
     EventStream.Event(4, ts("2024-01-01 00:30:00"), 2, "click", 4.0)).toDS()
 
+  "classifySessions" should "label bounce / abandoned / converted with conversion precedence" in {
+    val evs = Seq(
+      // user 1, session 0: click then purchase within the gap → converted
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0),
+      EventStream.Event(2, ts("2024-01-01 00:10:00"), 1, "purchase", 0),
+      // user 1, session 1 (after >30 min gap): single click → bounce
+      EventStream.Event(3, ts("2024-01-01 02:00:00"), 1, "click", 0),
+      // user 2, one session, clicks but never purchases → abandoned
+      EventStream.Event(4, ts("2024-01-01 00:00:00"), 2, "click", 0),
+      EventStream.Event(5, ts("2024-01-01 00:05:00"), 2, "view", 0),
+      // user 3: a SINGLE-event purchase session — conversion beats bounce
+      EventStream.Event(6, ts("2024-01-01 00:00:00"), 3, "purchase", 0)).toDS()
+    val out = EventStream.classifySessions(evs.toDF(),
+        tsMicros = expr("unix_micros(ts)"),
+        tieBreak = col("event_id"),
+        gapMicros = 30L * 60 * 1000000, convertType = "purchase")
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"),
+        r.getAs[String]("outcome")))
+    out shouldBe Array(
+      (1L, 0L, 2L, 600000000L, "converted"),
+      (1L, 1L, 1L, 0L, "bounce"),
+      (2L, 0L, 2L, 300000000L, "abandoned"),
+      (3L, 0L, 1L, 0L, "converted"))
+  }
+
   "windowedCounts" should "aggregate per event-time window and user (batch parity)" in {
     val out = EventStream.windowedCounts(batchEvents.toDF())
       .orderBy("user_id", "window_start").collect()
