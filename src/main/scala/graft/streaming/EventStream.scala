@@ -166,4 +166,65 @@ object EventStream {
           }
       }
   }
+
+  /** State for [[sessionizeClassified]]: [[SessionState]] + the running
+    * conversion count (public: Catalyst instantiates reflectively).
+    */
+  final case class ClassState(start: Long, lastSeen: Long, nEvents: Long,
+                              nConversions: Long)
+
+  final case class ClassifiedSession(user_id: Long, session_start: Timestamp,
+                                     session_end: Timestamp, n_events: Long,
+                                     n_conversions: Long, outcome: String)
+
+  /** Streaming form of [[classifySessions]]: [[sessionize]]'s
+    * close-on-silence state machine with the conversion count carried in
+    * state, so every CLOSED session emits with its outcome label — same
+    * precedence definition as the batch form (conversion wins over
+    * bounce). State per user stays one fixed-size record.
+    */
+  def sessionizeClassified(events: Dataset[Event], gapMs: Long,
+                           convertType: String): Dataset[ClassifiedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def emit(userId: Long, s: ClassState): ClassifiedSession =
+      ClassifiedSession(userId, new Timestamp(s.start),
+        new Timestamp(s.lastSeen), s.nEvents, s.nConversions,
+        if (s.nConversions > 0) "converted"
+        else if (s.nEvents == 1) "bounce"
+        else "abandoned")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClassState, ClassifiedSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[ClassState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClassifiedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val conv = if (e.event_type == convertType) 1L else 0L
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    nConversions = s.nConversions + conv))
+                case Some(s) =>
+                  closed ::= emit(userId, s)
+                  cur = Some(ClassState(t, t, 1, conv))
+                case None =>
+                  cur = Some(ClassState(t, t, 1, conv))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -140,6 +140,44 @@ class EventStreamSpec extends SparkSpec {
     s.session_end shouldBe ts("2024-01-01 00:10:00")
   }
 
+  "sessionizeClassified" should "emit closed sessions with their outcome" in {
+    // user 1: session (click, purchase) closes when the >gap event
+    // arrives → converted; the trailing single-click session stays open
+    // (batch mode: timeouts never fire); user 2's two-click session
+    // stays open too
+    val events = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0),
+      EventStream.Event(2, ts("2024-01-01 00:10:00"), 1, "purchase", 0),
+      EventStream.Event(3, ts("2024-01-01 03:00:00"), 1, "click", 0),
+      EventStream.Event(4, ts("2024-01-01 00:00:00"), 2, "click", 0),
+      EventStream.Event(5, ts("2024-01-01 00:05:00"), 2, "click", 0)).toDS()
+    val out = EventStream.sessionizeClassified(events, gapMs = 3600 * 1000L,
+      convertType = "purchase").collect()
+    out.length shouldBe 1
+    val s = out.head
+    (s.user_id, s.n_events, s.n_conversions, s.outcome) shouldBe
+      ((1L, 2L, 1L, "converted"))
+  }
+
+  it should "classify bounce and abandoned on gap-closed sessions" in {
+    // same state machine the streaming batches run; like `sessionize`,
+    // ONLY the gap-closure path is driven here — processAllAvailable
+    // against a live ProcessingTimeTimeout query hangs (the engine keeps
+    // a timeout deadline pending), which is why the sessionize family is
+    // spec'd in batch mode
+    val events = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0),
+      EventStream.Event(2, ts("2024-01-01 00:00:00"), 2, "click", 0),
+      EventStream.Event(3, ts("2024-01-01 00:05:00"), 2, "view", 0),
+      // far-future events close both earlier sessions via the gap
+      EventStream.Event(4, ts("2024-01-01 05:00:00"), 1, "click", 0),
+      EventStream.Event(5, ts("2024-01-01 05:00:00"), 2, "click", 0)).toDS()
+    val rows = EventStream.sessionizeClassified(events,
+        gapMs = 3600 * 1000L, convertType = "purchase")
+      .collect().map(s => (s.user_id, s.n_events, s.outcome)).sortBy(_._1)
+    rows shouldBe Array((1L, 1L, "bounce"), (2L, 2L, "abandoned"))
+  }
+
   // The text-pipeline classifiers are stateless column expressions, so they
   // must compose onto unbounded streams unchanged — prove it live.
   "qualityFilter and langId" should "run on a streaming frame" in {
