@@ -161,6 +161,8 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_ext_sessionize" -> 2, // ONE user_id exchange shared by both windows
       "q_ext_running_total" -> 2, // same single-exchange window stack
       "q_ext_events_daily" -> 2, // partial->final agg + output sort
+      "q_ext_session_outcomes" -> 2, // round 11: same single user_id exchange as sessionize
+      "q_ext_funnel_timed" -> 13, // round 11: 3 type-filtered aggs + 2 step joins + 2 assemble joins + sort (incl. broadcasts)
       "q_ext_range_join_sessions" -> 4) // sessions stack + broadcast + sort
     val byName = built.toMap
     budget.foreach { case (n, cap) =>
