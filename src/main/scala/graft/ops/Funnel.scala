@@ -54,4 +54,54 @@ object Funnel {
       .foldLeft(lit(1))(_ + _)
     acc.withColumn("reached", reached)
   }
+
+  /** Last-touch attribution: credit each conversion event to the most
+    * recent touch event (any of `touchTypes`) STRICTLY before it and
+    * within `windowUs` — the standard marketing-attribution primitive
+    * (first-touch is the same shape with min instead of max). Ties on
+    * timestamp break to the LARGEST tie-break value (deterministic;
+    * max_by over the (ts, tieBreak) pair), so the whole credit
+    * assignment is an exact function of the data.
+    *
+    * Scale shape: conversions × touches join co-keyed on the user column
+    * with the window predicate as a join-side filter — volume is the
+    * per-user (conversions × in-window touches) pair set, bounded by
+    * activity locality, never |events|²; one groupBy on the conversion
+    * key picks the winner. Unattributed conversions (no in-window touch)
+    * are kept with null credit — the "organic" bucket every attribution
+    * report needs.
+    *
+    * Returns (userCol, conv_us, conv_id, touch_us, touch_id, touch_type)
+    * — one row per conversion event.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           typeCol: String, tsUsCol: String, idCol: String,
+                           convertType: String, touchTypes: Seq[String],
+                           windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val conv = events.filter(col(typeCol) === convertType)
+      .select(col(userCol), col(tsUsCol).as("conv_us"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol).isInCollection(touchTypes))
+      .select(col(userCol), col(tsUsCol).as("__t_us"),
+        col(idCol).as("__t_id"), col(typeCol).as("__t_type"))
+    // ONE left join + ONE aggregate: the window predicate moves inside
+    // the max (a null struct when out-of-window or no touch at all —
+    // max ignores nulls, organic conversions surface as null credit), so
+    // no join-back is needed to keep them; the shuffle_hash hint keeps
+    // the user-keyed join off the SortMergeJoin fallback (the touch side
+    // is event-scale — never broadcastable; co-keyed hash is the shape)
+    conv.join(touch.hint("shuffle_hash"), Seq(userCol), "left")
+      .groupBy(col(userCol), col("conv_us"), col("conv_id"))
+      .agg(max(when(
+        col("__t_us") < col("conv_us") &&
+          col("__t_us") >= col("conv_us") - lit(windowUs),
+        struct(col("__t_us"), col("__t_id"), col("__t_type")))).as("__w"))
+      .select(col(userCol), col("conv_us"), col("conv_id"),
+        col("__w.__t_us").as("touch_us"), col("__w.__t_id").as("touch_id"),
+        col("__w.__t_type").as("touch_type"))
+  }
 }

@@ -625,6 +625,25 @@ object Qext {
       .orderBy("user_id")
   }
 
+  /** Last-touch attribution ([[Funnel.lastTouchAttribution]]): every
+    * purchase credited to the latest click/view strictly before it and
+    * within 1 day (ties → largest event_id — max over the (ts, id,
+    * type) struct, deterministic), unattributed purchases kept as the
+    * organic bucket. 1 day leaves ~57% attributed at both SFs, so both
+    * buckets are populated. All-integer comparisons; the oracle
+    * reproduces the same winner via max-ts then max-id chains.
+    */
+  def qExtAttributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Funnel.lastTouchAttribution(
+        ev.select(col("user_id"), col("event_type"), col("event_id"),
+          Sources.eventTsMicros(ev).as("ts_us")),
+        "user_id", "event_type", "ts_us", "event_id",
+        convertType = "purchase", touchTypes = Seq("click", "view"),
+        windowUs = 86400000000L)
+      .orderBy("conv_id")
+  }
+
   /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
     * draws proportional to n_chars, exact integer prefix-sum walk — the
     * sample is a pure function of the data (partitioning-independent),
@@ -1527,6 +1546,7 @@ object Qext {
     "q_ext_mixture_realize" -> (qExtMixtureRealize _),
     "q_ext_event_funnel" -> (qExtEventFunnel _),
     "q_ext_funnel_timed" -> (qExtFunnelTimed _),
+    "q_ext_attribution_last_touch" -> (qExtAttributionLastTouch _),
     "q_ext_compress_ratio" -> (qExtCompressRatio _),
     "q_ext_unicode_nfc" -> (qExtUnicodeNfc _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
@@ -2577,6 +2597,37 @@ object Qext {
         |WHERE ev.event_type = 'purchase' AND ev.ts_us >= s.signup_us
         |GROUP BY ev.user_id, s.signup_us
         |ORDER BY ev.user_id""".stripMargin,
+
+    // Winner = max touch ts then max event_id — the same lexicographic
+    // (ts, id) choice the engine's max-over-struct makes; event_id is
+    // globally unique, so the type lookup by id is exact.
+    "q_ext_attribution_last_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
+        |  WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id
+        |  FROM conv c JOIN touch t USING (user_id)
+        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
+        |), win AS (
+        |  SELECT conv_id, max(t_us) AS touch_us FROM pairs GROUP BY conv_id
+        |), win2 AS (
+        |  SELECT p.conv_id, w.touch_us, max(p.t_id) AS touch_id
+        |  FROM pairs p JOIN win w ON p.conv_id = w.conv_id AND p.t_us = w.touch_us
+        |  GROUP BY p.conv_id, w.touch_us
+        |)
+        |SELECT c.user_id, c.conv_us, c.conv_id, w2.touch_us, w2.touch_id,
+        |       t.t_type AS touch_type
+        |FROM conv c
+        |LEFT JOIN win2 w2 ON c.conv_id = w2.conv_id
+        |LEFT JOIN touch t ON w2.touch_id = t.t_id
+        |ORDER BY c.conv_id""".stripMargin,
 
     // First-touch greedy min-chains over integer microseconds — the
     // timed-funnel definition is the same chain in both engines.

@@ -55,6 +55,62 @@ class FunnelSpec extends SparkSpec {
     out(9L) shouldBe ((Some(0L), Some(10L), Some(60L), 3))
   }
 
+  "lastTouchAttribution" should "credit the latest in-window touch with id tie-break" in {
+    val rows = Seq(
+      // conv at 100: touches at 40 (click) and 90 (view), window 80 →
+      // latest is 90
+      (1L, "click", 40L, 10L), (1L, "view", 90L, 11L),
+      (1L, "purchase", 100L, 12L),
+      // conv at 300: nearest touch at 90 is outside the 80-window → organic
+      (1L, "purchase", 300L, 13L),
+      // user 2: two touches at the SAME ts — larger id wins
+      (2L, "click", 50L, 20L), (2L, "view", 50L, 21L),
+      (2L, "purchase", 60L, 22L),
+      // touch exactly AT the conversion ts is NOT strictly before → organic
+      (3L, "click", 70L, 30L), (3L, "purchase", 70L, 31L))
+      .toDF("u", "t", "ts", "id")
+    val out = Funnel.lastTouchAttribution(rows, "u", "t", "ts", "id",
+        "purchase", Seq("click", "view"), windowUs = 80L)
+      .collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))))
+      .toMap
+    out(12L) shouldBe ((Some(90L), Some(11L), Some("view")))
+    out(13L) shouldBe ((None, None, None)) // organic bucket kept
+    out(22L) shouldBe ((Some(50L), Some(21L), Some("view"))) // id tie-break
+    out(31L) shouldBe ((None, None, None)) // strict inequality
+  }
+
+  it should "equal a driver-side reference on randomized event sets" in {
+    val rnd = new scala.util.Random(11)
+    val types = Seq("click", "view", "purchase", "error")
+    val events = (1 to 400).map { id =>
+      (rnd.nextInt(12).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(1000).toLong, id.toLong)
+    }
+    val window = 150L
+    // reference: per conversion, latest (ts, id) touch strictly before
+    // and within the window
+    val expected = events.filter(_._2 == "purchase").map { case (u, _, ts, id) =>
+      val cands = events.filter { case (u2, t2, ts2, _) =>
+        u2 == u && Seq("click", "view").contains(t2) &&
+          ts2 < ts && ts2 >= ts - window
+      }
+      val win = if (cands.isEmpty) None
+        else Some(cands.maxBy(c => (c._3, c._4)))
+      id -> win.map(c => (c._3, c._4, c._2))
+    }.toMap
+    val got = Funnel.lastTouchAttribution(
+        events.toDF("u", "t", "ts", "id"), "u", "t", "ts", "id",
+        "purchase", Seq("click", "view"), window)
+      .collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        (if (r.isNullAt(3)) None
+         else Some((r.getLong(3), r.getLong(4), r.getString(5)))))
+      .toMap
+    got shouldBe expected
+  }
+
   it should "reject bad arguments" in {
     an[IllegalArgumentException] should be thrownBy
       Funnel.timedFunnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"),
