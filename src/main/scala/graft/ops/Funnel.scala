@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Timed multi-step funnel: the product-analytics staple the plain
@@ -103,5 +103,42 @@ object Funnel {
       .select(col(userCol), col("conv_us"), col("conv_id"),
         col("__w.__t_us").as("touch_us"), col("__w.__t_id").as("touch_id"),
         col("__w.__t_type").as("touch_type"))
+  }
+
+  /** Top event paths (k-step sequence mining by support): every
+    * length-`k` window of CONSECUTIVE events in a user's (ts, tie-break)
+    * order is one path occurrence; paths rank by total occurrences —
+    * "what do users actually do", the navigation/behavior-mining
+    * counterpart of the funnel's "did they do THIS".
+    *
+    * Scale shape: one user-keyed sort window with k-1 lead() columns
+    * (the same single exchange the sessionize family pays — leads all
+    * share one window), a partial-combined groupBy on the path, and a
+    * TakeOrdered top-N (bounded heaps, no global sort). Deterministic
+    * ranking: occurrences desc, then path lexicographically.
+    *
+    * Returns (path — the " > "-joined type sequence, n_occurrences),
+    * topN rows.
+    */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsUsCol: String, tieBreak: Column, k: Int,
+               topN: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsUsCol), col("__tb"))
+    val withLeads = (1 until k).foldLeft(
+      events.select(col(userCol), col(typeCol), col(tsUsCol),
+        tieBreak.as("__tb"))) { (df, i) =>
+      df.withColumn(s"__n$i", lead(col(typeCol), i).over(w))
+    }
+    val path = concat_ws(" > ",
+      col(typeCol) +: (1 until k).map(i => col(s"__n$i")): _*)
+    withLeads
+      .filter((1 until k).map(i => col(s"__n$i").isNotNull).reduce(_ && _))
+      .select(path.as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(topN)
   }
 }

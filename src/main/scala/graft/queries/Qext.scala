@@ -625,6 +625,20 @@ object Qext {
       .orderBy("user_id")
   }
 
+  /** Top 3-step event paths ([[Funnel.topPaths]]): every consecutive
+    * (ts, event_id)-ordered triple per user is one occurrence; top 20 by
+    * (count desc, path asc) — deterministic total order since paths are
+    * unique per group. One user_id window exchange shared by both leads,
+    * then a partial-combined count and TakeOrdered.
+    */
+  def qExtTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Funnel.topPaths(
+      ev.select(col("user_id"), col("event_type"), col("event_id"),
+        Sources.eventTsMicros(ev).as("ts_us")),
+      "user_id", "event_type", "ts_us", col("event_id"), k = 3, topN = 20)
+  }
+
   /** Last-touch attribution ([[Funnel.lastTouchAttribution]]): every
     * purchase credited to the latest click/view strictly before it and
     * within 1 day (ties → largest event_id — max over the (ts, id,
@@ -1547,6 +1561,7 @@ object Qext {
     "q_ext_event_funnel" -> (qExtEventFunnel _),
     "q_ext_funnel_timed" -> (qExtFunnelTimed _),
     "q_ext_attribution_last_touch" -> (qExtAttributionLastTouch _),
+    "q_ext_top_paths" -> (qExtTopPaths _),
     "q_ext_compress_ratio" -> (qExtCompressRatio _),
     "q_ext_unicode_nfc" -> (qExtUnicodeNfc _),
     "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
@@ -2597,6 +2612,26 @@ object Qext {
         |WHERE ev.event_type = 'purchase' AND ev.ts_us >= s.signup_us
         |GROUP BY ev.user_id, s.signup_us
         |ORDER BY ev.user_id""".stripMargin,
+
+    // Same lead chain over the same (ts_us, event_id) per-user order;
+    // ranking (count desc, path asc) is a total order — LIMIT-safe.
+    "q_ext_top_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), led AS (
+        |  SELECT event_type AS t0,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |)
+        |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+        |       count(*) AS n_occurrences
+        |FROM led WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n_occurrences DESC, path ASC
+        |LIMIT 20""".stripMargin,
 
     // Winner = max touch ts then max event_id — the same lexicographic
     // (ts, id) choice the engine's max-over-struct makes; event_id is

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** [[Funnel.timedFunnel]]: hand-computed first-touch chains, gap
@@ -109,6 +110,30 @@ class FunnelSpec extends SparkSpec {
          else Some((r.getLong(3), r.getLong(4), r.getString(5)))))
       .toMap
     got shouldBe expected
+  }
+
+  "topPaths" should "count consecutive k-windows per user in time order" in {
+    val rows = Seq(
+      // user 1: A B A B → paths "A B A", "B A B"
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),
+      (1L, "B", 40L, 4L),
+      // user 2: A B A → "A B A" again; windows never span users
+      (2L, "A", 10L, 5L), (2L, "B", 20L, 6L), (2L, "A", 30L, 7L))
+      .toDF("u", "t", "ts", "id")
+    val out = Funnel.topPaths(rows, "u", "t", "ts", col("id"), k = 3,
+        topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("A > B > A", 2L), ("B > A > B", 1L))
+  }
+
+  it should "order same-timestamp events by the tie-break" in {
+    val rows = Seq(
+      (1L, "X", 10L, 2L), (1L, "Y", 10L, 1L), (1L, "Z", 20L, 3L))
+      .toDF("u", "t", "ts", "id")
+    val out = Funnel.topPaths(rows, "u", "t", "ts", col("id"), k = 3,
+        topN = 5)
+      .collect().map(_.getString(0))
+    out shouldBe Array("Y > X > Z") // id order within the tied ts
   }
 
   it should "reject bad arguments" in {
