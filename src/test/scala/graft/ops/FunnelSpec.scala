@@ -136,6 +136,57 @@ class FunnelSpec extends SparkSpec {
     out shouldBe Array("Y > X > Z") // id order within the tied ts
   }
 
+  "randomized references" should "confirm timedFunnel equals a driver-side chain walk" in {
+    val rnd = new scala.util.Random(23)
+    val types = Seq("A", "B", "C", "noise")
+    val events = (1 to 500).map { id =>
+      (rnd.nextInt(15).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(800).toLong)
+    }
+    val gapR = 120L
+    def ref(u: Long): Option[(Long, Option[Long], Option[Long])] = {
+      val mine = events.filter(_._1 == u)
+      val s1 = mine.filter(_._2 == "A").map(_._3).minOption
+      s1.map { a =>
+        val s2 = mine.filter(e => e._2 == "B" && e._3 > a && e._3 <= a + gapR)
+          .map(_._3).minOption
+        val s3 = s2.flatMap(b => mine
+          .filter(e => e._2 == "C" && e._3 > b && e._3 <= b + gapR)
+          .map(_._3).minOption)
+        (a, s2, s3)
+      }
+    }
+    val expected = events.map(_._1).distinct.flatMap(u =>
+      ref(u).map(u -> _)).toMap
+    val got = Funnel.timedFunnel(events.toDF("u", "t", "ts"),
+        "u", "t", "ts", Seq("A", "B", "C"), gapR)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    got shouldBe expected
+  }
+
+  it should "confirm topPaths equals a driver-side sliding-window count" in {
+    val rnd = new scala.util.Random(29)
+    val types = Seq("A", "B", "C")
+    val events = (1 to 300).map { id =>
+      (rnd.nextInt(10).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(500).toLong, id.toLong)
+    }
+    val expected = events.groupBy(_._1).values.flatMap { mine =>
+      mine.sortBy(e => (e._3, e._4)).map(_._2).sliding(3)
+        .filter(_.size == 3).map(_.mkString(" > "))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val topExpected = expected.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = Funnel.topPaths(events.toDF("u", "t", "ts", "id"),
+        "u", "t", "ts", col("id"), k = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    got shouldBe topExpected
+  }
+
   it should "reject bad arguments" in {
     an[IllegalArgumentException] should be thrownBy
       Funnel.timedFunnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"),

@@ -44,6 +44,43 @@ class EventStreamSpec extends SparkSpec {
       (3L, 0L, 1L, 0L, "converted"))
   }
 
+  "classifySessions" should "equal a driver-side reference on randomized event sets" in {
+    val rnd = new scala.util.Random(31)
+    val types = Seq("click", "view", "purchase")
+    val events = (1 to 400).map { id =>
+      EventStream.Event(id.toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(500000) * 1000L),
+        rnd.nextInt(12).toLong, types(rnd.nextInt(types.size)), 0)
+    }
+    val gapUs = 60000000L // 60 s
+    val expected = events.groupBy(_.user_id).flatMap { case (u, mine) =>
+      val sorted = mine.sortBy(e => (e.ts.getTime, e.event_id))
+        .map(e => (e.ts.getTime * 1000L, e.event_type))
+      // split where the gap exceeds gapUs
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc @ (cur :: rest), e) =>
+          if (e._1 - cur.head._1 > gapUs) List(e) :: acc
+          else (e :: cur) :: rest
+        case (Nil, e) => List(List(e))
+      }.map(_.reverse).reverse
+      sessions.zipWithIndex.map { case (s, i) =>
+        val convs = s.count(_._2 == "purchase").toLong
+        val outcome =
+          if (convs > 0) "converted"
+          else if (s.size == 1) "bounce" else "abandoned"
+        (u, i.toLong, s.size.toLong, s.last._1 - s.head._1, outcome)
+      }
+    }.toSet
+    val got = EventStream.classifySessions(events.toDF(),
+        tsMicros = expr("unix_micros(ts)"), tieBreak = col("event_id"),
+        gapMicros = gapUs, convertType = "purchase")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"),
+        r.getAs[String]("outcome"))).toSet
+    got shouldBe expected
+  }
+
   "windowedCounts" should "aggregate per event-time window and user (batch parity)" in {
     val out = EventStream.windowedCounts(batchEvents.toDF())
       .orderBy("user_id", "window_start").collect()
