@@ -81,9 +81,13 @@ object Bench {
     // baseline (11.7s / 42 queries = 0.279 s/query at sf0.1, BASELINE.md):
     // emit the ratio in the artifact so the round-over-round trend
     // (1.3x r9 -> 1.61x r10) is self-evident without cross-file math.
+    // the 0.279 baseline is an sf0.1 number — emitting the ratio for any
+    // other scale factor would put a bogus gate figure in the artifact,
+    // so it is NaN-omitted unless this run IS sf0.1
     val r1SecPerQuery = 0.279
     val sPerQuery = if (results.nonEmpty) total / results.size else 0.0
-    val ratioVsR1 = sPerQuery / r1SecPerQuery
+    val ratioVsR1 =
+      if (sfDir.contains("sf0.1")) sPerQuery / r1SecPerQuery else Double.NaN
     // Full-precision record for local round-over-round analysis: per-query
     // min AND p50, plus every raw pass, so no re-measurement is ever needed
     // to adjudicate a driver-side artifact (this file is committed).
@@ -108,7 +112,7 @@ object Bench {
         s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
         s""""p50_total":$p50Total,""" +
         s""""n_queries":${results.size},"s_per_query":$sPerQuery,""" +
-        s""""ratio_vs_r1":$ratioVsR1,""" +
+        s"""${if (ratioVsR1.isNaN) "" else s""""ratio_vs_r1":$ratioVsR1,"""}""" +
         s""""load_idle":$loadIdle,""" +
         s""""load_avg":${loads.mkString("[", ",", "]")},""" +
         s""""n_errors":${errors.size},"errors":$fullErrs,""" +
@@ -140,7 +144,7 @@ object Bench {
         s""""pass_totals":$pts,"p50_total":${fmt(dec, p50Total)},""" +
         s""""n_queries":${results.size},""" +
         s""""s_per_query":${fmt(3, sPerQuery)},""" +
-        s""""ratio_vs_r1":${fmt(2, ratioVsR1)},""" +
+        s"""${if (ratioVsR1.isNaN) "" else s""""ratio_vs_r1":${fmt(2, ratioVsR1)},"""}""" +
         s""""load_idle":${fmt(2, loadIdle)},""" +
         s""""n_errors":${errors.size},"errors":$errNames,""" +
         s""""load_avg":$lds,"queries":$qs,"sf":"$sfDir"}"""

@@ -79,7 +79,7 @@ object DedupGroups {
     * standard Spark lifecycle, same as any `rdd.checkpoint()` user.
     */
   private def release(df: DataFrame): Unit =
-    Managed.checkpointRdds(df).foreach(_.unpersist(false))
+    Managed.directCheckpointRdds(df).foreach(_.unpersist(false))
 
   /** True iff the big→small edge set is a star forest: no source has two
     * targets and no node is both a source and a target. Any star forest

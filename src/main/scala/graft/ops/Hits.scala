@@ -104,7 +104,7 @@ object Hits {
               / lit(tot.toDouble)).cast("long")
           else lit(0L)).as(outCol))
         .localCheckpoint(true)
-      cpRdds ++= Managed.checkpointRdds(out)
+      cpRdds ++= Managed.directCheckpointRdds(out)
       raw.unpersist(false)
       out
     }
@@ -120,12 +120,16 @@ object Hits {
       // to ~2 |V|-row frames regardless of iteration count
       val a = halfStep(hubs, "hub", "src", "dst", "auth")
       val h = halfStep(a, "auth", "dst", "src", "hub")
+      // DIRECT checkpoint release only: round-1 hubs is a persisted
+      // projection whose lineage reaches the CALLER'S edges frame — a
+      // deep walk there would free a checkpoint-backed input argument
+      // (GraphManagedSpec locks this)
       if (auths != null) {
         auths.unpersist(false)
-        Managed.checkpointRdds(auths).foreach(_.unpersist(false))
+        Managed.directCheckpointRdds(auths).foreach(_.unpersist(false))
       }
       hubs.unpersist(false)
-      Managed.checkpointRdds(hubs).foreach(_.unpersist(false))
+      Managed.directCheckpointRdds(hubs).foreach(_.unpersist(false))
       auths = a
       hubs = h
     }

@@ -43,13 +43,31 @@ final class Managed(val df: DataFrame, val caches: Seq[DataFrame],
 
 object Managed {
 
-  /** The persisted RDDs backing a `localCheckpoint`ed frame (empty for
-    * any other frame): eager local checkpoints pin their blocks in the
+  /** EVERY checkpoint RDD reachable in a frame's lineage — including the
+    * caller's inputs: eager local checkpoints pin their blocks in the
     * block manager outside the SQL cache, so `DataFrame.unpersist` never
     * reaches them — a release handle must unpersist the RDDs directly.
+    *
+    * DEEP extraction is only safe when the whole reachable lineage is
+    * owned by the releasing operator (the streaming drivers' per-batch
+    * transients, where every nested checkpoint is itself being retired).
+    * For releasing ONE generation inside an iterative loop use
+    * [[directCheckpointRdds]]: a deep walk on a first-generation frame
+    * reaches THROUGH the operator's own frames into the caller's input
+    * and would irrecoverably free a checkpoint-backed argument.
     */
   def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** The checkpoint RDD of a frame that IS a localCheckpoint result
+    * (root LogicalRDD) — empty for anything else, caller lineage
+    * untouched. The safe form for generation release inside loops.
+    */
+  def directCheckpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Seq(l.rdd)
+      case _ => Nil
     }
 }

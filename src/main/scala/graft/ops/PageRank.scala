@@ -122,7 +122,7 @@ object PageRank {
       // the round's materializing action.
       val raw = step(ctx, ranks)
       val next = raw.localCheckpoint(true)
-      cpRdds ++= Managed.checkpointRdds(next)
+      cpRdds ++= Managed.directCheckpointRdds(next)
       raw.unpersist(false)
       delta = next.join(ranks.withColumnRenamed("rank", "rank_prev")
           .select("node", "rank_prev").hint("shuffle_hash"), Seq("node"))
@@ -132,9 +132,12 @@ object PageRank {
       // is materialized and the delta read only parent+child): free its
       // cache pin AND checkpoint blocks in-loop, bounding live
       // checkpoint storage to 2 |V|-row frames however long the loop runs
+      // DIRECT checkpoint release only: round-1 prev is ctx.r0, whose
+      // lineage reaches the caller's edges — a deep walk would free a
+      // checkpoint-backed input argument (GraphManagedSpec locks this)
       prev.foreach { p =>
         p.unpersist(false)
-        Managed.checkpointRdds(p).foreach(_.unpersist(false))
+        Managed.directCheckpointRdds(p).foreach(_.unpersist(false))
       }
       prev = Some(ranks)
       ranks = next
@@ -143,7 +146,7 @@ object PageRank {
     val out = ranks.select(col("node"), col("rank").as("rank_scaled"))
     prev.foreach { p =>
       p.unpersist(false)
-      Managed.checkpointRdds(p).foreach(_.unpersist(false))
+      Managed.directCheckpointRdds(p).foreach(_.unpersist(false))
     }
     Converged(new Managed(out, ctx.pins, cpRdds.toSeq), iters, delta)
   }
@@ -264,7 +267,7 @@ object PageRank {
       val next =
         if (i % 3 == 0 && i < iterations) {
           val cp = stepped.localCheckpoint(true)
-          cpRdds ++= Managed.checkpointRdds(cp)
+          cpRdds ++= Managed.directCheckpointRdds(cp)
           stepped.unpersist(false)
           cp
         } else stepped

@@ -115,10 +115,14 @@ object Retrieval {
     * selectivity, same rationale as the other ops' signature pins.
     *
     * Cache lifecycle: the pin is released before returning — the top-N
-    * result (<= topN rows) is materialized via eager localCheckpoint,
-    * then the postings frame unpersists (the Hits pattern). Repeated
-    * bm25 calls in a long-lived session therefore do NOT accumulate
-    * pinned frames.
+    * result (<= topN rows BY CONTRACT) is collected and re-wrapped as a
+    * LocalRelation, then the postings frame unpersists. Nothing stays in
+    * the block manager: repeated bm25 calls in a long-lived session
+    * accumulate NEITHER cache pins nor checkpoint blocks (the round-11
+    * localCheckpoint draft leaked one persisted RDD per call). The
+    * scoring plan itself is package-visible as [[scoreBm25Plan]] so the
+    * plan-invariants suite can keep its join strategy locked even though
+    * the returned frame no longer carries it.
     */
   private def scoreBm25(tfIn: DataFrame, idCol: String, terms: Seq[String],
                         n: Long, avgdl: Double, k1: Double, b: Double,
@@ -142,15 +146,36 @@ object Retrieval {
     val total = terms.indices
       .map(i => coalesce(col(s"__s$i"), lit(0.0)))
       .reduceLeft(_ + _)
-    val result = scored.groupBy(col(idCol))
+    val lazyResult = scored.groupBy(col(idCol))
       .agg(termSums.head, termSums.tail :+ count(lit(1)).as("n_terms"): _*)
       .select(col(idCol), col("n_terms"),
         round(total, scoreDecimals).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topN)
-      .localCheckpoint(true) // eager: <= topN rows, severs the tf lineage
+    // materialize the k-bounded rows and return them as a LocalRelation:
+    // self-contained, GC-managed, zero block-manager footprint
+    val spark = tfIn.sparkSession
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(lazyResult.collect(): _*), lazyResult.schema)
     tf.unpersist()
     result
+  }
+
+  /** The scoring plan over a (idCol, dl, token, tf) postings frame,
+    * UN-materialized — package-visible solely so PlanInvariantsSpec can
+    * lock its join strategy (broadcast df join, no SortMergeJoin): the
+    * public entry points collect the k-bounded result, which removes the
+    * joins from their returned plans.
+    */
+  private[graft] def scoreBm25Plan(tf: DataFrame, idCol: String,
+                                   terms: Seq[String], n: Long,
+                                   avgdl: Double): DataFrame = {
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val den = col("tf") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl)))
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("__s", idf * ((col("tf") * lit(2.2)) / den))
   }
 
   /** Attach 1-based ranks to a retrieval result by (score desc, id asc).

@@ -35,8 +35,15 @@ object CohortStream {
   /** One retention-matrix change: delta is +1 or -1. */
   final case class Change(cohort_week: Long, week_offset: Long, delta: Long)
 
-  /** Per-user state (public: Catalyst instantiates reflectively). */
-  final case class Cohort(cohortWeek: Long, weeks: Seq[Long])
+  /** Per-user state (public: Catalyst instantiates reflectively).
+    * `lastSeenMs` (ms epoch) anchors the
+    * bounded-horizon form's timeout to the user's LATEST activity across
+    * batches — without it a within-lateness straggler batch would regress
+    * the timeout toward its own (older) max timestamp and expire a
+    * recently-active user early (round-11 review finding).
+    */
+  final case class Cohort(cohortWeek: Long, weeks: Seq[Long],
+                          lastSeenMs: Long)
 
   implicit private val cohortEnc: Encoder[Cohort] = Encoders.product[Cohort]
 
@@ -56,14 +63,16 @@ object CohortStream {
           // but sorting keeps the common in-order path retraction-free
           rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
             val w = Math.floorDiv(e.ts.getTime, WeekMs)
+            val seen = math.max(e.ts.getTime, cur.map(_.lastSeenMs).getOrElse(Long.MinValue))
             cur match {
               case None =>
                 out += Change(w, 0L, 1L)
-                cur = Some(Cohort(w, Seq(w)))
+                cur = Some(Cohort(w, Seq(w), seen))
               case Some(c) if c.weeks.contains(w) => // known week: no-op
+                cur = Some(c.copy(lastSeenMs = seen))
               case Some(c) if w >= c.cohortWeek =>
                 out += Change(c.cohortWeek, w - c.cohortWeek, 1L)
-                cur = Some(Cohort(c.cohortWeek, c.weeks :+ w))
+                cur = Some(Cohort(c.cohortWeek, c.weeks :+ w, seen))
               case Some(c) =>
                 // straggler BEFORE the known first week: the user's
                 // cohort moves — retract every emitted offset, re-emit
@@ -71,7 +80,7 @@ object CohortStream {
                 c.weeks.foreach(s => out += Change(c.cohortWeek, s - c.cohortWeek, -1L))
                 val weeks = w +: c.weeks
                 weeks.foreach(s => out += Change(w, s - w, 1L))
-                cur = Some(Cohort(w, weeks))
+                cur = Some(Cohort(w, weeks, seen))
             }
           }
           cur.foreach(state.update)
@@ -121,29 +130,35 @@ object CohortStream {
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[Change]
             var cur = state.getOption
-            var maxTs = Long.MinValue
             rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              maxTs = math.max(maxTs, e.ts.getTime)
               val w = Math.floorDiv(e.ts.getTime, WeekMs)
+              val seen = math.max(e.ts.getTime,
+                cur.map(_.lastSeenMs).getOrElse(Long.MinValue))
               cur match {
                 case None =>
                   out += Change(w, 0L, 1L)
-                  cur = Some(Cohort(w, Seq(w)))
+                  cur = Some(Cohort(w, Seq(w), seen))
                 case Some(c) if c.weeks.contains(w) =>
+                  cur = Some(c.copy(lastSeenMs = seen))
                 case Some(c) if w >= c.cohortWeek =>
                   out += Change(c.cohortWeek, w - c.cohortWeek, 1L)
-                  cur = Some(Cohort(c.cohortWeek, c.weeks :+ w))
+                  cur = Some(Cohort(c.cohortWeek, c.weeks :+ w, seen))
                 case Some(c) =>
                   c.weeks.foreach(s =>
                     out += Change(c.cohortWeek, s - c.cohortWeek, -1L))
                   val weeks = w +: c.weeks
                   weeks.foreach(s => out += Change(w, s - w, 1L))
-                  cur = Some(Cohort(w, weeks))
+                  cur = Some(Cohort(w, weeks, seen))
               }
             }
             cur.foreach { c =>
               state.update(c)
-              state.setTimeoutTimestamp(maxTs + horizonWeeks.toLong * WeekMs)
+              // anchor on the user's LATEST activity ACROSS batches (the
+              // state's lastSeenMs, not this batch's max): a
+              // within-lateness straggler batch must never pull the
+              // horizon backwards (spec'd)
+              state.setTimeoutTimestamp(
+                c.lastSeenMs + horizonWeeks.toLong * WeekMs)
             }
             out.iterator
           }

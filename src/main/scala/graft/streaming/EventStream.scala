@@ -45,7 +45,22 @@ object EventStream {
     */
   def batchSessionize(events: DataFrame, tsMicros: org.apache.spark.sql.Column,
                       tieBreak: org.apache.spark.sql.Column,
-                      gapMicros: Long): DataFrame = {
+                      gapMicros: Long): DataFrame =
+    stitched(events, tsMicros, tieBreak, gapMicros)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ts_us")).as("start_us"),
+        max(col("__ts_us")).as("end_us"))
+
+  /** The gap-stitching window stack shared by [[batchSessionize]] and
+    * [[classifySessions]] — the gap rule lives HERE, once: events tagged
+    * with `__ts_us` and a running `session_idx` per user (one user_id
+    * exchange for the whole stack).
+    */
+  private def stitched(events: DataFrame,
+                       tsMicros: org.apache.spark.sql.Column,
+                       tieBreak: org.apache.spark.sql.Column,
+                       gapMicros: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(tsMicros, tieBreak)
     events
@@ -54,10 +69,6 @@ object EventStream {
         when(col("__ts_us") - lag(col("__ts_us"), 1).over(byUser) > gapMicros, 1)
           .otherwise(0))
       .withColumn("session_idx", sum(col("__new_session")).over(byUser))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("__ts_us")).as("start_us"),
-        max(col("__ts_us")).as("end_us"))
   }
 
   /** Per-session OUTCOME classification — the funnel-adjacent question
@@ -75,14 +86,7 @@ object EventStream {
                        tsMicros: org.apache.spark.sql.Column,
                        tieBreak: org.apache.spark.sql.Column,
                        gapMicros: Long, convertType: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(tsMicros, tieBreak)
-    events
-      .withColumn("__ts_us", tsMicros)
-      .withColumn("__new_session",
-        when(col("__ts_us") - lag(col("__ts_us"), 1).over(byUser) > gapMicros, 1)
-          .otherwise(0))
-      .withColumn("session_idx", sum(col("__new_session")).over(byUser))
+    stitched(events, tsMicros, tieBreak, gapMicros)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col("__ts_us")).as("start_us"),
@@ -119,55 +123,27 @@ object EventStream {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
-  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
-
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
 
   /** Gap-based sessionization: a user's session closes after `gapMs` of
     * event-time silence (tracked via processing-time timeout for stream use).
     * This is the mapGroupsWithState shape — custom state beyond built-in
-    * windows.
+    * windows. One state machine: this is [[sessionizeClassified]] with a
+    * never-matching conversion type, projected to the plain Session shape
+    * (the gap rule exists once on the streaming side, as `stitched` is
+    * once on the batch side).
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        case (userId, rows, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.lastSeen), s.nEvents))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastSeen <= gapMs =>
-                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.lastSeen), s.nEvents)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutDuration(gapMs)
-            }
-            closed.reverseIterator
-          }
-      }
+    sessionizeClassified(events, gapMs, convertType = "\u0000never")
+      .map(cs => Session(cs.user_id, cs.session_start, cs.session_end,
+        cs.n_events))
   }
 
-  /** State for [[sessionizeClassified]]: [[SessionState]] + the running
+  /** State for [[sessionizeClassified]] (and via delegation
+    * [[sessionize]]): session bounds, event count, and the running
     * conversion count (public: Catalyst instantiates reflectively).
     */
   final case class ClassState(start: Long, lastSeen: Long, nEvents: Long,

@@ -82,6 +82,25 @@ class GraphManagedSpec extends SparkSpec {
     managed shouldBe plain
   }
 
+  "in-loop generation release" should "never free a CALLER'S checkpoint-backed input" in {
+    // round-11 review finding: a deep checkpoint-RDD walk on a
+    // first-generation frame (round-1 hubs / converged prev = r0) reaches
+    // THROUGH the operator's frames into the caller's edges argument —
+    // if that argument is itself localCheckpoint-backed, releasing it
+    // destroys irrecoverable blocks and the caller's next action throws.
+    // The in-loop releases now use directCheckpointRdds; this drives the
+    // exact scenario and re-reads the input afterwards.
+    val cpEdges = edges.toDF("src", "dst").localCheckpoint(true)
+    Hits.hitsManaged(cpEdges, "src", "dst", 3).use(_.count())
+    cpEdges.count() shouldBe edges.size // caller's blocks must survive
+
+    val cpEdges2 = edges.toDF("src", "dst").localCheckpoint(true)
+    val c = PageRank.pageRankConvergedManaged(cpEdges2, "src", "dst",
+      epsilonScaled = 1000000000L, maxIterations = 30)
+    c.ranks.use(_.count())
+    cpEdges2.count() shouldBe edges.size
+  }
+
   "keywordsManaged" should "release the vocab/edge pins and the inner PageRank state" in {
     val docs = Seq("hub a", "hub b", "hub c", "hub d", "a b")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")

@@ -99,4 +99,21 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "SortMergeJoin"
   }
+
+  "bm25 lifecycle" should "leave neither cache pins nor checkpoint blocks behind" in {
+    // round-11: the postings pin releases after the k-bounded result is
+    // collected into a LocalRelation — repeated calls in a long-lived
+    // session must not grow the persistent-RDD map (the earlier
+    // localCheckpoint draft leaked one block set per call)
+    val docs = Seq((1L, "spark merge alpha"), (2L, "spark beta"),
+      (3L, "merge gamma")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    (1 to 3).foreach { _ =>
+      Retrieval.bm25(docs, "doc_id", "text", Seq("spark", "merge"),
+        topN = 5).collect()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      .diff(before)
+    withClue(s"leaked persistent RDDs $leaked: ") { leaked shouldBe empty }
+  }
 }

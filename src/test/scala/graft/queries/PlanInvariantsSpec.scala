@@ -123,6 +123,26 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  it should "plan BM25 scoring as a broadcast join (no SMJ) pre-materialization" in {
+    // the public bm25 entry points collect the k-bounded result into a
+    // LocalRelation (round-11 lifecycle fix), which removes the scoring
+    // joins from their returned plans — lock the scoring SHAPE directly,
+    // the same compensation as the HITS half-step probe
+    import spark.implicits._
+    val tf = Seq((1L, 10L, "spark", 2L), (2L, 8L, "merge", 1L))
+      .toDF("doc_id", "dl", "token", "tf")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = graft.ops.Retrieval
+        .scoreBm25Plan(tf, "doc_id", Seq("spark", "merge"), 100L, 9.0)
+        .queryExecution.executedPlan.toString
+      withClue(s"bm25 scoring plan:\n$plan\n") {
+        plan should not include "SortMergeJoin"
+        plan should include("BroadcastHashJoin")
+      }
+    } finally tf.unpersist(false)
+  }
+
   it should "contain no Scala UDFs" in {
     built.foreach { case (n, df) =>
       val udfs = df.queryExecution.optimizedPlan.collect { case p =>

@@ -119,6 +119,24 @@ class CohortStreamSpec extends SparkSpec {
     got.keySet should not contain ((wEarly, wLate - wEarly)) // no offset-10 row
   }
 
+  it should "not regress the horizon when a within-lateness straggler arrives" in {
+    // u9 is active at 03-01; a straggler at 02-10 (inside the 30d
+    // lateness) then merges in. The timeout must stay anchored at the
+    // LATEST activity (03-01 + 2w), not the straggler batch's max
+    // (02-10 + 2w): the tick advances the watermark past the buggy
+    // deadline but not the correct one, and u9's return at 03-05 must
+    // continue the existing cohort — a regressed horizon would have
+    // dropped the state and restarted them as a new cohort
+    val a = Ev(9L, ts("2024-03-01 12:00:00"))
+    val strag = Ev(9L, ts("2024-02-10 12:00:00"))
+    val tick = Ev(8L, ts("2024-03-30 00:00:00"))
+    val ret = Ev(9L, ts("2024-03-05 12:00:00"))
+    val got = matrix(runWindowed(
+      Seq(Seq(a), Seq(strag), Seq(tick), Seq(ret)), horizonWeeks = 2,
+      "cow_reg"))
+    got shouldBe batchMatrix(Seq(a, strag, tick, ret))
+  }
+
   it should "keep the retraction path within the horizon" in {
     val a = Ev(5L, ts("2024-01-10 10:00:00"))
     val b = Ev(5L, ts("2024-01-03 10:00:00")) // earlier week, inside horizon
