@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Round-close gate — the last act of every round, run from the repo root.
+
+Fails LOUDLY (nonzero exit) when the round is about to close in a state the
+driver/judge would flag:
+
+  1. Bench stdout line unparseable through the driver's last-2000-chars
+     window, or missing the gate keys, or recording query errors
+     (BENCH_r10-r12 were `parsed: null` for three consecutive rounds).
+  2. BENCH_LOCAL.json missing/stale-schema.
+  3. HEAD has not moved since the driver's round-start artifact commit
+     (round 12 closed with zero commits and nothing noticed until the
+     verdict).
+  4. No TESTRUN_r{N}.json for the closing round (pass -n N to enable).
+
+Usage: python3 scripts/close_gate.py [-n ROUND]
+"""
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+FAILURES = []
+
+
+def fail(msg):
+    FAILURES.append(msg)
+    print(f"[close-gate] FAIL: {msg}")
+
+
+def ok(msg):
+    print(f"[close-gate] ok:   {msg}")
+
+
+def check_bench_stdout():
+    path = "BENCH_STDOUT.txt"
+    if not os.path.exists(path):
+        return fail(f"{path} missing — run graft.Bench at sf0.1 before closing")
+    line = open(path).read().strip()
+    if len(line) > 2000:
+        return fail(f"bench stdout line is {len(line)} chars; the driver "
+                    "keeps only the last 2000 — summary keys would be cut")
+    try:
+        js = json.loads(line[-2000:])
+    except json.JSONDecodeError as e:
+        return fail(f"bench stdout line does not parse through the "
+                    f"2000-char window: {e}")
+    required = ["value", "n_queries", "s_per_query", "pass_totals",
+                "n_errors", "core25_total"]
+    missing = [k for k in required if k not in js]
+    if missing:
+        return fail(f"bench stdout line missing keys: {missing}")
+    if js["n_errors"] != 0:
+        return fail(f"bench recorded {js['n_errors']} query errors: "
+                    f"{js.get('errors')}")
+    if "sf0.1" in str(js.get("sf", "")) and "ratio_vs_r1" not in js:
+        return fail("sf0.1 bench line lacks ratio_vs_r1")
+    ok(f"bench stdout line: {len(line)} chars, parses, "
+       f"{js['n_queries']} queries, n_errors=0, "
+       f"ratio_vs_r1={js.get('ratio_vs_r1')}, "
+       f"core25_ratio={js.get('core25_ratio')}")
+
+
+def check_bench_local():
+    path = "BENCH_LOCAL.json"
+    if not os.path.exists(path):
+        return fail(f"{path} missing")
+    try:
+        js = json.loads(open(path).read())
+    except json.JSONDecodeError as e:
+        return fail(f"{path} does not parse: {e}")
+    for k in ["queries", "raw_passes", "pass_totals", "load_avg"]:
+        if k not in js:
+            return fail(f"{path} missing key {k}")
+    if js.get("errors"):
+        return fail(f"{path} records errors: {list(js['errors'])[:5]}")
+    ok(f"BENCH_LOCAL.json: {len(js['queries'])} queries, "
+       f"total={js['value']:.1f}s, loads={js['load_avg']}")
+
+
+def check_head_moved():
+    log = subprocess.run(
+        ["git", "log", "--format=%H %s", "-200"],
+        capture_output=True, text=True).stdout.splitlines()
+    if not log:
+        return fail("git log empty?")
+    head = log[0].split()[0]
+    start = None
+    for ln in log:
+        h, _, subj = ln.partition(" ")
+        if re.match(r"round \d+: verdict/advice", subj):
+            start = h
+            break
+    if start is None:
+        return ok("no driver round-start commit found (round 1?)")
+    if head == start:
+        return fail("HEAD is still the driver's round-start artifact commit "
+                    "— zero builder commits this round")
+    n = log.index(next(l for l in log if l.startswith(start)))
+    ok(f"HEAD moved: {n} commit(s) since round start {start[:8]}")
+
+
+def check_testrun(n):
+    if n is None:
+        print("[close-gate] skip: TESTRUN check (no -n ROUND given)")
+        return
+    path = f"TESTRUN_r{n:02d}.json"
+    if not os.path.exists(path):
+        return fail(f"{path} missing — record the round's full `sbt test` run")
+    try:
+        js = json.loads(open(path).read())
+    except json.JSONDecodeError as e:
+        return fail(f"{path} does not parse: {e}")
+    if js.get("exit_code", js.get("rc", 1)) != 0:
+        return fail(f"{path} records a failing test run")
+    ok(f"{path}: green")
+
+
+def check_clean_tree():
+    out = subprocess.run(["git", "status", "--porcelain"],
+                         capture_output=True, text=True).stdout
+    dirty = [l for l in out.splitlines()
+             if l and not l.endswith(("BENCH_LOCAL.json", "BENCH_STDOUT.txt",
+                                      "LEAKCHECK.json"))]
+    if dirty:
+        return fail("uncommitted changes at close:\n  " + "\n  ".join(dirty))
+    ok("working tree clean (modulo regenerated artifacts)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=None, help="closing round number")
+    args = ap.parse_args()
+    check_bench_stdout()
+    check_bench_local()
+    check_head_moved()
+    check_testrun(args.n)
+    check_clean_tree()
+    if FAILURES:
+        print(f"[close-gate] ROUND CLOSE BLOCKED — {len(FAILURES)} failure(s)")
+        sys.exit(1)
+    print("[close-gate] all gates green — round may close")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,93 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The §2.12 reference-parity registry — the FIXED query mix behind
+    * `core25_ratio`. `ratio_vs_r1`'s 0.279 s/query constant divides by a
+    * query count that grows every round (42 → 120+), so its trend mixes
+    * engine speed with registry composition; this mix never changes, giving
+    * the 2× gate a clean round-over-round trend line.
+    */
+  private[graft] val Core25: Set[String] = Set(
+    "q_agg_minmax", "q_agg_mode_per_key", "q_agg_null_count",
+    "q_dedup_business_key", "q_dedup_full_row", "q_derive_cast_date",
+    "q_derive_concat_key", "q_derive_fill_default", "q_derive_split",
+    "q_derive_strip_decimal", "q_derive_substr", "q_filter_eq",
+    "q_filter_isin", "q_filter_range_date", "q_filter_rlike",
+    "q_join_left_multi_key", "q_join_lookup_fallback", "q_join_lookup_left",
+    "q_join_rowcount_guard", "q_pipeline_pretam", "q_project_rename",
+    "q_scan_project", "q_sort_limit_first", "q_union_harmonize",
+    "q_validate_format")
+
+  /** Fixed denominator for `core25_ratio`: the Core25 floor total at sf0.1
+    * from the earliest committed BENCH_LOCAL.json that contains all 25
+    * (round-5 close, git 9f9833e — 5.723 s). A constant by design: the
+    * ratio is a trend line, not an absolute grade.
+    */
+  private[graft] val Core25BaseTotal = 5.723
+
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => " "
+    case c => c.toString
+  } + "\""
+
+  private def fmt(dec: Int, v: Double): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+
+  /** The bounded stdout summary line. The harness consuming stdout keeps
+    * only the LAST 2000 characters (BENCH_r03/r04 tails began mid-JSON;
+    * BENCH_r10–r12 were `parsed: null` because the per-query map alone
+    * overflowed the window at 116+ queries, pushing every summary key past
+    * the cut). Per-query detail lives in the committed BENCH_LOCAL.json;
+    * stdout carries only O(passes) aggregates plus a top-K-slowest map, and
+    * degrades (drop top-K, cap error names) rather than ever exceeding the
+    * window — BenchLineSpec locks ≤1900 chars at 200 queries with errors.
+    */
+  private[graft] def summaryLine(results: Seq[(String, Double)], passes: Int,
+                                 passTotals: Seq[Double], p50Total: Double,
+                                 loadIdle: Double, loads: Seq[Double],
+                                 errorNames: Seq[String],
+                                 sfDir: String): String = {
+    val total = results.map(_._2).sum
+    val sPerQuery = if (results.nonEmpty) total / results.size else 0.0
+    val isSf01 = sfDir.contains("sf0.1")
+    val ratioVsR1 = if (isSf01) sPerQuery / 0.279 else Double.NaN
+    val coreQs = results.filter { case (k, _) => Core25.contains(k) }
+    val coreTotal = coreQs.map(_._2).sum
+    val coreRatio =
+      if (isSf01 && coreQs.size == Core25.size) coreTotal / Core25BaseTotal
+      else Double.NaN
+    val slowest = results.sortBy(-_._2)
+    def build(topK: Int, errCap: Int): String = {
+      val pts = passTotals.map(fmt(2, _)).mkString("[", ",", "]")
+      val lds = loads.map(fmt(2, _)).mkString("[", ",", "]")
+      val errNames = (errorNames.take(errCap).map(jq) ++
+        (if (errorNames.size > errCap)
+           Seq(jq(s"+${errorNames.size - errCap} more")) else Nil))
+        .mkString("[", ",", "]")
+      val top = slowest.take(topK)
+        .map { case (k, v) => jq(k) + ":" + fmt(2, v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","passes":$passes,""" +
+        s""""pass_totals":$pts,"p50_total":${fmt(2, p50Total)},""" +
+        s""""n_queries":${results.size},""" +
+        s""""s_per_query":${fmt(3, sPerQuery)},""" +
+        s"""${if (ratioVsR1.isNaN) "" else s""""ratio_vs_r1":${fmt(2, ratioVsR1)},"""}""" +
+        s""""core25_total":${fmt(2, coreTotal)},"core25_n":${coreQs.size},""" +
+        s"""${if (coreRatio.isNaN) "" else s""""core25_ratio":${fmt(2, coreRatio)},"""}""" +
+        s""""load_idle":${fmt(2, loadIdle)},"load_avg":$lds,""" +
+        s""""n_errors":${errorNames.size},"errors":$errNames,""" +
+        s"""${if (topK > 0) s""""top_slowest":$top,""" else ""}""" +
+        s""""sf":"$sfDir"}"""
+    }
+    Seq((10, 20), (0, 20), (0, 5), (0, 0))
+      .map { case (t, e) => build(t, e) }
+      .find(_.length <= 1900)
+      .getOrElse(build(0, 0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -98,12 +185,6 @@ object Bench {
     val fullRaw = allPasses.map(p =>
       p.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    } + "\""
     val fullErrs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val fullLine =
@@ -122,35 +203,15 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
-    // The harness that consumes stdout keeps only the LAST 2000 characters
-    // (BENCH_r03/r04 tails begin mid-JSON), so the result line must fit that
-    // window with margin. Per-query minima stay in the line (the gate's
-    // subject); the adjudication fields are aggregates (pass_totals,
-    // p50_total, load_avg) so they cost O(passes), not O(queries).
-    // Millisecond precision is plenty for second-scale timings; precision
-    // steps down (3, 2, 1) until the line fits.
-    def fmt(dec: Int, v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
-        .mkString("{", ",", "}")
-      val pts = passTotals.map(fmt(dec, _)).mkString("[", ",", "]")
-      val lds = loads.map(fmt(2, _)).mkString("[", ",", "]")
-      // Names only in the size-budgeted stdout line (messages live in
-      // BENCH_LOCAL.json); n_errors>0 = the bench FAILED, whatever the total.
-      val errNames = errors.keys.map(jq).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(dec, total)},"unit":"sec","passes":$passes,""" +
-        s""""single_pass_total":${fmt(dec, singlePassTotal)},""" +
-        s""""pass_totals":$pts,"p50_total":${fmt(dec, p50Total)},""" +
-        s""""n_queries":${results.size},""" +
-        s""""s_per_query":${fmt(3, sPerQuery)},""" +
-        s"""${if (ratioVsR1.isNaN) "" else s""""ratio_vs_r1":${fmt(2, ratioVsR1)},"""}""" +
-        s""""load_idle":${fmt(2, loadIdle)},""" +
-        s""""n_errors":${errors.size},"errors":$errNames,""" +
-        s""""load_avg":$lds,"queries":$qs,"sf":"$sfDir"}"""
-    }
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))
+    val out = summaryLine(results, passes, passTotals, p50Total,
+      loadIdle, loads.toSeq, errors.keys.toSeq, sfDir)
     println(out)
+    // The stdout line verbatim, for the close gate (scripts/close_gate.py)
+    // to assert window-fit + parseability without re-running the bench.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_STDOUT.txt"),
+      (out + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
     if (errors.nonEmpty) {
       errors.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
       spark.stop()
