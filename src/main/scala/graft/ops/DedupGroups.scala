@@ -123,18 +123,37 @@ object DedupGroups {
                                     broadcastRoots: Boolean = true)
       : (DataFrame, Int) = {
     val ids = nodes.columns.head
-    val (r, it) = starRootsWithRounds(edges, maxIters, checkpointDir)
-    val roots = r.select(col("__id").as(ids), col("group_id"))
+    val (r, it, fixpoint) = starRootsWithRounds(edges, maxIters, checkpointDir)
+    val rootsPlan = r.select(col("__id").as(ids), col("group_id"))
     // Pinned frames carry no size statistics, so without the hint Spark
     // plans this labels join as a sort-merge join. Roots are bounded by
     // the pair-subgraph size (same argument as resolveFromPairs'
     // broadcastGroups — strictly smaller, in fact); disable together for
     // pathological near-dup graphs approaching corpus size.
+    //
+    // In the broadcast regime the roots are driver-bounded BY ASSUMPTION,
+    // so materialize them as a LocalRelation and release the converged
+    // checkpoint NOW: left to the ContextCleaner, the fixpoint blocks
+    // back the returned frame until the session GCs it — in a long
+    // registry session, never (the round-12 driver run measured the graph
+    // tier +31% on identical code under the accumulated pins).
+    val roots =
+      if (broadcastRoots) { val l = localized(rootsPlan); release(fixpoint); l }
+      else rootsPlan
     val labels = nodes.select(col(ids))
       .join(if (broadcastRoots) broadcast(roots) else roots, Seq(ids), "left")
       .select(col(ids), coalesce(col("group_id"), col(ids)).as("group_id"))
     (labels, it)
   }
+
+  /** Collect a driver-bounded frame into a LocalRelation: self-contained,
+    * GC-managed, zero block-manager footprint — the safe thing to hand a
+    * caller whose backing checkpoint blocks are about to be released (the
+    * [[Retrieval]] BM25 top-N pattern).
+    */
+  private def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** Core star-contraction loop: canonicalize `edges` (first two columns,
     * undirected), iterate large-star/small-star to the fixpoint, and
@@ -149,13 +168,17 @@ object DedupGroups {
     * [[isStarForest]] the round convergence was detected), so no terminal
     * aggregation or extra checkpoint is needed — the round-8 shape spent
     * two additional jobs here (a guard groupBy(min) over the fixpoint plus
-    * its pin) per resolution, ~15% of the operator's sf0.1 floor. The
-    * converged checkpoint's blocks back the returned frame and are dropped
-    * by the ContextCleaner when it is garbage-collected.
+    * its pin) per resolution, ~15% of the operator's sf0.1 floor.
+    *
+    * The third element is the converged checkpoint frame itself, whose
+    * blocks back the mapping: callers that materialize the mapping (the
+    * broadcast regimes localize it into a LocalRelation) must `release`
+    * it immediately; callers that hand the lazy mapping onward own its
+    * lifecycle.
     */
   private def starRootsWithRounds(edges: DataFrame, maxIters: Int,
                                   checkpointDir: Option[String])
-      : (DataFrame, Int) = {
+      : (DataFrame, Int, DataFrame) = {
     val Seq(src, dst) = edges.columns.take(2).toSeq
     // Canonical orientation big→small; self-loops and duplicate pairs out.
     var e = pin(edges.select(
@@ -208,7 +231,7 @@ object DedupGroups {
       // from one true component. Fail loudly.
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIters=$maxIters rounds")
-    (e.select(col("__u").as("__id"), col("__v").as("group_id")), it)
+    (e.select(col("__u").as("__id"), col("__v").as("group_id")), it, e)
   }
 
   /** Full dedup-group resolution over a document table: find near-dup pairs
@@ -298,9 +321,15 @@ object DedupGroups {
       .select(col("__ga"), col("__gb"))
       .distinct()
     // the star-forest mapping IS the group rewrite: one row per merged-away
-    // group id, pointing at the merged component's minimum
-    val mapping = starRootsWithRounds(contraction, 40, checkpointDir)._1
-      .select(col("__id").as("__old_g"), col("group_id").as("__new_g"))
+    // group id, pointing at the merged component's minimum. Always
+    // broadcast-bounded (one row per TOUCHED group in this batch), so
+    // localize it and release the contraction fixpoint in-op — per-batch
+    // checkpoint blocks must not outlive the batch (the streaming drivers'
+    // deep-walk release then simply finds nothing left to free).
+    val (mRaw, _, mFix) = starRootsWithRounds(contraction, 40, checkpointDir)
+    val mapping = localized(
+      mRaw.select(col("__id").as("__old_g"), col("group_id").as("__new_g")))
+    release(mFix)
     labels.join(broadcast(mapping), col("group_id") === col("__old_g"), "left")
       .select(col(idCol),
         coalesce(col("__new_g"), col("group_id")).as("group_id"))
@@ -324,9 +353,16 @@ object DedupGroups {
     // 1.50 s — at-or-below the round-7 1.64 s mark; the fixed per-call
     // job count is what the elision buys at scale, where each extra
     // materialization is a full cluster barrier).
-    val roots = starRootsWithRounds(
-      pairTable.select(col("id_a"), col("id_b")), 40, checkpointDir)._1
-      .select(col("__id").as(idCol), col("group_id"))
+    val (rRaw, _, rFix) = starRootsWithRounds(
+      pairTable.select(col("id_a"), col("id_b")), 40, checkpointDir)
+    val rootsPlan = rRaw.select(col("__id").as(idCol), col("group_id"))
+    // Broadcast regime = driver-bounded roots by assumption: localize and
+    // release the converged checkpoint here instead of leaving its blocks
+    // pinned behind the returned frame for the session's lifetime (see
+    // connectedComponentsWithRounds).
+    val roots =
+      if (broadcastGroups) { val l = localized(rootsPlan); release(rFix); l }
+      else rootsPlan
     docs.select(col(idCol))
       .join(if (broadcastGroups) broadcast(roots) else roots, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))

@@ -85,19 +85,36 @@ class PlanInvariantsSpec extends SparkSpec {
     * stats-less inputs, mirroring the real call site.
     */
   "the graph tier" should "expose its iteration steps to the SMJ check via cached subplans" in {
-    val byName = built.toMap
-    Seq("q_ext_pagerank", "q_ext_trustrank", "q_ext_textrank").foreach { n =>
-      val plans = withCachedSubplans(byName(n).queryExecution.executedPlan)
-      withClue(s"$n: iteration step not nested-visible — the SMJ lock " +
-        "above would no longer cover it: ") {
-        plans.size should be > 1
-      }
-      // the nested step must actually contain the per-iteration joins
-      withClue(s"$n: ") {
-        plans.map(_.toString).count(s =>
-          s.contains("ShuffledHashJoin") || s.contains("BroadcastHashJoin")
-        ) should be >= 1
-      }
+    // Since round 13 the REGISTRY wrappers return LocalRelations (pins and
+    // checkpoint blocks released in-op — RegistryLifecycleSpec), so the
+    // iteration steps are no longer reachable through the registry plans;
+    // the lock moves to the operator-level lazy frame, exactly as the BM25
+    // pre-materialization check below does.
+    import spark.implicits._
+    val edges = (0L until 60L)
+      .flatMap(i => Seq((i, (i * 3 + 1) % 60), (i, (i * 7 + 2) % 60)))
+      .toDF("src", "dst")
+    Seq(
+      "pageRank" -> graft.ops.PageRank.pageRankManaged(edges, "src", "dst", 5),
+      "trustRank" -> graft.ops.PageRank.trustRankManaged(edges, "src", "dst",
+        Seq(Tuple1(0L)).toDF("node"), "node", 5)
+    ).foreach { case (n, m) =>
+      try {
+        val plans = withCachedSubplans(m.df.queryExecution.executedPlan)
+        withClue(s"$n: iteration step not nested-visible — the SMJ lock " +
+          "above would no longer cover it: ") {
+          plans.size should be > 1
+        }
+        // the nested step must actually contain the per-iteration joins,
+        // and none of them may have degraded to SortMergeJoin
+        withClue(s"$n: ") {
+          val strs = plans.map(_.toString)
+          strs.count(s =>
+            s.contains("ShuffledHashJoin") || s.contains("BroadcastHashJoin")
+          ) should be >= 1
+          strs.foreach(_ should not include "SortMergeJoin")
+        }
+      } finally m.release()
     }
   }
 
