@@ -22,6 +22,20 @@ object Qext {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(spark, dir, name)
 
+  /** Materialize a k-bounded result into a LocalRelation (collect +
+    * createDataFrame): self-contained, GC-managed, zero block-manager
+    * footprint — the [[graft.ops.Retrieval]] BM25 pattern. The registry
+    * contract hands the harness a LAZY frame it materializes later, so a
+    * graph query must collect its ≤100-row result BEFORE releasing the
+    * [[graft.ops.Managed]] pins/checkpoint blocks backing it; wrappers
+    * that skipped this held ~5 graph tiers' blocks to session teardown
+    * (round-12 driver run: graph tier +31% on identical code vs +12%
+    * ambient).
+    */
+  private def toLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   // ------------------------------------------------------------ dedup
 
   /** Exact content-hash dedup: keep smallest doc_id per normalized-text md5. */
@@ -829,6 +843,34 @@ object Qext {
       .orderBy("media_id")
   }
 
+  /** REAL container decode ([[Multimodal.decodeMeta]] / [[MediaCodec]]):
+    * genuine PNG/JPEG/WAV payloads are produced by the JDK's OWN encoders
+    * (ImageIO, sampled-audio — independent of the parsers) from
+    * id-deterministic parameters, then decoded back by walking the actual
+    * container structures — PNG IHDR with CRC32 verification, JPEG SOF
+    * marker walk, WAV RIFF chunk walk — with the format SNIFFED from magic
+    * bytes, not trusted metadata. The oracle states the expected fields
+    * purely from the generating arithmetic (ground truth independent of
+    * both encoder and parser); a parser that misread any real header field
+    * hash-mismatches. id % 5 sampling keeps the encode cost
+    * scale-proportional.
+    */
+  def qExtMultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").cast("long")).as[Long]
+    // nullable numerics emit as strings on BOTH sides: a pandas int64
+    // column with nulls becomes float64 ("8000.0") nondeterministically
+    // per reader, and the driver hashes stringified values
+    val d = Multimodal.decodeMeta(Multimodal.synthesizeContainers(ids)).toDF()
+    val nullable = Seq("width", "height", "channels", "bit_depth",
+      "sample_rate_hz", "duration_micros")
+    d.select(col("media_id") +: col("kind") +:
+        nullable.map(c => col(c).cast("string").as(c)): _*)
+      .orderBy("media_id")
+  }
+
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
     * distincts): null/distinct counts and min/max per column — the intake
     * audit generalizing the reference's inline checks. dtype is projected
@@ -1151,8 +1193,16 @@ object Qext {
     * q_ext_quantiles_by_lang precedent.
     */
   def qExtWinsorize(spark: SparkSession, dir: String): DataFrame =
-    Curation.winsorize(t(spark, dir, "documents"), "source", "n_chars",
-        pLo = 0.05, pHi = 0.95)
+    // The corpus has no null-source rows, so a deterministic null GROUP is
+    // injected (doc_id % 83) — the oracle must exercise the null-safe
+    // `<=>` bounds join ([[Curation.winsorize]]), not just the spec
+    // (round-12 verdict #6): a plain equi-join would silently drop these
+    // rows and the hash compare catches it.
+    Curation.winsorize(
+        t(spark, dir, "documents").withColumn("source",
+          when(col("doc_id") % 83 === 0, lit(null: String))
+            .otherwise(col("source"))),
+        "source", "n_chars", pLo = 0.05, pHi = 0.95)
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("n_chars_clipped"))
       .orderBy("doc_id")
@@ -1253,9 +1303,9 @@ object Qext {
           (col("doc_id") * 5 + 2) % n,
           (col("doc_id") * 7 + 3) % n)).as("dst"))
       .distinct()
-    PageRank.pageRank(edges, "src", "dst", iterations = 5)
-      .orderBy(col("rank_scaled").desc, col("node").asc)
-      .limit(100)
+    PageRank.pageRankManaged(edges, "src", "dst", iterations = 5).use { r =>
+      toLocal(r.orderBy(col("rank_scaled").desc, col("node").asc).limit(100))
+    }
   }
 
   /** SCD2 history merge ([[Scd2.merge]]): the [[qExtSnapshotDiff]] drops
@@ -1391,9 +1441,10 @@ object Qext {
           (col("doc_id") * 7 + 3) % n)).as("dst"))
       .distinct()
     val seeds = docs.filter(col("doc_id") % 50 === 0).select("doc_id")
-    PageRank.trustRank(edges, "src", "dst", seeds, "doc_id", iterations = 5)
-      .orderBy(col("rank_scaled").desc, col("node").asc)
-      .limit(100)
+    PageRank.trustRankManaged(edges, "src", "dst", seeds, "doc_id",
+        iterations = 5).use { r =>
+      toLocal(r.orderBy(col("rank_scaled").desc, col("node").asc).limit(100))
+    }
   }
 
   /** PMI collocations ([[NgramLm.collocations]]): top adjacent pairs by
@@ -1411,8 +1462,8 @@ object Qext {
     * three-operator composition reproduces bit-for-bit in SQL).
     */
   def qExtTextrank(spark: SparkSession, dir: String): DataFrame =
-    TextRank.keywords(t(spark, dir, "documents"), "doc_id", "text",
-      iterations = 5, topN = 50)
+    TextRank.keywordsManaged(t(spark, dir, "documents"), "doc_id", "text",
+      iterations = 5, topN = 50).use(toLocal)
 
   /** HITS ([[Hits.hits]], 3 rounds) over the [[qExtPagerank]] graph:
     * hub/authority scores with the deterministic-IEEE L1 normalization —
@@ -1427,9 +1478,9 @@ object Qext {
           (col("doc_id") * 5 + 2) % n,
           (col("doc_id") * 7 + 3) % n)).as("dst"))
       .distinct()
-    Hits.hits(edges, "src", "dst", iterations = 3)
-      .orderBy(col("auth_scaled").desc, col("node").asc)
-      .limit(100)
+    Hits.hitsManaged(edges, "src", "dst", iterations = 3).use { r =>
+      toLocal(r.orderBy(col("auth_scaled").desc, col("node").asc).limit(100))
+    }
   }
 
   /** Markov transition matrix over the event stream: per ordered
@@ -1577,6 +1628,7 @@ object Qext {
     "q_ext_pack_sequences" -> (qExtPackSequences _),
     "q_ext_sample_stratified" -> (qExtSampleStratified _),
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
+    "q_ext_multimodal_decode" -> (qExtMultimodalDecode _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -2926,6 +2978,31 @@ object Qext {
         |       list_max(cnts) AS top_count
         |FROM c ORDER BY media_id""".stripMargin,
 
+    // Ground truth from the GENERATING arithmetic only (see
+    // qExtMultimodalDecode's parameter table): the oracle predicts every
+    // container field the parser must read — independent of both the JDK
+    // encoders that produced the payloads and the MediaCodec parsers that
+    // read them back. duration_micros reduces exactly:
+    // dataBytes·1e6/byteRate = frames·1e6/rate (integer division).
+    "q_ext_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                  WHEN 1 THEN 'audio/wav'
+        |                  ELSE 'image/jpeg' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 61 + 1
+        |            WHEN doc_id % 3 = 2 THEN doc_id % 47 + 1 END AS VARCHAR) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 29 + 1
+        |            WHEN doc_id % 3 = 2 THEN doc_id % 23 + 1 END AS VARCHAR) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1
+        |            WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS VARCHAR) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16 ELSE 8 END AS VARCHAR) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 3 = 1
+        |            THEN 8000 * ((doc_id % 9) // 3 + 1) END AS VARCHAR) AS sample_rate_hz,
+        |  CAST(CASE WHEN doc_id % 3 = 1
+        |            THEN ((doc_id % 97 + 1) * 1000000)
+        |                 // (8000 * ((doc_id % 9) // 3 + 1)) END AS VARCHAR) AS duration_micros
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
+
     // DuckDB's native ASOF JOIN is the oracle for the union+window as-of
     // composition (AsofJoin.asofJoin): greatest right ts_us <= left ts_us
     // per user; rights pre-deduped per (user, ts_us) on both sides.
@@ -3404,17 +3481,26 @@ object Qext {
     // Clip is comparison-only; clipped outputs equal either the input or
     // the interpolated bound (quantile_cont == Spark percentile, the
     // q_ext_quantiles_by_lang precedent).
+    // d injects the same deterministic null group as the Spark side; the
+    // bounds join must be null-safe (IS NOT DISTINCT FROM) or the null
+    // group's rows vanish — the exact failure mode the fixture exists to
+    // catch.
     "q_ext_winsorize" ->
-      """WITH b AS (
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 83 = 0 THEN NULL ELSE source END AS source,
+        |         n_chars
+        |  FROM documents
+        |), b AS (
         |  SELECT source,
         |         quantile_cont(n_chars, 0.05) AS lo,
         |         quantile_cont(n_chars, 0.95) AS hi
-        |  FROM documents GROUP BY source
+        |  FROM d GROUP BY source
         |)
-        |SELECT doc_id, source, n_chars,
-        |       least(greatest(n_chars::DOUBLE, lo), hi) AS n_chars_clipped
-        |FROM documents JOIN b USING (source)
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       least(greatest(d.n_chars::DOUBLE, b.lo), b.hi) AS n_chars_clipped
+        |FROM d LEFT JOIN b ON d.source IS NOT DISTINCT FROM b.source
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Ground-truth oracle: the canonical form is derived directly from
     // the key arithmetic that synthesized the URL (scheme/port by k%2,
