@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY §7.8 / builder brief): image/audio/video
   * as opaque `binary` columns with typed metadata, processed partition-wise.
   *
-  * The actual codecs are NOT available in this environment, so the decode
-  * step is a clearly-marked deterministic STUB ([[fakeDecodeFeatures]]); the
-  * Spark-side plumbing — schema, partition-wise batching, typed encoders,
-  * explode-based frame sampling — is real and tested. Swapping the stub for a
-  * JNI/onnx decoder changes one function body, not the plan shape.
+  * Two decode tiers:
+  *   - [[decodeMeta]] — REAL container decode ([[MediaCodec]]: PNG IHDR with
+  *     CRC verification, JPEG SOF marker walk, WAV RIFF chunk walk; format
+  *     sniffed from magic bytes, pure JDK) — the fields a curation pipeline
+  *     filters on come from genuine container structures.
+  *   - [[fakeDecodeFeatures]] — the PIXEL/SAMPLE-level feature extractor
+  *     remains a clearly-marked deterministic STUB (full image/audio codecs
+  *     beyond the JDK aren't in this environment); swapping it for a
+  *     JNI/onnx decoder changes one function body, not the plan shape.
   *
   * Scale posture: decode runs inside `mapPartitions` (one codec init per
   * partition, not per row); binary payloads never shuffle — features are
@@ -85,5 +89,153 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+  }
+
+  // ----------------------------------------------------- real containers
+
+  /** Container-level decode output: fields read from GENUINE container
+    * structures by [[MediaCodec]] (PNG IHDR, JPEG SOF, WAV fmt/data) —
+    * no longer the histogram stub. Inapplicable fields are null (images
+    * have no sample rate; audio has no dimensions); a payload that fails
+    * to parse yields kind "unknown" with all fields null.
+    */
+  final case class DecodedMedia(media_id: Long, kind: String,
+                                width: Option[Long], height: Option[Long],
+                                channels: Option[Long],
+                                bit_depth: Option[Long],
+                                sample_rate_hz: Option[Long],
+                                duration_micros: Option[Long])
+
+  /** Real header decode over binary payloads, partition-wise. The format is
+    * SNIFFED from the payload's magic bytes — PNG signature, JPEG SOI, RIFF
+    * tag — not trusted from metadata: corpus blobs routinely carry wrong
+    * or missing content types. Binary bytes never shuffle; this is the
+    * features-first boundary the module doc prescribes.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.content
+        def sniff(sig: Int*): Boolean =
+          b != null && b.length >= sig.length &&
+            sig.zipWithIndex.forall { case (v, i) => (b(i) & 0xFF) == v }
+        if (sniff(0x89, 0x50, 0x4E, 0x47))
+          MediaCodec.parsePng(b) match {
+            case Some(p) => DecodedMedia(r.media_id, "image/png",
+              Some(p.width.toLong), Some(p.height.toLong),
+              Some(p.channels.toLong), Some(p.bitDepth.toLong), None, None)
+            case None => unknown(r.media_id)
+          }
+        else if (sniff(0xFF, 0xD8))
+          MediaCodec.parseJpeg(b) match {
+            case Some(j) => DecodedMedia(r.media_id, "image/jpeg",
+              Some(j.width.toLong), Some(j.height.toLong),
+              Some(j.components.toLong), Some(j.precision.toLong), None, None)
+            case None => unknown(r.media_id)
+          }
+        else if (sniff('R', 'I', 'F', 'F'))
+          MediaCodec.parseWav(b) match {
+            case Some(w) => DecodedMedia(r.media_id, "audio/wav", None, None,
+              Some(w.channels.toLong), Some(w.bitsPerSample.toLong),
+              Some(w.sampleRateHz.toLong), Some(w.durationMicros))
+            case None => unknown(r.media_id)
+          }
+        else unknown(r.media_id)
+      }
+    }
+  }
+
+  private def unknown(id: Long): DecodedMedia =
+    DecodedMedia(id, "unknown", None, None, None, None, None, None)
+
+  /** Deterministic REAL container payloads from ids, produced by the JDK's
+    * own encoders (javax.imageio PNG/JPEG writers, javax.sound.sampled WAVE
+    * writer — third-party relative to [[MediaCodec]], which never sees this
+    * path in its implementation). Parameter arithmetic is the oracle
+    * contract for q_ext_multimodal_decode — keep in sync with its SQL:
+    *
+    *   id % 3 == 0 → PNG,  w = id%61+1, h = id%29+1, gray iff id%2==0
+    *   id % 3 == 1 → WAV,  rate = 8000·((id%9)/3+1) Hz, ch = id%2+1,
+    *                        16-bit, frames = id%97+1
+    *   id % 3 == 2 → JPEG, w = id%47+1, h = id%23+1, gray iff id%2==0
+    *
+    * Encoding runs partition-wise on executors; payloads are tiny
+    * (≤64×32 px, ≤100 audio frames) so the per-row cost is the encoder
+    * call, not I/O.
+    */
+  def synthesizeContainers(ids: Dataset[Long]): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val m = id % 3
+        if (m == 0) {
+          val (w, h) = ((id % 61 + 1).toInt, (id % 29 + 1).toInt)
+          MediaRow(id, MediaMeta("image/png", w, h, 1, 0),
+            encodePng(w, h, gray = id % 2 == 0, seed = id))
+        } else if (m == 1) {
+          val rate = 8000 * ((id % 9) / 3 + 1).toInt
+          val ch = (id % 2 + 1).toInt
+          val frames = (id % 97 + 1).toInt
+          MediaRow(id, MediaMeta("audio/wav", 0, 0, frames, rate),
+            encodeWav(rate, ch, frames, seed = id))
+        } else {
+          val (w, h) = ((id % 47 + 1).toInt, (id % 23 + 1).toInt)
+          MediaRow(id, MediaMeta("image/jpeg", w, h, 1, 0),
+            encodeJpeg(w, h, gray = id % 2 == 0, seed = id))
+        }
+      }
+    }
+  }
+
+  private def deterministicImage(w: Int, h: Int, gray: Boolean,
+                                 seed: Long): java.awt.image.BufferedImage = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed + x * 31L + y * 17L) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode a real PNG via the JDK ImageIO writer. */
+  def encodePng(w: Int, h: Int, gray: Boolean, seed: Long): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(deterministicImage(w, h, gray, seed), "png", baos)
+    baos.toByteArray
+  }
+
+  /** Encode a real baseline JPEG via the JDK ImageIO writer. */
+  def encodeJpeg(w: Int, h: Int, gray: Boolean, seed: Long): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(deterministicImage(w, h, gray, seed), "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Encode a real PCM WAVE file via the JDK sampled-audio writer. */
+  def encodeWav(sampleRateHz: Int, channels: Int, nFrames: Int,
+                seed: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val bytesPerFrame = channels * 2
+    val data = new Array[Byte](nFrames * bytesPerFrame)
+    var i = 0
+    while (i < data.length) { data(i) = ((seed + i * 37L) % 256).toByte; i += 1 }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels,
+      true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
   }
 }

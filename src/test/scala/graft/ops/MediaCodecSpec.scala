@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** [[MediaCodec]] against payloads from the JDK's OWN encoders — ImageIO
+  * (PNG/JPEG) and javax.sound.sampled (WAVE) — which share no code with the
+  * parsers: a passing round trip means the parsers read genuine container
+  * structures, not an inverse of a sibling builder. Malformed-input totality
+  * (truncation, CRC flips, wrong magic) is locked too: corpus blobs are
+  * untrusted.
+  */
+class MediaCodecSpec extends AnyFlatSpec with Matchers {
+
+  "parsePng" should "read dimensions, depth, and channels from ImageIO-encoded PNGs" in {
+    for ((w, h, gray) <- Seq((1, 1, true), (64, 32, false), (61, 29, true),
+                             (7, 23, false))) {
+      val bytes = Multimodal.encodePng(w, h, gray, seed = 42)
+      val info = MediaCodec.parsePng(bytes)
+      withClue(s"($w,$h,gray=$gray): ") {
+        info should not be empty
+        info.get.width shouldBe w
+        info.get.height shouldBe h
+        info.get.bitDepth shouldBe 8
+        info.get.channels shouldBe (if (gray) 1 else 3)
+        info.get.colorType shouldBe (if (gray) 0 else 2)
+        info.get.interlace shouldBe 0
+      }
+    }
+  }
+
+  it should "reject truncation, CRC corruption, and wrong magic" in {
+    val good = Multimodal.encodePng(16, 8, gray = false, seed = 7)
+    MediaCodec.parsePng(good.take(20)) shouldBe None
+    val crcFlipped = good.clone()
+    crcFlipped(16 + 13) = (crcFlipped(16 + 13) ^ 0x01).toByte // IHDR CRC byte
+    MediaCodec.parsePng(crcFlipped) shouldBe None
+    val fieldFlipped = good.clone()
+    fieldFlipped(19) = (fieldFlipped(19) ^ 0x01).toByte // width byte, CRC now stale
+    MediaCodec.parsePng(fieldFlipped) shouldBe None
+    MediaCodec.parsePng(Multimodal.encodeJpeg(8, 8, gray = false, seed = 1)) shouldBe None
+    MediaCodec.parsePng(null) shouldBe None
+    MediaCodec.parsePng(Array.emptyByteArray) shouldBe None
+  }
+
+  "parseJpeg" should "read SOF dimensions and components from ImageIO-encoded JPEGs" in {
+    for ((w, h, gray) <- Seq((1, 1, true), (47, 23, false), (64, 32, true))) {
+      val bytes = Multimodal.encodeJpeg(w, h, gray, seed = 42)
+      val info = MediaCodec.parseJpeg(bytes)
+      withClue(s"($w,$h,gray=$gray): ") {
+        info should not be empty
+        info.get.width shouldBe w
+        info.get.height shouldBe h
+        info.get.precision shouldBe 8
+        info.get.components shouldBe (if (gray) 1 else 3)
+        info.get.progressive shouldBe false
+      }
+    }
+  }
+
+  it should "reject truncation and non-JPEG payloads" in {
+    val good = Multimodal.encodeJpeg(16, 8, gray = false, seed = 7)
+    MediaCodec.parseJpeg(good.take(6)) shouldBe None
+    MediaCodec.parseJpeg(Multimodal.encodePng(8, 8, gray = false, seed = 1)) shouldBe None
+    MediaCodec.parseJpeg(null) shouldBe None
+  }
+
+  "parseWav" should "read fmt/data fields from AudioSystem-encoded WAVEs" in {
+    for ((rate, ch, frames) <- Seq((8000, 1, 1), (16000, 2, 97), (24000, 1, 50))) {
+      val bytes = Multimodal.encodeWav(rate, ch, frames, seed = 42)
+      val info = MediaCodec.parseWav(bytes)
+      withClue(s"($rate,$ch,$frames): ") {
+        info should not be empty
+        info.get.audioFormat shouldBe 1 // PCM
+        info.get.channels shouldBe ch
+        info.get.sampleRateHz shouldBe rate
+        info.get.bitsPerSample shouldBe 16
+        info.get.byteRate shouldBe rate * ch * 2
+        info.get.blockAlign shouldBe ch * 2
+        info.get.dataBytes shouldBe frames.toLong * ch * 2
+        info.get.durationMicros shouldBe frames.toLong * 1000000L / rate
+      }
+    }
+  }
+
+  it should "walk chunks in any order and honor odd-size padding" in {
+    // hand-crafted RIFF: a 3-byte LIST chunk (odd size → 1 pad byte)
+    // BEFORE fmt/data — the in-the-wild layout a fixed-offset reader breaks on
+    val fmtData = {
+      val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(1.toShort).putShort(1.toShort).putInt(8000)
+        .putInt(16000).putShort(2.toShort).putShort(16.toShort)
+      b.array()
+    }
+    val data = Array.fill[Byte](10)(3)
+    val body = new java.io.ByteArrayOutputStream()
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      body.write(id.getBytes("US-ASCII"))
+      val sz = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length).array()
+      body.write(sz); body.write(payload)
+      if (payload.length % 2 == 1) body.write(0)
+    }
+    body.write("WAVE".getBytes("US-ASCII"))
+    chunk("LIST", Array[Byte](1, 2, 3))
+    chunk("fmt ", fmtData)
+    chunk("data", data)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(body.size()).array())
+    out.write(body.toByteArray)
+    val info = MediaCodec.parseWav(out.toByteArray)
+    info should not be empty
+    info.get.sampleRateHz shouldBe 8000
+    info.get.dataBytes shouldBe 10L
+    info.get.durationMicros shouldBe 10L * 1000000L / 16000L
+  }
+
+  it should "reject truncation and non-RIFF payloads" in {
+    val good = Multimodal.encodeWav(8000, 1, 10, seed = 7)
+    MediaCodec.parseWav(good.take(30)) shouldBe None
+    MediaCodec.parseWav(Multimodal.encodePng(8, 8, gray = true, seed = 1)) shouldBe None
+    MediaCodec.parseWav(null) shouldBe None
+  }
+}
