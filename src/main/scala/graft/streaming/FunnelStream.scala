@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming forms of the round-11 event analytics pair
+  * ([[graft.ops.Funnel.timedFunnel]] / [[graft.ops.Funnel.lastTouchAttribution]]):
+  * per-user fixed-size state in `flatMapGroupsWithState`, the
+  * [[EventStream.sessionizeClassified]] shape.
+  *
+  * Ordering contract (shared with [[TransitionStream]]): within a
+  * micro-batch events apply in (ts, event_id) order, so results are
+  * identical however the in-order stream is batch-split (spec'd); the
+  * batch operators are the semantics of record for an in-order event log.
+  * The batch funnel's greedy chain is prefix-stable — step k's chosen time
+  * depends only on events up to it — so incremental processing reproduces
+  * it exactly; a straggler older than already-fixed state is dropped (the
+  * greedy DEFINITION has already committed).
+  *
+  * State is O(1) per user: the funnel holds at most `steps.size`
+  * microsecond stamps; attribution holds one (ts, id, type) touch triple.
+  * Neither expires state on its own — a production deployment bounds the
+  * key space with a state-TTL timeout, orthogonal to the semantics here.
+  */
+object FunnelStream {
+
+  /** Event with microsecond event time — the funnel/attribution tiers
+    * compare against gap/window bounds in µs, matching the batch queries.
+    */
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long,
+                      event_type: String)
+
+  // ------------------------------------------------------- timed funnel
+
+  /** Per-user chosen step times, in step order (public: Catalyst
+    * instantiates state classes reflectively). `times.length` IS the
+    * reached count; times never change once fixed (greedy commit).
+    */
+  final case class FunnelState(times: List[Long])
+
+  /** Change-record output: the user's funnel row as of this advance —
+    * step times in step order padded with nulls downstream. The LATEST
+    * record per user (max `reached`) equals the batch
+    * [[graft.ops.Funnel.timedFunnel]] row; earlier records are the
+    * progression history a live dashboard consumes directly.
+    */
+  final case class FunnelAdvance(user_id: Long, reached: Int,
+                                 step_us: Seq[Long])
+
+  implicit private val stEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+
+  /** Streaming timed funnel: step k must occur strictly after step k-1
+    * and within `maxGapUs` of it (the batch greedy-first-touch
+    * definition). Emits one [[FunnelAdvance]] per user per micro-batch in
+    * which their reached-level advanced.
+    */
+  def timedFunnel(events: Dataset[Ev], steps: Seq[String],
+                  maxGapUs: Long): Dataset[FunnelAdvance] = {
+    require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          val before = state.getOption.map(_.times.size).getOrElse(0)
+          // state holds step order; `times` works newest-first (O(1)
+          // prepend, head = last fixed step) and re-reverses at the edges
+          var times = state.getOption.map(_.times.reverse).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val need = times.size
+            if (need < steps.size && stepIdx.get(e.event_type).contains(need)) {
+              val accept =
+                if (need == 0) true
+                else e.ts_us > times.head && e.ts_us <= times.head + maxGapUs
+              if (accept) times ::= e.ts_us
+            }
+          }
+          if (times.size > before) {
+            state.update(FunnelState(times.reverse))
+            Iterator.single(FunnelAdvance(userId, times.size, times.reverse))
+          } else Iterator.empty
+      }
+  }
+
+  // -------------------------------------------------- last-touch attribution
+
+  /** Per-user most-recent touch (public for Catalyst reflection). */
+  final case class TouchState(tsUs: Long, eventId: Long, eventType: String)
+
+  /** One row per conversion event, same fields as the batch
+    * [[graft.ops.Funnel.lastTouchAttribution]]; organic conversions (no
+    * in-window touch) carry null credit.
+    */
+  final case class Attribution(user_id: Long, conv_us: Long, conv_id: Long,
+                               touch_us: Option[Long], touch_id: Option[Long],
+                               touch_type: Option[String])
+
+  implicit private val touchEnc: Encoder[TouchState] = Encoders.product[TouchState]
+
+  /** Streaming last-touch attribution: each arriving conversion credits
+    * the most recent held touch strictly before it and within `windowUs`
+    * — per-event latency, exactly one output row per conversion. Touches
+    * supersede the held one in (ts, id) order, reproducing the batch
+    * max-(ts, id) tie-break.
+    */
+  def lastTouch(events: Dataset[Ev], convertType: String,
+                touchTypes: Seq[String], windowUs: Long): Dataset[Attribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[TouchState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          var held = state.getOption
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == convertType) {
+              // strict `<` at use time: a same-µs touch processed earlier
+              // in this batch must not take credit (batch predicate is
+              // __t_us < conv_us)
+              val credit = held.filter(t =>
+                t.tsUs < e.ts_us && t.tsUs >= e.ts_us - windowUs)
+              out += Attribution(userId, e.ts_us, e.event_id,
+                credit.map(_.tsUs), credit.map(_.eventId),
+                credit.map(_.eventType))
+            } else if (touches(e.event_type)) {
+              val supersedes = held.forall(t =>
+                e.ts_us > t.tsUs || (e.ts_us == t.tsUs && e.event_id > t.eventId))
+              if (supersedes) held = Some(TouchState(e.ts_us, e.event_id,
+                e.event_type))
+            }
+          }
+          held.foreach(state.update)
+          out.iterator
+      }
+  }
+}

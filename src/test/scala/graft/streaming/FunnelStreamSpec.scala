@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.FunnelStream.{Attribution, Ev, FunnelAdvance}
+
+/** [[FunnelStream]]: cross-batch per-user state, batch-boundary
+  * independence, and exact parity with the batch operators of record
+  * ([[graft.ops.Funnel.timedFunnel]] / lastTouchAttribution) on the same
+  * events — including a randomized in-order fixture.
+  */
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("signup", "click", "purchase")
+  private val gapUs = 600L * 1000000L // 10 min
+
+  private def runFunnel(batches: Seq[Seq[Ev]], name: String): Seq[FunnelAdvance] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = FunnelStream.timedFunnel(input.toDS(), steps, gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[FunnelAdvance].collect().toSeq
+    } finally query.stop()
+  }
+
+  private def runAttr(batches: Seq[Seq[Ev]], name: String): Seq[Attribution] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = FunnelStream.lastTouch(input.toDS(), "purchase",
+        Seq("ad", "email"), gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[Attribution].collect().toSeq
+    } finally query.stop()
+  }
+
+  private def mins(m: Long) = m * 60L * 1000000L
+
+  private val evs = Seq(
+    // user 1 completes all three steps inside the gap
+    Ev(1L, 1L, mins(0), "signup"), Ev(1L, 2L, mins(5), "click"),
+    Ev(1L, 3L, mins(9), "purchase"),
+    // user 2 stalls: click arrives past the 10-min gap
+    Ev(2L, 4L, mins(1), "signup"), Ev(2L, 5L, mins(20), "click"),
+    // user 3 never enters (click before any signup)
+    Ev(3L, 6L, mins(2), "click"),
+    // user 1's later duplicate chain must not re-anchor (greedy commit)
+    Ev(1L, 7L, mins(30), "signup"))
+
+  "timedFunnel" should "reproduce the batch funnel row per user" in {
+    val out = runFunnel(Seq(evs), "fs_a")
+    val last = out.groupBy(_.user_id).map { case (u, rows) =>
+      u -> rows.maxBy(_.reached)
+    }
+    last(1L).reached shouldBe 3
+    last(1L).step_us shouldBe Seq(mins(0), mins(5), mins(9))
+    last(2L).reached shouldBe 1
+    last(2L).step_us shouldBe Seq(mins(1))
+    last.contains(3L) shouldBe false
+  }
+
+  it should "advance cross-batch state and be batch-boundary independent" in {
+    val one = runFunnel(Seq(evs), "fs_b")
+    val perEvent = runFunnel(evs.map(Seq(_)), "fs_c")
+    def lastByUser(rows: Seq[FunnelAdvance]) =
+      rows.groupBy(_.user_id).map { case (u, r) =>
+        u -> r.maxBy(_.reached).step_us }
+    lastByUser(perEvent) shouldBe lastByUser(one)
+    // per-event split emits one advance per actual advance
+    perEvent.count(_.user_id == 1L) shouldBe 3
+  }
+
+  it should "match ops.Funnel.timedFunnel on a randomized in-order stream" in {
+    val rnd = new scala.util.Random(1234)
+    val types = Seq("signup", "click", "purchase", "noise")
+    val fixture = (1L to 400L).map { id =>
+      Ev(rnd.nextInt(25).toLong, id, id * mins(2), types(rnd.nextInt(types.size)))
+    }.sortBy(e => (e.ts_us, e.event_id))
+    val batches = fixture.grouped(37).map(_.toSeq).toSeq
+    val streaming = runFunnel(batches, "fs_rand")
+      .groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(_.reached).step_us }
+    val batch = graft.ops.Funnel.timedFunnel(
+        fixture.toDF(), "user_id", "event_type", "ts_us", steps, gapUs)
+      .collect().map { r =>
+        val times = steps.indices.map(i => Option(r.get(r.fieldIndex(
+          s"step${i + 1}_us"))).map(_.asInstanceOf[Long]))
+        r.getAs[Long]("user_id") -> times.takeWhile(_.isDefined).flatten.toSeq
+      }.toMap
+    streaming shouldBe batch
+  }
+
+  "lastTouch" should "credit each conversion to the latest in-window touch, cross-batch" in {
+    val evs = Seq(
+      Ev(1L, 1L, mins(0), "ad"), Ev(1L, 2L, mins(3), "email"),
+      Ev(1L, 3L, mins(8), "purchase"), // credit: email @3
+      Ev(2L, 4L, mins(0), "ad"),
+      Ev(2L, 5L, mins(30), "purchase"), // out of window: organic
+      Ev(3L, 6L, mins(1), "purchase")) // no touch at all: organic
+    val out = runAttr(Seq(evs.take(2), evs.drop(2)), "at_a")
+    val byConv = out.map(a => a.conv_id -> a).toMap
+    byConv(3L).touch_type shouldBe Some("email")
+    byConv(3L).touch_us shouldBe Some(mins(3))
+    byConv(5L).touch_id shouldBe None
+    byConv(6L).touch_id shouldBe None
+  }
+
+  it should "not credit a same-microsecond touch (strict precedence)" in {
+    val evs = Seq(
+      Ev(1L, 1L, mins(5), "ad"),
+      Ev(1L, 2L, mins(5), "purchase"))
+    val out = runAttr(Seq(evs), "at_same")
+    out.size shouldBe 1
+    out.head.touch_id shouldBe None
+  }
+
+  it should "match ops.Funnel.lastTouchAttribution on a randomized in-order stream" in {
+    val rnd = new scala.util.Random(77)
+    val types = Seq("ad", "email", "purchase", "noise")
+    val fixture = (1L to 400L).map { id =>
+      Ev(rnd.nextInt(25).toLong, id, id * mins(1), types(rnd.nextInt(types.size)))
+    }.sortBy(e => (e.ts_us, e.event_id))
+    val batches = fixture.grouped(41).map(_.toSeq).toSeq
+    val streaming = runAttr(batches, "at_rand")
+      .map(a => (a.user_id, a.conv_us, a.conv_id) ->
+        (a.touch_us, a.touch_id, a.touch_type)).toMap
+    val batch = graft.ops.Funnel.lastTouchAttribution(
+        fixture.toDF(), "user_id", "event_type", "ts_us", "event_id",
+        "purchase", Seq("ad", "email"), gapUs)
+      .collect().map { r =>
+        def opt[T](c: String): Option[T] =
+          Option(r.get(r.fieldIndex(c))).map(_.asInstanceOf[T])
+        (r.getAs[Long]("user_id"), r.getAs[Long]("conv_us"),
+          r.getAs[Long]("conv_id")) ->
+          (opt[Long]("touch_us"), opt[Long]("touch_id"),
+            opt[String]("touch_type"))
+      }.toMap
+    streaming shouldBe batch
+  }
+}
