@@ -194,6 +194,7 @@ object Bench {
         s""""p50_total":$p50Total,""" +
         s""""n_queries":${results.size},"s_per_query":$sPerQuery,""" +
         s"""${if (ratioVsR1.isNaN) "" else s""""ratio_vs_r1":$ratioVsR1,"""}""" +
+        s""""core25_total":${results.filter(r => Core25(r._1)).map(_._2).sum},""" +
         s""""load_idle":$loadIdle,""" +
         s""""load_avg":${loads.mkString("[", ",", "]")},""" +
         s""""n_errors":${errors.size},"errors":$fullErrs,""" +

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming k-step path mining: the unbounded form of
+  * [[graft.ops.Funnel.topPaths]]'s lead() windows — per user, every
+  * arriving event completes the length-`k` window that ENDS on it, emitting
+  * one path record at per-event latency. Downstream a plain streaming
+  * aggregation turns the record stream into live path-support counts;
+  * emitting records rather than counts keeps the operator append-mode and
+  * composable (the [[TransitionStream]] convention — a transition IS the
+  * k=2 path).
+  *
+  * State per user is the last k-1 (ts, event_id, type) triples — O(k),
+  * fixed by construction. Ordering contract as [[TransitionStream]]:
+  * within a micro-batch events apply in (ts, event_id) order, so the
+  * emitted records are identical under any batch split of an in-order
+  * stream (spec'd); stragglers at-or-older than the newest held event —
+  * including at-least-once redeliveries — are dropped, exactly the rows
+  * the batch lead() would never window in that order.
+  */
+object PathStream {
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Timestamp,
+                      event_type: String)
+
+  /** One completed window: the " > "-joined type sequence (batch `path`
+    * format) plus the window's start/end event times.
+    */
+  final case class PathHit(user_id: Long, path: String, start_ts: Timestamp,
+                           end_ts: Timestamp)
+
+  /** Per-user held tail, oldest first (public: Catalyst instantiates
+    * state reflectively).
+    */
+  final case class Tail(tsMs: List[Long], eventIds: List[Long],
+                        types: List[String])
+
+  implicit private val tailEnc: Encoder[Tail] = Encoders.product[Tail]
+
+  def paths(events: Dataset[Ev], k: Int): Dataset[PathHit] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Tail, PathHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[Tail]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
+          var ts = state.getOption.map(_.tsMs).getOrElse(Nil)
+          var ids = state.getOption.map(_.eventIds).getOrElse(Nil)
+          var tps = state.getOption.map(_.types).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val stale = ts.nonEmpty && (t < ts.last ||
+              (t == ts.last && e.event_id <= ids.last))
+            if (!stale) {
+              ts :+= t; ids :+= e.event_id; tps :+= e.event_type
+              if (ts.size > k) { ts = ts.tail; ids = ids.tail; tps = tps.tail }
+              if (ts.size == k)
+                out += PathHit(userId, tps.mkString(" > "),
+                  new Timestamp(ts.head), new Timestamp(t))
+            }
+          }
+          if (ts.nonEmpty) state.update(Tail(ts.takeRight(k - 1),
+            ids.takeRight(k - 1), tps.takeRight(k - 1)))
+          out.iterator
+      }
+  }
+}
