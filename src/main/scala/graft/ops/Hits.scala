@@ -61,8 +61,10 @@ object Hits {
     */
   private[graft] def rawHalfStep(e: DataFrame, scores: DataFrame,
                                  scoreCol: String, edgeFrom: String,
-                                 edgeTo: String): DataFrame =
-    e.join(scores.hint("shuffle_hash"), e(edgeFrom) === scores("node"))
+                                 edgeTo: String,
+                                 small: Boolean = false): DataFrame =
+    e.join(if (small) broadcast(scores) else scores.hint("shuffle_hash"),
+        e(edgeFrom) === scores("node"))
       .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
       .groupBy("node").agg(sum("__s").as("__raw"))
 
@@ -78,6 +80,9 @@ object Hits {
       .union(e.select(col("dst").as("node")))
       .distinct().persist(lvl)
     val n = nodes.count()
+    // same measured-|V| broadcast siding as [[PageRank.BroadcastNodesMax]]:
+    // one exchange per half-step (the groupBy) when the score frames fit
+    val small = n <= PageRank.BroadcastNodesMax
 
     // one L1-normalized half-step: scores flow across `edgeFrom`→`edgeTo`
     def halfStep(scores: DataFrame, scoreCol: String,
@@ -85,7 +90,7 @@ object Hits {
       // raw is read twice (total, then normalization): pin it, or the
       // edge join+agg runs twice per half-step. The pin is <=|V| narrow
       // rows and is released as soon as the half-step checkpoints.
-      val raw = rawHalfStep(e, scores, scoreCol, edgeFrom, edgeTo)
+      val raw = rawHalfStep(e, scores, scoreCol, edgeFrom, edgeTo, small)
         .persist(lvl)
       // L1 total as a driver scalar off the pin — see the class doc; the
       // arithmetic below is literal-for-literal what the in-plan
@@ -135,9 +140,11 @@ object Hits {
     }
     // restore the full node set ONCE: nodes absent from a half-step frame
     // are exactly the zero-score nodes (see rawHalfStep doc)
+    def sided(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
     val out = nodes
-      .join(hubs.hint("shuffle_hash"), Seq("node"), "left")
-      .join(auths.hint("shuffle_hash"), Seq("node"), "left")
+      .join(sided(hubs), Seq("node"), "left")
+      .join(sided(auths), Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub_scaled"),
         coalesce(col("auth"), lit(0L)).as("auth_scaled"))
     new Managed(out, Seq(e, nodes), cpRdds.toSeq)

@@ -39,6 +39,19 @@ object PageRank {
   /** Total rank mass; per-node ranks are BIGINTs out of this. */
   val Scale: Long = 1000000000000L
 
+  /** Node count at or below which the per-iteration |V|-row frames (ranks,
+    * contribs) are BROADCAST instead of shuffled. The loop frames are
+    * stats-less once persisted, so neither Catalyst nor AQE can ever make
+    * the broadcast call the optimizer would make on a scanned table —
+    * but prepare() measured |V| EXACTLY, so the operator makes it: at or
+    * under the threshold each iteration runs ONE exchange (the contrib
+    * groupBy) with every join map-side, instead of three. 1M nodes is
+    * ~24 MB of unsafe rows — the same order as the autoBroadcast default's
+    * intent, far under executor memory, and web-scale graphs (|V| in the
+    * billions) stay on the shuffled path automatically.
+    */
+  val BroadcastNodesMax: Long = 1L << 20
+
   /** `iterations` power-iteration steps at `dampingPct`/100 damping.
     * Returns (node, rank_scaled): rank_scaled sums to ~[[Scale]]
     * (minus sub-unit truncation). Multi-edges contribute multiply —
@@ -124,8 +137,8 @@ object PageRank {
       val next = raw.localCheckpoint(true)
       cpRdds ++= Managed.directCheckpointRdds(next)
       raw.unpersist(false)
-      delta = next.join(ranks.withColumnRenamed("rank", "rank_prev")
-          .select("node", "rank_prev").hint("shuffle_hash"), Seq("node"))
+      delta = next.join(ctx.sided(ranks.withColumnRenamed("rank", "rank_prev")
+          .select("node", "rank_prev")), Seq("node"))
         .agg(coalesce(sum(abs(col("rank") - col("rank_prev"))), lit(0L)))
         .head().getLong(0)
       // the grandparent round is provably dead here (this round's frame
@@ -155,9 +168,17 @@ object PageRank {
   private final case class Ctx(nodes: DataFrame, eod: DataFrame,
                                outdeg: DataFrame, r0: DataFrame,
                                teleport: Long, nRecv: Long, dampingPct: Int,
-                               hasDangling: Boolean) {
+                               hasDangling: Boolean, small: Boolean) {
     /** Every frame prepare() pinned, for a release handle. */
     def pins: Seq[DataFrame] = Seq(nodes, eod, outdeg, r0)
+
+    /** A |V|-bounded per-iteration frame, sided for its next join: map-side
+      * broadcast when the measured |V| fits, shuffled-hash otherwise (the
+      * hint is load-bearing — stats-less cached frames otherwise degrade
+      * to SortMergeJoin, see [[step]]).
+      */
+    def sided(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
   }
 
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
@@ -205,30 +226,34 @@ object PageRank {
     // per-round redistribution broadcast stage entirely; dang_sum is
     // identically 0 there, so values are unchanged
     val hasDangling = outdeg.count() < nNodes
-    Ctx(nodes, eod, outdeg, r0, teleport, nRecv, dampingPct, hasDangling)
+    Ctx(nodes, eod, outdeg, r0, teleport, nRecv, dampingPct, hasDangling,
+      small = nNodes <= BroadcastNodesMax)
   }
 
   /** One power-iteration step; the result is persisted (materialized by
     * the caller's next action over it).
     */
   private def step(ctx: Ctx, ranks: DataFrame): DataFrame = {
-    // shuffle_hash hints throughout: the cached frames are stats-less,
-    // and Catalyst's fallback is SortMergeJoin — a wasted sort on
-    // narrow co-keyed frames (locked out registry-wide by
-    // PlanInvariantsSpec)
-    val contrib = ctx.eod.join(ranks.hint("shuffle_hash"),
+    // join siding via ctx.sided: broadcast when prepare() measured |V|
+    // small (one exchange per iteration — the contrib groupBy — with the
+    // edge join and the node join both map-side), shuffled-hash hints
+    // otherwise — the cached frames are stats-less and Catalyst's
+    // unhinted fallback is SortMergeJoin, a wasted sort on narrow
+    // co-keyed frames (locked out registry-wide by PlanInvariantsSpec)
+    val contrib = ctx.eod.join(ctx.sided(ranks),
         ctx.eod("src") === ranks("node"))
       .select(col("dst").as("node"), expr("rank div od").as("c"))
       .groupBy("node").agg(sum("c").as("contrib"))
     val joined = ctx.nodes
-      .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      .join(ctx.sided(contrib), Seq("node"), "left")
     val base =
       if (!ctx.hasDangling) joined // dang_sum ≡ 0: no broadcast stage
       else {
         // dangling nodes hold mass but emit no edges: redistribute their
         // per-node share to the receiving set via a single-row broadcast
-        // (stays in-plan — no per-iteration driver job)
-        val dang = ranks.join(ctx.outdeg.hint("shuffle_hash"),
+        // (stays in-plan — no per-iteration driver job); outdeg sides
+        // like the rank frames (≤|V| narrow rows)
+        val dang = ranks.join(ctx.sided(ctx.outdeg),
             ranks("node") === ctx.outdeg("src"), "left_anti")
           .agg(coalesce(sum("rank"), lit(0L)).as("dang_sum"))
         joined.crossJoin(broadcast(dang))

@@ -128,13 +128,34 @@ class PlanInvariantsSpec extends SparkSpec {
     val scores = nodes.withColumn("hub",
       org.apache.spark.sql.functions.lit(1000L))
     try {
+      // beyond-broadcast regime (small=false): the shuffle_hash hint must
+      // hold the stats-less cached side at ShuffledHashJoin, never SMJ
       val plan = graft.ops.Hits
-        .rawHalfStep(e, scores, "hub", "src", "dst")
+        .rawHalfStep(e, scores, "hub", "src", "dst", small = false)
         .queryExecution.executedPlan.toString
       withClue(s"half-step plan:\n$plan\n") {
         plan should not include "SortMergeJoin"
         plan should include("ShuffledHashJoin")
       }
+      // measured-small regime: the score side broadcasts — one shuffle
+      // exchange (the groupBy) in the whole half-step. Plan with AQE off
+      // for the count: the AQE wrapper's inputPlan is pre-EnsureRequirements
+      // (no exchanges yet), while the non-adaptive executed plan carries
+      // them; InMemoryTableScan stays a leaf, so cached build exchanges
+      // (run once at pin time) don't count.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val bexec = graft.ops.Hits
+          .rawHalfStep(e, scores, "hub", "src", "dst", small = true)
+          .queryExecution.executedPlan
+        withClue(s"broadcast half-step plan:\n$bexec\n") {
+          bexec.toString should not include "SortMergeJoin"
+          bexec.toString should include("BroadcastHashJoin")
+          bexec.collect {
+            case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+          }.size shouldBe 1
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     } finally {
       e.unpersist(false); nodes.unpersist(false)
     }
