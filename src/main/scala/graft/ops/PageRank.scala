@@ -45,12 +45,21 @@ object PageRank {
     * the broadcast call the optimizer would make on a scanned table —
     * but prepare() measured |V| EXACTLY, so the operator makes it: at or
     * under the threshold each iteration runs ONE exchange (the contrib
-    * groupBy) with every join map-side, instead of three. 1M nodes is
-    * ~24 MB of unsafe rows — the same order as the autoBroadcast default's
-    * intent, far under executor memory, and web-scale graphs (|V| in the
-    * billions) stay on the shuffled path automatically.
+    * groupBy) with every join map-side, instead of three.
+    *
+    * Default 64k nodes (~1.5 MB of unsafe rows): `tools/GraphBroadcastProbe`
+    * measured the regimes tied at 50k and shuffled WINNING from 150k up on
+    * local[32] — per-iteration broadcast pays a driver collect + hashed-
+    * relation build × joins × rounds, which outgrows the (network-free
+    * local) shuffle quickly. On a network-attached cluster the crossover
+    * sits higher; the threshold is an operational knob, not a constant of
+    * nature: `-Dgraft.graph.broadcastNodesMax=N` (0 forces the shuffled
+    * path everywhere — also how the probe times both regimes on one graph
+    * in one JVM); read per prepare(), not cached.
     */
-  val BroadcastNodesMax: Long = 1L << 20
+  def BroadcastNodesMax: Long =
+    sys.props.get("graft.graph.broadcastNodesMax").map(_.toLong)
+      .getOrElse(1L << 16)
 
   /** `iterations` power-iteration steps at `dampingPct`/100 damping.
     * Returns (node, rank_scaled): rank_scaled sums to ~[[Scale]]
