@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming data-intake drift monitor: the unbounded form of
+  * [[graft.ops.Profiler.drift]]. Each event-time window of the arriving
+  * stream is profiled per column (row/null counts, min/max as strings —
+  * the [[graft.ops.Profiler.profile]] shape) with ONE windowed
+  * aggregation, and each closed window's per-column stats are compared
+  * against a static reference profile by a stream-static broadcast join —
+  * so "the generator/upstream changed" (the round-9 events.ts class of
+  * breakage) surfaces as a flagged row at window-close latency instead of
+  * a downstream failure hours later.
+  *
+  * Scale shape: the windowed agg carries O(monitored columns) state per
+  * open window (counts + two extremum strings per column — no sketches,
+  * no row retention); the reference side is one row per column, always
+  * broadcast. Append mode end-to-end: windows emit once, on watermark
+  * close, and the per-column explode + join are stateless over the closed
+  * aggregates.
+  */
+object DriftStream {
+
+  /** Per-window per-column intake profile of `cols` over event-time
+    * `tsCol`: (window_start, window_end, column, n_rows, n_nulls, min,
+    * max), emitted when the watermark closes the window. min/max are
+    * cast to string (the [[graft.ops.Profiler.profile]] convention) so
+    * one frame carries any column type.
+    */
+  def windowProfile(rows: DataFrame, tsCol: String, watermark: String,
+                    windowLen: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "monitor at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val w = rows.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    // one output row per (window, column): stack the per-column stat
+    // triples — stateless over the closed aggregate, stays append-mode
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"))
+    }
+    w.select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("__n").as("n_rows"),
+        explode(array(stacked: _*)).as("s"))
+      .select(col("window_start"), col("window_end"), col("s.column"),
+        col("n_rows"), col("s.n_nulls"), col("s.min"), col("s.max"))
+  }
+
+  /** Flag each closed window's columns against a static `reference`
+    * profile ([[graft.ops.Profiler.profile]] output of the blessed
+    * snapshot): drift when the column is missing from the reference, its
+    * null fraction moves by more than `nullFracTol`, or its min/max fall
+    * OUTSIDE the reference bounds (a window is a sample of the blessed
+    * distribution — equality on extrema, the two-snapshot rule, would
+    * false-positive every window; escape is the sharp signal). Same
+    * null-fraction algebra as [[graft.ops.Profiler.drift]].
+    */
+  def drift(windowed: DataFrame, reference: DataFrame,
+            nullFracTol: Double = 0.01): DataFrame = {
+    require(nullFracTol >= 0, s"nullFracTol must be >= 0: $nullFracTol")
+    val ref = broadcast(reference.select(
+      col("column"),
+      when(col("n_rows") > 0, col("n_nulls").cast("double") / col("n_rows"))
+        .otherwise(lit(0.0)).as("ref_null_frac"),
+      col("min").as("ref_min"), col("max").as("ref_max")))
+    // extrema live as strings (any-type frame): compare numerically when
+    // BOTH sides parse as numbers — lexicographic order is wrong there
+    // ("9" > "10") — and as strings otherwise
+    def outside(v: String, bound: String, below: Boolean): Column = {
+      val vn = expr(s"try_cast($v AS double)")
+      val bn = expr(s"try_cast($bound AS double)")
+      when(vn.isNotNull && bn.isNotNull, if (below) vn < bn else vn > bn)
+        .otherwise(if (below) col(v) < col(bound) else col(v) > col(bound))
+    }
+    windowed.join(ref, Seq("column"), "left")
+      .withColumn("null_frac",
+        when(col("n_rows") > 0, col("n_nulls").cast("double") / col("n_rows"))
+          .otherwise(lit(0.0)))
+      .withColumn("drift",
+        col("ref_null_frac").isNull ||
+          abs(col("null_frac") - col("ref_null_frac")) > nullFracTol ||
+          outside("min", "ref_min", below = true) ||
+          outside("max", "ref_max", below = false))
+      .select(col("window_start"), col("window_end"), col("column"),
+        col("n_rows"), col("null_frac"), col("ref_null_frac"),
+        col("min"), col("max"), col("ref_min"), col("ref_max"), col("drift"))
+  }
+}

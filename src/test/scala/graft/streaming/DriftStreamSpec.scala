@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.ops.Profiler
+
+/** [[DriftStream]]: windowed intake profiles close on the watermark and
+  * compare against a static reference — healthy windows pass, a window
+  * with a null spike or out-of-bounds extrema flags, and the numeric
+  * bounds compare numerically (not lexicographically).
+  */
+class DriftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  case class Doc(ts: Timestamp, score: java.lang.Long, lang: String)
+
+  "windowProfile + drift" should "pass healthy windows and flag a drifting one" in {
+    implicit val sqlCtx = spark.sqlContext
+    // blessed snapshot: scores 10..50, langs en/fr, no nulls
+    val blessed = Seq((10L, "en"), (50L, "fr"), (30L, "en"))
+      .toDF("score", "lang")
+    val reference = Profiler.profile(blessed, exactDistinct = true)
+
+    val input = MemoryStream[Doc]
+    val windowed = DriftStream.windowProfile(
+      input.toDF(), "ts", watermark = "0 minutes", windowLen = "10 minutes",
+      cols = Seq("score", "lang"))
+    val query = DriftStream.drift(windowed, reference)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      // window [0,10): healthy — inside blessed bounds, no nulls
+      input.addData(Doc(ts(1), 15L, "en"), Doc(ts(2), 42L, "fr"))
+      query.processAllAvailable()
+      // window [10,20): drifting — a null score and score 9 < ref_min 10
+      // (lexicographically "9" > "10": the numeric compare must catch it)
+      input.addData(Doc(ts(11), 9L, "en"), Doc(ts(12), null, "en"))
+      query.processAllAvailable()
+      // window [20,30) only exists to close [10,20) past the watermark
+      input.addData(Doc(ts(21), 20L, "en"))
+      query.processAllAvailable()
+
+      val out = spark.table("drift_stream").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000L,
+          r.getAs[String]("column")) -> r).toMap
+      out((0L, "score")).getAs[Boolean]("drift") shouldBe false
+      out((0L, "lang")).getAs[Boolean]("drift") shouldBe false
+      val bad = out((10L, "score"))
+      bad.getAs[Boolean]("drift") shouldBe true
+      bad.getAs[Double]("null_frac") shouldBe 0.5
+      bad.getAs[String]("min") shouldBe "9"
+      out((10L, "lang")).getAs[Boolean]("drift") shouldBe false
+    } finally query.stop()
+  }
+
+  it should "flag columns absent from the reference" in {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Profiler.profile(
+      Seq(Tuple1(1L)).toDF("other"), exactDistinct = true)
+    val input = MemoryStream[Doc]
+    val windowed = DriftStream.windowProfile(
+      input.toDF(), "ts", "0 minutes", "10 minutes", Seq("score"))
+    val query = DriftStream.drift(windowed, reference)
+      .writeStream.format("memory").queryName("drift_unknown")
+      .outputMode("append").start()
+    try {
+      input.addData(Doc(ts(1), 5L, "en"))
+      query.processAllAvailable()
+      input.addData(Doc(ts(11), 5L, "en")) // closes [0,10)
+      query.processAllAvailable()
+      val rows: Array[Row] = spark.table("drift_unknown").collect()
+      rows.length shouldBe 1
+      rows.head.getAs[Boolean]("drift") shouldBe true
+    } finally query.stop()
+  }
+}
