@@ -43,18 +43,26 @@ object TextRank {
     // first measurement was dominated by exactly these re-derivations)
     val ids = TextStats.vocabIds(
       TextStats.vocabulary(docs, idCol, textCol)).persist(lvl)
-    val big = NgramLm.docBigrams(docs, idCol, textCol)
-      .select("w1", "w2").distinct()
-    // token ids are vocab-sized: broadcast both lookups (the bigram
-    // stream is the big side)
-    val dir = big
+    // token ids are vocab-sized: broadcast both lookups onto the RAW
+    // bigram stream (map-side — no early string-level distinct), then
+    // dedup ONCE on the canonical unordered id pair and explode the two
+    // directions after. The round-11 shape shuffled the raw stream twice
+    // (distinct on the wide string pairs, then distinct on the 2×
+    // symmetrized ids); this is one shuffle of narrow (long, long) rows
+    // for the identical edge set — self-loops kept single by the a≠b
+    // filter on the reversed branch.
+    val und = NgramLm.docBigrams(docs, idCol, textCol)
       .join(broadcast(ids.withColumnRenamed("token", "w1")
         .withColumnRenamed("token_id", "src")), Seq("w1"))
       .join(broadcast(ids.withColumnRenamed("token", "w2")
         .withColumnRenamed("token_id", "dst")), Seq("w2"))
-      .select("src", "dst")
-    val edges = dir.union(dir.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().persist(lvl)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.filter(col("a") =!= col("b"))
+        .select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
     val pr = PageRank.pageRankManaged(edges, "src", "dst", iterations)
     val out = pr.df
       .join(broadcast(ids), col("node") === col("token_id"))
