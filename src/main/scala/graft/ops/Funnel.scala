@@ -105,6 +105,114 @@ object Funnel {
         col("__w.__t_type").as("touch_type"))
   }
 
+  /** First-touch attribution: [[lastTouchAttribution]]'s mirror — each
+    * conversion credits the EARLIEST in-window touch (min over the
+    * (ts, id, type) struct: earliest ts, ties to the smallest id — the
+    * deterministic mirror of last-touch's largest-id rule). Same one
+    * join + one aggregate shape, same organic null-credit bucket.
+    */
+  def firstTouchAttribution(events: DataFrame, userCol: String,
+                            typeCol: String, tsUsCol: String, idCol: String,
+                            convertType: String, touchTypes: Seq[String],
+                            windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val conv = events.filter(col(typeCol) === convertType)
+      .select(col(userCol), col(tsUsCol).as("conv_us"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol).isInCollection(touchTypes))
+      .select(col(userCol), col(tsUsCol).as("__t_us"),
+        col(idCol).as("__t_id"), col(typeCol).as("__t_type"))
+    conv.join(touch.hint("shuffle_hash"), Seq(userCol), "left")
+      .groupBy(col(userCol), col("conv_us"), col("conv_id"))
+      .agg(min(when(
+        col("__t_us") < col("conv_us") &&
+          col("__t_us") >= col("conv_us") - lit(windowUs),
+        struct(col("__t_us"), col("__t_id"), col("__t_type")))).as("__w"))
+      .select(col(userCol), col("conv_us"), col("conv_id"),
+        col("__w.__t_us").as("touch_us"), col("__w.__t_id").as("touch_id"),
+        col("__w.__t_type").as("touch_type"))
+  }
+
+  /** Multi-touch attribution: one row per (conversion, in-window touch)
+    * with integer basis-point credit under TWO normative models —
+    * `credit_bp_linear` (each of n touches gets `10000 div n`, the
+    * remainder to the LAST touch) and `credit_bp_position` (U-shaped:
+    * n=1 → 10000; n=2 → 5000/5000; n≥3 → first 4000, middles
+    * `2000 div (n-2)` each, last 4000 plus the middle remainder). The
+    * remainder-to-last rule is part of the DEFINITION: floor division is
+    * identical in every engine, so credits sum to exactly 10000 per
+    * conversion and the whole report is hash-exact cross-engine —
+    * fractional credit models are partition-order-dependent the moment
+    * doubles enter a sum.
+    *
+    * Scale shape: the same user-keyed hinted hash join as
+    * [[lastTouchAttribution]] (pair volume = per-user conversions ×
+    * in-window touches), then ONE conversion-keyed window (row_number +
+    * count share it) — conversion ids are unique, so the window
+    * partition is per-conversion-bounded, immune to user skew. Organic
+    * conversions (no in-window touch) arrive via a second anti-join
+    * branch with pos=0, n_touches=0, full 10000 credit in both models.
+    *
+    * Returns (userCol, conv_us, conv_id, touch_us, touch_id, touch_type,
+    * pos, n_touches, credit_bp_linear, credit_bp_position).
+    */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+                            typeCol: String, tsUsCol: String, idCol: String,
+                            convertType: String, touchTypes: Seq[String],
+                            windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val conv = events.filter(col(typeCol) === convertType)
+      .select(col(userCol), col(tsUsCol).as("conv_us"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol).isInCollection(touchTypes))
+      .select(col(userCol).as("__t_user"), col(tsUsCol).as("__t_us"),
+        col(idCol).as("__t_id"), col(typeCol).as("__t_type"))
+    val inWindow = conv(userCol) === col("__t_user") &&
+      col("__t_us") < conv("conv_us") &&
+      col("__t_us") >= conv("conv_us") - lit(windowUs)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("__t_us"), col("__t_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"))
+    val credited = conv
+      .join(touch.hint("shuffle_hash"), inWindow)
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wAll))
+      .withColumn("credit_bp_linear",
+        when(col("pos") === col("n_touches"),
+          lit(10000L) - (col("n_touches") - 1) *
+            expr("10000 div n_touches"))
+          .otherwise(expr("10000 div n_touches")))
+      .withColumn("credit_bp_position",
+        when(col("n_touches") === 1, lit(10000L))
+          .when(col("n_touches") === 2, lit(5000L))
+          .when(col("pos") === 1, lit(4000L))
+          .when(col("pos") === col("n_touches"),
+            lit(6000L) - (col("n_touches") - 2) *
+              expr("2000 div (n_touches - 2)"))
+          .otherwise(expr("2000 div (n_touches - 2)")))
+      .select(col(userCol), col("conv_us"), col("conv_id"),
+        col("__t_us").as("touch_us"), col("__t_id").as("touch_id"),
+        col("__t_type").as("touch_type"), col("pos"), col("n_touches"),
+        col("credit_bp_linear"), col("credit_bp_position"))
+    val organic = conv
+      .join(touch.hint("shuffle_hash"), inWindow, "left_anti")
+      .select(col(userCol), col("conv_us"), col("conv_id"),
+        lit(null).cast("long").as("touch_us"),
+        lit(null).cast("long").as("touch_id"),
+        lit(null).cast("string").as("touch_type"),
+        lit(0L).as("pos"), lit(0L).as("n_touches"),
+        lit(10000L).as("credit_bp_linear"),
+        lit(10000L).as("credit_bp_position"))
+    credited.unionByName(organic)
+  }
+
   /** Top event paths (k-step sequence mining by support): every
     * length-`k` window of CONSECUTIVE events in a user's (ts, tie-break)
     * order is one path occurrence; paths rank by total occurrences —

@@ -672,6 +672,42 @@ object Qext {
       .orderBy("conv_id")
   }
 
+  /** First-touch attribution ([[Funnel.firstTouchAttribution]]): the
+    * last-touch mirror — each purchase credits the EARLIEST in-window
+    * click/view (min over the (ts, id, type) struct, ties to the
+    * smallest id), organic bucket kept. Same 1-day window, so both
+    * buckets are populated at both SFs; the oracle reproduces the winner
+    * via min-ts then min-id chains.
+    */
+  def qExtAttributionFirstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Funnel.firstTouchAttribution(
+        ev.select(col("user_id"), col("event_type"), col("event_id"),
+          Sources.eventTsMicros(ev).as("ts_us")),
+        "user_id", "event_type", "ts_us", "event_id",
+        convertType = "purchase", touchTypes = Seq("click", "view"),
+        windowUs = 86400000000L)
+      .orderBy("conv_id")
+  }
+
+  /** Multi-touch attribution ([[Funnel.multiTouchAttribution]]): every
+    * in-window touch of each purchase with integer basis-point credit
+    * under the linear and U-shaped position models — floor division plus
+    * the remainder-to-last rule makes every credit a pure integer
+    * function of the pair set, so the full report (positions, counts,
+    * both credit columns) hash-matches the window-function SQL.
+    */
+  def qExtAttributionMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Funnel.multiTouchAttribution(
+        ev.select(col("user_id"), col("event_type"), col("event_id"),
+          Sources.eventTsMicros(ev).as("ts_us")),
+        "user_id", "event_type", "ts_us", "event_id",
+        convertType = "purchase", touchTypes = Seq("click", "view"),
+        windowUs = 86400000000L)
+      .orderBy("conv_id", "pos")
+  }
+
   /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
     * draws proportional to n_chars, exact integer prefix-sum walk — the
     * sample is a pure function of the data (partitioning-independent),
@@ -1612,6 +1648,8 @@ object Qext {
     "q_ext_event_funnel" -> (qExtEventFunnel _),
     "q_ext_funnel_timed" -> (qExtFunnelTimed _),
     "q_ext_attribution_last_touch" -> (qExtAttributionLastTouch _),
+    "q_ext_attribution_first_touch" -> (qExtAttributionFirstTouch _),
+    "q_ext_attribution_multi" -> (qExtAttributionMulti _),
     "q_ext_top_paths" -> (qExtTopPaths _),
     "q_ext_compress_ratio" -> (qExtCompressRatio _),
     "q_ext_unicode_nfc" -> (qExtUnicodeNfc _),
@@ -2715,6 +2753,90 @@ object Qext {
         |LEFT JOIN win2 w2 ON c.conv_id = w2.conv_id
         |LEFT JOIN touch t ON w2.touch_id = t.t_id
         |ORDER BY c.conv_id""".stripMargin,
+
+    // Winner = min touch ts then min event_id — the engine's
+    // min-over-struct mirror of the last-touch rule.
+    "q_ext_attribution_first_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
+        |  WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id
+        |  FROM conv c JOIN touch t USING (user_id)
+        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
+        |), win AS (
+        |  SELECT conv_id, min(t_us) AS touch_us FROM pairs GROUP BY conv_id
+        |), win2 AS (
+        |  SELECT p.conv_id, w.touch_us, min(p.t_id) AS touch_id
+        |  FROM pairs p JOIN win w ON p.conv_id = w.conv_id AND p.t_us = w.touch_us
+        |  GROUP BY p.conv_id, w.touch_us
+        |)
+        |SELECT c.user_id, c.conv_us, c.conv_id, w2.touch_us, w2.touch_id,
+        |       t.t_type AS touch_type
+        |FROM conv c
+        |LEFT JOIN win2 w2 ON c.conv_id = w2.conv_id
+        |LEFT JOIN touch t ON w2.touch_id = t.t_id
+        |ORDER BY c.conv_id""".stripMargin,
+
+    // Integer basis-point credits: floor division + remainder-to-last is
+    // the normative definition, so both models are exact BIGINTs in any
+    // engine; positions by (t_us, t_id) window order, organic bucket via
+    // NOT EXISTS with pos=0.
+    "q_ext_attribution_multi" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
+        |  WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id, t.t_type
+        |  FROM conv c JOIN touch t USING (user_id)
+        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
+        |), pos AS (
+        |  SELECT user_id, conv_us, conv_id, t_us, t_id, t_type,
+        |         CAST(row_number() OVER (PARTITION BY conv_id
+        |           ORDER BY t_us, t_id) AS BIGINT) AS pos,
+        |         count(*) OVER (PARTITION BY conv_id) AS n_touches
+        |  FROM pairs
+        |), credited AS (
+        |  SELECT user_id, conv_us, conv_id, t_us AS touch_us,
+        |         t_id AS touch_id, t_type AS touch_type, pos, n_touches,
+        |         CAST(CASE WHEN pos = n_touches
+        |           THEN 10000 - (n_touches - 1) * (10000 // n_touches)
+        |           ELSE 10000 // n_touches END AS BIGINT)
+        |           AS credit_bp_linear,
+        |         CAST(CASE WHEN n_touches = 1 THEN 10000
+        |           WHEN n_touches = 2 THEN 5000
+        |           WHEN pos = 1 THEN 4000
+        |           WHEN pos = n_touches
+        |             THEN 6000 - (n_touches - 2) * (2000 // (n_touches - 2))
+        |           ELSE 2000 // (n_touches - 2) END AS BIGINT)
+        |           AS credit_bp_position
+        |  FROM pos
+        |), organic AS (
+        |  SELECT c.user_id, c.conv_us, c.conv_id,
+        |         CAST(NULL AS BIGINT) AS touch_us,
+        |         CAST(NULL AS BIGINT) AS touch_id,
+        |         CAST(NULL AS VARCHAR) AS touch_type,
+        |         CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_touches,
+        |         CAST(10000 AS BIGINT) AS credit_bp_linear,
+        |         CAST(10000 AS BIGINT) AS credit_bp_position
+        |  FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id)
+        |)
+        |SELECT * FROM credited
+        |UNION ALL SELECT * FROM organic
+        |ORDER BY conv_id, pos""".stripMargin,
 
     // First-touch greedy min-chains over integer microseconds — the
     // timed-funnel definition is the same chain in both engines.

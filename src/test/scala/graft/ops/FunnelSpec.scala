@@ -112,6 +112,77 @@ class FunnelSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "firstTouchAttribution" should "credit the earliest in-window touch with smallest-id tie-break" in {
+    val rows = Seq(
+      (1L, "click", 40L, 10L), (1L, "view", 90L, 11L),
+      (1L, "purchase", 100L, 12L),
+      (1L, "purchase", 300L, 13L), // organic: 90 outside the 80-window
+      (2L, "click", 50L, 20L), (2L, "view", 50L, 21L),
+      (2L, "purchase", 60L, 22L), // same-ts tie → SMALLEST id
+      (3L, "click", 70L, 30L), (3L, "purchase", 70L, 31L)) // strict before
+      .toDF("u", "t", "ts", "id")
+    val out = Funnel.firstTouchAttribution(rows, "u", "t", "ts", "id",
+        "purchase", Seq("click", "view"), windowUs = 80L)
+      .collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))))
+      .toMap
+    out(12L) shouldBe ((Some(40L), Some(10L), Some("click"))) // earliest
+    out(13L) shouldBe ((None, None, None))
+    out(22L) shouldBe ((Some(50L), Some(20L), Some("click"))) // min id
+    out(31L) shouldBe ((None, None, None))
+  }
+
+  "multiTouchAttribution" should "split integer credit per the linear and position models" in {
+    def touches(u: Long, n: Int, base: Long, idBase: Long) =
+      (0 until n).map(i => (u, "click", base + i * 10L, idBase + i))
+    val rows = (touches(1L, 5, 10L, 100L) :+ (1L, "purchase", 70L, 105L)) ++
+      (touches(2L, 3, 10L, 200L) :+ (2L, "purchase", 50L, 203L)) ++
+      (touches(3L, 2, 10L, 300L) :+ (3L, "purchase", 30L, 302L)) ++
+      (touches(4L, 1, 10L, 400L) :+ (4L, "purchase", 20L, 401L)) ++
+      Seq((5L, "purchase", 20L, 500L)) // organic
+    val out = Funnel.multiTouchAttribution(rows.toDF("u", "t", "ts", "id"),
+        "u", "t", "ts", "id", "purchase", Seq("click", "view"),
+        windowUs = 1000L)
+      .collect()
+      .groupBy(_.getAs[Long]("conv_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("pos"))
+        .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("credit_bp_linear"),
+          r.getAs[Long]("credit_bp_position")))).toMap
+    // n=5: linear 2000 each; position 4000, 666×3, last 4000+remainder 2
+    out(105L) shouldBe Seq((1L, 2000L, 4000L), (2L, 2000L, 666L),
+      (3L, 2000L, 666L), (4L, 2000L, 666L), (5L, 2000L, 4002L))
+    // n=3: linear 3333, 3333, 3334; position 4000, 2000, 4000
+    out(203L) shouldBe Seq((1L, 3333L, 4000L), (2L, 3333L, 2000L),
+      (3L, 3334L, 4000L))
+    out(302L) shouldBe Seq((1L, 5000L, 5000L), (2L, 5000L, 5000L))
+    out(401L) shouldBe Seq((1L, 10000L, 10000L))
+    out(500L) shouldBe Seq((0L, 10000L, 10000L)) // organic, full credit
+  }
+
+  it should "sum to exactly 10000 bp per conversion on randomized events" in {
+    val rnd = new scala.util.Random(23)
+    val types = Seq("click", "view", "purchase")
+    val events = (1 to 500).map { id =>
+      (rnd.nextInt(15).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(800).toLong, id.toLong)
+    }
+    val out = Funnel.multiTouchAttribution(
+        events.toDF("u", "t", "ts", "id"), "u", "t", "ts", "id",
+        "purchase", Seq("click", "view"), windowUs = 200L)
+      .collect()
+    val perConv = out.groupBy(_.getAs[Long]("conv_id"))
+    perConv.size shouldBe events.count(_._2 == "purchase")
+    perConv.values.foreach { rows =>
+      rows.map(_.getAs[Long]("credit_bp_linear")).sum shouldBe 10000L
+      rows.map(_.getAs[Long]("credit_bp_position")).sum shouldBe 10000L
+      val n = rows.head.getAs[Long]("n_touches")
+      rows.length.toLong shouldBe math.max(n, 1L)
+      rows.map(_.getAs[Long]("pos")).sorted shouldBe
+        (if (n == 0) Seq(0L) else (1L to n))
+    }
+  }
+
   "topPaths" should "count consecutive k-windows per user in time order" in {
     val rows = Seq(
       // user 1: A B A B → paths "A B A", "B A B"
