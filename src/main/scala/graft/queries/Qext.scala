@@ -639,6 +639,40 @@ object Qext {
       .orderBy("user_id")
   }
 
+  /** Funnel time-to-convert distribution: quartiles of the step1→step2
+    * and step2→step3 latencies per reached-tier, over the
+    * [[Funnel.timedFunnel]] chains — "how fast do converting users
+    * move", the companion report to "how many convert". Exact
+    * interpolated percentiles over integer microsecond latencies are
+    * FP-exact in both engines (the [[qExtQuantilesByLang]] precedent);
+    * tiers without a defined latency (reached=1 has no step2) emit NULL
+    * quartiles in both.
+    */
+  def qExtFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val probs = array(lit(0.25), lit(0.5), lit(0.75))
+    Funnel.timedFunnel(
+        ev.select(col("user_id"), col("event_type"),
+          Sources.eventTsMicros(ev).as("ts_us")),
+        "user_id", "event_type", "ts_us",
+        steps = Seq("signup", "click", "purchase"),
+        maxGapUs = 3L * 86400000000L)
+      .withColumn("lat12", (col("step2_us") - col("step1_us")).cast("double"))
+      .withColumn("lat23", (col("step3_us") - col("step2_us")).cast("double"))
+      .groupBy("reached")
+      .agg(count(lit(1)).as("n_users"),
+        percentile(col("lat12"), probs).as("__q12"),
+        percentile(col("lat23"), probs).as("__q23"))
+      .select(col("reached"), col("n_users"),
+        col("__q12").getItem(0).as("lat12_p25"),
+        col("__q12").getItem(1).as("lat12_p50"),
+        col("__q12").getItem(2).as("lat12_p75"),
+        col("__q23").getItem(0).as("lat23_p25"),
+        col("__q23").getItem(1).as("lat23_p50"),
+        col("__q23").getItem(2).as("lat23_p75"))
+      .orderBy("reached")
+  }
+
   /** Top 3-step event paths ([[Funnel.topPaths]]): every consecutive
     * (ts, event_id)-ordered triple per user is one occurrence; top 20 by
     * (count desc, path asc) — deterministic total order since paths are
@@ -1647,6 +1681,7 @@ object Qext {
     "q_ext_mixture_realize" -> (qExtMixtureRealize _),
     "q_ext_event_funnel" -> (qExtEventFunnel _),
     "q_ext_funnel_timed" -> (qExtFunnelTimed _),
+    "q_ext_funnel_latency" -> (qExtFunnelLatency _),
     "q_ext_attribution_last_touch" -> (qExtAttributionLastTouch _),
     "q_ext_attribution_first_touch" -> (qExtAttributionFirstTouch _),
     "q_ext_attribution_multi" -> (qExtAttributionMulti _),
@@ -2864,6 +2899,45 @@ object Qext {
         |         AS reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+
+    // The funnel chain + quantile_cont: same two-sided interpolation as
+    // Spark's percentile over integer-derived doubles → FP-exact; tiers
+    // with no defined latency yield NULL quartiles in both engines.
+    "q_ext_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_us) AS step1_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT ev.user_id, min(ev.ts_us) AS step2_us
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.step1_us
+        |    AND ev.ts_us <= s1.step1_us + 259200000000
+        |  GROUP BY ev.user_id
+        |), s3 AS (
+        |  SELECT ev.user_id, min(ev.ts_us) AS step3_us
+        |  FROM ev JOIN s2 USING (user_id)
+        |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.step2_us
+        |    AND ev.ts_us <= s2.step2_us + 259200000000
+        |  GROUP BY ev.user_id
+        |), chains AS (
+        |  SELECT s1.user_id,
+        |         1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+        |           AS reached,
+        |         CAST(s2.step2_us - s1.step1_us AS DOUBLE) AS lat12,
+        |         CAST(s3.step3_us - s2.step2_us AS DOUBLE) AS lat23
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |)
+        |SELECT reached, count(*) AS n_users,
+        |       quantile_cont(lat12, 0.25) AS lat12_p25,
+        |       quantile_cont(lat12, 0.5) AS lat12_p50,
+        |       quantile_cont(lat12, 0.75) AS lat12_p75,
+        |       quantile_cont(lat23, 0.25) AS lat23_p25,
+        |       quantile_cont(lat23, 0.5) AS lat23_p50,
+        |       quantile_cont(lat23, 0.75) AS lat23_p75
+        |FROM chains GROUP BY reached
+        |ORDER BY reached""".stripMargin,
 
     // Exact integer arithmetic end-to-end: BIGINT prefix sums, HUGEINT
     // products — the stride walk is bit-identical to the engine's BigInt

@@ -34,42 +34,54 @@ object DriftStream {
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        max(col(c)).cast("string").as(s"__max_$c"),
+        // HLL++ sketch state, O(1) per column per open window; exact in
+        // the sparse regime (small cardinalities — the categorical-guard
+        // case), ±rsd at scale (drift() applies a tolerance band)
+        approx_count_distinct(col(c)).as(s"__nd_$c"))
     }
     val w = rows.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("__n"), aggs: _*)
     // one output row per (window, column): stack the per-column stat
-    // triples — stateless over the closed aggregate, stays append-mode
+    // tuples — stateless over the closed aggregate, stays append-mode
     val stacked = cols.map { c =>
       struct(lit(c).as("column"),
         (col("__n") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"))
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"),
+        col(s"__nd_$c").as("n_distinct"))
     }
     w.select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("__n").as("n_rows"),
         explode(array(stacked: _*)).as("s"))
       .select(col("window_start"), col("window_end"), col("s.column"),
-        col("n_rows"), col("s.n_nulls"), col("s.min"), col("s.max"))
+        col("n_rows"), col("s.n_nulls"), col("s.min"), col("s.max"),
+        col("s.n_distinct"))
   }
 
   /** Flag each closed window's columns against a static `reference`
     * profile ([[graft.ops.Profiler.profile]] output of the blessed
     * snapshot): drift when the column is missing from the reference, its
-    * null fraction moves by more than `nullFracTol`, or its min/max fall
-    * OUTSIDE the reference bounds (a window is a sample of the blessed
-    * distribution — equality on extrema, the two-snapshot rule, would
-    * false-positive every window; escape is the sharp signal). Same
+    * null fraction moves by more than `nullFracTol`, its min/max fall
+    * OUTSIDE the reference bounds, or its distinct count EXCEEDS the
+    * reference's by more than `distinctTol`× (new category values — a
+    * window being a SAMPLE can only lose distincts, never legitimately
+    * gain past the blessed full set; the tolerance absorbs HLL error at
+    * large cardinalities). Escape rules, not equality — equality on
+    * extrema/distincts would false-positive every window. Same
     * null-fraction algebra as [[graft.ops.Profiler.drift]].
     */
   def drift(windowed: DataFrame, reference: DataFrame,
-            nullFracTol: Double = 0.01): DataFrame = {
+            nullFracTol: Double = 0.01,
+            distinctTol: Double = 1.05): DataFrame = {
     require(nullFracTol >= 0, s"nullFracTol must be >= 0: $nullFracTol")
+    require(distinctTol >= 1, s"distinctTol must be >= 1: $distinctTol")
     val ref = broadcast(reference.select(
       col("column"),
       when(col("n_rows") > 0, col("n_nulls").cast("double") / col("n_rows"))
         .otherwise(lit(0.0)).as("ref_null_frac"),
-      col("min").as("ref_min"), col("max").as("ref_max")))
+      col("min").as("ref_min"), col("max").as("ref_max"),
+      col("n_distinct").as("ref_distinct")))
     // extrema live as strings (any-type frame): compare numerically when
     // BOTH sides parse as numbers — lexicographic order is wrong there
     // ("9" > "10") — and as strings otherwise
@@ -87,9 +99,12 @@ object DriftStream {
         col("ref_null_frac").isNull ||
           abs(col("null_frac") - col("ref_null_frac")) > nullFracTol ||
           outside("min", "ref_min", below = true) ||
-          outside("max", "ref_max", below = false))
+          outside("max", "ref_max", below = false) ||
+          col("n_distinct").cast("double") >
+            col("ref_distinct").cast("double") * lit(distinctTol))
       .select(col("window_start"), col("window_end"), col("column"),
         col("n_rows"), col("null_frac"), col("ref_null_frac"),
-        col("min"), col("max"), col("ref_min"), col("ref_max"), col("drift"))
+        col("min"), col("max"), col("ref_min"), col("ref_max"),
+        col("n_distinct"), col("ref_distinct"), col("drift"))
   }
 }

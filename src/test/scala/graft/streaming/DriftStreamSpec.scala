@@ -38,9 +38,11 @@ class DriftStreamSpec extends SparkSpec {
       // window [0,10): healthy — inside blessed bounds, no nulls
       input.addData(Doc(ts(1), 15L, "en"), Doc(ts(2), 42L, "fr"))
       query.processAllAvailable()
-      // window [10,20): drifting — a null score and score 9 < ref_min 10
-      // (lexicographically "9" > "10": the numeric compare must catch it)
-      input.addData(Doc(ts(11), 9L, "en"), Doc(ts(12), null, "en"))
+      // window [10,20): drifting — a null score, score 9 < ref_min 10
+      // (lexicographically "9" > "10": the numeric compare must catch
+      // it), and a THIRD language vs the blessed two (distinct escape)
+      input.addData(Doc(ts(11), 9L, "en"), Doc(ts(12), null, "fr"),
+        Doc(ts(13), 20L, "zz"))
       query.processAllAvailable()
       // window [20,30) only exists to close [10,20) past the watermark
       input.addData(Doc(ts(21), 20L, "en"))
@@ -53,9 +55,15 @@ class DriftStreamSpec extends SparkSpec {
       out((0L, "lang")).getAs[Boolean]("drift") shouldBe false
       val bad = out((10L, "score"))
       bad.getAs[Boolean]("drift") shouldBe true
-      bad.getAs[Double]("null_frac") shouldBe 0.5
+      bad.getAs[Double]("null_frac") shouldBe (1.0 / 3.0)
       bad.getAs[String]("min") shouldBe "9"
-      out((10L, "lang")).getAs[Boolean]("drift") shouldBe false
+      // lang flags on the distinct escape alone: no nulls, "en".."zz"
+      // inside no bound check (strings compare, en >= en, zz... exceeds
+      // ref_max "fr") — both the extrema escape AND 3 > 2·1.05 fire
+      val langBad = out((10L, "lang"))
+      langBad.getAs[Boolean]("drift") shouldBe true
+      langBad.getAs[Long]("n_distinct") shouldBe 3L
+      langBad.getAs[Long]("ref_distinct") shouldBe 2L
     } finally query.stop()
   }
 
