@@ -121,6 +121,32 @@ object MediaCodec {
     None
   }
 
+  /** Parsed GIF logical-screen-descriptor fields. `gctBits` is the global
+    * color table's size exponent (table holds 2^gctBits entries) when
+    * `hasGct`, else 0.
+    */
+  final case class GifInfo(width: Int, height: Int, hasGct: Boolean,
+                           gctBits: Int, colorResolution: Int)
+
+  /** Parse a GIF header: GIF87a/GIF89a signature, then the logical screen
+    * descriptor (width/height LE16, packed global-color-table fields).
+    * Returns None for anything that is not a well-formed GIF prefix.
+    */
+  def parseGif(bytes: Array[Byte]): Option[GifInfo] = {
+    if (bytes == null || bytes.length < 13) return None
+    val sig = ascii(bytes, 0, 6)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val width = le16(bytes, 6)
+    val height = le16(bytes, 8)
+    if (width <= 0 || height <= 0) return None
+    val packed = u8(bytes, 10)
+    val hasGct = (packed & 0x80) != 0
+    val gctBits = if (hasGct) (packed & 0x07) + 1 else 0
+    // a declared GCT must actually fit in the payload (3 bytes/entry)
+    if (hasGct && 13 + 3 * (1 << gctBits) > bytes.length) return None
+    Some(GifInfo(width, height, hasGct, gctBits, ((packed >> 4) & 0x07) + 1))
+  }
+
   /** Parse a WAV header: RIFF/WAVE container, then a chunk walk to `fmt `
     * (PCM layout fields) and `data` (payload size). Chunk order is NOT
     * assumed — LIST/INFO chunks before `fmt ` occur in the wild — and odd

@@ -135,6 +135,14 @@ object Multimodal {
               Some(j.components.toLong), Some(j.precision.toLong), None, None)
             case None => unknown(r.media_id)
           }
+        else if (sniff('G', 'I', 'F', '8'))
+          MediaCodec.parseGif(b) match {
+            case Some(g) => DecodedMedia(r.media_id, "image/gif",
+              Some(g.width.toLong), Some(g.height.toLong),
+              Some(1L), // indexed: one palette sample per pixel
+              if (g.hasGct) Some(g.gctBits.toLong) else None, None, None)
+            case None => unknown(r.media_id)
+          }
         else if (sniff('R', 'I', 'F', 'F'))
           MediaCodec.parseWav(b) match {
             case Some(w) => DecodedMedia(r.media_id, "audio/wav", None, None,
@@ -156,10 +164,12 @@ object Multimodal {
     * path in its implementation). Parameter arithmetic is the oracle
     * contract for q_ext_multimodal_decode — keep in sync with its SQL:
     *
-    *   id % 3 == 0 → PNG,  w = id%61+1, h = id%29+1, gray iff id%2==0
-    *   id % 3 == 1 → WAV,  rate = 8000·((id%9)/3+1) Hz, ch = id%2+1,
+    *   id % 4 == 0 → PNG,  w = id%61+1, h = id%29+1, gray iff (id/4)%2==0
+    *   id % 4 == 1 → WAV,  rate = 8000·((id%9)/3+1) Hz, ch = (id/4)%2+1,
     *                        16-bit, frames = id%97+1
-    *   id % 3 == 2 → JPEG, w = id%47+1, h = id%23+1, gray iff id%2==0
+    *   id % 4 == 2 → JPEG, w = id%47+1, h = id%23+1, gray iff (id/4)%2==0
+    *   id % 4 == 3 → GIF,  w = id%31+1, h = id%17+1, 4-entry palette
+    *                        (gctBits constant 2 — see [[encodeGif]])
     *
     * Encoding runs partition-wise on executors; payloads are tiny
     * (≤64×32 px, ≤100 audio frames) so the per-row cost is the encoder
@@ -170,21 +180,25 @@ object Multimodal {
     import spark.implicits._
     ids.mapPartitions { it =>
       it.map { id =>
-        val m = id % 3
+        val m = id % 4
         if (m == 0) {
           val (w, h) = ((id % 61 + 1).toInt, (id % 29 + 1).toInt)
           MediaRow(id, MediaMeta("image/png", w, h, 1, 0),
-            encodePng(w, h, gray = id % 2 == 0, seed = id))
+            encodePng(w, h, gray = (id / 4) % 2 == 0, seed = id))
         } else if (m == 1) {
           val rate = 8000 * ((id % 9) / 3 + 1).toInt
-          val ch = (id % 2 + 1).toInt
+          val ch = ((id / 4) % 2 + 1).toInt
           val frames = (id % 97 + 1).toInt
           MediaRow(id, MediaMeta("audio/wav", 0, 0, frames, rate),
             encodeWav(rate, ch, frames, seed = id))
-        } else {
+        } else if (m == 2) {
           val (w, h) = ((id % 47 + 1).toInt, (id % 23 + 1).toInt)
           MediaRow(id, MediaMeta("image/jpeg", w, h, 1, 0),
-            encodeJpeg(w, h, gray = id % 2 == 0, seed = id))
+            encodeJpeg(w, h, gray = (id / 4) % 2 == 0, seed = id))
+        } else {
+          val (w, h) = ((id % 31 + 1).toInt, (id % 17 + 1).toInt)
+          MediaRow(id, MediaMeta("image/gif", w, h, 1, 0),
+            encodeGif(w, h, seed = id))
         }
       }
     }
@@ -219,6 +233,33 @@ object Multimodal {
   def encodeJpeg(w: Int, h: Int, gray: Boolean, seed: Long): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(deterministicImage(w, h, gray, seed), "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Encode a real GIF via the JDK ImageIO writer, over an EXPLICIT
+    * 4-entry palette (TYPE_BYTE_BINARY @2bpp + IndexColorModel): the JDK
+    * writer sizes the global color table to the palette, so the emitted
+    * GCT is always 2^2 entries — `gctBits` = 2 becomes a constant of the
+    * container, predictable by the oracle's arithmetic (probed: a
+    * non-indexed source image gets a content-sized GCT instead).
+    */
+  def encodeGif(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      Array[Byte](0, -1, 0, 127), Array[Byte](0, 0, -1, 127),
+      Array[Byte](0, 0, 0, 127))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, ((seed + x + y * 31L) % 4).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", baos)
     baos.toByteArray
   }
 

@@ -3182,19 +3182,24 @@ object Qext {
     // dataBytes·1e6/byteRate = frames·1e6/rate (integer division).
     "q_ext_multimodal_decode" ->
       """SELECT doc_id AS media_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |  CASE doc_id % 4 WHEN 0 THEN 'image/png'
         |                  WHEN 1 THEN 'audio/wav'
-        |                  ELSE 'image/jpeg' END AS kind,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 61 + 1
-        |            WHEN doc_id % 3 = 2 THEN doc_id % 47 + 1 END AS VARCHAR) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 29 + 1
-        |            WHEN doc_id % 3 = 2 THEN doc_id % 23 + 1 END AS VARCHAR) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1
-        |            WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS VARCHAR) AS channels,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16 ELSE 8 END AS VARCHAR) AS bit_depth,
-        |  CAST(CASE WHEN doc_id % 3 = 1
+        |                  WHEN 2 THEN 'image/jpeg'
+        |                  ELSE 'image/gif' END AS kind,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 61 + 1
+        |            WHEN doc_id % 4 = 2 THEN doc_id % 47 + 1
+        |            WHEN doc_id % 4 = 3 THEN doc_id % 31 + 1 END AS VARCHAR) AS width,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 29 + 1
+        |            WHEN doc_id % 4 = 2 THEN doc_id % 23 + 1
+        |            WHEN doc_id % 4 = 3 THEN doc_id % 17 + 1 END AS VARCHAR) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id // 4) % 2 + 1
+        |            WHEN doc_id % 4 = 3 THEN 1
+        |            WHEN (doc_id // 4) % 2 = 0 THEN 1 ELSE 3 END AS VARCHAR) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 16
+        |            WHEN doc_id % 4 = 3 THEN 2 ELSE 8 END AS VARCHAR) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 4 = 1
         |            THEN 8000 * ((doc_id % 9) // 3 + 1) END AS VARCHAR) AS sample_rate_hz,
-        |  CAST(CASE WHEN doc_id % 3 = 1
+        |  CAST(CASE WHEN doc_id % 4 = 1
         |            THEN ((doc_id % 97 + 1) * 1000000)
         |                 // (8000 * ((doc_id % 9) // 3 + 1)) END AS VARCHAR) AS duration_micros
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,

@@ -65,6 +65,31 @@ class MediaCodecSpec extends AnyFlatSpec with Matchers {
     MediaCodec.parseJpeg(null) shouldBe None
   }
 
+  "parseGif" should "read LSD dimensions and the palette-sized GCT from ImageIO-encoded GIFs" in {
+    for ((w, h) <- Seq((1, 1), (31, 17), (13, 7), (64, 32))) {
+      val bytes = Multimodal.encodeGif(w, h, seed = 9)
+      val info = MediaCodec.parseGif(bytes)
+      withClue(s"($w,$h): ") {
+        info should not be empty
+        info.get.width shouldBe w
+        info.get.height shouldBe h
+        info.get.hasGct shouldBe true
+        // the JDK writer sizes the GCT to the explicit 4-entry palette
+        info.get.gctBits shouldBe 2
+      }
+    }
+  }
+
+  it should "reject truncation, a lying GCT flag, and wrong magic" in {
+    val good = Multimodal.encodeGif(10, 5, seed = 3)
+    MediaCodec.parseGif(good.take(10)) shouldBe None
+    val lyingGct = good.take(13).toArray // declared GCT, payload cut before it
+    lyingGct(10) = (lyingGct(10) | 0x80).toByte
+    MediaCodec.parseGif(lyingGct) shouldBe None
+    MediaCodec.parseGif(Multimodal.encodePng(8, 8, gray = true, seed = 1)) shouldBe None
+    MediaCodec.parseGif(null) shouldBe None
+  }
+
   "parseWav" should "read fmt/data fields from AudioSystem-encoded WAVEs" in {
     for ((rate, ch, frames) <- Seq((8000, 1, 1), (16000, 2, 97), (24000, 1, 50))) {
       val bytes = Multimodal.encodeWav(rate, ch, frames, seed = 42)
