@@ -147,6 +147,94 @@ object MediaCodec {
     Some(GifInfo(width, height, hasGct, gctBits, ((packed >> 4) & 0x07) + 1))
   }
 
+  /** Fully decoded PNG image: IHDR fields plus the raw 8-bit samples,
+    * row-major and channel-interleaved (`samples.length == width * height *
+    * info.channels`). Produced by [[decodePng]].
+    */
+  final case class PngPixels(info: PngInfo, samples: Array[Byte])
+
+  /** FULL PNG pixel decode, dependency-free: chunk walk collecting IDAT,
+    * `java.util.zip.Inflater` on the concatenated zlib stream, then
+    * scanline unfiltering per ISO/IEC 15948 §9 (filters None/Sub/Up/
+    * Average/Paeth). Scope: 8-bit non-interlaced gray (0), truecolor (2),
+    * gray+alpha (4) and RGBA (6) — the shapes the JDK encoder emits for
+    * byte-backed rasters; indexed (3), sub-byte depths and Adam7 return
+    * None (a curation pipeline quarantines those rather than mis-reading
+    * them). Total like the header parsers: malformed streams yield None.
+    *
+    * Decoded output is capped at `maxPixels` (default 2^24 samples·channels
+    * guard below) so a forged IHDR cannot allocate unbounded executor
+    * memory — corpus blobs are untrusted by definition.
+    */
+  def decodePng(bytes: Array[Byte], maxPixels: Long = 1L << 24): Option[PngPixels] = {
+    val info = parsePng(bytes) match {
+      case Some(p) if p.bitDepth == 8 && p.interlace == 0 && p.colorType != 3 => p
+      case _ => return None
+    }
+    val nSamples = info.width.toLong * info.height * info.channels
+    if (nSamples <= 0 || info.width.toLong * info.height > maxPixels) return None
+    // chunk walk: concatenate IDAT payloads until IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var ended = false
+    while (!ended && i + 8 <= bytes.length) {
+      val len = be32(bytes, i)
+      if (len < 0 || i + 12 + len > bytes.length) return None
+      val typ = ascii(bytes, i + 4, 4)
+      if (typ == "IDAT") idat.write(bytes, i + 8, len.toInt)
+      else if (typ == "IEND") ended = true
+      i += 12 + len.toInt
+    }
+    if (!ended || idat.size == 0) return None
+    // zlib inflate to exactly height * (1 + width*channels) filtered bytes
+    val stride = info.width * info.channels
+    val raw = new Array[Byte](info.height * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter in place into the output array (ISO 15948 §9.2): a is the
+    // byte bpp to the left, b directly above, c above-left; all 0 off-edge
+    val out = new Array[Byte](info.height * stride)
+    val bpp = info.channels
+    var y = 0
+    while (y < info.height) {
+      val ft = raw(y * (1 + stride)) & 0xFF
+      if (ft > 4) return None
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xFF else 0
+        val b = if (y > 0) out(rowOut - stride + x) & 0xFF else 0
+        val c = if (y > 0 && x >= bpp) out(rowOut - stride + x - bpp) & 0xFF else 0
+        val rec = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + ((a + b) >> 1)
+          case 4 => // Paeth predictor, exact integer arithmetic per spec
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out(rowOut + x) = (rec & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngPixels(info, out))
+  }
+
   /** Parse a WAV header: RIFF/WAVE container, then a chunk walk to `fmt `
     * (PCM layout fields) and `data` (payload size). Chunk order is NOT
     * assumed — LIST/INFO chunks before `fmt ` occur in the wild — and odd

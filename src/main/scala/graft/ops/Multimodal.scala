@@ -155,6 +155,48 @@ object Multimodal {
     }
   }
 
+  /** Exact-integer pixel statistics from a REAL scanline decode
+    * ([[MediaCodec.decodePng]]: IDAT inflate + per-filter reconstruction) —
+    * the pixel tier the stub histogram stood in for. All fields are
+    * integers over raw 8-bit samples so results are bit-reproducible by
+    * any independent decoder (or, for synthetic payloads, by the
+    * generating arithmetic itself). `n_samples = n_pixels * channels`;
+    * sum/min/max range over ALL channel samples.
+    */
+  final case class PixelStats(media_id: Long, width: Long, height: Long,
+                              channels: Long, n_pixels: Long, n_samples: Long,
+                              px_sum: Long, px_min: Long, px_max: Long)
+
+  /** Partition-wise pixel decode + stats over PNG payloads. Rows whose
+    * payload is not a decodable 8-bit non-interlaced PNG are DROPPED
+    * (quarantine-by-omission — callers wanting the reject set anti-join on
+    * media_id). Binary bytes never shuffle: the payload dies inside the
+    * partition, only the fixed-width stats row moves.
+    */
+  def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodePng(r.content).map { p =>
+          val s = p.samples
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i) & 0xFF
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          PixelStats(r.media_id, p.info.width.toLong, p.info.height.toLong,
+            p.info.channels.toLong, p.info.width.toLong * p.info.height,
+            s.length.toLong, sum, mn.toLong, mx.toLong)
+        }
+      }
+    }
+  }
+
   private def unknown(id: Long): DecodedMedia =
     DecodedMedia(id, "unknown", None, None, None, None, None, None)
 

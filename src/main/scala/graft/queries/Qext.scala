@@ -941,6 +941,28 @@ object Qext {
       .orderBy("media_id")
   }
 
+  /** REAL pixel-level decode ([[MediaCodec.decodePng]]: IDAT inflate +
+    * filter reconstruction) over RGB PNG containers: exact-integer pixel
+    * stats per image. Ids ≡ 4 (mod 8) are exactly the TRUECOLOR PNGs of
+    * [[Multimodal.synthesizeContainers]] (m==0 selects PNG, odd id/4
+    * selects RGB) — chosen because TYPE_INT_RGB `setRGB` stores samples
+    * verbatim (probed; TYPE_BYTE_GRAY applies an sRGB→linear transform the
+    * oracle could not reproduce). The oracle recomputes EVERY pixel from
+    * the generating arithmetic v = (id + 31x + 17y) mod 256 over the w×h
+    * grid — independent of the JDK encoder that wrote the scanlines AND of
+    * this repo's inflate/unfilter walk that reads them back.
+    */
+  def qExtMultimodalPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") % 8 === 4)
+      .select(col("doc_id").cast("long")).as[Long]
+    Multimodal.pixelStats(Multimodal.synthesizeContainers(ids)).toDF()
+      .select("media_id", "width", "height", "n_pixels", "n_samples",
+        "px_sum", "px_min", "px_max")
+      .orderBy("media_id")
+  }
+
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
     * distincts): null/distinct counts and min/max per column — the intake
     * audit generalizing the reference's inline checks. dtype is projected
@@ -1702,6 +1724,7 @@ object Qext {
     "q_ext_sample_stratified" -> (qExtSampleStratified _),
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_multimodal_decode" -> (qExtMultimodalDecode _),
+    "q_ext_multimodal_pixels" -> (qExtMultimodalPixels _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -3203,6 +3226,28 @@ object Qext {
         |            THEN ((doc_id % 97 + 1) * 1000000)
         |                 // (8000 * ((doc_id % 9) // 3 + 1)) END AS VARCHAR) AS duration_micros
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
+
+    // Ground truth for the PIXEL decode: every sample of every RGB PNG is
+    // recomputed from the generator arithmetic v = (id + 31x + 17y) % 256
+    // over the w×h grid (ids ≡ 4 mod 8 are exactly the truecolor PNGs;
+    // all three channels carry v, hence the ×3 on counts and sums) —
+    // independent of both the JDK PNG encoder and MediaCodec.decodePng.
+    "q_ext_multimodal_pixels" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 4),
+        |dims AS (SELECT id, id % 61 + 1 AS w, id % 29 + 1 AS h FROM ids),
+        |px AS (
+        |  SELECT d.id, d.w, d.h, (d.id + 31 * gx.x + 17 * gy.y) % 256 AS v
+        |  FROM dims d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) gx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) gy
+        |)
+        |SELECT id AS media_id, w AS width, h AS height,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(3 * count(*) AS BIGINT) AS n_samples,
+        |       CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |       CAST(min(v) AS BIGINT) AS px_min,
+        |       CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window as-of
     // composition (AsofJoin.asofJoin): greatest right ts_us <= left ts_us

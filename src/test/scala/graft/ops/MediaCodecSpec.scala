@@ -43,6 +43,73 @@ class MediaCodecSpec extends AnyFlatSpec with Matchers {
     MediaCodec.parsePng(Array.emptyByteArray) shouldBe None
   }
 
+  "decodePng" should "reconstruct exact RGB samples from ImageIO-encoded PNGs" in {
+    // the generator stores v = (seed + 31x + 17y) % 256 in all three
+    // channels of TYPE_INT_RGB (stored verbatim — probed); a correct
+    // inflate + unfilter walk must recover every sample exactly
+    for ((w, h, seed) <- Seq((1, 1, 0L), (5, 5, 4L), (61, 29, 42L), (64, 32, 999L))) {
+      val px = MediaCodec.decodePng(Multimodal.encodePng(w, h, gray = false, seed))
+      withClue(s"($w,$h,seed=$seed): ") {
+        px should not be empty
+        val s = px.get.samples
+        s.length shouldBe w * h * 3
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+          val expect = ((seed + x * 31L + y * 17L) % 256).toInt
+          withClue(s"($x,$y,c=$c): ") { (s((y * w + x) * 3 + c) & 0xFF) shouldBe expect }
+        }
+      }
+    }
+  }
+
+  it should "decode gray and RGBA rasters bit-exactly vs ImageIO's own reader" in {
+    // raster.setSample writes raw bytes (no colorspace transform), so the
+    // JDK's INDEPENDENT decoder is a second ground truth for our walk
+    def viaSetSample(w: Int, h: Int, imgType: Int, bands: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until bands)
+        img.getRaster.setSample(x, y, b, (x * 7 + y * 13 + b * 29) % 256)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    for ((imgType, bands) <- Seq(
+        (java.awt.image.BufferedImage.TYPE_BYTE_GRAY, 1),
+        (java.awt.image.BufferedImage.TYPE_4BYTE_ABGR, 4))) {
+      val bytes = viaSetSample(23, 11, imgType, bands)
+      val px = MediaCodec.decodePng(bytes)
+      withClue(s"type=$imgType: ") {
+        px should not be empty
+        px.get.info.channels shouldBe bands
+        val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        for (y <- 0 until 11; x <- 0 until 23; b <- 0 until bands) {
+          val ours = px.get.samples((y * 23 + x) * bands + b) & 0xFF
+          // raster bands are LOGICAL (0=R,1=G,2=B,3=A even for the ABGR byte
+          // layout), matching PNG's RGBA sample order — so both the JDK
+          // reader and the generating arithmetic must agree with our walk
+          withClue(s"($x,$y,b=$b): ") {
+            ours shouldBe jdk.getRaster.getSample(x, y, b)
+            ours shouldBe (x * 7 + y * 13 + b * 29) % 256
+          }
+        }
+      }
+    }
+  }
+
+  it should "reject indexed, interlaced, truncated, and corrupt streams totally" in {
+    MediaCodec.decodePng(Multimodal.encodeGif(8, 8, seed = 1)) shouldBe None // not a PNG
+    val good = Multimodal.encodePng(16, 8, gray = false, seed = 7)
+    MediaCodec.decodePng(good) should not be empty
+    MediaCodec.decodePng(good.take(good.length - 20)) shouldBe None // truncated IDAT
+    val corrupt = good.clone()
+    // flip a byte mid-IDAT: inflate must fail or the length check must catch it
+    corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x55).toByte
+    MediaCodec.decodePng(corrupt) // must not throw; any Option is acceptable
+    // forged IHDR dimensions past the pixel guard
+    MediaCodec.decodePng(Multimodal.encodePng(8, 8, gray = true, seed = 1),
+      maxPixels = 10) shouldBe None
+    MediaCodec.decodePng(null) shouldBe None
+  }
+
   "parseJpeg" should "read SOF dimensions and components from ImageIO-encoded JPEGs" in {
     for ((w, h, gray) <- Seq((1, 1, true), (47, 23, false), (64, 32, true))) {
       val bytes = Multimodal.encodeJpeg(w, h, gray, seed = 42)

@@ -37,6 +37,19 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.sampleFrames(media, step = 4).count() shouldBe 0 // images skipped
   }
 
+  "pixelStats" should "compute exact stats from real scanline decode, dropping non-PNGs" in {
+    val ids = Seq(4L, 12L, 5L, 6L).toDS() // 4,12 → RGB PNG; 5 → WAV; 6 → JPEG
+    val rows = Multimodal.pixelStats(Multimodal.synthesizeContainers(ids))
+      .collect().map(p => p.media_id -> p).toMap
+    rows.keySet shouldBe Set(4L, 12L) // WAV/JPEG quarantined by omission
+    val p4 = rows(4L) // w=5, h=5, v=(4+31x+17y)%256, all <256 → no wrap
+    (p4.width, p4.height, p4.channels) shouldBe ((5L, 5L, 3L))
+    p4.n_pixels shouldBe 25L
+    p4.n_samples shouldBe 75L
+    p4.px_sum shouldBe 7500L // 3 * (25*4 + 31*10*5 + 17*10*5)
+    (p4.px_min, p4.px_max) shouldBe ((4L, 196L))
+  }
+
   "resizeMeta" should "rewrite dimensions keeping payload" in {
     val resized = Multimodal.resizeMeta(media, 32, 32).collect().head
     (resized.meta.width, resized.meta.height) shouldBe ((32, 32))
