@@ -76,6 +76,17 @@ object Profiler {
     *    (measured 2.3 s on 3 columns of 600 k-row lineitem where the
     *    distributed form takes a fraction; at corpus scale it OOMs).
     */
+  /** Stable quantile column name for a probability: decimal (not double)
+    * scaling, so 0.05 * 100 names "p5", not "p5_000..01"; non-integer
+    * percents replace the point ("p2_5"). Shared with the streaming
+    * quantile monitor ([[graft.streaming.DriftStream.windowQuantiles]]).
+    */
+  def probName(p: Double): String = {
+    val pct = BigDecimal(p.toString) * 100
+    if (pct.isWhole) s"p${pct.toBigInt}"
+    else s"p${pct.bigDecimal.stripTrailingZeros.toPlainString.replace('.', '_')}"
+  }
+
   def quantiles(df: DataFrame, cols: Seq[String],
                 probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
                 exact: Boolean = false): DataFrame = {
@@ -94,12 +105,7 @@ object Profiler {
           Option(row.getSeq[Double](i))
             .map(_.map(q => q: Any)).getOrElse(probs.map(_ => null)))
       }
-    // decimal (not double) scaling: 0.05 * 100 must name "p5", not "p5_000..01"
-    val probNames = probs.map { p =>
-      val pct = BigDecimal(p.toString) * 100
-      if (pct.isWhole) s"p${pct.toBigInt}"
-      else s"p${pct.bigDecimal.stripTrailingZeros.toPlainString.replace('.', '_')}"
-    }
+    val probNames = probs.map(probName)
     val schema = StructType(
       StructField("column", StringType, nullable = false) +:
         probNames.map(StructField(_, DoubleType, nullable = true)))

@@ -59,6 +59,77 @@ object DriftStream {
         col("s.n_distinct"))
   }
 
+  /** Per-window per-column quantiles of numeric `cols` over event-time
+    * `tsCol` — the distribution half of the intake monitor ([[windowProfile]]
+    * covers counts/nulls/extrema/distincts; a distribution can shift
+    * arbitrarily inside fixed bounds, which only quantiles catch). One row
+    * per (window, column): (window_start, window_end, column, n_rows, then
+    * one `p<prob>` column per requested probability, named exactly like
+    * [[graft.ops.Profiler.quantiles]] so a blessed Profiler snapshot is
+    * directly joinable as the reference).
+    *
+    * State shape: ONE windowed aggregation whose per-open-window state is
+    * O(cols × accuracy) sketch entries (`percentile_approx`, a mergeable
+    * KLL-style summary — default accuracy 1000 keeps streaming state small;
+    * an all-null window yields null quantiles). Append mode end-to-end: the
+    * per-column explode is stateless over the closed aggregate.
+    */
+  def windowQuantiles(rows: DataFrame, tsCol: String, watermark: String,
+                      windowLen: String, cols: Seq[String],
+                      probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                      accuracy: Int = 1000): DataFrame = {
+    require(cols.nonEmpty && probs.nonEmpty, "need at least one column and prob")
+    require(probs.forall(p => p >= 0 && p <= 1), s"probs must be in [0,1]: $probs")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val probsArr = array(probs.map(lit): _*)
+    val aggs = cols.map(c =>
+      percentile_approx(col(c).cast("double"), probsArr, lit(accuracy))
+        .as(s"__q_$c"))
+    val w = rows.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val names = probs.map(graft.ops.Profiler.probName)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column") +: names.zipWithIndex.map { case (nm, i) =>
+        // element_at on a null array (all-null window) is null, never an
+        // ANSI index error: the index is a constant inside bounds
+        element_at(col(s"__q_$c"), i + 1).as(nm)
+      }: _*)
+    }
+    w.select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("__n").as("n_rows"),
+        explode(array(stacked: _*)).as("s"))
+      .select(Seq(col("window_start"), col("window_end"), col("s.column"),
+        col("n_rows")) ++ names.map(nm => col(s"s.$nm").as(nm)): _*)
+  }
+
+  /** Flag each closed window's per-column MEDIAN against a static reference
+    * quantile profile ([[graft.ops.Profiler.quantiles]] output of the
+    * blessed snapshot): drift when the window median escapes the
+    * reference's [lo, hi] band widened by `bandTol` × (hi − lo) on each
+    * side. A band rule, not equality — per-window medians of a healthy
+    * stream wander inside the blessed IQR; only a distribution SHIFT walks
+    * the median past the widened tails. Columns missing from the reference,
+    * all-null windows, and degenerate references (null band edges) all
+    * flag: an unadjudicable window is a drifted window.
+    */
+  def quantileDrift(windowed: DataFrame, reference: DataFrame,
+                    bandTol: Double = 0.25, lo: String = "p25",
+                    mid: String = "p50", hi: String = "p75"): DataFrame = {
+    require(bandTol >= 0, s"bandTol must be >= 0: $bandTol")
+    val ref = broadcast(reference.select(col("column"),
+      col(lo).cast("double").as("ref_lo"), col(mid).cast("double").as("ref_mid"),
+      col(hi).cast("double").as("ref_hi")))
+    val band = (col("ref_hi") - col("ref_lo")) * lit(bandTol)
+    windowed.join(ref, Seq("column"), "left")
+      .withColumn("drift", coalesce(
+        col(mid) < col("ref_lo") - band || col(mid) > col("ref_hi") + band,
+        lit(true))) // null anywhere (no ref / all-null window) → flagged
+      .select(col("window_start"), col("window_end"), col("column"),
+        col("n_rows"), col(mid).as("window_mid"), col("ref_lo"),
+        col("ref_mid"), col("ref_hi"), col("drift"))
+  }
+
   /** Flag each closed window's columns against a static `reference`
     * profile ([[graft.ops.Profiler.profile]] output of the blessed
     * snapshot): drift when the column is missing from the reference, its

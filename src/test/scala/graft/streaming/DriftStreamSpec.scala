@@ -87,4 +87,49 @@ class DriftStreamSpec extends SparkSpec {
       rows.head.getAs[Boolean]("drift") shouldBe true
     } finally query.stop()
   }
+
+  "windowQuantiles + quantileDrift" should "pass in-band medians and flag shifts and all-null windows" in {
+    implicit val sqlCtx = spark.sqlContext
+    // blessed: 10,20,30,40,50 → p25=20 p50=30 p75=40; bandTol 0.25 × IQR 20
+    // widens the acceptance band to [15, 45]
+    val blessed = Seq(10L, 20L, 30L, 40L, 50L).toDF("score")
+    val reference = Profiler.quantiles(blessed, Seq("score"))
+
+    val input = MemoryStream[Doc]
+    val windowed = DriftStream.windowQuantiles(
+      input.toDF(), "ts", watermark = "0 minutes", windowLen = "10 minutes",
+      cols = Seq("score"))
+    val query = DriftStream.quantileDrift(windowed, reference)
+      .writeStream.format("memory").queryName("qdrift_stream")
+      .outputMode("append").start()
+    try {
+      // [0,10): healthy — median 30, inside [15, 45]
+      input.addData(Doc(ts(1), 25L, "en"), Doc(ts(2), 30L, "en"),
+        Doc(ts(3), 35L, "en"))
+      query.processAllAvailable()
+      // [10,20): shifted — median 90 > 45, even though each value alone
+      // would pass a min/max-style bound check against a wider blessed set
+      input.addData(Doc(ts(11), 80L, "en"), Doc(ts(12), 90L, "en"),
+        Doc(ts(13), 100L, "en"))
+      query.processAllAvailable()
+      // [20,30): all-null scores — unadjudicable, must flag
+      input.addData(Doc(ts(21), null, "en"), Doc(ts(22), null, "en"))
+      query.processAllAvailable()
+      input.addData(Doc(ts(31), 30L, "en")) // closes [20,30)
+      query.processAllAvailable()
+
+      val out = spark.table("qdrift_stream").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime / 60000L -> r)
+        .toMap
+      out(0L).getAs[Boolean]("drift") shouldBe false
+      out(0L).getAs[Double]("window_mid") shouldBe 30.0
+      out(0L).getAs[Double]("ref_lo") shouldBe 20.0
+      out(0L).getAs[Double]("ref_hi") shouldBe 40.0
+      out(10L).getAs[Boolean]("drift") shouldBe true
+      out(10L).getAs[Double]("window_mid") shouldBe 90.0
+      val allNull = out(20L)
+      allNull.getAs[Boolean]("drift") shouldBe true
+      allNull.isNullAt(allNull.fieldIndex("window_mid")) shouldBe true
+    } finally query.stop()
+  }
 }
