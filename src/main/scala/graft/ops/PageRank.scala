@@ -61,6 +61,22 @@ object PageRank {
     sys.props.get("graft.graph.broadcastNodesMax").map(_.toLong)
       .getOrElse(1L << 16)
 
+  /** Lineage-truncation cadence for the iteration loop, dangling-aware.
+    * With dangling nodes each round references the previous ranks TWICE
+    * (contrib join + dangling anti-join) — the plan tree DOUBLES per round
+    * and must be cut every few rounds (cadence 3, the round-10 measured
+    * choice). Without dangling (symmetric graphs — TextRank's by
+    * construction; every-node-emits graphs generally) the reference is
+    * single, the nest grows LINEARLY, and each skipped eager checkpoint
+    * saves a full |V|-row materialize+store pass — cadence 8 keeps driver
+    * heap bounded while typical contract runs (≤8 rounds) checkpoint never.
+    * `-Dgraft.graph.checkpointCadence=N` overrides both (the A/B probe's
+    * lever); read per iterate(), not cached.
+    */
+  def checkpointCadence(hasDangling: Boolean): Int =
+    sys.props.get("graft.graph.checkpointCadence").map(_.toInt)
+      .getOrElse(if (hasDangling) 3 else 8)
+
   /** `iterations` power-iteration steps at `dampingPct`/100 damping.
     * Returns (node, rank_scaled): rank_scaled sums to ~[[Scale]]
     * (minus sub-unit truncation). Multi-edges contribute multiply —
@@ -284,22 +300,17 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds)
     val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    // dangling-aware lineage-truncation cadence — see [[checkpointCadence]]:
+    // geometric nest (two rank references per round) cuts every 3, linear
+    // nest (no dangling stage) every 8; each skipped cut saves an eager
+    // |V|-row materialize+store pass (TextRankCadenceAB measured the win)
+    val cadence = checkpointCadence(ctx.hasDangling)
     var ranks = ctx.r0
     var prev: Option[DataFrame] = None
     (1 to iterations).foreach { i =>
       val stepped = step(ctx, ranks)
-      // lineage truncation every 3 rounds: each round references the
-      // previous ranks TWICE (contrib + dangling), so an un-truncated
-      // nest doubles the plan tree per round — planning cost and driver
-      // heap blow up geometrically when the edge frame is itself a
-      // derived pipeline (measured on TextRank/HITS; values unaffected —
-      // the eager checkpoint only materializes what the next action
-      // would anyway). Cadence 3, not 2: the base frames all pin, so a
-      // 3-round nest stays small, and each skipped checkpoint saves a
-      // full |V|-row materialize+store pass (round-11 bench lever,
-      // pre-measured in the round-10 scale notes).
       val next =
-        if (i % 3 == 0 && i < iterations) {
+        if (i % cadence == 0 && i < iterations) {
           val cp = stepped.localCheckpoint(true)
           cpRdds ++= Managed.directCheckpointRdds(cp)
           stepped.unpersist(false)
