@@ -65,7 +65,14 @@ object Ivf {
     * the old null-never-joins behavior.
     */
   def assignExpr(vec: Column, model: Model): Column =
-    coalesce(array_max(scoredCentroids(vec, model)).getField("i"), lit(-1))
+    // the null guard must be EXPLICIT on the vector (IvfSpec locks it): a
+    // null vector nulls only each scored struct's SCORE FIELD — the struct
+    // itself is non-null, struct ordering still produces a (meaningless)
+    // argmax index, and a bare coalesce never fires. Both branches are
+    // non-nullable, preserving the no-genfilter property above.
+    when(vec.isNotNull,
+      coalesce(array_max(scoredCentroids(vec, model)).getField("i"), lit(-1)))
+      .otherwise(lit(-1))
 
   private def l2normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)

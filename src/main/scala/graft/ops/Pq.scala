@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions.vec_dot
+
+/** Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-side half of the ANN
+  * scale story ([[Ivf]] prunes WHICH candidates to score; PQ compresses HOW
+  * each candidate is stored and scored): the vector splits into `m`
+  * subspaces, each sub-vector quantizes to its nearest of `k` per-subspace
+  * codewords, and the stored vector becomes `m` small integers — 64-dim
+  * float32 (256 B) at m=4, k=16 becomes 4 codes (≤4 B), a 64× compression
+  * that is the difference between "the corpus' embeddings fit in executor
+  * memory" and "they do not" at 100 TB.
+  *
+  * Search is ADC (asymmetric distance computation): the UNquantized query
+  * precomputes one lookup table of `m × k` sub-dot-products, and each
+  * candidate scores with `m` array lookups + adds instead of a `dim`-wide
+  * dot — the scan over compressed codes is both smaller AND cheaper per row.
+  *
+  * Engine shape: the codebook is driver-held literals like [[Ivf.Model]]
+  * (m × k × subDim doubles — a few KB broadcast into expressions); encode,
+  * LUT, and ADC score are all whole-stage-codegen expressions over the
+  * existing native [[vec_dot]] kernel — no UDF, no shuffle beyond the
+  * caller's own joins. Quantization minimizes L2 per subspace via the
+  * equivalent argmax of `dot(sub, cw) − ‖cw‖²/2` (the `‖sub‖²` term is
+  * constant per row); ties break to the HIGHER codeword id (struct
+  * array_max — the [[Ivf.assignExpr]] convention, reproducible in SQL as
+  * `ORDER BY score DESC, j DESC`).
+  */
+object Pq {
+
+  /** Per-subspace codeword tables: `codewords(s)(j)` is the j-th codeword
+    * of subspace s, each of length `subDim = dim / m`.
+    */
+  final case class Codebook(dim: Int,
+                            codewords: IndexedSeq[IndexedSeq[Array[Double]]]) {
+    def m: Int = codewords.size
+    def k: Int = codewords.head.size
+    def subDim: Int = dim / m
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(codewords.forall(_.size == k), "ragged codebook")
+    require(codewords.forall(_.forall(_.length == subDim)),
+      s"codeword length != subDim $subDim")
+    // unrolled-codegen guard (the Ivf.UnrollMaxK concern at PQ shape):
+    // encode emits m × k dot terms; past this, grow a native kernel like
+    // IvfExpressions.CentroidScores before raising the bound
+    require(m * k <= 1024, s"m*k = ${m * k} exceeds the unrolled-codegen bound")
+  }
+
+  /** Deterministic fixed codebook: the vectors of `ids` (in order), sliced
+    * into `m` sub-vectors, become the codewords — reproducible from the raw
+    * table by any engine (the PQ oracle basis, like [[Ivf.fixedModel]]).
+    * Quantization quality is below trained ([[trainPortable]]); the PQ
+    * structure — codes, LUT, ADC — is identical.
+    */
+  def fixedCodebook(df: DataFrame, idCol: String, vecCol: String,
+                    ids: Seq[Long], m: Int): Codebook = {
+    val byId = df.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), Similarity.toDouble(col(vecCol)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(ids.forall(byId.contains),
+      s"missing codeword ids: ${ids.filterNot(byId.contains)}")
+    val dim = byId(ids.head).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Codebook(dim, (0 until m).map(s =>
+      ids.toIndexedSeq.map(id => byId(id).slice(s * sub, (s + 1) * sub))))
+  }
+
+  private def subVec(vec: Column, cb: Codebook, s: Int): Column =
+    slice(Similarity.toDouble(vec), s * cb.subDim + 1, cb.subDim)
+
+  /** PQ code array (m ints) for a vector column: per subspace, the argmax
+    * of `dot − ‖cw‖²/2` over the codewords (≡ argmin L2). The `‖cw‖²/2`
+    * terms are driver-computed literals — sequential index-order sums, so
+    * any engine reproduces them bit-for-bit. A null vector codes to all
+    * -1 (the [[Ivf.assignExpr]] non-nullable convention).
+    */
+  def encodeExpr(vec: Column, cb: Codebook): Column = {
+    val enc = array((0 until cb.m).map { s =>
+      val sub = subVec(vec, cb, s)
+      val scored = array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
+        val halfNorm2 = cw.map(x => x * x).sum / 2
+        struct((vec_dot(sub, array(cw.map(lit): _*)) - lit(halfNorm2)).as("s"),
+          lit(j).as("i"))
+      }: _*)
+      coalesce(array_max(scored).getField("i"), lit(-1)) // non-null elements
+    }: _*)
+    // the null guard must be EXPLICIT on the vector: a null sub-vector
+    // nulls only the struct's score FIELD, and struct ordering still
+    // yields a (meaningless) argmax index — coalesce never fires
+    when(vec.isNotNull, enc)
+      .otherwise(array((0 until cb.m).map(_ => lit(-1)): _*))
+  }
+
+  /** (id, codes) frame: the compressed form of a vector table. At rest this
+    * is what a 100 TB corpus stores and scans — `m` small ints per vector
+    * instead of `dim` floats.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             cb: Codebook): DataFrame =
+    df.select(col(idCol), encodeExpr(col(vecCol), cb).as("codes"))
+
+  /** Per-query ADC lookup table: a flat `m × k` double array where entry
+    * `s * k + j` is `dot(querySub_s, codeword_{s,j})` — computed ONCE per
+    * query row, in-plan.
+    */
+  def lutExpr(vec: Column, cb: Codebook): Column =
+    array((for (s <- 0 until cb.m; j <- 0 until cb.k) yield
+      vec_dot(subVec(vec, cb, s),
+        array(cb.codewords(s)(j).map(lit): _*))): _*)
+
+  /** ADC score from a query LUT and a candidate code array: the
+    * approximate inner product `q · x̂ = Σ_s lut[s*k + code_s]` — m array
+    * lookups and adds per candidate, in an explicit ascending-s chain so
+    * the FP addition order is engine-reproducible.
+    */
+  def adcScoreExpr(lut: Column, codes: Column, cb: Codebook): Column =
+    (0 until cb.m).map(s =>
+      element_at(lut, lit(s * cb.k + 1) + element_at(codes, s + 1)))
+      .reduceLeft(_ + _)
+
+  /** Top-`topK` candidates per query by ADC over a pre-encoded code table:
+    * queries carry full vectors (asymmetric — that is the point), the
+    * candidate side only `m` codes per row. Self-matches drop; scores
+    * round to `scoreDecimals` BEFORE ranking (rank ties then break on
+    * candidate id — deterministic and oracle-reproducible); the per-query
+    * LUT is a projected column, so the scan over codes stays one
+    * whole-stage-codegen pass with a window top-k — no shuffle beyond the
+    * rank's own partition-by-query exchange.
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, queryIdCol: String,
+              vecCol: String, candIdCol: String, cb: Codebook, topK: Int,
+              scoreDecimals: Int = 6): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    // null-vector sentinels are unscoreable: a -1 code would index slot 0
+    // of the LUT (an ANSI out-of-bounds error), a null query vector a null
+    // LUT — both drop here, mirroring Ivf's null-never-joins posture
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        lutExpr(col(vecCol), cb).as("__lut"))
+    val c = codes.filter(!array_contains(col("codes"), lit(-1)))
+      .select(col(candIdCol).cast("long").as("cand_id"),
+        col("codes").as("__codes"))
+    val scored = q.join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(adcScoreExpr(col("__lut"), col("__codes"), cb),
+          scoreDecimals).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Train per-subspace codebooks with engine-portable arithmetic (the
+    * [[Ivf.trainPortable]] integer-quantized means, applied per subspace):
+    * ONE distributed pass per Lloyd iteration covers ALL subspaces —
+    * assign codes map-side via [[encodeExpr]], posexplode the vector once,
+    * derive the subspace from the element position, and integer-sum per
+    * (subspace, code, position). Only the m × k × subDim codeword table
+    * collects. Init: the first k vectors by id, sliced — deterministic,
+    * no randomness anywhere.
+    */
+  def trainPortable(df: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, iters: Int = 2,
+                    scale: Long = 1L << 20): Codebook = {
+    val vecs = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
+    val first = vecs.orderBy(col(idCol)).limit(k).select("__v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(first.length == k, s"need at least $k vectors, got ${first.length}")
+    val dim = first.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val init = Codebook(dim, (0 until m).map(s =>
+      first.toIndexedSeq.map(_.slice(s * sub, (s + 1) * sub))))
+    (1 to iters).foldLeft(init) { (cb, _) =>
+      val sums = vecs.withColumn("__codes", encodeExpr(col("__v"), cb))
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .select((col("__pos") / sub).cast("int").as("__s"),
+          element_at(col("__codes"), (col("__pos") / sub).cast("int") + 1)
+            .as("__code"),
+          (col("__pos") % sub).as("__sp"), col("__x"))
+        .groupBy("__s", "__code", "__sp")
+        .agg(sum(floor(col("__x") * lit(scale.toDouble) + lit(0.5))
+          .cast("long")).as("__sq"), count(lit(1)).as("__n"))
+        .collect()
+      val means: Map[(Int, Int), Array[Double]] =
+        sums.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (key, rs) =>
+          val arr = new Array[Double](sub)
+          rs.foreach(r =>
+            arr(r.getInt(2)) = r.getLong(3).toDouble / (scale.toDouble * r.getLong(4)))
+          key -> arr
+        }
+      // empty codes keep their previous codeword
+      Codebook(dim, (0 until m).map(s => (0 until k).map(j =>
+        means.getOrElse((s, j), cb.codewords(s)(j))).toIndexedSeq))
+    }
+  }
+}

@@ -416,6 +416,43 @@ object Qext {
   private val ivfFixedModels =
     new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
 
+  /** Product-quantization codes ([[Pq.encode]], m=4 subspaces × k=16
+    * codewords from the fixed vec_ids 0, 31, …, 465): every 64-dim vector
+    * compresses to 4 small ints — the memory-side ANN scale path (64×
+    * smaller at-rest than float32). The fixed codebook makes the argmin-L2
+    * encode (argmax of `dot − ‖cw‖²/2`, ties to higher id) reproducible
+    * from the raw table — exact SQL oracle over every code.
+    */
+  def qExtPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.encode(e, "vec_id", "embedding", cb)
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3"))
+      .orderBy("vec_id")
+  }
+
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
+
+  /** PQ asymmetric-distance top-5 ([[Pq.adcTopK]]): the unquantized query
+    * precomputes one m×k LUT of sub-dot-products; each candidate scores
+    * with 4 array lookups + adds over its CODES — never touching the
+    * original vector. Approximate by construction (the point is scanning
+    * 4-int rows, not 64-float rows); the oracle replays the same
+    * fixed-codebook encode + LUT arithmetic exactly.
+    */
+  def qExtPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.adcTopK(e.filter(col("vec_id") < 8), Pq.encode(e, "vec_id", "embedding", cb),
+        "vec_id", "embedding", "vec_id", cb, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Semantic dedup ([[SemDedup.dedup]], SemDeDup-style cluster-then-prune):
     * the fixed-centroid model blocks pairs by nearest-centroid cluster; a
     * row is dropped when a smaller-id same-cluster neighbor has cosine
@@ -1689,6 +1726,8 @@ object Qext {
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
     "q_ext_sim_ivf" -> (qExtSimIvf _),
     "q_ext_sim_ivf_fixed" -> (qExtSimIvfFixed _),
+    "q_ext_pq_codes" -> (qExtPqCodes _),
+    "q_ext_pq_adc" -> (qExtPqAdc _),
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_quality_filter" -> (qExtQualityFilter _),
@@ -3129,6 +3168,90 @@ object Qext {
     // cid = vec_id // 31): assignment and probing are argmax/top-4 by
     // (cosine, cid) — ties break to the HIGHER cid, mirroring Spark's
     // array_max over (score, id) structs, hence `ORDER BY s DESC, cid DESC`.
+    // PQ: the fixed codebook (sub-sliced vectors of ids 0,31,…,465) makes
+    // the encode reproducible — per (vector, subspace), argmax of
+    // dot − ‖cw‖²/2 with ties to the higher codeword id. list_dot_product
+    // and the driver's sequential sum-of-squares are the same index-order
+    // IEEE chain, so scores (and hence every code) match bit-for-bit.
+    "q_ext_pq_codes" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |scored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s
+        |                              ORDER BY sc DESC, j DESC) AS rn
+        |    FROM scored) WHERE rn = 1
+        |)
+        |SELECT vec_id,
+        |  max(CASE WHEN s=0 THEN code END) AS c0,
+        |  max(CASE WHEN s=1 THEN code END) AS c1,
+        |  max(CASE WHEN s=2 THEN code END) AS c2,
+        |  max(CASE WHEN s=3 THEN code END) AS c3
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // ADC replay: same encode CTEs, then a per-query LUT of sub-dots and
+    // the explicit ((l0+l1)+l2)+l3 chain matching Spark's ascending-s
+    // reduceLeft; round(6) BEFORE ranking, ties break on cand_id asc.
+    "q_ext_pq_adc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |scored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM scored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM q CROSS JOIN cw c
+        |),
+        |pairs AS (
+        |  SELECT q.query_id, cd.vec_id AS cand_id,
+        |         round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) AS score
+        |  FROM q JOIN codesp cd ON cd.vec_id <> q.query_id
+        |  JOIN lut l0 ON l0.query_id = q.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |  JOIN lut l1 ON l1.query_id = q.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |  JOIN lut l2 ON l2.query_id = q.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |  JOIN lut l3 ON l3.query_id = q.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM pairs) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q_ext_sim_ivf_fixed" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings

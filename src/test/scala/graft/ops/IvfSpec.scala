@@ -35,6 +35,18 @@ class IvfSpec extends SparkSpec {
     assigned(0L) should not be assigned(1L)
   }
 
+  it should "assign null vectors to the -1 sentinel, never a real cluster" in {
+    // regression: a null vector nulls only the scored structs' score FIELD,
+    // so the argmax still produced a real cluster id (observed: k-1) and a
+    // bare coalesce never fired — the sentinel needs an explicit vec guard
+    val df = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS embedding " +
+      "UNION ALL SELECT array(1.0D, 0.0D, 0.0D, 0.0D)")
+    val out = df.select(Ivf.assignExpr(col("embedding"), model).as("c"))
+      .as[Int].collect().sorted
+    out.head shouldBe -1
+    out.last should be >= 0
+  }
+
   "annTopK" should "find the true nearest neighbor within the probed cluster" in {
     val top = Ivf.annTopK(vecs.filter($"vec_id" === 0), vecs,
         "vec_id", "embedding", model, k = 2, nprobe = 1)

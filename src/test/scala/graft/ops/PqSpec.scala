@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** [[Pq]]: codes quantize to the nearest codeword per subspace (ties to the
+  * higher id — the Ivf convention), ADC scores reproduce the exact
+  * sum-of-sub-dots arithmetic, sentinels drop rather than mis-score, and
+  * portable training recovers planted sub-cluster structure
+  * deterministically.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim 8, m=2 → subDim 4, k=2: codewords chosen so sub-vector nearness
+  // is unambiguous (subspace 0: all-0 vs all-1; subspace 1: all-0 vs all-2)
+  private val cb = Pq.Codebook(8, IndexedSeq(
+    IndexedSeq(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0)),
+    IndexedSeq(Array(0.0, 0.0, 0.0, 0.0), Array(2.0, 2.0, 2.0, 2.0))))
+
+  private def vdf(rows: (Long, Seq[Double])*) = rows.toDF("id", "vec")
+
+  "encode" should "pick the L2-nearest codeword per subspace" in {
+    val df = vdf(
+      1L -> Seq(0.1, 0.0, 0.1, 0.0, 1.9, 2.0, 2.1, 2.0), // → (0, 1)
+      2L -> Seq(0.9, 1.1, 1.0, 1.0, 0.2, 0.0, 0.1, 0.0), // → (1, 0)
+      3L -> Seq(1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0)) // → (1, 1)
+    val codes = Pq.encode(df, "id", "vec", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes(1L) shouldBe Seq(0, 1)
+    codes(2L) shouldBe Seq(1, 0)
+    codes(3L) shouldBe Seq(1, 1)
+  }
+
+  it should "break exact ties to the higher codeword id and sentinel nulls to -1" in {
+    val tied = Pq.Codebook(4, IndexedSeq(
+      IndexedSeq(Array(1.0, 1.0), Array(1.0, 1.0)), // identical codewords
+      IndexedSeq(Array(0.0, 0.0), Array(3.0, 3.0))))
+    val df = spark.sql("SELECT 1L AS id, array(1.0D, 1.0D, 0.0D, 0.0D) AS vec " +
+      "UNION ALL SELECT 2L, CAST(NULL AS ARRAY<DOUBLE>)")
+    val codes = Pq.encode(df, "id", "vec", tied)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes(1L).head shouldBe 1 // tie → higher id
+    codes(2L) shouldBe Seq(-1, -1)
+  }
+
+  "adcTopK" should "rank by the exact sum-of-sub-dots LUT arithmetic, excluding self and sentinels" in {
+    val cands = vdf(
+      10L -> Seq(1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0), // codes (1,1)
+      20L -> Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0), // codes (1,0)
+      30L -> Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) // codes (0,0)
+    val codes = Pq.encode(cands, "id", "vec", cb)
+    // query 10 scores itself out; reconstructed dots: against (1,0) codes
+    // q·(1,1,1,1)=4 + q·(0,0,0,0)=0 → 4; against (0,0): 0
+    val out = Pq.adcTopK(vdf(10L -> Seq(1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0)),
+        codes, "id", "vec", "id", cb, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    out.map(_._2).toSeq shouldBe Seq(20L, 30L) // rank order
+    out.find(_._2 == 20L).get._3 shouldBe 4.0
+    out.find(_._2 == 30L).get._3 shouldBe 0.0
+    // equal-score tie would break on cand_id asc: scores differ here, so
+    // just lock ranks are 1,2
+    out.map(_._4).toSeq shouldBe Seq(1, 2)
+  }
+
+  it should "drop null queries and -1-coded candidates" in {
+    val codes = Pq.encode(vdf(10L -> Seq(1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0)),
+      "id", "vec", cb)
+      .union(spark.sql("SELECT 99L AS id, array(-1, -1) AS codes"))
+    val q = spark.sql("SELECT 5L AS id, CAST(NULL AS ARRAY<DOUBLE>) AS vec " +
+      "UNION ALL SELECT 6L, array(1.0D,1.0D,1.0D,1.0D,0.0D,0.0D,0.0D,0.0D)")
+    val out = Pq.adcTopK(q, codes, "id", "vec", "id", cb, topK = 5).collect()
+    out.map(_.getLong(0)).distinct.toSeq shouldBe Seq(6L) // null query gone
+    out.map(_.getLong(1)).toSeq shouldBe Seq(10L) // sentinel candidate gone
+  }
+
+  "fixedCodebook" should "slice the chosen vectors into per-subspace codewords" in {
+    val df = vdf(
+      0L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      7L -> Seq(9.0, 9.0, 9.0, 9.0, 8.0, 8.0, 8.0, 8.0))
+    val fixed = Pq.fixedCodebook(df, "id", "vec", Seq(0L, 7L), m = 2)
+    fixed.m shouldBe 2
+    fixed.k shouldBe 2
+    fixed.codewords(0)(0).toSeq shouldBe Seq(1.0, 2.0, 3.0, 4.0)
+    fixed.codewords(1)(0).toSeq shouldBe Seq(5.0, 6.0, 7.0, 8.0)
+    fixed.codewords(0)(1).toSeq shouldBe Seq(9.0, 9.0, 9.0, 9.0)
+    an[IllegalArgumentException] should be thrownBy
+      Pq.fixedCodebook(df, "id", "vec", Seq(0L, 42L), m = 2)
+  }
+
+  "trainPortable" should "recover planted per-subspace clusters, deterministically" in {
+    // two clean sub-clusters per subspace; ids interleave so the first-k
+    // init sees one of each
+    val rows = (0L until 40L).map { i =>
+      val a = if (i % 2 == 0) 0.0 else 10.0
+      val b = if ((i / 2) % 2 == 0) -5.0 else 5.0
+      i -> Seq(a, a, a, a, b, b, b, b)
+    }
+    val df = vdf(rows: _*)
+    val t1 = Pq.trainPortable(df, "id", "vec", m = 2, k = 2, iters = 2)
+    val t2 = Pq.trainPortable(df, "id", "vec", m = 2, k = 2, iters = 2)
+    // determinism: bit-identical codebooks across runs
+    t1.codewords.flatten.map(_.toSeq) shouldBe t2.codewords.flatten.map(_.toSeq)
+    // each subspace's codewords land on the planted values (quantized
+    // means carry ~1/scale error)
+    val s0 = t1.codewords(0).map(_.head).sorted
+    s0(0) shouldBe 0.0 +- 1e-5
+    s0(1) shouldBe 10.0 +- 1e-5
+    val s1 = t1.codewords(1).map(_.head).sorted
+    s1(0) shouldBe -5.0 +- 1e-5
+    s1(1) shouldBe 5.0 +- 1e-5
+    // a trained codebook encodes its own corpus consistently: every code
+    // in range, no sentinel
+    val codes = Pq.encode(df, "id", "vec", t1).collect()
+    codes.foreach(_.getSeq[Int](1).foreach(c => c should (be >= 0 and be < 2)))
+  }
+}
