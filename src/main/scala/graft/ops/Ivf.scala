@@ -204,7 +204,7 @@ object Ivf {
   /** The nprobe nearest centroids of a vector, as an exploded (vector, probe)
     * expression input.
     */
-  private def probesExpr(vec: Column, model: Model, nprobe: Int): Column =
+  private[ops] def probesExpr(vec: Column, model: Model, nprobe: Int): Column =
     // sort descending by score (array_sort ascending on (s, i) then reverse)
     slice(reverse(array_sort(scoredCentroids(vec, model))), 1, nprobe)
 

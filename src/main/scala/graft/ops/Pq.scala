@@ -158,6 +158,40 @@ object Pq {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** IVF-PQ search — the composed industry ANN shape ([[Ivf]] prunes WHICH
+    * candidates each query scores, PQ compresses HOW each candidate is
+    * stored and scored): candidates carry (cluster, codes) — at rest this
+    * is the entire index, one small int plus m codes per vector — queries
+    * explode into their `nprobe` nearest clusters and broadcast with their
+    * LUT, and the probed join scores by ADC. Work per query is bounded by
+    * probed-cluster volume × m lookups; the original vectors never load.
+    * Coarse assignment is spherical (cosine — the [[Ivf]] quantizer), fine
+    * scoring is the inner-product ADC, the standard split.
+    */
+  def ivfAdcTopK(queries: DataFrame, candidates: DataFrame,
+                 queryIdCol: String, vecCol: String, candIdCol: String,
+                 model: Ivf.Model, cb: Codebook, topK: Int, nprobe: Int = 4,
+                 scoreDecimals: Int = 6): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val cand = Ivf.assign(candidates.select(
+        col(candIdCol).cast("long").as("cand_id"), col(vecCol).as("__cv")),
+        "__cv", model, clusterCol = "__cluster")
+      .withColumn("__codes", encodeExpr(col("__cv"), cb))
+      .filter(!array_contains(col("__codes"), lit(-1)))
+      .select("cand_id", "__cluster", "__codes")
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe", explode(Ivf.probesExpr(col("__qv"), model, nprobe)))
+      .select(col("query_id"), col("__probe").getField("i").as("__cluster"),
+        lutExpr(col("__qv"), cb).as("__lut"))
+    val scored = cand.join(broadcast(q), Seq("__cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(adcScoreExpr(col("__lut"), col("__codes"), cb),
+          scoreDecimals).as("score"))
+    Similarity.rankTopK(scored, topK)
+  }
+
   /** Train per-subspace codebooks with engine-portable arithmetic (the
     * [[Ivf.trainPortable]] integer-quantized means, applied per subspace):
     * ONE distributed pass per Lloyd iteration covers ALL subspaces —

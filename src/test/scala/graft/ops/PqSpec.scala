@@ -73,6 +73,26 @@ class PqSpec extends SparkSpec {
     out.map(_.getLong(1)).toSeq shouldBe Seq(10L) // sentinel candidate gone
   }
 
+  "ivfAdcTopK" should "only score candidates in probed clusters, by the same ADC arithmetic" in {
+    // two orthogonal IVF clusters; nprobe=1 pins each query to its own,
+    // so the other cluster's candidates must be invisible even when their
+    // ADC score would win
+    val model = Ivf.Model(IndexedSeq(
+      Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)))
+    val cands = vdf(
+      10L -> Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0), // cluster 0
+      20L -> Seq(0.9, 1.1, 1.0, 1.0, 0.1, 0.0, 0.0, 0.0), // cluster 0
+      30L -> Seq(0.0, 0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 2.0)) // cluster 1
+    val q = vdf(10L -> Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    val out = Pq.ivfAdcTopK(q, cands, "id", "vec", "id", model, cb,
+        topK = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    out.map(_._1).toSeq shouldBe Seq(20L) // self excluded, cluster 1 pruned
+    // candidate 20 codes to (1, 0); ADC = q·(1,1,1,1) + q·(0,0,0,0) = 4
+    out.head._2 shouldBe 4.0
+  }
+
   "fixedCodebook" should "slice the chosen vectors into per-subspace codewords" in {
     val df = vdf(
       0L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
