@@ -84,11 +84,67 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.nFrames") - 1, lit(step))).as("frame_idx"))
 
-  /** Resize metadata transform (stub: real impl re-encodes `content`). */
+  /** Resize metadata transform (metadata-only planning form; the REAL
+    * pixel-level resize for PNG payloads is [[resizePng]]).
+    */
   def resizeMeta(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+  }
+
+  /** REAL pixel-level resize of PNG payloads: [[MediaCodec.decodePng]]
+    * scanline decode → nearest-neighbor sample (`src = out * srcDim /
+    * outDim`, integer floor — the standard NN map, exact-arithmetic
+    * reproducible) → re-encode through the JDK PNG writer. Channels are
+    * preserved (gray → gray, RGB → RGB, RGBA → RGBA via raw raster
+    * samples — no colorspace transform anywhere); 2-channel gray+alpha
+    * has no JDK raster type and is dropped with the undecodables
+    * (quarantine-by-omission, the [[pixelStats]] posture). Runs
+    * partition-wise; payloads never shuffle.
+    */
+  def resizePng(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    require(outW > 0 && outH > 0, s"resize dims must be positive: ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodePng(r.content).flatMap { p =>
+          val ch = p.info.channels
+          val imgType = ch match {
+            case 1 => Some(java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            case 3 => Some(java.awt.image.BufferedImage.TYPE_INT_RGB)
+            case 4 => Some(java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+            case _ => None // gray+alpha: no matching JDK raster type
+          }
+          imgType.map { t =>
+            val img = new java.awt.image.BufferedImage(outW, outH, t)
+            val raster = img.getRaster
+            var y = 0
+            while (y < outH) {
+              val sy = y * p.info.height / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * p.info.width / outW
+                val base = (sy * p.info.width + sx) * ch
+                var b = 0
+                while (b < ch) {
+                  raster.setSample(x, y, b, p.samples(base + b) & 0xFF)
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            MediaRow(r.media_id,
+              r.meta.copy(kind = "image/png", width = outW, height = outH),
+              baos.toByteArray)
+          }
+        }
+      }
+    }
   }
 
   // ----------------------------------------------------- real containers

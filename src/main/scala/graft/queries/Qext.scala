@@ -1017,6 +1017,27 @@ object Qext {
       .orderBy("media_id")
   }
 
+  /** REAL pixel-level resize ([[Multimodal.resizePng]]: scanline decode →
+    * nearest-neighbor sample → JDK re-encode) verified END-TO-END: the
+    * resized payloads are REAL PNGs decoded again by [[Multimodal
+    * .pixelStats]], and the oracle recomputes every resized pixel from the
+    * composed arithmetic v = (id + 31·(x·w div 8) + 17·(y·h div 8)) mod 256
+    * — independent of the JDK writer on both encode legs and of the
+    * decoder on both decode legs.
+    */
+  def qExtMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") % 8 === 4)
+      .select(col("doc_id").cast("long")).as[Long]
+    val resized = Multimodal.resizePng(
+      Multimodal.synthesizeContainers(ids), outW = 8, outH = 8)
+    Multimodal.pixelStats(resized).toDF()
+      .select("media_id", "width", "height", "n_samples",
+        "px_sum", "px_min", "px_max")
+      .orderBy("media_id")
+  }
+
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
     * distincts): null/distinct counts and min/max per column — the intake
     * audit generalizing the reference's inline checks. dtype is projected
@@ -1782,6 +1803,7 @@ object Qext {
     "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
     "q_ext_multimodal_decode" -> (qExtMultimodalDecode _),
     "q_ext_multimodal_pixels" -> (qExtMultimodalPixels _),
+    "q_ext_multimodal_resize" -> (qExtMultimodalResize _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -3467,6 +3489,28 @@ object Qext {
         |       CAST(min(v) AS BIGINT) AS px_min,
         |       CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+
+    // Resize replay: the same generating arithmetic composed with the
+    // nearest-neighbor source map (sx = x*w div 8, sy = y*h div 8) — the
+    // Spark side re-encodes and re-decodes REAL PNGs in between, so a
+    // match proves decode → NN-sample → encode → decode end-to-end.
+    "q_ext_multimodal_resize" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 4),
+        |dims AS (SELECT id, id % 61 + 1 AS w, id % 29 + 1 AS h FROM ids),
+        |px AS (
+        |  SELECT d.id,
+        |         (d.id + 31 * ((gx.x * d.w) // 8) + 17 * ((gy.y * d.h) // 8)) % 256 AS v
+        |  FROM dims d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(8)) AS x) gx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(8)) AS y) gy
+        |)
+        |SELECT id AS media_id, CAST(8 AS BIGINT) AS width,
+        |       CAST(8 AS BIGINT) AS height,
+        |       CAST(3 * count(*) AS BIGINT) AS n_samples,
+        |       CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |       CAST(min(v) AS BIGINT) AS px_min,
+        |       CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window as-of
     // composition (AsofJoin.asofJoin): greatest right ts_us <= left ts_us

@@ -50,6 +50,41 @@ class MultimodalSpec extends SparkSpec {
     (p4.px_min, p4.px_max) shouldBe ((4L, 196L))
   }
 
+  "resizePng" should "produce real PNGs whose pixels are the NN-sampled sources" in {
+    val ids = Seq(4L, 5L).toDS() // 4 → RGB PNG (5×5); 5 → WAV (dropped)
+    val out = Multimodal.resizePng(Multimodal.synthesizeContainers(ids), 2, 2)
+      .collect()
+    out.map(_.media_id).toSeq shouldBe Seq(4L)
+    val r = out.head
+    (r.meta.width, r.meta.height) shouldBe ((2, 2))
+    val px = MediaCodec.decodePng(r.content)
+    px should not be empty
+    px.get.info.channels shouldBe 3 // RGB preserved
+    // src(x,y) = (x*5/2, y*5/2) = (0,0),(2,0),(0,2),(2,2); v=(4+31sx+17sy)%256
+    val expect = Seq((0, 0), (2, 0), (0, 2), (2, 2))
+      .map { case (sx, sy) => (4 + 31 * sx + 17 * sy) % 256 }
+    val got = (0 until 4).map(i => px.get.samples(i * 3) & 0xFF)
+    got shouldBe expect
+  }
+
+  it should "preserve gray channels through the raw-sample path" in {
+    // gray PNG built via raster.setSample (raw bytes, no colorspace
+    // transform) — resize must keep 1 channel and exact sample values
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, 10 * x + y)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(Multimodal.MediaRow(7L,
+      Multimodal.MediaMeta("image/png", 4, 4, 1, 0), baos.toByteArray)).toDS()
+    val out = Multimodal.resizePng(media, 2, 2).collect().head
+    val px = MediaCodec.decodePng(out.content).get
+    px.info.channels shouldBe 1
+    // src = (0,0),(2,0),(0,2),(2,2) → 0, 20, 2, 22
+    px.samples.map(_ & 0xFF).toSeq shouldBe Seq(0, 20, 2, 22)
+  }
+
   "resizeMeta" should "rewrite dimensions keeping payload" in {
     val resized = Multimodal.resizeMeta(media, 32, 32).collect().head
     (resized.meta.width, resized.meta.height) shouldBe ((32, 32))
