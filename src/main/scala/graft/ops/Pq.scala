@@ -146,7 +146,12 @@ object Pq {
     val c = codes.filter(!array_contains(col("codes"), lit(-1)))
       .select(col(candIdCol).cast("long").as("cand_id"),
         col("codes").as("__codes"))
-    val scored = q.join(c, col("query_id") =!= col("cand_id"))
+    // stream the CODES side, broadcast the queries+LUTs: written the other
+    // way round, Spark builds the right (candidate) side — the 100× probe
+    // measured that as a near-serial 67.8 s BNLJ streaming 8 query rows;
+    // this orientation scans the code table once, fully parallel (4.3 s
+    // shape, matching ivfAdcTopK)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(adcScoreExpr(col("__lut"), col("__codes"), cb),
           scoreDecimals).as("score"))
