@@ -145,4 +145,91 @@ object FunnelStream {
           out.iterator
       }
   }
+
+  // -------------------------------------------------- multi-touch attribution
+
+  /** Per-user in-window touch history, oldest-first (public for Catalyst
+    * reflection). Bounded by the attribution window, not by stream length:
+    * every processed event prunes touches older than `ts − windowUs`, and
+    * the in-order contract makes that prune safe — the same per-user
+    * in-window-activity bound as the batch join's pair volume.
+    */
+  final case class MultiTouchState(touches: List[TouchState])
+
+  /** One row per (conversion, in-window touch) — the batch
+    * [[graft.ops.Funnel.multiTouchAttribution]] row: position, touch
+    * count, and the two integer basis-point credit models; organic
+    * conversions carry pos 0 / n 0 / full credit.
+    */
+  final case class MultiAttribution(user_id: Long, conv_us: Long,
+                                    conv_id: Long, touch_us: Option[Long],
+                                    touch_id: Option[Long],
+                                    touch_type: Option[String], pos: Long,
+                                    n_touches: Long, credit_bp_linear: Long,
+                                    credit_bp_position: Long)
+
+  implicit private val mtEnc: Encoder[MultiTouchState] =
+    Encoders.product[MultiTouchState]
+
+  /** Streaming multi-touch attribution: each arriving conversion credits
+    * EVERY held in-window touch under the batch's two normative integer
+    * credit models (linear with remainder-to-last; U-shaped 40/20/40) —
+    * per-event latency, exactly `max(n_touches, 1)` rows per conversion.
+    * Touches append in (ts, id) order and never consume (a later
+    * conversion re-credits the same touches, as in the batch join);
+    * conversions do not clear state.
+    */
+  def multiTouch(events: Dataset[Ev], convertType: String,
+                 touchTypes: Seq[String],
+                 windowUs: Long): Dataset[MultiAttribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MultiTouchState, MultiAttribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[MultiTouchState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[MultiAttribution]
+          // newest-first for O(1) prepend; edges re-reverse (the
+          // FunnelState convention)
+          var held = state.getOption.map(_.touches.reverse).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            // window prune — safe under the in-order contract: no future
+            // conversion can reach further back than this event's window
+            held = held.takeWhile(_.tsUs >= e.ts_us - windowUs)
+            if (e.event_type == convertType) {
+              // strict `<` mirrors the batch predicate: a same-µs touch
+              // must not take credit
+              val inWin = held.reverse.filter(t => t.tsUs < e.ts_us)
+              val n = inWin.size.toLong
+              if (n == 0)
+                out += MultiAttribution(userId, e.ts_us, e.event_id,
+                  None, None, None, 0L, 0L, 10000L, 10000L)
+              else inWin.zipWithIndex.foreach { case (t, i) =>
+                val pos = i + 1L
+                val linear =
+                  if (pos == n) 10000L - (n - 1) * (10000L / n)
+                  else 10000L / n
+                val position =
+                  if (n == 1) 10000L
+                  else if (n == 2) 5000L
+                  else if (pos == 1) 4000L
+                  else if (pos == n) 6000L - (n - 2) * (2000L / (n - 2))
+                  else 2000L / (n - 2)
+                out += MultiAttribution(userId, e.ts_us, e.event_id,
+                  Some(t.tsUs), Some(t.eventId), Some(t.eventType), pos, n,
+                  linear, position)
+              }
+            } else if (touches(e.event_type)) {
+              held ::= TouchState(e.ts_us, e.event_id, e.event_type)
+            }
+          }
+          state.update(MultiTouchState(held.reverse))
+          out.iterator
+      }
+  }
 }

@@ -151,4 +151,66 @@ class FunnelStreamSpec extends SparkSpec {
       }.toMap
     streaming shouldBe batch
   }
+
+  private def runMulti(batches: Seq[Seq[Ev]], name: String): Seq[FunnelStream.MultiAttribution] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = FunnelStream.multiTouch(input.toDS(), "purchase",
+        Seq("ad", "email"), gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[FunnelStream.MultiAttribution].collect().toSeq
+    } finally query.stop()
+  }
+
+  "multiTouch" should "credit every in-window touch with the batch integer models, cross-batch" in {
+    val evs = Seq(
+      Ev(1L, 1L, mins(0), "ad"), Ev(1L, 2L, mins(2), "email"),
+      Ev(1L, 3L, mins(4), "ad"),
+      Ev(1L, 4L, mins(8), "purchase"), // 3 touches: 4000/2000/4000 U-shape
+      Ev(1L, 5L, mins(9), "purchase"), // same touches re-credit
+      Ev(2L, 6L, mins(1), "purchase")) // organic
+    val out = runMulti(Seq(evs.take(3), evs.drop(3)), "mt_a")
+    val conv4 = out.filter(_.conv_id == 4L).sortBy(_.pos)
+    conv4.map(_.touch_id) shouldBe Seq(Some(1L), Some(2L), Some(3L))
+    conv4.map(_.credit_bp_position) shouldBe Seq(4000L, 2000L, 4000L)
+    conv4.map(_.credit_bp_linear) shouldBe Seq(3333L, 3333L, 3334L)
+    conv4.map(_.n_touches).distinct shouldBe Seq(3L)
+    out.count(_.conv_id == 5L) shouldBe 3 // touches not consumed
+    val organic = out.filter(_.conv_id == 6L)
+    organic.map(o => (o.pos, o.n_touches, o.credit_bp_linear,
+      o.credit_bp_position)) shouldBe Seq((0L, 0L, 10000L, 10000L))
+  }
+
+  it should "match ops.Funnel.multiTouchAttribution on a randomized in-order stream" in {
+    val rnd = new scala.util.Random(78)
+    val types = Seq("ad", "email", "purchase", "noise")
+    val fixture = (1L to 400L).map { id =>
+      Ev(rnd.nextInt(25).toLong, id, id * mins(1), types(rnd.nextInt(types.size)))
+    }.sortBy(e => (e.ts_us, e.event_id))
+    val batches = fixture.grouped(37).map(_.toSeq).toSeq
+    def key(u: Long, cus: Long, cid: Long, p: Long) = (u, cus, cid, p)
+    val streaming = runMulti(batches, "mt_rand")
+      .map(a => key(a.user_id, a.conv_us, a.conv_id, a.pos) ->
+        (a.touch_id, a.touch_type, a.n_touches,
+          a.credit_bp_linear, a.credit_bp_position)).toMap
+    val batch = graft.ops.Funnel.multiTouchAttribution(
+        fixture.toDF(), "user_id", "event_type", "ts_us", "event_id",
+        "purchase", Seq("ad", "email"), gapUs)
+      .collect().map { r =>
+        def opt[T](c: String): Option[T] =
+          Option(r.get(r.fieldIndex(c))).map(_.asInstanceOf[T])
+        key(r.getAs[Long]("user_id"), r.getAs[Long]("conv_us"),
+          r.getAs[Long]("conv_id"), r.getAs[Long]("pos")) ->
+          (opt[Long]("touch_id"), opt[String]("touch_type"),
+            r.getAs[Long]("n_touches"), r.getAs[Long]("credit_bp_linear"),
+            r.getAs[Long]("credit_bp_position"))
+      }.toMap
+    streaming shouldBe batch
+  }
 }
