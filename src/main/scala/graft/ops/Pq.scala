@@ -163,6 +163,35 @@ object Pq {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** Persist a codebook as a tiny (s, j, codeword) parquet table — the
+    * operational form ([[Ivf.saveModel]] posture): encode/search sessions
+    * LOAD the codebook instead of re-deriving it, and the table is
+    * auditable and diffable like any other store artifact.
+    */
+  def saveCodebook(spark: org.apache.spark.sql.SparkSession, cb: Codebook,
+                   path: String): Unit = {
+    import spark.implicits._
+    (for (s <- 0 until cb.m; j <- 0 until cb.k)
+      yield (s, j, cb.codewords(s)(j).toSeq))
+      .toDF("s", "j", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebook]] table; codeword order restored by (s, j). */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Codebook = {
+    val rows = spark.read.parquet(path).select("s", "j", "codeword").collect()
+    require(rows.nonEmpty, s"empty codebook at $path")
+    val byKey = rows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    require(byKey.size == m * k, s"ragged codebook table at $path")
+    val sub = byKey((0, 0)).length
+    Codebook(sub * m,
+      (0 until m).map(s => (0 until k).map(j => byKey((s, j))).toIndexedSeq))
+  }
+
   /** IVF-PQ search — the composed industry ANN shape ([[Ivf]] prunes WHICH
     * candidates each query scores, PQ compresses HOW each candidate is
     * stored and scored): candidates carry (cluster, codes) — at rest this
@@ -195,6 +224,39 @@ object Pq {
         round(adcScoreExpr(col("__lut"), col("__codes"), cb),
           scoreDecimals).as("score"))
     Similarity.rankTopK(scored, topK)
+  }
+
+  /** ADC-shortlist + exact re-rank — the standard production PQ recipe:
+    * the compressed scan picks a `shortlist`-sized candidate set per query
+    * (cheap, approximate), then ONLY those rows load their full vectors
+    * for exact cosine re-scoring. Work per query: |candidates| × m lookups
+    * for the shortlist + `shortlist` exact dots — the full-precision pass
+    * touches `shortlist / |candidates|` of the data. Recall converges to
+    * brute force as `shortlist` grows (PqSpec locks exact equality at
+    * shortlist ≥ |candidates|−1; `tools/PqRecall` measures the ladder).
+    */
+  def adcRerankTopK(queries: DataFrame, candidates: DataFrame,
+                    queryIdCol: String, vecCol: String, candIdCol: String,
+                    cb: Codebook, topK: Int, shortlist: Int,
+                    scoreDecimals: Int = 6): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must be >= topK $topK")
+    val cand = candidates.select(col(candIdCol).cast("long").as("cand_id"),
+      col(vecCol).as("__cv"))
+    val short = adcTopK(queries, encode(candidates, candIdCol, vecCol, cb),
+      queryIdCol, vecCol, candIdCol, cb, topK = shortlist, scoreDecimals)
+      .select("query_id", "cand_id")
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(vecCol).as("__qv"))
+    // the shortlist is |queries| × shortlist rows — broadcast it onto the
+    // candidate table (equi-join pulls exactly the shortlisted vectors),
+    // then broadcast the queries for the exact re-score
+    val rescored = cand.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.VectorExpressions.vec_cosine(
+          col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    Similarity.rankTopK(rescored, topK)
   }
 
   /** Train per-subspace codebooks with engine-portable arithmetic (the

@@ -107,6 +107,27 @@ class PqSpec extends SparkSpec {
       Pq.fixedCodebook(df, "id", "vec", Seq(0L, 42L), m = 2)
   }
 
+  "adcRerankTopK" should "equal brute force when the shortlist covers all candidates" in {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 30L).map(i => i -> Seq.fill(8)(rnd.nextDouble()))
+    val all = vdf(rows: _*)
+    val q = vdf(rows.take(3): _*)
+    val exact = Similarity.bruteForceTopK(q, all, "id", "vec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val rerank = Pq.adcRerankTopK(q, all, "id", "vec", "id", cb,
+        topK = 5, shortlist = 29)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    rerank shouldBe exact
+  }
+
+  "saveCodebook/loadCodebook" should "round-trip bit-exactly" in {
+    val dir = java.nio.file.Files.createTempDirectory("pq_cb").toString + "/cb"
+    Pq.saveCodebook(spark, cb, dir)
+    val back = Pq.loadCodebook(spark, dir)
+    back.dim shouldBe cb.dim
+    back.codewords.map(_.map(_.toSeq)) shouldBe cb.codewords.map(_.map(_.toSeq))
+  }
+
   "trainPortable" should "recover planted per-subspace clusters, deterministically" in {
     // two clean sub-clusters per subspace; ids interleave so the first-k
     // init sees one of each
