@@ -470,6 +470,20 @@ object Qext {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ shortlist + exact re-rank top-5 ([[Pq.adcRerankTopK]], shortlist
+    * 50): the production recipe — the compressed scan picks 50 candidates
+    * per query, only those load full vectors for exact cosine re-scoring.
+    * Both the approximate shortlist AND the exact re-score replay in SQL.
+    */
+  def qExtPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.adcRerankTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        "vec_id", cb, topK = 5, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   /** Semantic dedup ([[SemDedup.dedup]], SemDeDup-style cluster-then-prune):
     * the fixed-centroid model blocks pairs by nearest-centroid cluster; a
     * row is dropped when a smaller-id same-cluster neighbor has cosine
@@ -1767,6 +1781,7 @@ object Qext {
     "q_ext_pq_codes" -> (qExtPqCodes _),
     "q_ext_pq_adc" -> (qExtPqAdc _),
     "q_ext_pq_ivf_adc" -> (qExtPqIvfAdc _),
+    "q_ext_pq_rerank" -> (qExtPqRerank _),
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_quality_filter" -> (qExtQualityFilter _),
@@ -3290,6 +3305,73 @@ object Qext {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY score DESC, cand_id ASC) AS rank
         |  FROM pairs) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Rerank replay: the pq_adc shortlist CTEs (round-before-rank, rn<=50)
+    // feeding the brute-cosine re-score over ONLY shortlisted pairs.
+    "q_ext_pq_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM q CROSS JOIN cw c
+        |),
+        |shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT p.query_id, cd.vec_id AS cand_id,
+        |           row_number() OVER (PARTITION BY p.query_id
+        |             ORDER BY round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) DESC,
+        |                      cd.vec_id ASC) AS rn
+        |    FROM q p
+        |    JOIN codesp cd ON cd.vec_id <> p.query_id
+        |    JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |    JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |    JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |    JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |  ) WHERE rn <= 50
+        |),
+        |rescored AS (
+        |  SELECT s.query_id, s.cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(qq.emb, qq.emb))
+        |                         * sqrt(list_dot_product(cv.emb, cv.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(qq.emb, cv.emb)
+        |                    / (sqrt(list_dot_product(qq.emb, qq.emb))
+        |                       * sqrt(list_dot_product(cv.emb, cv.emb))) END, 6) AS score
+        |  FROM shortlist s
+        |  JOIN v qq ON qq.vec_id = s.query_id
+        |  JOIN v cv ON cv.vec_id = s.cand_id
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM rescored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     // IVF-PQ replay: the ivf_fixed assignment/probe CTEs (cosine coarse
