@@ -235,6 +235,82 @@ object MediaCodec {
     Some(PngPixels(info, out))
   }
 
+  /** Parsed MPEG audio frame-header fields. `frameBytes` is the spec'd
+    * length of the first frame (header + payload), from the published
+    * per-layer length formulas.
+    */
+  final case class Mp3Info(version: String, layer: Int, bitrateKbps: Int,
+                           sampleRateHz: Int, channels: Int, frameBytes: Int)
+
+  // ISO/IEC 11172-3 / 13818-3 published tables, indexed [1..14] (0 = free
+  // format — rejected, frame length is then undefined; 15 = forbidden)
+  private val BitrateV1 = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384), // L2
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)) // L3
+  private val BitrateV2 = Array(
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256), // L1
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160), // L2
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)) // L3
+  private val SampleRate = Map(
+    "MPEG1" -> Array(44100, 48000, 32000),
+    "MPEG2" -> Array(22050, 24000, 16000),
+    "MPEG2.5" -> Array(11025, 12000, 8000))
+
+  /** Parse an MPEG audio (MP3-family) frame header: optional ID3v2 tag
+    * skip (syncsafe size), then the 4-byte frame header — version/layer
+    * bits, bitrate and sample-rate table lookups, padding, channel mode —
+    * and the per-layer frame-length formula. Free-format (bitrate index
+    * 0) and all reserved encodings return None; the computed first frame
+    * must FIT the payload (a lying header on a truncated blob rejects).
+    *
+    * No JDK MP3 encoder exists, so unlike the PNG/JPEG/WAV parsers this
+    * one is validated against HAND-ASSEMBLED headers built from the
+    * published bit layout plus rejection fixtures (MediaCodecSpec) — the
+    * table constants themselves are the independent ground truth.
+    */
+  def parseMp3(bytes: Array[Byte]): Option[Mp3Info] = {
+    if (bytes == null || bytes.length < 4) return None
+    var i = 0
+    if (bytes.length >= 10 && ascii(bytes, 0, 3) == "ID3") {
+      // syncsafe 28-bit tag size; header is 10 bytes
+      val sz = (u8(bytes, 6) << 21) | (u8(bytes, 7) << 14) |
+        (u8(bytes, 8) << 7) | u8(bytes, 9)
+      if ((u8(bytes, 6) | u8(bytes, 7) | u8(bytes, 8) | u8(bytes, 9)) >= 0x80)
+        return None // syncsafe bytes must have bit 7 clear
+      i = 10 + sz
+      if (i + 4 > bytes.length) return None
+    }
+    if (u8(bytes, i) != 0xFF || (u8(bytes, i + 1) & 0xE0) != 0xE0) return None
+    val b1 = u8(bytes, i + 1); val b2 = u8(bytes, i + 2); val b3 = u8(bytes, i + 3)
+    val version = ((b1 >> 3) & 3) match {
+      case 0 => "MPEG2.5"; case 2 => "MPEG2"; case 3 => "MPEG1"
+      case _ => return None // reserved
+    }
+    val layer = ((b1 >> 1) & 3) match {
+      case 1 => 3; case 2 => 2; case 3 => 1
+      case _ => return None // reserved
+    }
+    val brIdx = (b2 >> 4) & 15
+    if (brIdx == 0 || brIdx == 15) return None // free format / forbidden
+    val bitrate =
+      (if (version == "MPEG1") BitrateV1 else BitrateV2)(layer - 1)(brIdx - 1)
+    val srIdx = (b2 >> 2) & 3
+    if (srIdx == 3) return None // reserved
+    val sampleRate = SampleRate(version)(srIdx)
+    val padding = (b2 >> 1) & 1
+    val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+    val frameBytes = layer match {
+      case 1 => (12 * bitrate * 1000 / sampleRate + padding) * 4
+      case 2 => 144 * bitrate * 1000 / sampleRate + padding
+      case 3 =>
+        val coef = if (version == "MPEG1") 144 else 72
+        coef * bitrate * 1000 / sampleRate + padding
+    }
+    if (i + frameBytes > bytes.length) return None // frame must fit
+    Some(Mp3Info(version, layer, bitrate, sampleRate, channels, frameBytes))
+  }
+
   /** Parse a WAV header: RIFF/WAVE container, then a chunk walk to `fmt `
     * (PCM layout fields) and `data` (payload size). Chunk order is NOT
     * assumed — LIST/INFO chunks before `fmt ` occur in the wild — and odd

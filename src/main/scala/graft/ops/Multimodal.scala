@@ -206,6 +206,15 @@ object Multimodal {
               Some(w.sampleRateHz.toLong), Some(w.durationMicros))
             case None => unknown(r.media_id)
           }
+        else if (sniff('I', 'D', '3') ||
+            (b != null && b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+              (b(1) & 0xE0) == 0xE0))
+          MediaCodec.parseMp3(b) match {
+            case Some(m) => DecodedMedia(r.media_id, "audio/mpeg", None, None,
+              Some(m.channels.toLong), None, Some(m.sampleRateHz.toLong),
+              None) // duration needs a full frame walk, not one header
+            case None => unknown(r.media_id)
+          }
         else unknown(r.media_id)
       }
     }

@@ -157,6 +157,56 @@ class MediaCodecSpec extends AnyFlatSpec with Matchers {
     MediaCodec.parseGif(null) shouldBe None
   }
 
+  "parseMp3" should "decode hand-assembled frame headers per the published bit layout" in {
+    // header assembled field-by-field (independent of the parser's table
+    // lookups): sync=11 bits, version, layer, protection, bitrate idx,
+    // samplerate idx, padding, private, channel mode
+    def header(verBits: Int, layerBits: Int, brIdx: Int, srIdx: Int,
+               padding: Int, chanBits: Int, frameLen: Int): Array[Byte] = {
+      val b = new Array[Byte](frameLen)
+      b(0) = 0xFF.toByte
+      b(1) = (0xE0 | (verBits << 3) | (layerBits << 1) | 1).toByte
+      b(2) = ((brIdx << 4) | (srIdx << 2) | (padding << 1)).toByte
+      b(3) = (chanBits << 6).toByte
+      b
+    }
+    // MPEG1 Layer III, idx 9 → 128 kbps, sr idx 0 → 44100, stereo:
+    // frame = 144·128000/44100 = 417 (+1 padded)
+    val v1l3 = MediaCodec.parseMp3(header(3, 1, 9, 0, 0, 0, 417))
+    v1l3 shouldBe Some(MediaCodec.Mp3Info("MPEG1", 3, 128, 44100, 2, 417))
+    val padded = MediaCodec.parseMp3(header(3, 1, 9, 0, 1, 3, 418))
+    padded shouldBe Some(MediaCodec.Mp3Info("MPEG1", 3, 128, 44100, 1, 418))
+    // MPEG2 Layer III, idx 4 → 32 kbps, sr idx 1 → 24000: 72·32000/24000=96
+    MediaCodec.parseMp3(header(2, 1, 4, 1, 0, 0, 96)) shouldBe
+      Some(MediaCodec.Mp3Info("MPEG2", 3, 32, 24000, 2, 96))
+    // MPEG1 Layer I, idx 1 → 32 kbps, sr idx 2 → 32000: (12·32000/32000+0)·4=48
+    MediaCodec.parseMp3(header(3, 3, 1, 2, 0, 0, 48)) shouldBe
+      Some(MediaCodec.Mp3Info("MPEG1", 1, 32, 32000, 2, 48))
+    // ID3v2 tag skip: 10-byte tag header + 5 tag bytes, then the frame
+    val tagged = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 5) ++
+      new Array[Byte](5) ++ header(3, 1, 9, 0, 0, 0, 417)
+    MediaCodec.parseMp3(tagged).map(_.bitrateKbps) shouldBe Some(128)
+  }
+
+  it should "reject reserved/free encodings, lying lengths, and wrong magic" in {
+    def header(verBits: Int, layerBits: Int, brIdx: Int, srIdx: Int,
+               len: Int): Array[Byte] = {
+      val b = new Array[Byte](len)
+      b(0) = 0xFF.toByte
+      b(1) = (0xE0 | (verBits << 3) | (layerBits << 1)).toByte
+      b(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      b
+    }
+    MediaCodec.parseMp3(header(1, 1, 9, 0, 500)) shouldBe None // reserved version
+    MediaCodec.parseMp3(header(3, 0, 9, 0, 500)) shouldBe None // reserved layer
+    MediaCodec.parseMp3(header(3, 1, 0, 0, 500)) shouldBe None // free format
+    MediaCodec.parseMp3(header(3, 1, 15, 0, 500)) shouldBe None // forbidden bitrate
+    MediaCodec.parseMp3(header(3, 1, 9, 3, 500)) shouldBe None // reserved samplerate
+    MediaCodec.parseMp3(header(3, 1, 9, 0, 100)) shouldBe None // frame exceeds payload
+    MediaCodec.parseMp3(Multimodal.encodeWav(8000, 1, 5, 1)) shouldBe None
+    MediaCodec.parseMp3(null) shouldBe None
+  }
+
   "parseWav" should "read fmt/data fields from AudioSystem-encoded WAVEs" in {
     for ((rate, ch, frames) <- Seq((8000, 1, 1), (16000, 2, 97), (24000, 1, 50))) {
       val bytes = Multimodal.encodeWav(rate, ch, frames, seed = 42)
