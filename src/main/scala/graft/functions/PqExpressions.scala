@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Native product-quantization kernels for [[graft.ops.Pq]] at LARGE k.
+  *
+  * The unrolled forms — one `vec_dot(slice(vec,…), array(lit…))` term per
+  * (subspace, codeword) — generate O(m × k × subDim) Java source: fine at
+  * m·k ≈ 64, Janino-method-limit trouble at the production k = 256. These
+  * expressions keep generated code CONSTANT-size in m and k: the codebook
+  * rides along as a codegen reference object and the work is one static
+  * call into a JIT-compiled primitive loop.
+  *
+  * Arithmetic is bit-identical to the unrolled forms (same slice → min-
+  * length semantics, null elements skipped exactly as
+  * [[VectorExpressions.VectorDot]] skips them, half-norms accumulated in
+  * index order like the driver literals, argmax ties to the HIGHER
+  * codeword id like struct array_max) — PqSpec asserts value equality, so
+  * the DuckDB PQ oracles remain valid for either form.
+  */
+object PqExpressions {
+
+  private def elemTagOf(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(IntegerType, _) => 2
+    case _ => 1
+  }
+
+  private def checkVec(dt: DataType, name: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float|double|int> input, got $other")
+  }
+
+  /** PQ code array (m ints) — the large-k twin of Pq.encodeExpr's
+    * unrolled argmax array. Null input → null (the ops layer supplies the
+    * all−1 sentinel branch, as it does for the unrolled form).
+    */
+  case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+
+    @transient private lazy val cws: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    // half squared norms, accumulated in index order (the driver-literal
+    // convention of the unrolled form)
+    @transient private lazy val halfNorms: Array[Array[Double]] =
+      cws.map(_.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        s / 2
+      })
+
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child.dataType, "pq_encode")
+
+    override def nullSafeEval(v: Any): Any =
+      PqExpressions.encode(v.asInstanceOf[ArrayData],
+        elemTagOf(child.dataType), cws, halfNorms)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cwRef = ctx.addReferenceObj("codebooks", cws, "double[][][]")
+      val hnRef = ctx.addReferenceObj("halfNorms", halfNorms, "double[][]")
+      val tag = elemTagOf(child.dataType)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.PqExpressions.encode($a, $tag, $cwRef, $hnRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "pq_encode"
+  }
+
+  /** Flat m×k ADC lookup table (array<double>, entry s·k+j = sub-dot) —
+    * the large-k twin of Pq.lutExpr.
+    */
+  case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+
+    @transient private lazy val cws: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child.dataType, "pq_lut")
+
+    override def nullSafeEval(v: Any): Any =
+      PqExpressions.lut(v.asInstanceOf[ArrayData], elemTagOf(child.dataType), cws)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cwRef = ctx.addReferenceObj("codebooks", cws, "double[][][]")
+      val tag = elemTagOf(child.dataType)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.PqExpressions.lut($a, $tag, $cwRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "pq_lut"
+  }
+
+  /** Sub-vector dot against one codeword with VectorDot's exact semantics
+    * over the slice window [s·subDim, s·subDim + subDim): min-length via
+    * the vector's actual length, null elements skipped.
+    */
+  private def subDot(x: ArrayData, tag: Int, base: Int,
+                     cw: Array[Double]): Double = {
+    val lim = math.min(cw.length, x.numElements() - base)
+    var s = 0.0; var i = 0
+    while (i < lim) {
+      val p = base + i
+      if (!x.isNullAt(p)) {
+        val xv = tag match {
+          case 0 => x.getFloat(p).toDouble
+          case 2 => x.getInt(p).toDouble
+          case _ => x.getDouble(p)
+        }
+        s += xv * cw(i)
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Static encode kernel shared by eval and codegen. Ties go to the
+    * HIGHER codeword id (`>=` replacement while ascending — the struct
+    * array_max convention of the unrolled form).
+    */
+  def encode(x: ArrayData, tag: Int, cws: Array[Array[Array[Double]]],
+             halfNorms: Array[Array[Double]]): ArrayData = {
+    val m = cws.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val k = cws(s).length
+      val base = s * cws(s)(0).length
+      var best = Double.NegativeInfinity
+      var bestJ = -1
+      var j = 0
+      while (j < k) {
+        val sc = subDot(x, tag, base, cws(s)(j)) - halfNorms(s)(j)
+        if (sc >= best) { best = sc; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    new GenericArrayData(out.map(v => v: Any))
+  }
+
+  /** Static LUT kernel shared by eval and codegen. */
+  def lut(x: ArrayData, tag: Int, cws: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cws.length
+    val k = if (m > 0) cws(0).length else 0
+    val out = new Array[Any](m * k)
+    var s = 0
+    while (s < m) {
+      val base = s * cws(s)(0).length
+      var j = 0
+      while (j < k) {
+        out(s * k + j) = subDot(x, tag, base, cws(s)(j))
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ------------------------------------------------------ Column API
+
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    bridge.column(PqEncode(bridge.expression(vec),
+      codebooks.map(_.map(_.toSeq))))
+
+  def pq_lut(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    bridge.column(PqLut(bridge.expression(vec),
+      codebooks.map(_.map(_.toSeq))))
+}

@@ -44,10 +44,10 @@ object Pq {
     require(codewords.forall(_.size == k), "ragged codebook")
     require(codewords.forall(_.forall(_.length == subDim)),
       s"codeword length != subDim $subDim")
-    // unrolled-codegen guard (the Ivf.UnrollMaxK concern at PQ shape):
-    // encode emits m × k dot terms; past this, grow a native kernel like
-    // IvfExpressions.CentroidScores before raising the bound
-    require(m * k <= 1024, s"m*k = ${m * k} exceeds the unrolled-codegen bound")
+    // sanity bound only — encode/LUT switch to the native constant-size
+    // kernels ([[graft.functions.PqExpressions]]) past UnrollMaxTerms, so
+    // the production k = 256 compiles fine
+    require(m * k <= (1 << 16), s"m*k = ${m * k} exceeds the sanity bound")
   }
 
   /** Deterministic fixed codebook: the vectors of `ids` (in order), sliced
@@ -74,6 +74,17 @@ object Pq {
   private def subVec(vec: Column, cb: Codebook, s: Int): Column =
     slice(Similarity.toDouble(vec), s * cb.subDim + 1, cb.subDim)
 
+  /** Above this many (subspace × codeword) terms, encode/LUT switch from
+    * the unrolled literal form to the native [[graft.functions
+    * .PqExpressions]] kernels: unrolled codegen is O(m × k × subDim) Java
+    * source and collides with Janino's method limit as k reaches the
+    * hundreds, while the native kernels' generated code is constant-size
+    * at any k. The two forms are value-identical (same slice/null/tie
+    * semantics — PqSpec asserts it), so the choice is purely a
+    * codegen-size strategy, exactly the [[Ivf]] UnrollMaxK posture.
+    */
+  private val UnrollMaxTerms = 64
+
   /** PQ code array (m ints) for a vector column: per subspace, the argmax
     * of `dot − ‖cw‖²/2` over the codewords (≡ argmin L2). The `‖cw‖²/2`
     * terms are driver-computed literals — sequential index-order sums, so
@@ -81,15 +92,18 @@ object Pq {
     * -1 (the [[Ivf.assignExpr]] non-nullable convention).
     */
   def encodeExpr(vec: Column, cb: Codebook): Column = {
-    val enc = array((0 until cb.m).map { s =>
-      val sub = subVec(vec, cb, s)
-      val scored = array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
-        val halfNorm2 = cw.map(x => x * x).sum / 2
-        struct((vec_dot(sub, array(cw.map(lit): _*)) - lit(halfNorm2)).as("s"),
-          lit(j).as("i"))
-      }: _*)
-      coalesce(array_max(scored).getField("i"), lit(-1)) // non-null elements
-    }: _*)
+    val enc =
+      if (cb.m * cb.k <= UnrollMaxTerms)
+        array((0 until cb.m).map { s =>
+          val sub = subVec(vec, cb, s)
+          val scored = array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
+            val halfNorm2 = cw.map(x => x * x).sum / 2
+            struct((vec_dot(sub, array(cw.map(lit): _*)) - lit(halfNorm2)).as("s"),
+              lit(j).as("i"))
+          }: _*)
+          coalesce(array_max(scored).getField("i"), lit(-1)) // non-null elements
+        }: _*)
+      else graft.functions.PqExpressions.pq_encode(vec, cb.codewords)
     // the null guard must be EXPLICIT on the vector: a null sub-vector
     // nulls only the struct's score FIELD, and struct ordering still
     // yields a (meaningless) argmax index — coalesce never fires
@@ -110,9 +124,11 @@ object Pq {
     * query row, in-plan.
     */
   def lutExpr(vec: Column, cb: Codebook): Column =
-    array((for (s <- 0 until cb.m; j <- 0 until cb.k) yield
-      vec_dot(subVec(vec, cb, s),
-        array(cb.codewords(s)(j).map(lit): _*))): _*)
+    if (cb.m * cb.k <= UnrollMaxTerms)
+      array((for (s <- 0 until cb.m; j <- 0 until cb.k) yield
+        vec_dot(subVec(vec, cb, s),
+          array(cb.codewords(s)(j).map(lit): _*))): _*)
+    else graft.functions.PqExpressions.pq_lut(vec, cb.codewords)
 
   /** ADC score from a query LUT and a candidate code array: the
     * approximate inner product `q · x̂ = Σ_s lut[s*k + code_s]` — m array

@@ -107,6 +107,53 @@ class PqSpec extends SparkSpec {
       Pq.fixedCodebook(df, "id", "vec", Seq(0L, 42L), m = 2)
   }
 
+  "the native kernels" should "match the unrolled encode/LUT bit-for-bit" in {
+    // the spec codebook is small → Pq uses the UNROLLED forms; calling the
+    // native kernels directly on the same codebook locks value equality,
+    // including null elements, a short vector (slice min-length), and ties
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextDouble() * 4 - 2))
+    val df = vdf(rows: _*)
+      .union(spark.sql(
+        "SELECT 97L, array(1.0D, CAST(NULL AS DOUBLE), 3.0D, 4.0D, 5.0D, 6.0D, 7.0D, 8.0D) " +
+        "UNION ALL SELECT 98L, array(1.0D, 2.0D, 3.0D)")) // short vector
+    import graft.functions.PqExpressions
+    val both = df.select(
+        Pq.encodeExpr(org.apache.spark.sql.functions.col("vec"), cb).as("u_codes"),
+        PqExpressions.pq_encode(org.apache.spark.sql.functions.col("vec"),
+          cb.codewords).as("n_codes"),
+        Pq.lutExpr(org.apache.spark.sql.functions.col("vec"), cb).as("u_lut"),
+        PqExpressions.pq_lut(org.apache.spark.sql.functions.col("vec"),
+          cb.codewords).as("n_lut"))
+      .collect()
+    both.foreach { r =>
+      r.getSeq[Int](0) shouldBe r.getSeq[Int](1)
+      r.getSeq[Double](2) shouldBe r.getSeq[Double](3)
+    }
+  }
+
+  it should "carry a k=256 codebook that the unrolled form could not compile" in {
+    val rnd = new scala.util.Random(13)
+    val big = Pq.Codebook(8, IndexedSeq.tabulate(4)(_ =>
+      IndexedSeq.fill(256)(Array.fill(2)(rnd.nextDouble()))))
+    val vecs = (0L until 20L).map(i => i -> Seq.fill(8)(rnd.nextDouble()))
+    val codes = Pq.encode(vdf(vecs: _*), "id", "vec", big)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // Scala reference argmax (ties to higher j) over the same arithmetic
+    def ref(v: Seq[Double]): Seq[Int] = (0 until 4).map { s =>
+      val sub = v.slice(s * 2, s * 2 + 2)
+      var best = Double.NegativeInfinity; var bj = -1
+      for (j <- 0 until 256) {
+        val cw = big.codewords(s)(j)
+        val sc = sub.zip(cw).map { case (a, b) => a * b }.sum -
+          cw.map(x => x * x).sum / 2
+        if (sc >= best) { best = sc; bj = j }
+      }
+      bj
+    }
+    vecs.foreach { case (id, v) => codes(id) shouldBe ref(v) }
+  }
+
   "adcRerankTopK" should "equal brute force when the shortlist covers all candidates" in {
     val rnd = new scala.util.Random(5)
     val rows = (0L until 30L).map(i => i -> Seq.fill(8)(rnd.nextDouble()))
