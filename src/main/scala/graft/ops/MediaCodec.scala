@@ -235,6 +235,148 @@ object MediaCodec {
     Some(PngPixels(info, out))
   }
 
+  /** Fully decoded GIF frame: LSD fields plus the raw PALETTE INDICES of
+    * the first image, row-major (`indices.length == width * height`).
+    * Indices, not colors — the curation-side stats a pipeline buckets on
+    * (and the only thing the container actually stores per pixel).
+    */
+  final case class GifPixels(info: GifInfo, indices: Array[Byte])
+
+  /** FULL GIF pixel decode, dependency-free: block walk past extensions to
+    * the first image descriptor, then GIF-flavor LZW (GIF89a spec
+    * appendix F: LSB-first codes, clear/end codes, 12-bit dictionary cap,
+    * deferred growth) over the concatenated data sub-blocks, with Adam-less
+    * 4-pass de-interlacing when flagged. Scope: the first frame, which
+    * must cover the full logical screen (left/top 0, size == LSD — the
+    * single-image GIFs encoders emit); animations' later frames are
+    * ignored, offset frames return None. Total like the other parsers.
+    */
+  def decodeGif(bytes: Array[Byte], maxPixels: Long = 1L << 24): Option[GifPixels] = {
+    val info = parseGif(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
+    if (info.width.toLong * info.height > maxPixels) return None
+    var i = 13 + (if (info.hasGct) 3 * (1 << info.gctBits) else 0)
+    while (i < bytes.length) {
+      u8(bytes, i) match {
+        case 0x21 => // extension: label byte, then sub-blocks to a 0 terminator
+          i += 2
+          while (i < bytes.length && u8(bytes, i) != 0) i += 1 + u8(bytes, i)
+          i += 1
+        case 0x2C => // image descriptor
+          if (i + 10 > bytes.length) return None
+          val left = le16(bytes, i + 1); val top = le16(bytes, i + 3)
+          val w = le16(bytes, i + 5); val h = le16(bytes, i + 7)
+          val packed = u8(bytes, i + 9)
+          i += 10
+          if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // LCT
+          if (left != 0 || top != 0 || w != info.width || h != info.height)
+            return None
+          if (i >= bytes.length) return None
+          val minCode = u8(bytes, i); i += 1
+          if (minCode < 2 || minCode > 11) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < bytes.length && u8(bytes, i) != 0) {
+            val n = u8(bytes, i)
+            if (i + 1 + n > bytes.length) return None
+            data.write(bytes, i + 1, n); i += 1 + n
+          }
+          if (i >= bytes.length) return None
+          return lzwDecode(data.toByteArray, minCode, w * h).map { px =>
+            GifPixels(info,
+              if ((packed & 0x40) != 0) deinterlace(px, w, h) else px)
+          }
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW over a drained sub-block stream: codes LSB-first,
+    * dictionary of (prefix, suffix) pairs capped at 4096, code width grows
+    * when the dictionary fills its width, clear code resets. Emits exactly
+    * `expected` indices or fails (None) — never over-reads or throws.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var dictSize = endCode + 1
+    var codeSize = minCode + 1
+    var bitPos = 0
+    var prev = -1
+    var firstOfPrev: Byte = 0
+    def readCode(): Int = {
+      if (bitPos + codeSize > data.length * 8) return -1
+      var v = 0; var got = 0
+      while (got < codeSize) {
+        v |= (((data(bitPos >> 3) & 0xFF) >> (bitPos & 7)) & 1) << got
+        bitPos += 1; got += 1
+      }
+      v
+    }
+    while (outPos < expected) {
+      val code = readCode()
+      if (code < 0 || code == endCode) return None // ran dry before w*h pixels
+      if (code == clear) {
+        dictSize = endCode + 1; codeSize = minCode + 1; prev = -1
+      } else {
+        // expand into the stack (reversed); the KwKwK case (code ==
+        // dictSize) re-emits prev's expansion plus its own first char
+        var sp = 0
+        var cur = code
+        if (code >= dictSize) {
+          if (code != dictSize || prev < 0) return None
+          stack(sp) = firstOfPrev; sp += 1; cur = prev
+        }
+        while (cur >= clear + 2) { // walk the chain down to a root
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+          if (sp > 4096) return None // corrupt cycle
+        }
+        if (cur >= clear) return None // chain must end at a literal root
+        val first = cur.toByte
+        stack(sp) = first; sp += 1
+        // emit reversed
+        while (sp > 0 && outPos < expected) {
+          sp -= 1; out(outPos) = stack(sp); outPos += 1
+        }
+        if (sp > 0) return None // produced MORE than w*h pixels: lying header
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+        firstOfPrev = first
+      }
+    }
+    Some(out)
+  }
+
+  /** GIF 4-pass interlace reorder: sequential source rows land on rows
+    * 0,8,16… then 4,12… then 2,6,10… then 1,3,5… of the output.
+    */
+  private def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(px, src * w, out, y * w, w)
+        src += 1; y += step
+      }
+    }
+    out
+  }
+
   /** Parsed MPEG audio frame-header fields. `frameBytes` is the spec'd
     * length of the first frame (header + payload), from the published
     * per-layer length formulas.

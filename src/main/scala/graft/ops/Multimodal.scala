@@ -262,6 +262,35 @@ object Multimodal {
     }
   }
 
+  /** Exact-integer palette-index statistics from a REAL GIF LZW decode
+    * ([[MediaCodec.decodeGif]]): the [[pixelStats]] posture over indices
+    * (channels reported as 1 — GIF stores one palette sample per pixel).
+    * Undecodable payloads quarantine by omission; bytes never shuffle.
+    */
+  def gifIndexStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeGif(r.content).map { g =>
+          val s = g.indices
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i) & 0xFF
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          PixelStats(r.media_id, g.info.width.toLong, g.info.height.toLong,
+            1L, g.info.width.toLong * g.info.height, s.length.toLong,
+            sum, mn.toLong, mx.toLong)
+        }
+      }
+    }
+  }
+
   private def unknown(id: Long): DecodedMedia =
     DecodedMedia(id, "unknown", None, None, None, None, None, None)
 

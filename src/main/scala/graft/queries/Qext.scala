@@ -1052,6 +1052,24 @@ object Qext {
       .orderBy("media_id")
   }
 
+  /** REAL GIF LZW decode ([[MediaCodec.decodeGif]]: block walk → LZW over
+    * the data sub-blocks → palette indices) with exact-integer index stats.
+    * Ids ≡ 3 (mod 4) are the GIF containers; the oracle recomputes every
+    * INDEX from the generating arithmetic v = (id + x + 31y) mod 4 —
+    * independent of the JDK GIF writer that compressed the stream and of
+    * this LZW walk that expands it back.
+    */
+  def qExtMultimodalGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id").cast("long")).as[Long]
+    Multimodal.gifIndexStats(Multimodal.synthesizeContainers(ids)).toDF()
+      .select("media_id", "width", "height", "n_pixels",
+        "px_sum", "px_min", "px_max")
+      .orderBy("media_id")
+  }
+
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
     * distincts): null/distinct counts and min/max per column — the intake
     * audit generalizing the reference's inline checks. dtype is projected
@@ -1819,6 +1837,7 @@ object Qext {
     "q_ext_multimodal_decode" -> (qExtMultimodalDecode _),
     "q_ext_multimodal_pixels" -> (qExtMultimodalPixels _),
     "q_ext_multimodal_resize" -> (qExtMultimodalResize _),
+    "q_ext_multimodal_gif" -> (qExtMultimodalGif _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -3568,6 +3587,25 @@ object Qext {
         |       CAST(count(*) AS BIGINT) AS n_pixels,
         |       CAST(3 * count(*) AS BIGINT) AS n_samples,
         |       CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |       CAST(min(v) AS BIGINT) AS px_min,
+        |       CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+
+    // GIF-index ground truth: every palette index of every GIF recomputed
+    // from the generating arithmetic (id + x + 31y) mod 4 over the w×h
+    // grid — the Spark side LZW-decompresses real JDK-written streams.
+    "q_ext_multimodal_gif" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 4 = 3),
+        |dims AS (SELECT id, id % 31 + 1 AS w, id % 17 + 1 AS h FROM ids),
+        |px AS (
+        |  SELECT d.id, d.w, d.h, (d.id + gx.x + 31 * gy.y) % 4 AS v
+        |  FROM dims d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) gx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) gy
+        |)
+        |SELECT id AS media_id, w AS width, h AS height,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum(v) AS BIGINT) AS px_sum,
         |       CAST(min(v) AS BIGINT) AS px_min,
         |       CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,

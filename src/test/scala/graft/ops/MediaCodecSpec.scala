@@ -157,6 +157,39 @@ class MediaCodecSpec extends AnyFlatSpec with Matchers {
     MediaCodec.parseGif(null) shouldBe None
   }
 
+  "decodeGif" should "reconstruct exact palette indices vs both the arithmetic and ImageIO's reader" in {
+    for ((w, h, seed) <- Seq((1, 1, 0L), (31, 17, 7L), (13, 5, 42L), (64, 32, 999L))) {
+      val bytes = Multimodal.encodeGif(w, h, seed)
+      val px = MediaCodec.decodeGif(bytes)
+      withClue(s"($w,$h,seed=$seed): ") {
+        px should not be empty
+        val s = px.get.indices
+        s.length shouldBe w * h
+        val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        for (y <- 0 until h; x <- 0 until w) {
+          val got = s(y * w + x) & 0xFF
+          withClue(s"($x,$y): ") {
+            got shouldBe ((seed + x + y * 31L) % 4).toInt // generator arithmetic
+            got shouldBe jdk.getRaster.getSample(x, y, 0) // independent decoder
+          }
+        }
+      }
+    }
+  }
+
+  it should "reject truncation, offset frames, and trailing garbage totally" in {
+    val good = Multimodal.encodeGif(10, 6, seed = 3)
+    MediaCodec.decodeGif(good) should not be empty
+    MediaCodec.decodeGif(good.take(good.length - 10)) shouldBe None // cut LZW stream
+    MediaCodec.decodeGif(Multimodal.encodePng(8, 8, gray = true, seed = 1)) shouldBe None
+    MediaCodec.decodeGif(null) shouldBe None
+    MediaCodec.decodeGif(Multimodal.encodeGif(64, 64, 1), maxPixels = 100) shouldBe None
+    // corrupt a byte mid-stream: must not throw, any Option acceptable
+    val corrupt = good.clone()
+    corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x5A).toByte
+    MediaCodec.decodeGif(corrupt)
+  }
+
   "parseMp3" should "decode hand-assembled frame headers per the published bit layout" in {
     // header assembled field-by-field (independent of the parser's table
     // lookups): sync=11 bits, version, layer, protection, bitrate idx,
