@@ -213,6 +213,84 @@ object Funnel {
     credited.unionByName(organic)
   }
 
+  /** Time-decay attribution: one row per (conversion, in-window touch)
+    * with integer basis-point credit under a NORMATIVE exponential-decay
+    * model — the recency-weighted middle ground between last-touch
+    * (all credit to the newest) and linear (age-blind). The model is
+    * defined in integers so every engine reproduces it bit-for-bit:
+    *
+    *   halvings h = (conv_us − touch_us) div halfLifeUs   (age in half-lives)
+    *   weight   w = 10000 >> min(h, 13)                   (floor halving, ≥1)
+    *   credit_i   = (10000 · w_i) div Σw, remainder to the LAST touch
+    *
+    * The remainder-to-last rule and the 13-halving floor (weight never
+    * reaches 0, so an in-window touch never silently loses its row) are
+    * part of the DEFINITION, exactly the [[multiTouchAttribution]]
+    * discipline — fractional exponentials would be partition-order-
+    * dependent the moment doubles enter a sum.
+    *
+    * Scale shape: identical to [[multiTouchAttribution]] — the user-keyed
+    * hinted hash join, then ONE conversion-keyed window pass (row_number,
+    * count, and the weight sum share it). Organic conversions surface with
+    * pos 0 / full credit.
+    *
+    * Returns (userCol, conv_us, conv_id, touch_us, touch_id, touch_type,
+    * pos, n_touches, halvings, weight, credit_bp_decay).
+    */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+                           typeCol: String, tsUsCol: String, idCol: String,
+                           convertType: String, touchTypes: Seq[String],
+                           windowUs: Long, halfLifeUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    val conv = events.filter(col(typeCol) === convertType)
+      .select(col(userCol), col(tsUsCol).as("conv_us"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol).isInCollection(touchTypes))
+      .select(col(userCol).as("__t_user"), col(tsUsCol).as("__t_us"),
+        col(idCol).as("__t_id"), col(typeCol).as("__t_type"))
+    val inWindow = conv(userCol) === col("__t_user") &&
+      col("__t_us") < conv("conv_us") &&
+      col("__t_us") >= conv("conv_us") - lit(windowUs)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("__t_us"), col("__t_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"))
+    val credited = conv
+      .join(touch.hint("shuffle_hash"), inWindow)
+      .withColumn("halvings",
+        least(expr(s"(conv_us - __t_us) div ${halfLifeUs}L"), lit(13L)))
+      .withColumn("weight", expr("shiftright(10000L, cast(halvings AS INT))"))
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wAll))
+      .withColumn("__wsum", sum(col("weight")).over(wAll))
+      // floored share for every touch, then the LAST touch absorbs the
+      // flooring remainder: 10000 − Σ others' floored shares — expressed
+      // as 10000 − Σ all + own so the three aggregates share one window
+      .withColumn("__c", expr("10000L * weight div __wsum"))
+      .withColumn("__csum", sum(col("__c")).over(wAll))
+      .withColumn("credit_bp_decay",
+        when(col("pos") === col("n_touches"),
+          lit(10000L) - col("__csum") + col("__c"))
+          .otherwise(col("__c")))
+      .select(col(userCol), col("conv_us"), col("conv_id"),
+        col("__t_us").as("touch_us"), col("__t_id").as("touch_id"),
+        col("__t_type").as("touch_type"), col("pos"), col("n_touches"),
+        col("halvings"), col("weight"), col("credit_bp_decay"))
+    val organic = conv
+      .join(touch.hint("shuffle_hash"), inWindow, "left_anti")
+      .select(col(userCol), col("conv_us"), col("conv_id"),
+        lit(null).cast("long").as("touch_us"),
+        lit(null).cast("long").as("touch_id"),
+        lit(null).cast("string").as("touch_type"),
+        lit(0L).as("pos"), lit(0L).as("n_touches"), lit(0L).as("halvings"),
+        lit(0L).as("weight"), lit(10000L).as("credit_bp_decay"))
+    credited.unionByName(organic)
+  }
+
   /** Top event paths (k-step sequence mining by support): every
     * length-`k` window of CONSECUTIVE events in a user's (ts, tie-break)
     * order is one path occurrence; paths rank by total occurrences —

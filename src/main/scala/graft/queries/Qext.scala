@@ -810,6 +810,22 @@ object Qext {
       .orderBy("conv_id", "pos")
   }
 
+  /** Time-decay attribution ([[Funnel.timeDecayAttribution]], 24 h window,
+    * 6 h half-life): integer halvings by age make the exponential-decay
+    * credit model bit-portable — every credit is exact integer arithmetic,
+    * summing to exactly 10000 bp per conversion.
+    */
+  def qExtAttributionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Funnel.timeDecayAttribution(
+        ev.select(col("user_id"), col("event_type"), col("event_id"),
+          Sources.eventTsMicros(ev).as("ts_us")),
+        "user_id", "event_type", "ts_us", "event_id",
+        convertType = "purchase", touchTypes = Seq("click", "view"),
+        windowUs = 86400000000L, halfLifeUs = 21600000000L)
+      .orderBy("conv_id", "pos")
+  }
+
   /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
     * draws proportional to n_chars, exact integer prefix-sum walk — the
     * sample is a pure function of the data (partitioning-independent),
@@ -1818,6 +1834,7 @@ object Qext {
     "q_ext_attribution_last_touch" -> (qExtAttributionLastTouch _),
     "q_ext_attribution_first_touch" -> (qExtAttributionFirstTouch _),
     "q_ext_attribution_multi" -> (qExtAttributionMulti _),
+    "q_ext_attribution_decay" -> (qExtAttributionDecay _),
     "q_ext_top_paths" -> (qExtTopPaths _),
     "q_ext_compress_ratio" -> (qExtCompressRatio _),
     "q_ext_unicode_nfc" -> (qExtUnicodeNfc _),
@@ -3007,6 +3024,58 @@ object Qext {
         |)
         |SELECT * FROM credited
         |UNION ALL SELECT * FROM organic
+        |ORDER BY conv_id, pos""".stripMargin,
+
+    // Time-decay credits: integer halvings by age (>> with a 13-halving
+    // floor), floored shares, remainder to the LAST touch — bit-portable
+    // exponential decay, summing to exactly 10000 bp per conversion.
+    "q_ext_attribution_decay" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
+        |  WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id, t.t_type,
+        |         CAST(least((c.conv_us - t.t_us) // 21600000000, 13) AS BIGINT)
+        |           AS halvings
+        |  FROM conv c JOIN touch t USING (user_id)
+        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
+        |), pos AS (
+        |  SELECT *, CAST(10000 >> halvings AS BIGINT) AS weight,
+        |         CAST(row_number() OVER (PARTITION BY conv_id
+        |           ORDER BY t_us, t_id) AS BIGINT) AS pos,
+        |         count(*) OVER (PARTITION BY conv_id) AS n_touches,
+        |         sum(CAST(10000 >> halvings AS BIGINT))
+        |           OVER (PARTITION BY conv_id) AS wsum
+        |  FROM pairs
+        |), cr AS (
+        |  SELECT *, CAST(10000 * weight // wsum AS BIGINT) AS c,
+        |         sum(CAST(10000 * weight // wsum AS BIGINT))
+        |           OVER (PARTITION BY conv_id) AS csum
+        |  FROM pos
+        |), credited AS (
+        |  SELECT user_id, conv_us, conv_id, t_us AS touch_us, t_id AS touch_id,
+        |         t_type AS touch_type, pos, n_touches, halvings, weight,
+        |         CAST(CASE WHEN pos = n_touches THEN 10000 - csum + c
+        |              ELSE c END AS BIGINT) AS credit_bp_decay
+        |  FROM cr
+        |), organic AS (
+        |  SELECT c.user_id, c.conv_us, c.conv_id,
+        |         CAST(NULL AS BIGINT) AS touch_us,
+        |         CAST(NULL AS BIGINT) AS touch_id,
+        |         CAST(NULL AS VARCHAR) AS touch_type,
+        |         CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_touches,
+        |         CAST(0 AS BIGINT) AS halvings, CAST(0 AS BIGINT) AS weight,
+        |         CAST(10000 AS BIGINT) AS credit_bp_decay
+        |  FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id)
+        |)
+        |SELECT * FROM credited UNION ALL SELECT * FROM organic
         |ORDER BY conv_id, pos""".stripMargin,
 
     // First-touch greedy min-chains over integer microseconds — the

@@ -232,4 +232,76 @@ object FunnelStream {
           out.iterator
       }
   }
+
+  // -------------------------------------------------- time-decay attribution
+
+  /** One row per (conversion, in-window touch) — the batch
+    * [[graft.ops.Funnel.timeDecayAttribution]] row (integer halvings by
+    * age, floored shares, remainder to the last touch).
+    */
+  final case class DecayAttribution(user_id: Long, conv_us: Long,
+                                    conv_id: Long, touch_us: Option[Long],
+                                    touch_id: Option[Long],
+                                    touch_type: Option[String], pos: Long,
+                                    n_touches: Long, halvings: Long,
+                                    weight: Long, credit_bp_decay: Long)
+
+  /** Streaming time-decay attribution: the [[multiTouch]] state machinery
+    * (window-pruned in-window touch history) with the batch's integer
+    * exponential-decay credit model applied at conversion arrival — ages
+    * are exact at credit time because every held touch carries its own
+    * timestamp. Per-event latency, credits sum to exactly 10000 bp per
+    * conversion.
+    */
+  def timeDecay(events: Dataset[Ev], convertType: String,
+                touchTypes: Seq[String], windowUs: Long,
+                halfLifeUs: Long): Dataset[DecayAttribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MultiTouchState, DecayAttribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[MultiTouchState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[DecayAttribution]
+          var held = state.getOption.map(_.touches.reverse).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            held = held.takeWhile(_.tsUs >= e.ts_us - windowUs)
+            if (e.event_type == convertType) {
+              val inWin = held.reverse.filter(t => t.tsUs < e.ts_us)
+              val n = inWin.size.toLong
+              if (n == 0)
+                out += DecayAttribution(userId, e.ts_us, e.event_id,
+                  None, None, None, 0L, 0L, 0L, 0L, 10000L)
+              else {
+                val weighted = inWin.map { t =>
+                  val h = math.min((e.ts_us - t.tsUs) / halfLifeUs, 13L)
+                  (t, h, 10000L >> h)
+                }
+                val wsum = weighted.map(_._3).sum
+                val floored = weighted.map { case (t, h, w) =>
+                  (t, h, w, 10000L * w / wsum)
+                }
+                val csum = floored.map(_._4).sum
+                floored.zipWithIndex.foreach { case ((t, h, w, c), i) =>
+                  val pos = i + 1L
+                  val credit = if (pos == n) 10000L - csum + c else c
+                  out += DecayAttribution(userId, e.ts_us, e.event_id,
+                    Some(t.tsUs), Some(t.eventId), Some(t.eventType), pos, n,
+                    h, w, credit)
+                }
+              }
+            } else if (touches(e.event_type)) {
+              held ::= TouchState(e.ts_us, e.event_id, e.event_type)
+            }
+          }
+          state.update(MultiTouchState(held.reverse))
+          out.iterator
+      }
+  }
 }

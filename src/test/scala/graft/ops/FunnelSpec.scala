@@ -183,6 +183,52 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  "timeDecayAttribution" should "halve weight per half-life and give the flooring remainder to the last touch" in {
+    // half-life 60 µs, window 1000 µs; touches at ages 130, 70, 5 before
+    // the conversion at ts 200 → halvings 2, 1, 0 → weights 2500, 5000,
+    // 10000 (wsum 17500) → floored credits 1428, 2857, 5714; the last
+    // (newest) touch absorbs the remainder: 5715. Sum = 10000 exactly.
+    val rows = Seq(
+      (1L, "click", 70L, 1L), (1L, "click", 130L, 2L), (1L, "click", 195L, 3L),
+      (1L, "purchase", 200L, 9L),
+      (2L, "purchase", 100L, 10L)) // organic
+      .toDF("u", "t", "ts", "id")
+    val out = Funnel.timeDecayAttribution(rows, "u", "t", "ts", "id",
+        "purchase", Seq("click", "view"), windowUs = 1000L, halfLifeUs = 60L)
+      .collect()
+      .groupBy(_.getAs[Long]("conv_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("pos"))
+        .map(r => (r.getAs[Long]("halvings"), r.getAs[Long]("weight"),
+          r.getAs[Long]("credit_bp_decay")))).toMap
+    out(9L) shouldBe Seq((2L, 2500L, 1428L), (1L, 5000L, 2857L),
+      (0L, 10000L, 5715L))
+    out(10L) shouldBe Seq((0L, 0L, 10000L))
+  }
+
+  it should "cap halvings at 13 and still sum to exactly 10000 bp on randomized events" in {
+    val rnd = new scala.util.Random(29)
+    val types = Seq("click", "view", "purchase")
+    val events = (1 to 500).map { id =>
+      (rnd.nextInt(15).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(800).toLong, id.toLong)
+    }
+    val out = Funnel.timeDecayAttribution(
+        events.toDF("u", "t", "ts", "id"), "u", "t", "ts", "id",
+        "purchase", Seq("click", "view"), windowUs = 790L, halfLifeUs = 3L)
+      .collect()
+    out.groupBy(_.getAs[Long]("conv_id")).values.foreach { rows =>
+      rows.map(_.getAs[Long]("credit_bp_decay")).sum shouldBe 10000L
+      // 790/3 > 13: the cap must hold and weights stay >= 1
+      rows.foreach { r =>
+        r.getAs[Long]("halvings") should be <= 13L
+        if (r.getAs[Long]("n_touches") > 0) {
+          r.getAs[Long]("weight") should be >= 1L
+          r.getAs[Long]("credit_bp_decay") should be >= 0L
+        }
+      }
+    }
+  }
+
   "topPaths" should "count consecutive k-windows per user in time order" in {
     val rows = Seq(
       // user 1: A B A B → paths "A B A", "B A B"

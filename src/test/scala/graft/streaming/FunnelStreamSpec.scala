@@ -213,4 +213,38 @@ class FunnelStreamSpec extends SparkSpec {
       }.toMap
     streaming shouldBe batch
   }
+
+  "timeDecay" should "match ops.Funnel.timeDecayAttribution on a randomized in-order stream" in {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(79)
+    val types = Seq("ad", "email", "purchase", "noise")
+    val fixture = (1L to 400L).map { id =>
+      Ev(rnd.nextInt(25).toLong, id, id * mins(1), types(rnd.nextInt(types.size)))
+    }.sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[Ev]
+    val query = FunnelStream.timeDecay(input.toDS(), "purchase",
+        Seq("ad", "email"), windowUs = gapUs, halfLifeUs = mins(90))
+      .writeStream.format("memory").queryName("td_rand")
+      .outputMode("append").start()
+    val streaming = try {
+      fixture.grouped(53).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+      spark.table("td_rand").as[FunnelStream.DecayAttribution].collect()
+        .map(a => (a.user_id, a.conv_id, a.pos) ->
+          (a.touch_id, a.halvings, a.weight, a.credit_bp_decay)).toMap
+    } finally query.stop()
+    val batch = graft.ops.Funnel.timeDecayAttribution(
+        fixture.toDF(), "user_id", "event_type", "ts_us", "event_id",
+        "purchase", Seq("ad", "email"), gapUs, mins(90))
+      .collect().map { r =>
+        def opt[T](c: String): Option[T] =
+          Option(r.get(r.fieldIndex(c))).map(_.asInstanceOf[T])
+        (r.getAs[Long]("user_id"), r.getAs[Long]("conv_id"),
+          r.getAs[Long]("pos")) ->
+          (opt[Long]("touch_id"), r.getAs[Long]("halvings"),
+            r.getAs[Long]("weight"), r.getAs[Long]("credit_bp_decay"))
+      }.toMap
+    streaming shouldBe batch
+  }
 }
