@@ -88,6 +88,35 @@ class DriftStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  "DriftSink.quarantine" should "persist exactly the flagged rows, partitioned by batch id" in {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("qsink")
+    val out = s"$tmp/quarantine"
+    val blessed = Seq((10L, "en"), (50L, "fr"), (30L, "en"))
+      .toDF("score", "lang")
+    val reference = Profiler.profile(blessed, exactDistinct = true)
+    val input = MemoryStream[Doc]
+    val flagged = DriftStream.drift(
+      DriftStream.windowProfile(input.toDF(), "ts", "0 minutes",
+        "10 minutes", Seq("score")), reference)
+    val query = DriftSink.quarantine(flagged, out)
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try {
+      input.addData(Doc(ts(1), 15L, "en")) // healthy window [0,10)
+      query.processAllAvailable()
+      input.addData(Doc(ts(11), 999L, "en")) // closes [0,10); [10,20) drifts
+      query.processAllAvailable()
+      input.addData(Doc(ts(21), 20L, "en")) // closes [10,20)
+      query.processAllAvailable()
+    } finally query.stop()
+    val persisted = spark.read.parquet(out)
+    persisted.columns should contain("batch_id") // partition column survives
+    val rows = persisted.select("column", "min", "drift").collect()
+    rows.foreach(_.getAs[Boolean]("drift") shouldBe true) // ONLY flagged rows
+    rows.map(_.getAs[String]("min")).toSeq shouldBe Seq("999") // the bad window
+  }
+
   "windowQuantiles + quantileDrift" should "pass in-band medians and flag shifts and all-null windows" in {
     implicit val sqlCtx = spark.sqlContext
     // blessed: 10,20,30,40,50 → p25=20 p50=30 p75=40; bandTol 0.25 × IQR 20
