@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Quiet-window bench protocol.
+
+The perf gate reads ONE bench line, but this host's ambient load swings
+(load_idle 0.7 -> 9.9 observed within a day), so a single run measures
+weather as much as code: same-head ratio_vs_r1 has swung 1.76 -> 1.87 on
+load alone. This script makes the committed artifact mean something:
+
+  - run `graft.Bench` up to --max-runs times (each run is itself 3 passes,
+    min-of-passes, via the Bench main);
+  - after each run, append the raw stdout line + a wall-clock stamp to
+    BENCH_RUNS.jsonl (nothing is ever discarded -- the full history is the
+    honest record);
+  - stop early when a run's load_idle <= --quiet-threshold (the window was
+    actually quiet);
+  - write the line with the LOWEST load_idle to BENCH_STDOUT.txt -- the
+    least weather-distorted measurement, by a criterion chosen BEFORE
+    seeing the timings (picking by min floor would bias toward lucky
+    noise; picking by min load picks the cleanest window).
+
+Usage: python3 scripts/bench_quiet.py [--max-runs 3] [--quiet-threshold 1.0]
+       [--sf-dir /root/testdata/sf0.1]
+"""
+import argparse
+import json
+import re
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str) -> str:
+    proc = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        env={**__import__("os").environ,
+             "SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32"},
+        capture_output=True, text=True)
+    lines = re.findall(r'\{"metric".*', proc.stdout)
+    if not lines:
+        print(proc.stdout[-2000:], file=sys.stderr)
+        raise SystemExit("no bench line in stdout")
+    return lines[-1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-runs", type=int, default=3)
+    ap.add_argument("--quiet-threshold", type=float, default=1.0)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    runs = []
+    for i in range(args.max_runs):
+        line = run_bench(args.sf_dir)
+        js = json.loads(line)
+        # the criterion is the MEAN IN-RUN pass load (load_idle is sampled
+        # before the run and misses load that arrives mid-measurement)
+        la = js.get("load_avg") or []
+        load = sum(la) / len(la) if la else js.get("load_idle", float("inf"))
+        runs.append((load, line))
+        with open("BENCH_RUNS.jsonl", "a") as f:
+            f.write(json.dumps({"ts": time.time(), "run": i,
+                                "mean_pass_load": load, "load_idle": js.get("load_idle"),
+                                "value": js.get("value"),
+                                "ratio_vs_r1": js.get("ratio_vs_r1"),
+                                "core25_ratio": js.get("core25_ratio"),
+                                "line": line}) + "\n")
+        print(f"[bench-quiet] run {i}: value={js.get('value'):.1f}s "
+              f"ratio={js.get('ratio_vs_r1'):.2f} mean_pass_load={load:.2f}")
+        if load <= args.quiet_threshold:
+            print(f"[bench-quiet] quiet window hit (mean pass load {load:.2f} "
+                  f"<= {args.quiet_threshold}) — stopping early")
+            break
+    best_load, best_line = min(runs, key=lambda r: r[0])
+    with open("BENCH_STDOUT.txt", "w") as f:
+        f.write(best_line + "\n")
+    print(f"[bench-quiet] kept min-load run (mean pass load {best_load:.2f}) "
+          f"of {len(runs)} -> BENCH_STDOUT.txt; all raw lines in BENCH_RUNS.jsonl")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

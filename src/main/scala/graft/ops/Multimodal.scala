@@ -75,6 +75,26 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction with REAL pixel decode where a dependency-free
+    * decoder exists: PNG payloads histogram their DECODED 8-bit samples
+    * ([[MediaCodec.decodePng]] — the distribution of actual pixel values,
+    * not of compressed bytes); everything else falls back to the raw-byte
+    * [[stubFeatures]] (JPEG pixel decode needs a Huffman+IDCT pipeline
+    * that stays out of scope — this is the documented seam where a JNI
+    * codec plugs in, changing one branch, not the plan shape).
+    */
+  def pixelFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val samples = MediaCodec.decodePng(r.content)
+          .map(_.samples).getOrElse(r.content)
+        FeatureRow(r.media_id, r.meta.kind, stubFeatures(samples, dims))
+      }
+    }
+  }
+
   /** Frame sampling plan for video rows: every `step`-th frame index, as pure
     * relational explode — no binary bytes move, only (id, frame_idx) rows.
     */

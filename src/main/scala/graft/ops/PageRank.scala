@@ -77,6 +77,12 @@ object PageRank {
     sys.props.get("graft.graph.checkpointCadence").map(_.toInt)
       .getOrElse(if (hasDangling) 3 else 8)
 
+  /** Broadcast-regime edge-table pre-partitioning by dst (see prepare()):
+    * on by default; `-Dgraft.graph.dstPartition=false` is the A/B lever.
+    */
+  def DstPartition: Boolean =
+    sys.props.get("graft.graph.dstPartition").forall(_.toBoolean)
+
   /** `iterations` power-iteration steps at `dampingPct`/100 damping.
     * Returns (node, rank_scaled): rank_scaled sums to ~[[Scale]]
     * (minus sub-unit truncation). Multi-edges contribute multiply —
@@ -240,8 +246,18 @@ object PageRank {
     // edges is a parquet scan, a large tax when it is a derived frame
     // (TextRank's explode+join+distinct edge pipeline)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od")).persist(lvl)
-    // (src, dst, od) pinned once — every iteration reads it
-    val eod = e.join(outdeg, "src").persist(lvl)
+    val small = nNodes <= BroadcastNodesMax
+    // (src, dst, od) pinned once — every iteration reads it. In the
+    // BROADCAST regime the rank side of the edge join broadcasts, so the
+    // join output keeps eod's partitioning — pre-partitioning eod by dst
+    // HERE (one exchange at prepare) lets every iteration's contrib
+    // groupBy(dst) reuse it through the alias-aware Project: ZERO
+    // exchanges per iteration (GraphZeroExchangeAB measured the win). In
+    // the shuffled regime iterations join BY SRC, so dst-partitioning
+    // would force a re-exchange per round — left as-is there.
+    val eodBase = e.join(outdeg, "src")
+    val eod = (if (small && DstPartition) eodBase.repartition(col("dst"))
+               else eodBase).persist(lvl)
     val r0 = nodes
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), lit(Scale / nRecv)).otherwise(lit(0L)).as("rank"))
@@ -252,7 +268,7 @@ object PageRank {
     // identically 0 there, so values are unchanged
     val hasDangling = outdeg.count() < nNodes
     Ctx(nodes, eod, outdeg, r0, teleport, nRecv, dampingPct, hasDangling,
-      small = nNodes <= BroadcastNodesMax)
+      small = small)
   }
 
   /** One power-iteration step; the result is persisted (materialized by

@@ -50,6 +50,24 @@ class MultimodalSpec extends SparkSpec {
     (p4.px_min, p4.px_max) shouldBe ((4L, 196L))
   }
 
+  "pixelFeatures" should "histogram DECODED samples for PNGs and raw bytes otherwise" in {
+    val ids = Seq(4L, 5L).toDS() // 4 → RGB PNG; 5 → WAV
+    val media = Multimodal.synthesizeContainers(ids)
+    val feats = Multimodal.pixelFeatures(media, dims = 16)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    // PNG: histogram of the GENERATED pixel values v=(4+31x+17y)%256 over
+    // the 5×5 grid × 3 channels — computed independently here
+    val vals = for (y <- 0 until 5; x <- 0 until 5; _ <- 0 until 3)
+      yield (4 + 31 * x + 17 * y) % 256
+    val expect = new Array[Float](16)
+    vals.foreach(v => expect(v * 16 / 256) += 1f)
+    (0 until 16).foreach(i => expect(i) /= vals.size) // count-then-divide, like stubFeatures
+    feats(4L) shouldBe expect.toSeq
+    // WAV: falls back to the raw-byte stub histogram
+    val raw = media.filter(_.media_id == 5L).collect().head.content
+    feats(5L) shouldBe Multimodal.stubFeatures(raw, 16).toSeq
+  }
+
   "resizePng" should "produce real PNGs whose pixels are the NN-sampled sources" in {
     val ids = Seq(4L, 5L).toDS() // 4 → RGB PNG (5×5); 5 → WAV (dropped)
     val out = Multimodal.resizePng(Multimodal.synthesizeContainers(ids), 2, 2)
