@@ -286,4 +286,58 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- PQ kernels -----------------------------------------------------
+
+  /** Scala model of PqEncode/PqLut: VectorDot semantics over the slice
+    * window (min-length, null elements skipped), half-norms in index
+    * order, argmax ties to the higher codeword id.
+    */
+  private def mSubDot(v: Seq[Option[Float]], base: Int, cw: Array[Double]): Double = {
+    val lim = math.min(cw.length, v.size - base)
+    var s = 0.0; var i = 0
+    while (i < lim) {
+      v(base + i).foreach(x => s += x.toDouble * cw(i))
+      i += 1
+    }
+    s
+  }
+
+  "pq_encode and pq_lut" should
+      "agree across codegen, interpreted eval, and the Scala model" in {
+    val cbRng = new scala.util.Random(7)
+    (1 to trials).foreach { t =>
+      val m = 1 + t % 3
+      val k = 2 + t
+      val sub = 1 + t % 4
+      val cws: Seq[Seq[Array[Double]]] = Seq.tabulate(m)(_ =>
+        Seq.fill(k)(Array.fill(sub)(cbRng.nextDouble() * 4 - 2)))
+      val rows = sample(vecGen, 40).zipWithIndex.map { case (v, i) => (i, v) }
+      val df = rows.toDF("id", "v")
+      def run(): Seq[(Int, Seq[Int], Seq[Double])] = df.select(col("id"),
+          graft.functions.PqExpressions.pq_encode(col("v"), cws).as("codes"),
+          graft.functions.PqExpressions.pq_lut(col("v"), cws).as("lut"))
+        .orderBy("id").as[(Int, Seq[Int], Seq[Double])].collect().toSeq
+      val gen = codegenOnly(run())
+      val interp = interpreted(run())
+      gen shouldBe interp
+      gen.zip(rows).foreach { case ((_, codes, lut), (_, v)) =>
+        withClue(s"m=$m k=$k sub=$sub v=$v: ") {
+          val mLut = for (s <- 0 until m; j <- 0 until k)
+            yield mSubDot(v, s * sub, cws(s)(j))
+          lut shouldBe mLut
+          val mCodes = (0 until m).map { s =>
+            var best = Double.NegativeInfinity; var bj = -1
+            (0 until k).foreach { j =>
+              val sc = mSubDot(v, s * sub, cws(s)(j)) -
+                cws(s)(j).map(x => x * x).sum / 2
+              if (sc >= best) { best = sc; bj = j }
+            }
+            bj
+          }
+          codes shouldBe mCodes
+        }
+      }
+    }
+  }
 }
