@@ -242,23 +242,40 @@ object MediaCodec {
     */
   final case class GifPixels(info: GifInfo, indices: Array[Byte])
 
-  /** FULL GIF pixel decode, dependency-free: block walk past extensions to
-    * the first image descriptor, then GIF-flavor LZW (GIF89a spec
-    * appendix F: LSB-first codes, clear/end codes, 12-bit dictionary cap,
-    * deferred growth) over the concatenated data sub-blocks, with Adam-less
-    * 4-pass de-interlacing when flagged. Scope: the first frame, which
-    * must cover the full logical screen (left/top 0, size == LSD — the
-    * single-image GIFs encoders emit); animations' later frames are
-    * ignored, offset frames return None. Total like the other parsers.
+  /** FULL GIF pixel decode, dependency-free: the first frame of
+    * [[decodeGifFrames]]. Total like the other parsers.
     */
-  def decodeGif(bytes: Array[Byte], maxPixels: Long = 1L << 24): Option[GifPixels] = {
+  def decodeGif(bytes: Array[Byte], maxPixels: Long = 1L << 24): Option[GifPixels] =
+    decodeGifFrames(bytes, maxFrames = 1, maxPixels)
+      .map(f => GifPixels(f.info, f.frames.head))
+
+  /** All decoded frames of a (possibly animated) GIF, in stream order. */
+  final case class GifFrames(info: GifInfo, frames: IndexedSeq[Array[Byte]])
+
+  /** Multi-frame GIF pixel decode: block walk collecting EVERY image
+    * descriptor (animations interleave Graphics Control extensions, which
+    * skip like any extension), GIF-flavor LZW (GIF89a spec appendix F:
+    * LSB-first codes, clear/end codes, 12-bit dictionary cap, deferred
+    * growth) per frame over its concatenated data sub-blocks, 4-pass
+    * de-interlace when flagged. Scope: every frame must cover the full
+    * logical screen (left/top 0, size == LSD — no delta-rect frames, so
+    * disposal methods are irrelevant: each frame stands alone); an offset
+    * frame fails the whole decode rather than mis-compose. Decoding stops
+    * at `maxFrames` (allocation guard; 0 = unbounded up to the trailer).
+    * Total — truncation and corruption yield None, never a throw.
+    */
+  def decodeGifFrames(bytes: Array[Byte], maxFrames: Int = 0,
+                      maxPixels: Long = 1L << 24): Option[GifFrames] = {
     val info = parseGif(bytes) match {
       case Some(g) => g
       case None => return None
     }
     if (info.width.toLong * info.height > maxPixels) return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var i = 13 + (if (info.hasGct) 3 * (1 << info.gctBits) else 0)
-    while (i < bytes.length) {
+    var done = false
+    while (!done && i < bytes.length &&
+        (maxFrames == 0 || frames.size < maxFrames)) {
       u8(bytes, i) match {
         case 0x21 => // extension: label byte, then sub-blocks to a 0 terminator
           i += 2
@@ -283,15 +300,17 @@ object MediaCodec {
             data.write(bytes, i + 1, n); i += 1 + n
           }
           if (i >= bytes.length) return None
-          return lzwDecode(data.toByteArray, minCode, w * h).map { px =>
-            GifPixels(info,
-              if ((packed & 0x40) != 0) deinterlace(px, w, h) else px)
+          i += 1 // block terminator
+          lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(px) =>
+              frames += (if ((packed & 0x40) != 0) deinterlace(px, w, h) else px)
+            case None => return None
           }
-        case 0x3B => return None // trailer before any image
+        case 0x3B => done = true // trailer
         case _ => return None
       }
     }
-    None
+    if (frames.isEmpty) None else Some(GifFrames(info, frames.toIndexedSeq))
   }
 
   /** GIF-flavor LZW over a drained sub-block stream: codes LSB-first,

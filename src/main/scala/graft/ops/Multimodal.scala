@@ -419,6 +419,76 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Encode a real ANIMATED GIF via the JDK ImageIO sequence writer over
+    * the same pinned 4-entry palette as [[encodeGif]]: frame f's sample at
+    * (x, y) is `(seed + x + 31y + 7f) mod 4` — per-frame arithmetic the
+    * frame-sampling oracle replays exactly.
+    */
+  def encodeGifAnimated(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      Array[Byte](0, -1, 0, 127), Array[Byte](0, 0, -1, 127),
+      Array[Byte](0, 0, 0, 127))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, ((seed + x + y * 31L + f * 7L) % 4).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  /** REAL frame sampling over animated-GIF payloads: decode every frame
+    * ([[MediaCodec.decodeGifFrames]]), keep every `step`-th, and emit
+    * exact-integer index stats per kept frame — the pixel-level form of
+    * [[sampleFrames]]' relational plan (which remains the no-codec path
+    * for formats whose frames this environment cannot decode). Payloads
+    * that fail to decode quarantine by omission; bytes never shuffle.
+    */
+  def sampleGifFrames(media: Dataset[MediaRow], step: Int): DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeGifFrames(r.content).toSeq.flatMap { g =>
+          (0 until g.frames.size by step).map { f =>
+            val s = g.frames(f)
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i) & 0xFF
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            (r.media_id, f, g.frames.size, g.info.width, g.info.height,
+              sum, mn.toLong, mx.toLong)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "n_frames", "width", "height",
+      "idx_sum", "idx_min", "idx_max")
+  }
+
   /** Encode a real PCM WAVE file via the JDK sampled-audio writer. */
   def encodeWav(sampleRateHz: Int, channels: Int, nFrames: Int,
                 seed: Long): Array[Byte] = {

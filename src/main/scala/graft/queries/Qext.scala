@@ -1086,6 +1086,30 @@ object Qext {
       .orderBy("media_id")
   }
 
+  /** REAL frame sampling over ANIMATED GIFs ([[MediaCodec.decodeGifFrames]]
+    * + [[Multimodal.sampleGifFrames]], every 2nd frame): each sampled
+    * frame's exact-integer index stats. Payloads are genuine JDK
+    * sequence-writer animations; the oracle replays the per-frame
+    * arithmetic v = (id + x + 31y + 7f) mod 4 — frame sampling is no
+    * longer a metadata plan, it decodes real frames.
+    */
+  def qExtMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, dir, "documents")
+      .filter(col("doc_id") % 8 === 6)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, n) = ((id % 13 + 1).toInt, (id % 11 + 1).toInt,
+            (id % 9 + 2).toInt)
+          Multimodal.MediaRow(id, Multimodal.MediaMeta("image/gif", w, h, n, 0),
+            Multimodal.encodeGifAnimated(w, h, n, seed = id))
+        }
+      }
+    Multimodal.sampleGifFrames(media, step = 2)
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
     * distincts): null/distinct counts and min/max per column — the intake
     * audit generalizing the reference's inline checks. dtype is projected
@@ -1855,6 +1879,7 @@ object Qext {
     "q_ext_multimodal_pixels" -> (qExtMultimodalPixels _),
     "q_ext_multimodal_resize" -> (qExtMultimodalResize _),
     "q_ext_multimodal_gif" -> (qExtMultimodalGif _),
+    "q_ext_multimodal_frames" -> (qExtMultimodalFrames _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -3678,6 +3703,32 @@ object Qext {
         |       CAST(min(v) AS BIGINT) AS px_min,
         |       CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+
+    // Frame-sampling ground truth: every sampled frame's indices recomputed
+    // from the per-frame arithmetic (id + x + 31y + 7f) mod 4 — the Spark
+    // side LZW-decodes every frame of real JDK sequence-writer animations.
+    "q_ext_multimodal_frames" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 6),
+        |dims AS (SELECT id, id % 13 + 1 AS w, id % 11 + 1 AS h,
+        |                id % 9 + 2 AS nf FROM ids),
+        |fr AS (
+        |  SELECT d.*, gf.f FROM dims d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, d.nf, 2)) AS f) gf
+        |),
+        |px AS (
+        |  SELECT fr.id, fr.f, fr.nf, fr.w, fr.h,
+        |         (fr.id + gx.x + 31 * gy.y + 7 * fr.f) % 4 AS v
+        |  FROM fr
+        |  CROSS JOIN LATERAL (SELECT unnest(range(fr.w)) AS x) gx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(fr.h)) AS y) gy
+        |)
+        |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(nf AS INT) AS n_frames,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(sum(v) AS BIGINT) AS idx_sum,
+        |       CAST(min(v) AS BIGINT) AS idx_min,
+        |       CAST(max(v) AS BIGINT) AS idx_max
+        |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id, frame_idx""".stripMargin,
 
     // Resize replay: the same generating arithmetic composed with the
     // nearest-neighbor source map (sx = x*w div 8, sy = y*h div 8) — the

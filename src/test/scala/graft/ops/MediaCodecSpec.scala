@@ -177,6 +177,38 @@ class MediaCodecSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "decodeGifFrames" should "decode every frame of a JDK-written animation bit-exactly" in {
+    for ((w, h, n, seed) <- Seq((13, 7, 4, 5L), (1, 1, 2, 0L), (31, 17, 6, 42L))) {
+      val bytes = Multimodal.encodeGifAnimated(w, h, n, seed)
+      val frames = MediaCodec.decodeGifFrames(bytes)
+      withClue(s"($w,$h,n=$n,seed=$seed): ") {
+        frames should not be empty
+        frames.get.frames.size shouldBe n
+        // second witness: the JDK's own multi-frame reader
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        for (f <- 0 until n) {
+          val ours = frames.get.frames(f)
+          val jdk = reader.read(f)
+          for (y <- 0 until h; x <- 0 until w) {
+            val expect = ((seed + x + y * 31L + f * 7L) % 4).toInt
+            withClue(s"f=$f ($x,$y): ") {
+              (ours(y * w + x) & 0xFF) shouldBe expect
+              jdk.getRaster.getSample(x, y, 0) shouldBe expect
+            }
+          }
+        }
+        reader.dispose()
+      }
+    }
+  }
+
+  it should "honor the maxFrames guard" in {
+    val bytes = Multimodal.encodeGifAnimated(5, 5, 6, seed = 1)
+    MediaCodec.decodeGifFrames(bytes, maxFrames = 2).get.frames.size shouldBe 2
+  }
+
   it should "reject truncation, offset frames, and trailing garbage totally" in {
     val good = Multimodal.encodeGif(10, 6, seed = 3)
     MediaCodec.decodeGif(good) should not be empty
