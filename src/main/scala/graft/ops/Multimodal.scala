@@ -6,15 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY §7.8 / builder brief): image/audio/video
   * as opaque `binary` columns with typed metadata, processed partition-wise.
   *
-  * Two decode tiers:
-  *   - [[decodeMeta]] — REAL container decode ([[MediaCodec]]: PNG IHDR with
-  *     CRC verification, JPEG SOF marker walk, WAV RIFF chunk walk; format
-  *     sniffed from magic bytes, pure JDK) — the fields a curation pipeline
-  *     filters on come from genuine container structures.
-  *   - [[fakeDecodeFeatures]] — the PIXEL/SAMPLE-level feature extractor
-  *     remains a clearly-marked deterministic STUB (full image/audio codecs
-  *     beyond the JDK aren't in this environment); swapping it for a
-  *     JNI/onnx decoder changes one function body, not the plan shape.
+  * Decode tiers — all REAL, dependency-free ([[MediaCodec]]):
+  *   - [[decodeMeta]] — container header decode (PNG IHDR CRC-verified,
+  *     JPEG SOF marker walk, GIF LSD, WAV RIFF chunk walk, MPEG audio
+  *     frame headers), format SNIFFED from magic bytes.
+  *   - [[pixelStats]] / [[gifIndexStats]] — full pixel decode (PNG
+  *     scanline inflate+unfilter; GIF LZW) with exact-integer stats.
+  *   - [[resizePng]] — pixel-level nearest-neighbor resize
+  *     (decode → resample → JDK re-encode, channels preserved).
+  *   - [[sampleGifFrames]] — real frame sampling over animated GIFs
+  *     (multi-frame LZW walk); [[sampleFrames]] remains the relational
+  *     no-codec plan for formats without a dependency-free decoder.
+  *   - [[pixelFeatures]] — histogram features over real DECODED samples
+  *     where a decoder exists; [[fakeDecodeFeatures]]/[[stubFeatures]]
+  *     remain ONLY as the raw-byte fallback (JPEG pixel decode needs a
+  *     Huffman+IDCT pipeline that stays out of scope) — the documented
+  *     seam where a JNI/onnx codec plugs in, changing one branch, not
+  *     the plan shape.
   *
   * Scale posture: decode runs inside `mapPartitions` (one codec init per
   * partition, not per row); binary payloads never shuffle — features are
