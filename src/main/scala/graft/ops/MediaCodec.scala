@@ -153,12 +153,18 @@ object MediaCodec {
     */
   final case class PngPixels(info: PngInfo, samples: Array[Byte])
 
+  // Adam7 pass grid: (xStart, yStart, xStep, yStep) per ISO 15948 §8.2
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** FULL PNG pixel decode, dependency-free: chunk walk collecting IDAT,
     * `java.util.zip.Inflater` on the concatenated zlib stream, then
     * scanline unfiltering per ISO/IEC 15948 §9 (filters None/Sub/Up/
-    * Average/Paeth). Scope: 8-bit non-interlaced gray (0), truecolor (2),
-    * gray+alpha (4) and RGBA (6) — the shapes the JDK encoder emits for
-    * byte-backed rasters; indexed (3), sub-byte depths and Adam7 return
+    * Average/Paeth) — for BOTH progressive layouts: sequential and Adam7
+    * (each of the seven reduced images filters independently and scatters
+    * onto the output grid per §8.2). Scope: 8-bit gray (0), truecolor (2),
+    * gray+alpha (4) and RGBA (6); indexed (3) and sub-byte depths return
     * None (a curation pipeline quarantines those rather than mis-reading
     * them). Total like the header parsers: malformed streams yield None.
     *
@@ -168,7 +174,7 @@ object MediaCodec {
     */
   def decodePng(bytes: Array[Byte], maxPixels: Long = 1L << 24): Option[PngPixels] = {
     val info = parsePng(bytes) match {
-      case Some(p) if p.bitDepth == 8 && p.interlace == 0 && p.colorType != 3 => p
+      case Some(p) if p.bitDepth == 8 && p.interlace <= 1 && p.colorType != 3 => p
       case _ => return None
     }
     val nSamples = info.width.toLong * info.height * info.channels
@@ -186,9 +192,20 @@ object MediaCodec {
       i += 12 + len.toInt
     }
     if (!ended || idat.size == 0) return None
-    // zlib inflate to exactly height * (1 + width*channels) filtered bytes
-    val stride = info.width * info.channels
-    val raw = new Array[Byte](info.height * (1 + stride))
+    val bpp = info.channels
+    // pass list: the full image (sequential) or the seven reduced images
+    // (Adam7), each ph rows of (1 + pw*bpp) filtered bytes, concatenated
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] = // (pw, ph, x0, y0, dx, dy)
+      if (info.interlace == 0) Seq((info.width, info.height, 0, 0, 1, 1))
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        (((info.width - x0 + dx - 1) / dx), ((info.height - y0 + dy - 1) / dy),
+          x0, y0, dx, dy)
+      }.toSeq
+    val rawLen = passes.map { case (pw, ph, _, _, _, _) =>
+      if (pw > 0 && ph > 0) ph.toLong * (1 + pw * bpp) else 0L
+    }.sum
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -201,15 +218,46 @@ object MediaCodec {
       if (off != raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // unfilter in place into the output array (ISO 15948 §9.2): a is the
-    // byte bpp to the left, b directly above, c above-left; all 0 off-edge
-    val out = new Array[Byte](info.height * stride)
-    val bpp = info.channels
+    val out = new Array[Byte](info.height * info.width * bpp)
+    var rawOff = 0
+    passes.foreach { case (pw, ph, x0, y0, dx, dy) =>
+      if (pw > 0 && ph > 0) {
+        val pass = unfilterPass(raw, rawOff, pw, ph, bpp).getOrElse(return None)
+        rawOff += ph * (1 + pw * bpp)
+        // scatter the reduced image onto the output grid
+        var py = 0
+        while (py < ph) {
+          val oy = y0 + py * dy
+          var px = 0
+          while (px < pw) {
+            val src = (py * pw + px) * bpp
+            val dst = (oy * info.width + (x0 + px * dx)) * bpp
+            var c = 0
+            while (c < bpp) { out(dst + c) = pass(src + c); c += 1 }
+            px += 1
+          }
+          py += 1
+        }
+      }
+    }
+    Some(PngPixels(info, out))
+  }
+
+  /** Unfilter one (reduced) image of `h` rows × `w` pixels starting at
+    * `off` in the inflated stream (ISO 15948 §9.2): a is the byte bpp to
+    * the left, b directly above, c above-left; all 0 off-edge. Each Adam7
+    * pass filters independently, so the previous row is the previous row
+    * OF THE PASS.
+    */
+  private def unfilterPass(raw: Array[Byte], off: Int, w: Int, h: Int,
+                           bpp: Int): Option[Array[Byte]] = {
+    val stride = w * bpp
+    val out = new Array[Byte](h * stride)
     var y = 0
-    while (y < info.height) {
-      val ft = raw(y * (1 + stride)) & 0xFF
+    while (y < h) {
+      val ft = raw(off + y * (1 + stride)) & 0xFF
       if (ft > 4) return None
-      val rowIn = y * (1 + stride) + 1
+      val rowIn = off + y * (1 + stride) + 1
       val rowOut = y * stride
       var x = 0
       while (x < stride) {
@@ -232,7 +280,7 @@ object MediaCodec {
       }
       y += 1
     }
-    Some(PngPixels(info, out))
+    Some(out)
   }
 
   /** Fully decoded GIF frame: LSD fields plus the raw PALETTE INDICES of

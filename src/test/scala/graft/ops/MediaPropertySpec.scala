@@ -69,6 +69,39 @@ class MediaPropertySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "round-trip random ADAM7-INTERLACED images bit-exactly" in {
+    // the JDK PNG writer emits Adam7 in progressive mode — an independent
+    // encoder for the 7-pass scatter path (each reduced image filters
+    // independently; tiny dims exercise the empty-pass edge)
+    for ((w, h) <- sample(Gen.zip(Gen.chooseNum(1, 25), Gen.chooseNum(1, 25)), 10)) {
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y * w + x) * 3
+        img.setRGB(x, y, (px(b) << 16) | (px(b + 1) << 8) | px(b + 2))
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(baos))
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose()
+      val bytes = baos.toByteArray
+      val dec = MediaCodec.decodePng(bytes)
+      withClue(s"($w,$h) interlaced: ") {
+        dec should not be empty
+        dec.get.info.interlace shouldBe 1
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          withClue(s"($x,$y,$c): ") {
+            (dec.get.samples((y * w + x) * 3 + c) & 0xFF) shouldBe
+              px((y * w + x) * 3 + c)
+          }
+      }
+    }
+  }
+
   "decodeGif" should "round-trip random 4-color index rasters bit-exactly" in {
     val icm = new java.awt.image.IndexColorModel(2, 4,
       Array[Byte](0, -1, 0, 127), Array[Byte](0, 0, -1, 127),
