@@ -85,8 +85,10 @@ class MediaPropertySpec extends AnyFlatSpec with Matchers {
       val p = wr.getDefaultWriteParam
       p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
       val baos = new java.io.ByteArrayOutputStream()
-      wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(baos))
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      wr.setOutput(ios)
       wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close() // ImageOutputStream buffers: unclosed, the tail is cut
       wr.dispose()
       val bytes = baos.toByteArray
       val dec = MediaCodec.decodePng(bytes)
@@ -116,6 +118,35 @@ class MediaPropertySpec extends AnyFlatSpec with Matchers {
       javax.imageio.ImageIO.write(img, "gif", baos)
       val px = MediaCodec.decodeGif(baos.toByteArray)
       withClue(s"($w,$h): ") {
+        px should not be empty
+        px.get.indices.map(_ & 0xFF).toSeq shouldBe idx.toSeq
+      }
+    }
+  }
+
+  it should "round-trip random INTERLACED GIFs bit-exactly" in {
+    // the JDK GIF writer interlaces in progressive mode — independent
+    // coverage for the 4-pass reorder
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      Array[Byte](0, -1, 0, 127), Array[Byte](0, 0, -1, 127),
+      Array[Byte](0, 0, 0, 127))
+    for ((w, h) <- sample(Gen.zip(dimGen, dimGen), 8)) {
+      val idx = Array.fill(w * h)(rnd.nextInt(4))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, idx(y * w + x))
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close() // ImageOutputStream buffers: unclosed, the tail is cut
+      wr.dispose()
+      val px = MediaCodec.decodeGif(baos.toByteArray)
+      withClue(s"($w,$h) interlaced: ") {
         px should not be empty
         px.get.indices.map(_ & 0xFF).toSeq shouldBe idx.toSeq
       }
