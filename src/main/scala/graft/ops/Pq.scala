@@ -275,6 +275,84 @@ object Pq {
     Similarity.rankTopK(rescored, topK)
   }
 
+  // ------------------------------------------------------ residual (IVFADC)
+
+  private def centroidsLit(model: Ivf.Model): Column =
+    array(model.centroids.map(c => array(c.map(lit): _*)): _*)
+
+  /** Residual of a vector against its assigned coarse centroid,
+    * `x − centroid(assign(x))` — the quantity true IVFADC encodes: coarse
+    * structure lives in the cluster id, PQ spends its codes on what the
+    * centroid MISSED, which is why residual codes out-resolve raw codes at
+    * the same storage. Null vectors stay null (the assign sentinel −1
+    * would index the centroid table out of bounds under ANSI otherwise).
+    */
+  def residualExpr(vec: Column, model: Ivf.Model): Column =
+    when(vec.isNotNull, zip_with(
+      Similarity.toDouble(vec),
+      element_at(centroidsLit(model), Ivf.assignExpr(vec, model) + 1),
+      (a, b) => a - b))
+      .otherwise(lit(null).cast("array<double>"))
+
+  /** Deterministic fixed RESIDUAL codebook: the residuals of `ids` (in
+    * order) against their own assigned centroids, sliced into `m`
+    * sub-vectors — reproducible from the raw table by any engine, like
+    * [[fixedCodebook]]. The assignment runs through the SAME
+    * [[Ivf.assignExpr]] the encode path uses, so codebook and codes share
+    * one arithmetic.
+    */
+  def residualCodebook(df: DataFrame, idCol: String, vecCol: String,
+                       ids: Seq[Long], m: Int, model: Ivf.Model): Codebook = {
+    val byId = df.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), residualExpr(col(vecCol), model))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(ids.forall(byId.contains),
+      s"missing codeword ids: ${ids.filterNot(byId.contains)}")
+    val dim = byId(ids.head).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Codebook(dim, (0 until m).map(s =>
+      ids.toIndexedSeq.map(id => byId(id).slice(s * sub, (s + 1) * sub))))
+  }
+
+  /** Residual IVF-PQ search (true IVFADC): candidates store (cluster,
+    * residual codes); queries score via the inner-product decomposition
+    * `q·x = q·c + q·(x−c) ≈ q·c + Σ_s lut[s·k + code_s]` — the q·c term
+    * is one exact dot against the probed centroid per (query, probe), and
+    * the LUT is over the RAW query (no residual needed on the query
+    * side). Same pruning, same per-candidate cost as [[ivfAdcTopK]];
+    * strictly better use of the same m codes (`tools/PqRecall` measures
+    * the gap).
+    */
+  def ivfAdcResidualTopK(queries: DataFrame, candidates: DataFrame,
+                         queryIdCol: String, vecCol: String,
+                         candIdCol: String, model: Ivf.Model, cb: Codebook,
+                         topK: Int, nprobe: Int = 4,
+                         scoreDecimals: Int = 6): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val cand = candidates.filter(col(vecCol).isNotNull)
+      .select(col(candIdCol).cast("long").as("cand_id"), col(vecCol).as("__cv"))
+      .withColumn("__cluster", Ivf.assignExpr(col("__cv"), model))
+      .withColumn("__codes", encodeExpr(residualExpr(col("__cv"), model), cb))
+      .filter(!array_contains(col("__codes"), lit(-1)))
+      .select("cand_id", "__cluster", "__codes")
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe", explode(Ivf.probesExpr(col("__qv"), model, nprobe)))
+      .select(col("query_id"), col("__probe").getField("i").as("__cluster"),
+        lutExpr(col("__qv"), cb).as("__lut"),
+        vec_dot(Similarity.toDouble(col("__qv")),
+          element_at(centroidsLit(model),
+            col("__probe").getField("i") + 1)).as("__qc"))
+    val scored = cand.join(broadcast(q), Seq("__cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(col("__qc") + adcScoreExpr(col("__lut"), col("__codes"), cb),
+          scoreDecimals).as("score"))
+    Similarity.rankTopK(scored, topK)
+  }
+
   /** Train per-subspace codebooks with engine-portable arithmetic (the
     * [[Ivf.trainPortable]] integer-quantized means, applied per subspace):
     * ONE distributed pass per Lloyd iteration covers ALL subspaces —

@@ -484,6 +484,31 @@ object Qext {
       .orderBy("query_id", "rank")
   }
 
+  /** Residual IVF-PQ top-5 ([[Pq.ivfAdcResidualTopK]], true IVFADC):
+    * candidates store (cluster, residual codes); scores decompose as
+    * q·centroid + ADC over the residual LUT. Both quantizers fixed (the
+    * residual codebook derives from the same 16 ids' residuals), so the
+    * assign→residual→encode→LUT→rank pipeline replays exactly in SQL.
+    */
+  def qExtPqIvfResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    // codeword-source ids deliberately DISJOINT from the centroid ids:
+    // a centroid's residual against itself is the zero vector, and a
+    // codebook of 16 zero codewords degenerates every code to the
+    // tie-break (caught by the first recall probe)
+    val cb = pqResidualCodebooks.computeIfAbsent(dir,
+      _ => Pq.residualCodebook(e, "vec_id", "embedding",
+        (0 until 16).map(_ * 31L + 7L), m = 4, model))
+    Pq.ivfAdcResidualTopK(e.filter(col("vec_id") < 8), e, "vec_id",
+        "embedding", "vec_id", model, cb, topK = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private val pqResidualCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
+
   /** Semantic dedup ([[SemDedup.dedup]], SemDeDup-style cluster-then-prune):
     * the fixed-centroid model blocks pairs by nearest-centroid cluster; a
     * row is dropped when a smaller-id same-cluster neighbor has cosine
@@ -1840,6 +1865,7 @@ object Qext {
     "q_ext_pq_adc" -> (qExtPqAdc _),
     "q_ext_pq_ivf_adc" -> (qExtPqIvfAdc _),
     "q_ext_pq_rerank" -> (qExtPqRerank _),
+    "q_ext_pq_ivf_residual" -> (qExtPqIvfResidual _),
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_quality_filter" -> (qExtQualityFilter _),
@@ -3485,6 +3511,98 @@ object Qext {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY score DESC, cand_id ASC) AS rank
         |  FROM rescored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Residual IVF-PQ (true IVFADC) replay: assignment/probes as ivf_fixed,
+    // residuals r = v − assigned centroid, residual codewords from the same
+    // fixed ids' residuals, codes by argmax dot−‖cw‖²/2 over r's slices,
+    // score = q·centroid + the residual LUT chain.
+    "q_ext_pq_ivf_residual" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |),
+        |resid AS (
+        |  SELECT v.vec_id, a.cluster,
+        |         list_transform(range(1, 65), i -> v.emb[i] - c.emb[i]) AS r
+        |  FROM v JOIN assigned a USING (vec_id) JOIN cents c ON c.cid = a.cluster
+        |),
+        |cwr AS (
+        |  SELECT ss.s, (r.vec_id // 31)::INT AS j,
+        |         (r.r)[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM resid r CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE r.vec_id % 31 = 7 AND r.vec_id < 503
+        |),
+        |pqscored AS (
+        |  SELECT rr.vec_id, c.s, c.j,
+        |         list_dot_product((rr.r)[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM resid rr CROSS JOIN cwr c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
+        |),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM v q CROSS JOIN cwr c WHERE q.vec_id < 8
+        |),
+        |qc AS (
+        |  SELECT p.query_id, p.cluster,
+        |         list_dot_product(q.emb, ce.emb) AS qc
+        |  FROM probes p JOIN v q ON q.vec_id = p.query_id
+        |  JOIN cents ce ON ce.cid = p.cluster
+        |),
+        |pairs AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |         round(x.qc + (((l0.ld + l1.ld) + l2.ld) + l3.ld), 6) AS score
+        |  FROM probes p
+        |  JOIN qc x ON x.query_id = p.query_id AND x.cluster = p.cluster
+        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+        |  JOIN codesp cd ON cd.vec_id = a.vec_id
+        |  JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |  JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |  JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |  JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM pairs) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     // IVF-PQ replay: the ivf_fixed assignment/probe CTEs (cosine coarse

@@ -42,6 +42,17 @@ object PqRecall {
             Pq.adcRerankTopK(q, e, "vec_id", "embedding", "vec_id", cb,
               topK = 5, shortlist = sl))
       }
+      // residual IVFADC: fixed residual codebook + one TRAINED on the
+      // residual column (trainPortable over a derived frame — no new API)
+      val rFixed = Pq.residualCodebook(e, "vec_id", "embedding",
+        (0 until 16).map(_ * 31L + 7L), m, ivf) // NOT the centroid ids
+      val rTrained = Pq.trainPortable(
+        e.select(col("vec_id"), Pq.residualExpr(col("embedding"), ivf).as("r")),
+        "vec_id", "r", m, k = 16, iters = 2)
+      for ((nm, rcb) <- Seq("fixed" -> rFixed, "trained" -> rTrained))
+        recall(s"resid-ivfadc m=$m $nm",
+          Pq.ivfAdcResidualTopK(q, e, "vec_id", "embedding", "vec_id",
+            ivf, rcb, topK = 5, nprobe = 4))
     }
     spark.stop()
   }

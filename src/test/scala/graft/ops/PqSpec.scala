@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** [[Pq]]: codes quantize to the nearest codeword per subspace (ties to the
@@ -105,6 +107,41 @@ class PqSpec extends SparkSpec {
     fixed.codewords(0)(1).toSeq shouldBe Seq(9.0, 9.0, 9.0, 9.0)
     an[IllegalArgumentException] should be thrownBy
       Pq.fixedCodebook(df, "id", "vec", Seq(0L, 42L), m = 2)
+  }
+
+  "ivfAdcResidualTopK" should "score near-exactly when candidate residuals are codewords" in {
+    // candidates ARE the residual-codebook source ids, so each candidate's
+    // residual quantizes to itself and the ADC decomposition
+    // q·c + Σ q_s·r_s equals the exact inner product up to FP association
+    val model = Ivf.Model(IndexedSeq(
+      Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)))
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 8L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+                 else Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)
+      i -> base.map(_ + rnd.nextDouble() * 0.2)
+    }
+    val df = vdf(rows: _*)
+    val rcb = Pq.residualCodebook(df, "id", "vec", rows.map(_._1), m = 2, model)
+    val out = Pq.ivfAdcResidualTopK(vdf(rows.head), df, "id", "vec", "id",
+        model, rcb, topK = 7, nprobe = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val qv = rows.head._2
+    rows.tail.foreach { case (id, xv) =>
+      val exact = qv.zip(xv).map { case (a, b) => a * b }.sum
+      withClue(s"cand $id: ") { out(id) shouldBe exact +- 2e-6 }
+    }
+  }
+
+  it should "null residuals for null vectors instead of mis-indexing the centroid table" in {
+    val model = Ivf.Model(IndexedSeq(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS vec " +
+      "UNION ALL SELECT array(3.0D, 1.0D)")
+    val out = df.select(Pq.residualExpr(col("vec"), model).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getSeq[Double](0)))
+    out.count(_.isEmpty) shouldBe 1
+    out.flatten.head.toSeq shouldBe Seq(2.0, 1.0) // 3-1, 1-0
   }
 
   "the native kernels" should "match the unrolled encode/LUT bit-for-bit" in {
