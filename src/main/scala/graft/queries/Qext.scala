@@ -509,6 +509,27 @@ object Qext {
   private val pqResidualCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
 
+  /** PQ codes under a TRAINED codebook ([[Pq.trainPortable]], m=4, k=16,
+    * 2 Lloyd iterations): the integer-quantized means make every codeword
+    * element an exact rational, so the ENTIRE train→encode pipeline
+    * unrolls into DuckDB CTEs — the trained codebook is hash-checked, not
+    * just spec-locked deterministic (the q_ext_sim_ivf treatment applied
+    * to PQ).
+    */
+  def qExtPqCodesTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqTrainedCodebooks.computeIfAbsent(dir,
+      _ => Pq.trainPortable(e, "vec_id", "embedding", m = 4, k = 16, iters = 2))
+    Pq.encode(e, "vec_id", "embedding", cb)
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3"))
+      .orderBy("vec_id")
+  }
+
+  private val pqTrainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
+
   /** Semantic dedup ([[SemDedup.dedup]], SemDeDup-style cluster-then-prune):
     * the fixed-centroid model blocks pairs by nearest-centroid cluster; a
     * row is dropped when a smaller-id same-cluster neighbor has cosine
@@ -1866,6 +1887,7 @@ object Qext {
     "q_ext_pq_ivf_adc" -> (qExtPqIvfAdc _),
     "q_ext_pq_rerank" -> (qExtPqRerank _),
     "q_ext_pq_ivf_residual" -> (qExtPqIvfResidual _),
+    "q_ext_pq_codes_trained" -> (qExtPqCodesTrained _),
     "q_ext_token_count" -> (qExtTokenCount _),
     "q_ext_quality_score" -> (qExtQualityScore _),
     "q_ext_quality_filter" -> (qExtQualityFilter _),
@@ -2145,6 +2167,66 @@ object Qext {
        |  FROM $prev p LEFT JOIN mc$it m USING (cid)
        |)""".stripMargin
 
+  /** One per-subspace Lloyd iteration as CTEs (Pq.trainPortable mirror):
+    * codes via argmax of dot − ‖cw‖²/2 against `prev` (ties to higher j),
+    * integer-quantized element sums per (subspace, code, position),
+    * exact-rational means, empty codes keep the previous codeword.
+    */
+  private def pqIterSql(it: Int, prev: String): String =
+    s"""pa$it AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT v.vec_id, c.s, c.j,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.s
+       |             ORDER BY list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+       |                      - list_dot_product(c.c, c.c) / 2 DESC,
+       |                      c.j DESC) AS rn
+       |    FROM v, $prev c) WHERE rn = 1
+       |), pm$it AS (
+       |  SELECT a.s, a.code, t.p,
+       |         sum(CAST(floor(v.emb[a.s*16 + t.p + 1] * 1048576.0 + 0.5)
+       |             AS BIGINT)) AS sq,
+       |         count(*) AS cnt
+       |  FROM pa$it a JOIN v USING (vec_id), range(16) t(p)
+       |  GROUP BY a.s, a.code, t.p
+       |), pmc$it AS (
+       |  SELECT s, code AS j, list(sq / (1048576.0 * cnt) ORDER BY p) AS c
+       |  FROM pm$it GROUP BY s, code
+       |), pc$it AS (
+       |  SELECT p.s, p.j, coalesce(m.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN pmc$it m ON m.s = p.s AND m.j = p.j
+       |)""".stripMargin
+
+  /** The whole portable PQ trainer — 2 unrolled Lloyd iterations from the
+    * first-16-by-id sliced init — plus the final encode, as one DuckDB
+    * statement. Mirrors Pq.trainPortable + Pq.encode with m=4, k=16,
+    * iters=2, dim=64, scale=2^20.
+    */
+  private def pqTrainedOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |), pc0 AS (
+       |  SELECT ss.s,
+       |         (row_number() OVER (PARTITION BY ss.s ORDER BY t.vec_id) - 1)::INT AS j,
+       |         t.emb[ss.s*16+1 : ss.s*16+16] AS c
+       |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16) t
+       |  CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+       |), ${pqIterSql(1, "pc0")}, ${pqIterSql(2, "pc1")},
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT v.vec_id, c.s, c.j,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.s
+       |             ORDER BY list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+       |                      - list_dot_product(c.c, c.c) / 2 DESC,
+       |                      c.j DESC) AS rn
+       |    FROM v, pc2 c) WHERE rn = 1
+       |)
+       |SELECT vec_id,
+       |  max(CASE WHEN s=0 THEN code END) AS c0,
+       |  max(CASE WHEN s=1 THEN code END) AS c1,
+       |  max(CASE WHEN s=2 THEN code END) AS c2,
+       |  max(CASE WHEN s=3 THEN code END) AS c3
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** The whole portable-k-means IVF pipeline — train (2 unrolled Lloyd
     * iterations from the first-16-by-id init), assign, probe top-4, exact
     * cosine rank — as one DuckDB statement. Mirrors Ivf.trainPortable +
@@ -2215,6 +2297,7 @@ object Qext {
   val oracle: Map[String, String] = Map(
     "q_ext_pii_redact" -> piiOracleSql,
     "q_ext_sim_ivf" -> ivfTrainedOracleSql,
+    "q_ext_pq_codes_trained" -> pqTrainedOracleSql,
     "q_ext_profile_quantiles" -> quantilesOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount")),
     "q_ext_filter_blocklist" ->
