@@ -91,25 +91,32 @@ object Pq {
     * any engine reproduces them bit-for-bit. A null vector codes to all
     * -1 (the [[Ivf.assignExpr]] non-nullable convention).
     */
-  def encodeExpr(vec: Column, cb: Codebook): Column = {
-    val enc =
-      if (cb.m * cb.k <= UnrollMaxTerms)
-        array((0 until cb.m).map { s =>
-          val sub = subVec(vec, cb, s)
-          val scored = array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
-            val halfNorm2 = cw.map(x => x * x).sum / 2
-            struct((vec_dot(sub, array(cw.map(lit): _*)) - lit(halfNorm2)).as("s"),
-              lit(j).as("i"))
-          }: _*)
-          coalesce(array_max(scored).getField("i"), lit(-1)) // non-null elements
-        }: _*)
-      else graft.functions.PqExpressions.pq_encode(vec, cb.codewords)
+  def encodeExpr(vec: Column, cb: Codebook): Column =
     // the null guard must be EXPLICIT on the vector: a null sub-vector
     // nulls only the struct's score FIELD, and struct ordering still
     // yields a (meaningless) argmax index — coalesce never fires
-    when(vec.isNotNull, enc)
+    when(vec.isNotNull, encodeExprUnguarded(vec, cb))
       .otherwise(array((0 until cb.m).map(_ => lit(-1)): _*))
-  }
+
+  /** [[encodeExpr]] WITHOUT the null guard — for pipelines whose input is
+    * already proven non-null (e.g. after a `vec.isNotNull` pre-filter):
+    * the guard's `isnotnull(<whole derived vector>)` condition would
+    * otherwise be inlined into downstream Filters and re-evaluate the
+    * derivation per row (the InferFilters/CollapseProject trap
+    * PlanInvariantsSpec locks out). Undefined codes on a null vector.
+    */
+  private[ops] def encodeExprUnguarded(vec: Column, cb: Codebook): Column =
+    if (cb.m * cb.k <= UnrollMaxTerms)
+      array((0 until cb.m).map { s =>
+        val sub = subVec(vec, cb, s)
+        val scored = array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
+          val halfNorm2 = cw.map(x => x * x).sum / 2
+          struct((vec_dot(sub, array(cw.map(lit): _*)) - lit(halfNorm2)).as("s"),
+            lit(j).as("i"))
+        }: _*)
+        coalesce(array_max(scored).getField("i"), lit(-1)) // non-null elements
+      }: _*)
+    else graft.functions.PqExpressions.pq_encode(vec, cb.codewords)
 
   /** (id, codes) frame: the compressed form of a vector table. At rest this
     * is what a 100 TB corpus stores and scans — `m` small ints per vector
@@ -288,11 +295,18 @@ object Pq {
     * would index the centroid table out of bounds under ANSI otherwise).
     */
   def residualExpr(vec: Column, model: Ivf.Model): Column =
-    when(vec.isNotNull, zip_with(
+    when(vec.isNotNull, residualExprUnguarded(vec, model))
+      .otherwise(lit(null).cast("array<double>"))
+
+  /** [[residualExpr]] without the null guard — for proven-non-null inputs
+    * (see [[encodeExprUnguarded]] for why the guard must not reach a
+    * downstream Filter). A null vector would mis-index the centroid table.
+    */
+  private[ops] def residualExprUnguarded(vec: Column, model: Ivf.Model): Column =
+    zip_with(
       Similarity.toDouble(vec),
       element_at(centroidsLit(model), Ivf.assignExpr(vec, model) + 1),
-      (a, b) => a - b))
-      .otherwise(lit(null).cast("array<double>"))
+      (a, b) => a - b)
 
   /** Deterministic fixed RESIDUAL codebook: the residuals of `ids` (in
     * order) against their own assigned centroids, sliced into `m`
@@ -331,11 +345,14 @@ object Pq {
                          topK: Int, nprobe: Int = 4,
                          scoreDecimals: Int = 6): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
+    // candidates pre-filter non-null, so the UNGUARDED residual/encode
+    // forms apply: no sentinel codes can arise (no -1 filter needed), and
+    // no isnotnull-over-derived-vector guard leaks into a Filter
     val cand = candidates.filter(col(vecCol).isNotNull)
       .select(col(candIdCol).cast("long").as("cand_id"), col(vecCol).as("__cv"))
       .withColumn("__cluster", Ivf.assignExpr(col("__cv"), model))
-      .withColumn("__codes", encodeExpr(residualExpr(col("__cv"), model), cb))
-      .filter(!array_contains(col("__codes"), lit(-1)))
+      .withColumn("__codes", encodeExprUnguarded(
+        residualExprUnguarded(col("__cv"), model), cb))
       .select("cand_id", "__cluster", "__codes")
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
