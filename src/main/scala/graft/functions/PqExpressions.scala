@@ -135,7 +135,11 @@ object PqExpressions {
 
   /** Static encode kernel shared by eval and codegen. Ties go to the
     * HIGHER codeword id (`>=` replacement while ascending — the struct
-    * array_max convention of the unrolled form).
+    * array_max convention of the unrolled form). NaN scores follow Spark's
+    * ordering (NaN greatest): once any NaN score appears it wins over every
+    * finite score, and among NaN scores the highest codeword id wins — so a
+    * NaN-carrying vector encodes identically on both sides of the
+    * UnrollMaxTerms boundary.
     */
   def encode(x: ArrayData, tag: Int, cws: Array[Array[Array[Double]]],
              halfNorms: Array[Array[Double]]): ArrayData = {
@@ -146,11 +150,16 @@ object PqExpressions {
       val k = cws(s).length
       val base = s * cws(s)(0).length
       var best = Double.NegativeInfinity
+      var bestNaN = false
       var bestJ = -1
       var j = 0
       while (j < k) {
         val sc = subDot(x, tag, base, cws(s)(j)) - halfNorms(s)(j)
-        if (sc >= best) { best = sc; bestJ = j }
+        val scNaN = java.lang.Double.isNaN(sc)
+        // Spark struct-max ordering: NaN > any finite; ties -> higher j.
+        if (scNaN || (!bestNaN && sc >= best)) {
+          best = sc; bestNaN = scNaN; bestJ = j
+        }
         j += 1
       }
       out(s) = bestJ

@@ -178,7 +178,7 @@ object MediaCodec {
       case _ => return None
     }
     val nSamples = info.width.toLong * info.height * info.channels
-    if (nSamples <= 0 || info.width.toLong * info.height > maxPixels) return None
+    if (nSamples <= 0 || nSamples > maxPixels) return None
     // chunk walk: concatenate IDAT payloads until IEND
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
@@ -212,7 +212,10 @@ object MediaCodec {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // Any zero-byte step is failure: truncated stream (needsInput), a
+        // preset-dictionary demand (FDICT bit set — needsDictionary, which
+        // would otherwise spin this loop forever), or any other stall.
+        if (n == 0) return None
         off += n
       }
       if (off != raw.length) return None

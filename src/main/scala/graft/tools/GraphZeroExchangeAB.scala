@@ -9,8 +9,9 @@ import graft.ops.{PageRank, TextRank}
   * groupBy reuses the pre-partitioned edge table through the alias-aware
   * Project — zero exchanges per iteration; without it, every iteration
   * pays one. Results must be IDENTICAL (a repartition changes where rows
-  * sit, never values). Also prints the per-iteration exchange count seen
-  * in the final adaptive plan as structural evidence.
+  * sit, never values). Prints per-rep timings plus the top-3 fingerprint
+  * (value-identity witness); the structural zero-exchange evidence lives
+  * in PLANS.md's executed-plan audits, not here.
   */
 object GraphZeroExchangeAB {
   def main(args: Array[String]): Unit = {

@@ -110,6 +110,31 @@ class MediaCodecSpec extends AnyFlatSpec with Matchers {
     MediaCodec.decodePng(null) shouldBe None
   }
 
+  it should "reject (not hang on) a forged FDICT zlib header in IDAT" in {
+    // 0x78 0x20 passes the zlib %31 header check but sets the FDICT bit:
+    // Inflater then returns 0 from inflate() with needsDictionary()==true
+    // and needsInput()==false — a loop that only bails on needsInput spins
+    // forever. The decoder must treat ANY zero-byte step as failure.
+    val good = Multimodal.encodePng(16, 8, gray = false, seed = 7)
+    // locate the first IDAT chunk (payload starts 4 bytes past the type tag)
+    var i = 8
+    var idatPayload = -1
+    while (idatPayload < 0 && i + 8 <= good.length) {
+      val len = ((good(i) & 0xFF) << 24) | ((good(i + 1) & 0xFF) << 16) |
+        ((good(i + 2) & 0xFF) << 8) | (good(i + 3) & 0xFF)
+      if (new String(good, i + 4, 4, "US-ASCII") == "IDAT") idatPayload = i + 8
+      i += 12 + len
+    }
+    idatPayload should be > 0
+    val forged = good.clone()
+    forged(idatPayload) = 0x78.toByte
+    forged(idatPayload + 1) = 0x20.toByte
+    // must return None promptly instead of looping on needsDictionary()
+    val t0 = System.nanoTime()
+    MediaCodec.decodePng(forged) shouldBe None
+    (System.nanoTime() - t0) should be < 5_000_000_000L
+  }
+
   "parseJpeg" should "read SOF dimensions and components from ImageIO-encoded JPEGs" in {
     for ((w, h, gray) <- Seq((1, 1, true), (47, 23, false), (64, 32, true))) {
       val bytes = Multimodal.encodeJpeg(w, h, gray, seed = 42)

@@ -169,6 +169,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  it should "match the unrolled encode on NaN-carrying vectors (NaN-greatest)" in {
+    // NaN scores propagate to every codeword's sub-dot; the unrolled
+    // struct array_max orders NaN greatest and ties to the highest j.
+    // The native kernel must agree — a plain `sc >= best` would never
+    // select a NaN score and could even return -1.
+    import graft.functions.PqExpressions
+    val df = spark.sql(
+      "SELECT 1L AS id, array(CAST('NaN' AS DOUBLE), 1.0D, 2.0D, 3.0D, 4.0D, 5.0D, 6.0D, 7.0D) AS vec " +
+      "UNION ALL SELECT 2L, array(CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE), " +
+      "CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE))")
+    val both = df.select(
+        Pq.encodeExpr(org.apache.spark.sql.functions.col("vec"), cb).as("u_codes"),
+        PqExpressions.pq_encode(org.apache.spark.sql.functions.col("vec"),
+          cb.codewords).as("n_codes"))
+      .collect()
+    both.foreach { r =>
+      r.getSeq[Int](1) shouldBe r.getSeq[Int](0)
+      all(r.getSeq[Int](1)) should be >= 0
+    }
+  }
+
   it should "carry a k=256 codebook that the unrolled form could not compile" in {
     val rnd = new scala.util.Random(13)
     val big = Pq.Codebook(8, IndexedSeq.tabulate(4)(_ =>
