@@ -58,10 +58,22 @@ def check_bench_stdout():
                     f"{js.get('errors')}")
     if "sf0.1" in str(js.get("sf", "")) and "ratio_vs_r1" not in js:
         return fail("sf0.1 bench line lacks ratio_vs_r1")
+    # Weather refusal (round-13 verdict): never stamp a line whose fixed-mix
+    # core25 probe shows a hot window — the measurement is weather, not code.
+    # With same-head merged-min in Bench itself, a persistent >1.15 means no
+    # quiet window was ever sampled at this commit: run more (bench_quiet.py).
+    cr = js.get("core25_ratio")
+    if cr is not None and cr > 1.15:
+        return fail(f"core25_ratio {cr} > 1.15 — hot window; re-run "
+                    "scripts/bench_quiet.py until a quiet sample merges in")
+    if js.get("ratio_vs_r1") is not None and js["ratio_vs_r1"] >= 2.0:
+        return fail(f"ratio_vs_r1 {js['ratio_vs_r1']} >= 2.0 — the perf gate "
+                    "is red; do not close on this line")
     ok(f"bench stdout line: {len(line)} chars, parses, "
        f"{js['n_queries']} queries, n_errors=0, "
        f"ratio_vs_r1={js.get('ratio_vs_r1')}, "
-       f"core25_ratio={js.get('core25_ratio')}")
+       f"core25_ratio={js.get('core25_ratio')}, "
+       f"merged_runs={js.get('merged_runs', 0)}")
 
 
 def check_bench_local():
@@ -124,7 +136,7 @@ def check_clean_tree():
                          capture_output=True, text=True).stdout
     dirty = [l for l in out.splitlines()
              if l and not l.endswith(("BENCH_LOCAL.json", "BENCH_STDOUT.txt",
-                                      "LEAKCHECK.json"))]
+                                      "BENCH_RUNS.jsonl", "LEAKCHECK.json"))]
     if dirty:
         return fail("uncommitted changes at close:\n  " + "\n  ".join(dirty))
     ok("working tree clean (modulo regenerated artifacts)")

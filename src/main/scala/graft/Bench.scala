@@ -36,6 +36,72 @@ object Bench {
   private def fmt(dec: Int, v: Double): String =
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
+  /** Current git HEAD, or None when the tree is dirty / git is unavailable.
+    * Same-head merging is only sound between runs of IDENTICAL code; a
+    * dirty tree can differ from both its parent commit and any other dirty
+    * state, so it never participates in the merge.
+    */
+  private[graft] def gitHead(): Option[String] =
+    try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) out else ""
+      }
+      val head = run("git", "rev-parse", "HEAD")
+      val dirty = run("git", "status", "--porcelain")
+      if (head.matches("[0-9a-f]{40}") && dirty.isEmpty) Some(head) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-query floors recorded by previous Bench runs AT THE SAME COMMIT
+    * (BENCH_RUNS.jsonl entries carrying a `head` + `queries` map — written
+    * by [[appendRunLog]] since round 14). The per-run total breathes with
+    * the host's CPU-steal weather; the per-query min across same-code runs
+    * is the closest observable to the code's floor, and is the merge the
+    * round-13 verdict prescribed for the official artifact.
+    */
+  private[graft] def sameHeadFloors(head: String,
+                                    path: java.nio.file.Path): (Map[String, Double], Int) = {
+    if (!java.nio.file.Files.exists(path)) return (Map.empty, 0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val merged = scala.collection.mutable.Map.empty[String, Double]
+    var runs = 0
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(path)).asScala.foreach { line =>
+      try {
+        val js = mapper.readTree(line)
+        if (js.hasNonNull("head") && js.get("head").asText() == head &&
+            js.hasNonNull("queries")) {
+          runs += 1
+          val it = js.get("queries").fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue.asDouble()
+            if (v > 0)
+              merged(e.getKey) = math.min(v, merged.getOrElse(e.getKey, v))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    (merged.toMap, runs)
+  }
+
+  private[graft] def appendRunLog(path: java.nio.file.Path, head: Option[String],
+                                  queries: Seq[(String, Double)], value: Double,
+                                  loadIdle: Double, passes: Int): Unit =
+    try {
+      val qmap = queries.sortBy(_._1)
+        .map { case (k, v) => jq(k) + ":" + fmt(4, v) }.mkString("{", ",", "}")
+      val entry =
+        s"""{"ts":${System.currentTimeMillis() / 1000.0},"src":"bench-main",""" +
+          s""""head":${head.map(jq).getOrElse("null")},"passes":$passes,""" +
+          s""""value":${fmt(2, value)},"load_idle":${fmt(2, loadIdle)},""" +
+          s""""queries":$qmap}""" + "\n"
+      java.nio.file.Files.write(path, entry.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** The bounded stdout summary line. The harness consuming stdout keeps
     * only the LAST 2000 characters (BENCH_r03/r04 tails began mid-JSON;
     * BENCH_r10–r12 were `parsed: null` because the per-query map alone
@@ -49,7 +115,10 @@ object Bench {
                                  passTotals: Seq[Double], p50Total: Double,
                                  loadIdle: Double, loads: Seq[Double],
                                  errorNames: Seq[String],
-                                 sfDir: String): String = {
+                                 sfDir: String,
+                                 extraPasses: Int = 0,
+                                 mergedRuns: Int = 0,
+                                 inRunTotal: Double = Double.NaN): String = {
     val total = results.map(_._2).sum
     val sPerQuery = if (results.nonEmpty) total / results.size else 0.0
     val isSf01 = sfDir.contains("sf0.1")
@@ -78,6 +147,10 @@ object Bench {
         s""""core25_total":${fmt(2, coreTotal)},"core25_n":${coreQs.size},""" +
         s"""${if (coreRatio.isNaN) "" else s""""core25_ratio":${fmt(2, coreRatio)},"""}""" +
         s""""load_idle":${fmt(2, loadIdle)},"load_avg":$lds,""" +
+        s"""${if (extraPasses > 0) s""""extra_passes":$extraPasses,""" else ""}""" +
+        s"""${if (mergedRuns > 0)
+             s""""merged_runs":$mergedRuns,"inrun_total":${fmt(2, inRunTotal)},"""
+           else ""}""" +
         s""""n_errors":${errorNames.size},"errors":$errNames,""" +
         s"""${if (topK > 0) s""""top_slowest":$top,""" else ""}""" +
         s""""sf":"$sfDir"}"""
@@ -150,8 +223,27 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val allPasses = (1 to passes).map { _ => loads += loadAvg(); timedPass() }
-    val passTotals = allPasses.map(_.map(_._2).sum)
+    val allPasses = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    (1 to passes).foreach { _ => loads += loadAvg(); allPasses += timedPass() }
+    // Weather-adaptive extra passes (round-13 verdict finding #1): the
+    // per-query min only reflects the CODE's floor if at least one pass per
+    // query saw a quiet window. The fixed-mix core25 floor is a constant-
+    // work weather probe (loadavg misses CPU steal); while it reads hot
+    // (>1.15x its committed base) and budget remains, keep sampling — each
+    // extra pass can only LOWER the floors, never fake them.
+    val maxExtra = math.max(0, sys.env.get("SPARK_GRAFT_MAX_EXTRA_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3))
+    def floorsOf(): Map[String, Double] =
+      allPasses.toSeq.flatten.groupMapReduce(_._1)(_._2)(math.min)
+    def core25Hot(): Boolean = {
+      val c = floorsOf().filter { case (k, _) => Core25.contains(k) }
+      c.size == Core25.size && c.values.sum / Core25BaseTotal > 1.15
+    }
+    var extraPasses = 0
+    while (extraPasses < maxExtra && sfDir.contains("sf0.1") && core25Hot()) {
+      loads += loadAvg(); allPasses += timedPass(); extraPasses += 1
+    }
+    val passTotals = allPasses.toSeq.map(_.map(_._2).sum)
     val singlePassTotal = passTotals.head
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -159,11 +251,28 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     val byQuery = allPasses.transpose.map { qs =>
-      (qs.head._1, qs.map(_._2).min, median(qs.map(_._2)))
+      (qs.head._1, qs.map(_._2).min, median(qs.map(_._2).toSeq))
     }.toSeq
-    val results = byQuery.map { case (k, mn, _) => k -> mn }
-    val total = results.map(_._2).sum
+    val inRunResults = byQuery.map { case (k, mn, _) => k -> mn }
+    val inRunTotal = inRunResults.map(_._2).sum
     val p50Total = byQuery.map(_._3).sum
+    // Same-head merged-min (round-13 verdict finding #1): fold this run's
+    // floors with the per-query floors of every PRIOR Bench run at the same
+    // commit (BENCH_RUNS.jsonl). Identical code, so a lower floor elsewhere
+    // is the same code measured in better weather — the closest observable
+    // to the code's actual floor. Only registry-current query names merge;
+    // this run's own entry is appended AFTER reading so `merged_runs`
+    // counts prior evidence, not self.
+    val runsLog = java.nio.file.Paths.get("BENCH_RUNS.jsonl")
+    val head = gitHead()
+    val (histFloors, mergedRuns) =
+      head.map(sameHeadFloors(_, runsLog)).getOrElse((Map.empty[String, Double], 0))
+    appendRunLog(runsLog, head, inRunResults, inRunTotal, loadIdle, allPasses.size)
+    val results =
+      if (mergedRuns > 0)
+        inRunResults.map { case (k, v) => k -> math.min(v, histFloors.getOrElse(k, v)) }
+      else inRunResults
+    val total = results.map(_._2).sum
     // The 2x perf gate is arithmetic over s/query vs the round-1 engine
     // baseline (11.7s / 42 queries = 0.279 s/query at sf0.1, BASELINE.md):
     // emit the ratio in the artifact so the round-over-round trend
@@ -195,6 +304,8 @@ object Bench {
         s""""n_queries":${results.size},"s_per_query":$sPerQuery,""" +
         s"""${if (ratioVsR1.isNaN) "" else s""""ratio_vs_r1":$ratioVsR1,"""}""" +
         s""""core25_total":${results.filter(r => Core25(r._1)).map(_._2).sum},""" +
+        s""""extra_passes":$extraPasses,"merged_runs":$mergedRuns,""" +
+        s""""inrun_total":$inRunTotal,""" +
         s""""load_idle":$loadIdle,""" +
         s""""load_avg":${loads.mkString("[", ",", "]")},""" +
         s""""n_errors":${errors.size},"errors":$fullErrs,""" +
@@ -205,7 +316,8 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     val out = summaryLine(results, passes, passTotals, p50Total,
-      loadIdle, loads.toSeq, errors.keys.toSeq, sfDir)
+      loadIdle, loads.toSeq, errors.keys.toSeq, sfDir,
+      extraPasses = extraPasses, mergedRuns = mergedRuns, inRunTotal = inRunTotal)
     println(out)
     // The stdout line verbatim, for the close gate (scripts/close_gate.py)
     // to assert window-fit + parseability without re-running the bench.

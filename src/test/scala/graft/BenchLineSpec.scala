@@ -59,6 +59,55 @@ class BenchLineSpec extends AnyFlatSpec with Matchers {
     js.get("core25_ratio").asDouble() shouldBe (5.0 / Bench.Core25BaseTotal) +- 0.01
   }
 
+  it should "carry merged-run provenance and still fit the window" in {
+    val line = Bench.summaryLine(fakeResults(200), 3,
+      Seq(68.1, 106.2, 70.6, 69.0, 67.2), 71.2, 3.69,
+      Seq(7.13, 6.2, 2.6, 2.2, 1.4), Nil, "/root/testdata/sf0.1",
+      extraPasses = 2, mergedRuns = 4, inRunTotal = 72.41)
+    line.length should be <= 1900
+    val js = parseTail2000(line)
+    js.get("extra_passes").asInt() shouldBe 2
+    js.get("merged_runs").asInt() shouldBe 4
+    js.get("inrun_total").asDouble() shouldBe 72.41 +- 0.01
+    js.get("pass_totals").size() shouldBe 5
+  }
+
+  it should "omit merged provenance when there is nothing to merge" in {
+    val line = Bench.summaryLine(fakeResults(120), 3, Seq(10.0), 10.0, 1.0,
+      Seq(1.0), Nil, "/root/testdata/sf0.1")
+    val js = parseTail2000(line)
+    js.has("extra_passes") shouldBe false
+    js.has("merged_runs") shouldBe false
+    js.has("inrun_total") shouldBe false
+  }
+
+  "Bench run-log merging" should "round-trip floors and merge only same-head entries" in {
+    val tmp = java.nio.file.Files.createTempFile("bench_runs", ".jsonl")
+    try {
+      val headA = "a" * 40
+      val headB = "b" * 40
+      Bench.appendRunLog(tmp, Some(headA),
+        Seq("q1" -> 1.5, "q2" -> 0.8), 2.3, 1.0, 3)
+      Bench.appendRunLog(tmp, Some(headA),
+        Seq("q1" -> 1.2, "q2" -> 0.9, "q3" -> 4.0), 6.1, 0.5, 3)
+      Bench.appendRunLog(tmp, Some(headB), Seq("q1" -> 0.1), 0.1, 0.5, 3)
+      Bench.appendRunLog(tmp, None, Seq("q1" -> 0.01), 0.01, 0.5, 3) // dirty tree
+      val (floors, runs) = Bench.sameHeadFloors(headA, tmp)
+      runs shouldBe 2
+      floors("q1") shouldBe 1.2 +- 1e-6
+      floors("q2") shouldBe 0.8 +- 1e-6
+      floors("q3") shouldBe 4.0 +- 1e-6
+      // legacy bench_quiet entries (no head/queries) are skipped, not fatal
+      java.nio.file.Files.write(tmp,
+        "{\"ts\": 1.0, \"run\": 0, \"line\": \"{}\"}\nnot json at all\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      val (floors2, runs2) = Bench.sameHeadFloors(headA, tmp)
+      runs2 shouldBe 2
+      floors2 shouldBe floors
+      Bench.sameHeadFloors("c" * 40, tmp)._2 shouldBe 0
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   it should "omit the sf0.1-anchored ratios at other scale factors" in {
     val line = Bench.summaryLine(fakeResults(120), 1, Seq(10.0), 10.0, 1.0,
       Seq(1.0), Nil, "/root/testdata/sf0.01")
