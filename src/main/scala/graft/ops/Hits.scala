@@ -84,51 +84,59 @@ object Hits {
     // one exchange per half-step (the groupBy) when the score frames fit
     val small = n <= PageRank.BroadcastNodesMax
 
-    // one L1-normalized half-step: scores flow across `edgeFrom`→`edgeTo`
+    // one LAZY L1-normalized half-step: scores flow across
+    // `edgeFrom`→`edgeTo`; the L1 total rides IN-PLAN as a single-row
+    // broadcast off the same raw subtree (ReuseExchange collapses the
+    // doubled join+agg), so a full hub→auth→hub round composes into ONE
+    // materializing action. The round-13 shape paid FOUR per round — a
+    // driver total job + an eager checkpoint per half-step — and those
+    // barriers, not arithmetic, dominated q_ext_hits at local[32]. The
+    // normalization is column-for-column the driver-literal form:
+    // floor(raw·Scale/tot) over exact-integer doubles (both factors are
+    // exact, IEEE multiply/divide/floor correctly rounded) — values
+    // bit-identical (HitsSpec + the q_ext_hits oracle lock it).
     def halfStep(scores: DataFrame, scoreCol: String,
                  edgeFrom: String, edgeTo: String, outCol: String): DataFrame = {
-      // raw is read twice (total, then normalization): pin it, or the
-      // edge join+agg runs twice per half-step. The pin is <=|V| narrow
-      // rows and is released as soon as the half-step checkpoints.
       val raw = rawHalfStep(e, scores, scoreCol, edgeFrom, edgeTo, small)
-        .persist(lvl)
-      // L1 total as a driver scalar off the pin — see the class doc; the
-      // arithmetic below is literal-for-literal what the in-plan
-      // broadcast form computed
-      val tot = raw.agg(coalesce(sum("__raw"), lit(0L))).head().getLong(0)
-      // eager localCheckpoint per half-step: each half-step references
-      // its input twice (main path + the total), so an un-truncated nest
-      // DOUBLES the plan tree per half-step — measured 5.9 s/round at
-      // |V|=500 and driver OOM at 3 rounds, pure planning cost. The
-      // checkpoint is the half-step's materializing action; raw's pin
-      // releases immediately after.
-      val out = raw
+      val tot = raw.agg(coalesce(sum("__raw"), lit(0L)).as("__tot"))
+      raw.crossJoin(broadcast(tot))
         .select(col("node"),
-          (if (tot > 0)
+          when(col("__tot") > 0,
             floor(col("__raw").cast("double") * lit(PageRank.Scale.toDouble)
-              / lit(tot.toDouble)).cast("long")
-          else lit(0L)).as(outCol))
-        .localCheckpoint(true)
-      cpRdds ++= Managed.directCheckpointRdds(out)
-      raw.unpersist(false)
-      out
+              / col("__tot").cast("double")).cast("long"))
+            .otherwise(lit(0L)).as(outCol))
     }
 
     var hubs = nodes.select(col("node"),
       lit(PageRank.Scale / n).as("hub")).persist(lvl)
     var auths: DataFrame = null
-    (1 to iterations).foreach { _ =>
-      // half-steps are eagerly checkpointed — the previous round's
-      // frames (cache pins AND checkpoint blocks: both new half-steps
-      // have materialized, so the old blocks are provably dead) release
-      // as soon as the new ones exist, bounding live checkpoint storage
-      // to ~2 |V|-row frames regardless of iteration count
-      val a = halfStep(hubs, "hub", "src", "dst", "auth")
-      val h = halfStep(a, "auth", "dst", "src", "hub")
-      // DIRECT checkpoint release only: round-1 hubs is a persisted
-      // projection whose lineage reaches the CALLER'S edges frame — a
-      // deep walk there would free a checkpoint-backed input argument
-      // (GraphManagedSpec locks this)
+    (1 to iterations).foreach { i =>
+      val last = i == iterations
+      // the auth half-frame is referenced twice inside the round plan
+      // (h's raw join + its total) and once more by the output join on
+      // the final round: pin it so the round job computes it once. On
+      // the FINAL round it is eagerly checkpointed instead — its cache
+      // must outlive the release of this round's input hubs blocks
+      // below, and a pin's recompute lineage would reach them.
+      val a0 = halfStep(hubs, "hub", "src", "dst", "auth")
+      val a = if (last) {
+        val cp = a0.localCheckpoint(true)
+        cpRdds ++= Managed.directCheckpointRdds(cp)
+        cp
+      } else a0.persist(lvl)
+      // ONE eager checkpoint per round: the materializing action for the
+      // whole round AND the lineage cut (raw is referenced twice per
+      // half-step, so an uncut nest would double the plan tree per
+      // half-step — the round-10 driver-OOM class).
+      val h = halfStep(a, "auth", "dst", "src", "hub").localCheckpoint(true)
+      cpRdds ++= Managed.directCheckpointRdds(h)
+      // the previous round's frames (cache pins AND checkpoint blocks)
+      // are provably dead once this round's h has materialized — release
+      // in-loop, bounding live storage to ~2 |V|-row frames. DIRECT
+      // checkpoint release only: round-1 hubs is a persisted projection
+      // whose lineage reaches the CALLER'S edges frame — a deep walk
+      // there would free a checkpoint-backed input argument
+      // (GraphManagedSpec locks this).
       if (auths != null) {
         auths.unpersist(false)
         Managed.directCheckpointRdds(auths).foreach(_.unpersist(false))
