@@ -348,11 +348,20 @@ object Pq {
     // candidates pre-filter non-null, so the UNGUARDED residual/encode
     // forms apply: no sentinel codes can arise (no -1 filter needed), and
     // no isnotnull-over-derived-vector guard leaks into a Filter
+    // the encode runs through the NATIVE kernel unconditionally here (not
+    // the UnrollMaxTerms switch): the unrolled form duplicates its child
+    // per (subspace × codeword) term, and the child is the whole residual
+    // tree — zip_with over an element_at over the k-way unrolled assign —
+    // so at m·k = 64 the expression tree reaches ~70k nodes and
+    // analysis+codegen dominates the query (measured 5.6 s vs 1.6 s for
+    // the raw-vector twin at sf0.1). The kernel is bit-identical to the
+    // unrolled form (PqSpec locks it, incl. NaN ordering), evaluates the
+    // residual child ONCE, and generates constant-size code.
     val cand = candidates.filter(col(vecCol).isNotNull)
       .select(col(candIdCol).cast("long").as("cand_id"), col(vecCol).as("__cv"))
       .withColumn("__cluster", Ivf.assignExpr(col("__cv"), model))
-      .withColumn("__codes", encodeExprUnguarded(
-        residualExprUnguarded(col("__cv"), model), cb))
+      .withColumn("__codes", graft.functions.PqExpressions.pq_encode(
+        residualExprUnguarded(col("__cv"), model), cb.codewords))
       .select("cand_id", "__cluster", "__codes")
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
