@@ -21,10 +21,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State is O(1) per user: the funnel holds at most `steps.size`
   * microsecond stamps; attribution holds one (ts, id, type) touch triple.
-  * Neither expires state on its own — a production deployment bounds the
-  * key space with a state-TTL timeout, orthogonal to the semantics here.
+  *
+  * State TTL: by default (`idleTtl = None`) state never expires — the
+  * semantics of record, exact parity with the batch operators over the
+  * whole stream, but state grows with ALL-TIME users. A production
+  * deployment passes `idleTtl = Some(d)`: a user's state is dropped after
+  * `d` of PROCESSING-TIME inactivity (the [[EventStream]] sessionize-
+  * timeout convention; these events carry µs longs, not a watermarked
+  * timestamp column, so event-time timeouts don't apply). Expiry FORGETS
+  * the user: a returner restarts the funnel at step 0 / loses touch
+  * history — the bounded-retention convention of
+  * [[CohortStream.changesWindowed]]. Inside the horizon (no idle gap
+  * ever exceeds the TTL) results are identical to the default
+  * (FunnelStreamSpec locks both directions).
   */
 object FunnelStream {
+
+  /** Timeout conf + per-key deadline refresh for the optional idle TTL —
+    * one definition so every operator here bounds state the same way.
+    */
+  private def timeoutConf(idleTtl: Option[java.time.Duration]): GroupStateTimeout =
+    if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
+  private def armTtl(state: GroupState[_],
+                     idleTtl: Option[java.time.Duration]): Unit =
+    if (state.exists) idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
 
   /** Event with microsecond event time — the funnel/attribution tiers
     * compare against gap/window bounds in µs, matching the batch queries.
@@ -56,8 +78,8 @@ object FunnelStream {
     * definition). Emits one [[FunnelAdvance]] per user per micro-batch in
     * which their reached-level advanced.
     */
-  def timedFunnel(events: Dataset[Ev], steps: Seq[String],
-                  maxGapUs: Long): Dataset[FunnelAdvance] = {
+  def timedFunnel(events: Dataset[Ev], steps: Seq[String], maxGapUs: Long,
+                  idleTtl: Option[java.time.Duration] = None): Dataset[FunnelAdvance] = {
     require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, "steps must be distinct")
     require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
@@ -66,25 +88,31 @@ object FunnelStream {
     val stepIdx = steps.zipWithIndex.toMap
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelAdvance](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf(idleTtl)) {
         case (userId, rows, state: GroupState[FunnelState]) =>
-          val before = state.getOption.map(_.times.size).getOrElse(0)
-          // state holds step order; `times` works newest-first (O(1)
-          // prepend, head = last fixed step) and re-reverses at the edges
-          var times = state.getOption.map(_.times.reverse).getOrElse(Nil)
-          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            val need = times.size
-            if (need < steps.size && stepIdx.get(e.event_type).contains(need)) {
-              val accept =
-                if (need == 0) true
-                else e.ts_us > times.head && e.ts_us <= times.head + maxGapUs
-              if (accept) times ::= e.ts_us
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val before = state.getOption.map(_.times.size).getOrElse(0)
+            // state holds step order; `times` works newest-first (O(1)
+            // prepend, head = last fixed step) and re-reverses at the edges
+            var times = state.getOption.map(_.times.reverse).getOrElse(Nil)
+            rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val need = times.size
+              if (need < steps.size && stepIdx.get(e.event_type).contains(need)) {
+                val accept =
+                  if (need == 0) true
+                  else e.ts_us > times.head && e.ts_us <= times.head + maxGapUs
+                if (accept) times ::= e.ts_us
+              }
             }
+            val out =
+              if (times.size > before) {
+                state.update(FunnelState(times.reverse))
+                Iterator.single(FunnelAdvance(userId, times.size, times.reverse))
+              } else Iterator.empty
+            armTtl(state, idleTtl)
+            out
           }
-          if (times.size > before) {
-            state.update(FunnelState(times.reverse))
-            Iterator.single(FunnelAdvance(userId, times.size, times.reverse))
-          } else Iterator.empty
       }
   }
 
@@ -110,7 +138,8 @@ object FunnelStream {
     * max-(ts, id) tie-break.
     */
   def lastTouch(events: Dataset[Ev], convertType: String,
-                touchTypes: Seq[String], windowUs: Long): Dataset[Attribution] = {
+                touchTypes: Seq[String], windowUs: Long,
+                idleTtl: Option[java.time.Duration] = None): Dataset[Attribution] = {
     require(touchTypes.nonEmpty, "need at least one touch type")
     require(!touchTypes.contains(convertType),
       "convertType must not be a touch type")
@@ -120,29 +149,33 @@ object FunnelStream {
     val touches = touchTypes.toSet
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, Attribution](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf(idleTtl)) {
         case (userId, rows, state: GroupState[TouchState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
-          var held = state.getOption
-          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            if (e.event_type == convertType) {
-              // strict `<` at use time: a same-µs touch processed earlier
-              // in this batch must not take credit (batch predicate is
-              // __t_us < conv_us)
-              val credit = held.filter(t =>
-                t.tsUs < e.ts_us && t.tsUs >= e.ts_us - windowUs)
-              out += Attribution(userId, e.ts_us, e.event_id,
-                credit.map(_.tsUs), credit.map(_.eventId),
-                credit.map(_.eventType))
-            } else if (touches(e.event_type)) {
-              val supersedes = held.forall(t =>
-                e.ts_us > t.tsUs || (e.ts_us == t.tsUs && e.event_id > t.eventId))
-              if (supersedes) held = Some(TouchState(e.ts_us, e.event_id,
-                e.event_type))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+            var held = state.getOption
+            rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (e.event_type == convertType) {
+                // strict `<` at use time: a same-µs touch processed earlier
+                // in this batch must not take credit (batch predicate is
+                // __t_us < conv_us)
+                val credit = held.filter(t =>
+                  t.tsUs < e.ts_us && t.tsUs >= e.ts_us - windowUs)
+                out += Attribution(userId, e.ts_us, e.event_id,
+                  credit.map(_.tsUs), credit.map(_.eventId),
+                  credit.map(_.eventType))
+              } else if (touches(e.event_type)) {
+                val supersedes = held.forall(t =>
+                  e.ts_us > t.tsUs || (e.ts_us == t.tsUs && e.event_id > t.eventId))
+                if (supersedes) held = Some(TouchState(e.ts_us, e.event_id,
+                  e.event_type))
+              }
             }
+            held.foreach(state.update)
+            armTtl(state, idleTtl)
+            out.iterator
           }
-          held.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -180,8 +213,8 @@ object FunnelStream {
     * conversions do not clear state.
     */
   def multiTouch(events: Dataset[Ev], convertType: String,
-                 touchTypes: Seq[String],
-                 windowUs: Long): Dataset[MultiAttribution] = {
+                 touchTypes: Seq[String], windowUs: Long,
+                 idleTtl: Option[java.time.Duration] = None): Dataset[MultiAttribution] = {
     require(touchTypes.nonEmpty, "need at least one touch type")
     require(!touchTypes.contains(convertType),
       "convertType must not be a touch type")
@@ -191,7 +224,10 @@ object FunnelStream {
     val touches = touchTypes.toSet
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[MultiTouchState, MultiAttribution](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf(idleTtl)) {
+        case (userId, rows, state: GroupState[MultiTouchState])
+            if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[MultiTouchState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[MultiAttribution]
           // newest-first for O(1) prepend; edges re-reverse (the
@@ -229,6 +265,7 @@ object FunnelStream {
             }
           }
           state.update(MultiTouchState(held.reverse))
+          armTtl(state, idleTtl)
           out.iterator
       }
   }
@@ -254,8 +291,8 @@ object FunnelStream {
     * conversion.
     */
   def timeDecay(events: Dataset[Ev], convertType: String,
-                touchTypes: Seq[String], windowUs: Long,
-                halfLifeUs: Long): Dataset[DecayAttribution] = {
+                touchTypes: Seq[String], windowUs: Long, halfLifeUs: Long,
+                idleTtl: Option[java.time.Duration] = None): Dataset[DecayAttribution] = {
     require(touchTypes.nonEmpty, "need at least one touch type")
     require(!touchTypes.contains(convertType),
       "convertType must not be a touch type")
@@ -266,7 +303,10 @@ object FunnelStream {
     val touches = touchTypes.toSet
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[MultiTouchState, DecayAttribution](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf(idleTtl)) {
+        case (userId, rows, state: GroupState[MultiTouchState])
+            if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[MultiTouchState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[DecayAttribution]
           var held = state.getOption.map(_.touches.reverse).getOrElse(Nil)
@@ -301,6 +341,7 @@ object FunnelStream {
             }
           }
           state.update(MultiTouchState(held.reverse))
+          armTtl(state, idleTtl)
           out.iterator
       }
   }

@@ -41,13 +41,25 @@ object PathStream {
 
   implicit private val tailEnc: Encoder[Tail] = Encoders.product[Tail]
 
-  def paths(events: Dataset[Ev], k: Int): Dataset[PathHit] = {
+  /** `idleTtl`: optional processing-time state TTL — the
+    * [[FunnelStream]] convention: None (default) never expires (semantics
+    * of record, state O(all-time users)); Some(d) drops a user's held
+    * tail after `d` of inactivity, so a returner's window restarts (no
+    * path spans the expiry gap).
+    */
+  def paths(events: Dataset[Ev], k: Int,
+            idleTtl: Option[java.time.Duration] = None): Dataset[PathHit] = {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = events.sparkSession
     import spark.implicits._
+    val timeout =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Tail, PathHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
+        case (userId, rows, state: GroupState[Tail]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Tail]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
           var ts = state.getOption.map(_.tsMs).getOrElse(Nil)
@@ -67,6 +79,8 @@ object PathStream {
           }
           if (ts.nonEmpty) state.update(Tail(ts.takeRight(k - 1),
             ids.takeRight(k - 1), tps.takeRight(k - 1)))
+          if (state.exists)
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
           out.iterator
       }
   }

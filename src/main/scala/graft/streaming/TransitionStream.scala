@@ -39,12 +39,24 @@ object TransitionStream {
 
   implicit private val lastEnc: Encoder[Last] = Encoders.product[Last]
 
-  def transitions(events: Dataset[Ev]): Dataset[Transition] = {
+  /** `idleTtl`: optional processing-time state TTL — the
+    * [[FunnelStream]] convention: None (default) never expires (semantics
+    * of record, state O(all-time users)); Some(d) drops a user's held
+    * event after `d` of inactivity, so a returner's first new event opens
+    * a fresh chain (no transition emitted across the expiry gap).
+    */
+  def transitions(events: Dataset[Ev],
+                  idleTtl: Option[java.time.Duration] = None): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeout =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Last, Transition](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
+        case (userId, rows, state: GroupState[Last]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Last]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           var cur = state.getOption
@@ -65,6 +77,8 @@ object TransitionStream {
             }
           }
           cur.foreach(state.update)
+          if (state.exists)
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
           out.iterator
       }
   }

@@ -17,16 +17,19 @@ class FunnelStreamSpec extends SparkSpec {
   private val steps = Seq("signup", "click", "purchase")
   private val gapUs = 600L * 1000000L // 10 min
 
-  private def runFunnel(batches: Seq[Seq[Ev]], name: String): Seq[FunnelAdvance] = {
+  private def runFunnel(batches: Seq[Seq[Ev]], name: String,
+                        ttl: Option[java.time.Duration] = None,
+                        sleepBetweenMs: Long = 0): Seq[FunnelAdvance] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
-    val query = FunnelStream.timedFunnel(input.toDS(), steps, gapUs)
+    val query = FunnelStream.timedFunnel(input.toDS(), steps, gapUs, ttl)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
       batches.foreach { b =>
         if (b.nonEmpty) input.addData(b: _*)
         query.processAllAvailable()
+        if (sleepBetweenMs > 0) Thread.sleep(sleepBetweenMs)
       }
       spark.table(name).as[FunnelAdvance].collect().toSeq
     } finally query.stop()
@@ -246,5 +249,99 @@ class FunnelStreamSpec extends SparkSpec {
             r.getAs[Long]("weight"), r.getAs[Long]("credit_bp_decay"))
       }.toMap
     streaming shouldBe batch
+  }
+
+  // ----------------------------------------------------------- idle TTL
+  // ProcessingTimeTimeout queries never latch `noNewData` (the engine
+  // keeps a timeout deadline pending — the EventStreamSpec finding), so
+  // processAllAvailable HANGS against them: these tests poll the memory
+  // sink instead, and rely on the engine's own no-data micro-batches to
+  // fire the expiry during the idle sleep.
+  private def awaitRows(name: String, n: Long, timeoutMs: Long = 60000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (spark.table(name).count() < n) {
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        fail(s"timed out waiting for $n rows in $name " +
+          s"(have ${spark.table(name).count()})")
+      Thread.sleep(50)
+    }
+  }
+
+  "idleTtl" should "expire idle funnel state and restart the returner at step 0" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = FunnelStream.timedFunnel(input.toDS(), steps, gapUs,
+        idleTtl = Some(java.time.Duration.ofMillis(200)))
+      .writeStream.format("memory").queryName("fs_ttl")
+      .outputMode("append").start()
+    try {
+      // one batch → ONE advance record for user 1 (reached = 2)
+      input.addData(Ev(1L, 1L, mins(0), "signup"), Ev(1L, 2L, mins(5), "click"))
+      awaitRows("fs_ttl", 1)
+      Thread.sleep(1500) // > TTL: the engine's no-data batches fire the expiry
+      // user 1 returns with the event that WOULD have completed the funnel
+      // (with state expired it cannot advance — purchase is not step 0),
+      // then a fresh signup restarts at step 0: the forgotten-user contract
+      input.addData(Ev(1L, 3L, mins(9), "purchase"), Ev(1L, 4L, mins(60), "signup"))
+      awaitRows("fs_ttl", 2)
+      val u1 = spark.table("fs_ttl").as[FunnelAdvance].collect()
+        .filter(_.user_id == 1L).sortBy(a => (a.step_us.head, a.reached))
+      u1.map(_.reached).toSeq shouldBe Seq(2, 1)
+      u1.last.step_us shouldBe Seq(mins(60))
+    } finally query.stop()
+  }
+
+  it should "leave results identical to the no-TTL form inside the horizon" in {
+    // TTL far above any test-run idle gap: every deadline is re-armed
+    // before it can fire. Advance-record GRANULARITY is batch-split-
+    // dependent by design, so the invariant compared is the one the
+    // operator guarantees: the latest (max-reached) row per user.
+    val plain = runFunnel(Seq(evs), "fs_h0")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = FunnelStream.timedFunnel(input.toDS(), steps, gapUs,
+        idleTtl = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("fs_h1")
+      .outputMode("append").start()
+    try {
+      evs.foreach { e => input.addData(e); Thread.sleep(20) }
+      def lastByUser(rows: Seq[FunnelAdvance]) =
+        rows.groupBy(_.user_id).map { case (u, r) =>
+          u -> r.maxBy(_.reached).step_us }
+      val want = lastByUser(plain)
+      val t0 = System.currentTimeMillis()
+      var got = Map.empty[Long, Seq[Long]]
+      while (got != want && System.currentTimeMillis() - t0 < 60000) {
+        Thread.sleep(100)
+        got = lastByUser(spark.table("fs_h1").as[FunnelAdvance].collect().toSeq)
+      }
+      got shouldBe want
+    } finally query.stop()
+  }
+
+  it should "expire idle attribution state (multiTouch loses pre-gap touches)" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = FunnelStream.multiTouch(input.toDS(), "purchase",
+        Seq("ad", "email"), gapUs,
+        idleTtl = Some(java.time.Duration.ofMillis(200)))
+      .writeStream.format("memory").queryName("mt_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1L, 1L, mins(0), "ad"), Ev(1L, 2L, mins(3), "email"))
+      // touches emit nothing: wait for the batch via a sentinel conversion
+      // of an unrelated user (1 organic row)
+      input.addData(Ev(9L, 50L, mins(0), "purchase"))
+      awaitRows("mt_ttl", 1)
+      Thread.sleep(1500) // expiry fires in the engine's no-data batches
+      // in-window conversion arrives AFTER expiry: organic (touches forgotten)
+      input.addData(Ev(1L, 3L, mins(8), "purchase"))
+      awaitRows("mt_ttl", 2)
+      val u1 = spark.table("mt_ttl").as[FunnelStream.MultiAttribution]
+        .collect().filter(_.user_id == 1L)
+      u1.length shouldBe 1
+      u1.head.n_touches shouldBe 0L
+      u1.head.credit_bp_linear shouldBe 10000L
+    } finally query.stop()
   }
 }

@@ -75,4 +75,37 @@ class PathStreamSpec extends SparkSpec {
         r.getAs[Long]("n_occurrences")).toMap
     streaming shouldBe batch
   }
+
+  it should "expire idle tails under idleTtl: no path spans the gap" in {
+    // ProcessingTimeTimeout queries never latch noNewData, so
+    // processAllAvailable would hang (the EventStreamSpec finding): poll
+    // the sink and let the engine's no-data batches fire the expiry.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = PathStream.paths(input.toDS(), k = 2,
+        idleTtl = Some(java.time.Duration.ofMillis(200)))
+      .writeStream.format("memory").queryName("ps_ttl")
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("ps_ttl").count() < n) {
+        if (System.currentTimeMillis() - t0 > 60000)
+          fail(s"timed out waiting for $n rows")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      input.addData(Ev(1L, 1L, ts(1000), "a"), Ev(1L, 2L, ts(2000), "z"))
+      awaitRows(1) // "a > z" proves the batch landed
+      Thread.sleep(1500) // > TTL: expiry fires in no-data batches
+      // returner: tail forgotten — "z > b" must NOT appear; the fresh
+      // window starts at b
+      input.addData(Ev(1L, 3L, ts(9000), "b"), Ev(1L, 4L, ts(9500), "c"))
+      awaitRows(2)
+      Thread.sleep(300)
+      val u1 = spark.table("ps_ttl").as[PathHit].collect()
+        .filter(_.user_id == 1L).sortBy(_.start_ts.getTime)
+      u1.map(_.path).toSeq shouldBe Seq("a > z", "b > c")
+    } finally query.stop()
+  }
 }

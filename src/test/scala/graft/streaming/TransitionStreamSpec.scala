@@ -63,4 +63,40 @@ class TransitionStreamSpec extends SparkSpec {
     out.map(_.to_type) should not contain "ancient"
     out.size shouldBe 2
   }
+
+  it should "expire idle state under idleTtl: no transition spans the gap" in {
+    // ProcessingTimeTimeout queries never latch noNewData, so
+    // processAllAvailable would hang (the EventStreamSpec finding): poll
+    // the sink and let the engine's no-data batches fire the expiry.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = TransitionStream.transitions(input.toDS(),
+        idleTtl = Some(java.time.Duration.ofMillis(200)))
+      .writeStream.format("memory").queryName("tr_ttl")
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("tr_ttl").count() < n) {
+        if (System.currentTimeMillis() - t0 > 60000)
+          fail(s"timed out waiting for $n rows")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      input.addData(Ev(1L, 1L, ts("2024-01-01 00:00:00"), "signup"),
+        Ev(1L, 2L, ts("2024-01-01 00:01:00"), "view"))
+      awaitRows(1) // signup -> view proves the batch landed
+      Thread.sleep(1500) // > TTL: expiry fires in no-data batches
+      // returner: held event forgotten — click pairs with NOTHING (no
+      // view -> click across the gap); the fresh chain emits click -> purchase
+      input.addData(Ev(1L, 3L, ts("2024-01-01 02:00:00"), "click"),
+        Ev(1L, 4L, ts("2024-01-01 02:01:00"), "purchase"))
+      awaitRows(2)
+      Thread.sleep(300)
+      val u1 = spark.table("tr_ttl").as[Transition].collect()
+        .filter(_.user_id == 1L).sortBy(_.from_ts.getTime)
+      u1.map(t => (t.from_type, t.to_type)).toSeq shouldBe
+        Seq(("signup", "view"), ("click", "purchase"))
+    } finally query.stop()
+  }
 }
