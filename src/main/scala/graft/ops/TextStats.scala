@@ -273,12 +273,16 @@ object TextStats {
     val v = vocabulary(docs, idCol, textCol).select("token", "tf")
     val total = v.agg(sum("tf").cast("long").as("__total"))
     val order = Seq(col("tf").desc, col("token").asc)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    // constant partition key: the windows run AFTER limit(topN), so the
+    // single partition holds ≤ topN rows by construction — the explicit
+    // key only silences WindowExec's no-partition warning (identical
+    // execution; the warning was drowning real signals in bench stderr)
+    val onePart = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val w = onePart.orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     v.orderBy(order: _*).limit(topN)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .withColumn("rank", row_number().over(onePart.orderBy(order: _*)))
       .withColumn("cum_tf", sum("tf").over(w))
       .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("tf"), col("cum_tf"),

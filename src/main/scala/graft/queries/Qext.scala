@@ -1346,9 +1346,15 @@ object Qext {
       tsMicros = Sources.eventTsMicros(events),
       tieBreak = col("event_id"),
       gapMicros = 30L * 60 * 1000000)
-    val ev = events
+    // fresh scan for the probe side: `sessions` derives from `events`, and
+    // a shared-lineage rangeJoin makes left("user_id") === right("user_id")
+    // resolve to ONE attribute — Spark disambiguates the self-join but
+    // warns 'trivially true equals predicate'; independent scans give the
+    // join genuinely distinct attribute ids (same rows, same plan shape)
+    val events2 = t(spark, dir, "events")
+    val ev = events2
       .select(col("event_id"), col("user_id"),
-        Sources.eventTsMicros(events).as("ts_us"))
+        Sources.eventTsMicros(events2).as("ts_us"))
     RangeJoin.rangeJoin(ev, sessions, keys = Seq("user_id"),
         timeCol = "ts_us", startCol = "start_us", endCol = "end_us")
       .select("event_id", "user_id", "ts_us", "session_idx")
