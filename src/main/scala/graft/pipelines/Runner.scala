@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.{Sinks, Sources}
+import graft.io.{Sinks, Sources, Storage}
 
 /** The reference's whole-program composition (etl_payroll_pipeline_demo.py
   * top-to-bottom): discover inputs in a storage root by filename regex, pick
@@ -60,19 +60,36 @@ object Runner {
                              pua: Option[DataFrame],
                              cpa: Option[Cpa.Result])
 
-  /** Discover, load, and run both pipelines. Outputs are written as stamped
-    * single CSVs under `outDir` when it is non-empty (S5/S7 parity).
+  /** Discover, load, and run both pipelines off any Hadoop-visible storage
+    * root. Outputs are written as stamped single CSVs under `outDir` when
+    * it is non-empty (S5/S7 parity). Delegates to the [[Storage]]-trait
+    * form — the whole discover→pick→ingest chain runs through the S1
+    * adapter boundary regardless of entry point.
     */
   def run(spark: SparkSession, root: String, outDir: Option[String],
           runDate: LocalDate, dedupOrder: Seq[Column],
-          validate: Boolean = true): RunResult = {
-    val catalog = Sources.catalog(spark, root).cache()
-    val picked: Map[String, Option[String]] =
-      inputSpecs.map(s => s.name -> pickFile(catalog, s.pattern)).toMap
-    val summary = inputSpecs.map(s =>
-      LoadStatus(s.name, picked(s.name).isDefined, picked(s.name), s.used))
+          validate: Boolean = true): RunResult =
+    run(spark, new Storage.LocalFs(spark, root), outDir, runDate, dedupOrder,
+      validate)
 
-    def load(name: String): Option[DataFrame] = picked(name).map(readCsv(spark, _))
+  /** [[run]] through an explicit [[Storage]] adapter — the S1 boundary of
+    * the reference (authenticate → list → pick → download → ingest,
+    * etl_payroll_pipeline_demo.py:9-61,:77-85) with the service swapped
+    * for the trait: a SaaS connector implements list/fetch and this
+    * composition is unchanged.
+    */
+  def run(spark: SparkSession, storage: Storage, outDir: Option[String],
+          runDate: LocalDate, dedupOrder: Seq[Column],
+          validate: Boolean): RunResult = {
+    val entries = storage.list()
+    val picked: Map[String, Option[Storage.Entry]] =
+      inputSpecs.map(s => s.name -> Storage.pickFirst(entries, s.pattern)).toMap
+    val summary = inputSpecs.map(s =>
+      LoadStatus(s.name, picked(s.name).isDefined, picked(s.name).map(_.path),
+        s.used))
+
+    def load(name: String): Option[DataFrame] =
+      picked(name).map(e => readCsv(spark, storage.fetch(e)))
 
     val puaOut = for {
       pua <- load("pua"); tsOrg <- load("ts_org"); tsDept <- load("ts_dept")

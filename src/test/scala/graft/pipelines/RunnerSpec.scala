@@ -67,4 +67,39 @@ class RunnerSpec extends SparkSpec {
     new java.io.File(s"$outDir/PreTAM_PUA_08122026").exists() shouldBe true
     new java.io.File(s"$outDir/CPA_Final_08122026").exists() shouldBe true
   }
+
+  it should "run the whole discover→pick→ingest chain through a Storage adapter (S1)" in {
+    // the same fixture as BYTES behind the in-memory Storage double — the
+    // exact boundary a SaaS connector implements (list from an API,
+    // download to staging, hand Spark the staged path). Results must match
+    // the LocalFs run row-for-row.
+    val rootDir = new java.io.File(root)
+    val files = rootDir.listFiles().filter(_.isFile).map { f =>
+      s"drive/payroll/${f.getName}" -> java.nio.file.Files.readAllBytes(f.toPath)
+    }.toMap
+    val mem = new graft.io.Storage.InMemory(files, modifiedAtMs = 1700000000000L)
+    val memResult = Runner.run(spark, mem, outDir = None,
+      runDate = LocalDate.of(2026, 8, 12), dedupOrder = Seq(col("UIN")),
+      validate = true)
+    val byName = memResult.loadSummary.map(s => s.name -> s).toMap
+    byName("pua").found shouldBe true
+    byName("pua").path.get shouldBe "drive/payroll/monthly_PUA_file.csv"
+    byName("feeder").found shouldBe false
+    memResult.pua.get.collect().map(_.toSeq) shouldBe
+      result.pua.get.collect().map(_.toSeq)
+    memResult.cpa.get.output.count() shouldBe result.cpa.get.output.count()
+  }
+
+  it should "pick identically through the distributed catalog and the Storage listing" in {
+    // pickFile (DataFrame rlike, the lake-scale form) and Storage.pickFirst
+    // (driver regex find, the SaaS-listing form) implement ONE operator:
+    // lock their agreement on every input spec over the same fixture
+    val catalog = graft.io.Sources.catalog(spark, root)
+    val entries = new graft.io.Storage.LocalFs(spark, root).list()
+    Runner.inputSpecs.foreach { s =>
+      val viaDf = Runner.pickFile(catalog, s.pattern)
+      val viaTrait = graft.io.Storage.pickFirst(entries, s.pattern).map(_.path)
+      withClue(s"${s.name}: ") { viaTrait shouldBe viaDf }
+    }
+  }
 }
