@@ -36,10 +36,14 @@ object Bench {
   private def fmt(dec: Int, v: Double): String =
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
-  /** Current git HEAD, or None when the tree is dirty / git is unavailable.
-    * Same-head merging is only sound between runs of IDENTICAL code; a
-    * dirty tree can differ from both its parent commit and any other dirty
-    * state, so it never participates in the merge.
+  /** Key identifying the CODE under measurement: the git tree hash of
+    * `src` plus the `build.sbt` blob — None when either is dirty or git is
+    * unavailable. Same-code merging is only sound between runs of
+    * IDENTICAL code, but the commit hash is the wrong key: committing a
+    * regenerated bench ARTIFACT moves HEAD without touching a source
+    * line, which would orphan every previously seeded floor right before
+    * the driver's own run. The src-tree key survives artifact commits; a
+    * dirty src (or build) never participates.
     */
   private[graft] def gitHead(): Option[String] =
     try {
@@ -48,9 +52,13 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         if (p.waitFor() == 0) out else ""
       }
-      val head = run("git", "rev-parse", "HEAD")
-      val dirty = run("git", "status", "--porcelain")
-      if (head.matches("[0-9a-f]{40}") && dirty.isEmpty) Some(head) else None
+      val trees = run("git", "rev-parse", "HEAD:src", "HEAD:build.sbt")
+        .split("\n").map(_.trim)
+      val dirty = run("git", "status", "--porcelain", "--", "src", "build.sbt")
+      if (trees.length == 2 && trees.forall(_.matches("[0-9a-f]{40}")) &&
+          dirty.isEmpty)
+        Some(trees.mkString("+"))
+      else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-query floors recorded by previous Bench runs AT THE SAME COMMIT

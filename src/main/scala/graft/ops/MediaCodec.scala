@@ -303,16 +303,27 @@ object MediaCodec {
   /** All decoded frames of a (possibly animated) GIF, in stream order. */
   final case class GifFrames(info: GifInfo, frames: IndexedSeq[Array[Byte]])
 
-  /** Multi-frame GIF pixel decode: block walk collecting EVERY image
-    * descriptor (animations interleave Graphics Control extensions, which
-    * skip like any extension), GIF-flavor LZW (GIF89a spec appendix F:
+  /** Multi-frame GIF pixel decode WITH animation composition: block walk
+    * over every image descriptor, GIF-flavor LZW (GIF89a spec appendix F:
     * LSB-first codes, clear/end codes, 12-bit dictionary cap, deferred
     * growth) per frame over its concatenated data sub-blocks, 4-pass
-    * de-interlace when flagged. Scope: every frame must cover the full
-    * logical screen (left/top 0, size == LSD — no delta-rect frames, so
-    * disposal methods are irrelevant: each frame stands alone); an offset
-    * frame fails the whole decode rather than mis-compose. Decoding stops
-    * at `maxFrames` (allocation guard; 0 = unbounded up to the trailer).
+    * de-interlace when flagged — then each decoded rect COMPOSES onto the
+    * logical-screen canvas per the Graphics Control Extension (89a §23):
+    * delta rects render at (left, top); transparent-index pixels leave the
+    * canvas untouched; disposal 2 restores the frame's rect to the LSD
+    * background index before the next frame, disposal 3 restores the
+    * canvas snapshot from before the frame. Each emitted frame is the
+    * full-screen canvas AFTER that frame — what a viewer shows.
+    *
+    * Composition happens in PALETTE-INDEX space (the only thing the
+    * container stores per pixel): exact for the common GCT-only
+    * animations (the JDK writes these; ImageIO parity is spec-locked);
+    * frames carrying a local color table compose index-correctly but
+    * their indices name per-frame colors — color-space analytics over
+    * LCT animations should decode per-frame via palette lookup instead.
+    * A rect that exceeds the logical screen fails the whole decode
+    * (forged descriptors must not write out of bounds). Decoding stops at
+    * `maxFrames` (allocation guard; 0 = unbounded up to the trailer).
     * Total — truncation and corruption yield None, never a throw.
     */
   def decodeGifFrames(bytes: Array[Byte], maxFrames: Int = 0,
@@ -322,13 +333,26 @@ object MediaCodec {
       case None => return None
     }
     if (info.width.toLong * info.height > maxPixels) return None
+    // LSD byte 11: background color index (meaningful with a GCT; 0 otherwise)
+    val bg: Byte = if (info.hasGct) bytes(11) else 0
+    val canvas = Array.fill[Byte](info.width * info.height)(bg)
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // pending Graphics Control fields — apply to the NEXT image only
+    var disposal = 0
+    var transIdx = -1
     var i = 13 + (if (info.hasGct) 3 * (1 << info.gctBits) else 0)
     var done = false
     while (!done && i < bytes.length &&
         (maxFrames == 0 || frames.size < maxFrames)) {
       u8(bytes, i) match {
         case 0x21 => // extension: label byte, then sub-blocks to a 0 terminator
+          val label = if (i + 1 < bytes.length) u8(bytes, i + 1) else -1
+          // Graphics Control (0xF9): packed disposal bits + transparency
+          if (label == 0xF9 && i + 7 < bytes.length && u8(bytes, i + 2) == 4) {
+            val packed = u8(bytes, i + 3)
+            disposal = (packed >> 2) & 0x07
+            transIdx = if ((packed & 1) != 0) u8(bytes, i + 6) else -1
+          }
           i += 2
           while (i < bytes.length && u8(bytes, i) != 0) i += 1 + u8(bytes, i)
           i += 1
@@ -339,7 +363,7 @@ object MediaCodec {
           val packed = u8(bytes, i + 9)
           i += 10
           if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // LCT
-          if (left != 0 || top != 0 || w != info.width || h != info.height)
+          if (w <= 0 || h <= 0 || left + w > info.width || top + h > info.height)
             return None
           if (i >= bytes.length) return None
           val minCode = u8(bytes, i); i += 1
@@ -352,11 +376,37 @@ object MediaCodec {
           }
           if (i >= bytes.length) return None
           i += 1 // block terminator
-          lzwDecode(data.toByteArray, minCode, w * h) match {
-            case Some(px) =>
-              frames += (if ((packed & 0x40) != 0) deinterlace(px, w, h) else px)
+          val px = lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(p) => if ((packed & 0x40) != 0) deinterlace(p, w, h) else p
             case None => return None
           }
+          // compose: snapshot first when disposal 3 will need it
+          val before = if (disposal == 3) canvas.clone() else null
+          var y = 0
+          while (y < h) {
+            val src = y * w
+            val dst = (top + y) * info.width + left
+            var x = 0
+            while (x < w) {
+              val v = px(src + x)
+              if (transIdx < 0 || (v & 0xFF) != transIdx) canvas(dst + x) = v
+              x += 1
+            }
+            y += 1
+          }
+          frames += canvas.clone()
+          disposal match {
+            case 2 => // restore the frame's rect to the background index
+              var ry = 0
+              while (ry < h) {
+                java.util.Arrays.fill(canvas, (top + ry) * info.width + left,
+                  (top + ry) * info.width + left + w, bg)
+                ry += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => () // 0/1: leave the canvas as rendered
+          }
+          disposal = 0; transIdx = -1
         case 0x3B => done = true // trailer
         case _ => return None
       }

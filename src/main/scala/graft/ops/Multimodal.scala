@@ -463,6 +463,140 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** One frame of a DELTA animation for [[encodeGifDelta]]: rect position
+    * + size on the logical screen, GIF89a disposal method (the ImageIO
+    * metadata vocabulary: "none", "doNotDispose",
+    * "restoreToBackgroundColor", "restoreToPrevious"), and an optional
+    * transparent palette index (−1 = opaque frame).
+    */
+  final case class GifDeltaFrame(left: Int, top: Int, w: Int, h: Int,
+                                 disposal: String = "none",
+                                 transparentIdx: Int = -1)
+
+  /** Encode a real animated GIF whose frames are DELTA RECTS, via the JDK
+    * ImageIO sequence writer with explicit per-frame metadata
+    * (imageLeftPosition/imageTopPosition on the ImageDescriptor node,
+    * disposalMethod + transparentColor on the GraphicControlExtension
+    * node) — the in-the-wild animation shape
+    * [[MediaCodec.decodeGifFrames]] composes. Same pinned 4-entry palette
+    * as [[encodeGif]]; frame f's sample at LOCAL (lx, ly) is
+    * `(seed + 7f + lx + 31·ly) mod 4` — per-frame arithmetic an oracle
+    * replays exactly. The first frame should cover the full screen (the
+    * writer derives the logical screen from it under null stream
+    * metadata).
+    */
+  def encodeGifDelta(frames: Seq[GifDeltaFrame], seed: Long): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      Array[Byte](0, -1, 0, 127), Array[Byte](0, 0, -1, 127),
+      Array[Byte](0, 0, 0, 127))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    // EXPLICIT stream metadata carrying the 4-entry GCT: with per-image
+    // metadata supplied below, prepareWriteSequence(null) no longer infers
+    // the palette from the first image's color model and falls back to a
+    // 2-entry black/white table (probed) — the logical screen and global
+    // palette must be declared here instead
+    val screenW = frames.head.left + frames.head.w
+    val screenH = frames.head.top + frames.head.h
+    val streamMd = writer.getDefaultStreamMetadata(null)
+    val sfmt = streamMd.getNativeMetadataFormatName
+    val sroot = new javax.imageio.metadata.IIOMetadataNode(sfmt)
+    val ver = new javax.imageio.metadata.IIOMetadataNode("Version")
+    ver.setAttribute("value", "89a"); sroot.appendChild(ver)
+    val lsd = new javax.imageio.metadata.IIOMetadataNode("LogicalScreenDescriptor")
+    lsd.setAttribute("logicalScreenWidth", screenW.toString)
+    lsd.setAttribute("logicalScreenHeight", screenH.toString)
+    lsd.setAttribute("colorResolution", "8")
+    lsd.setAttribute("pixelAspectRatio", "0")
+    sroot.appendChild(lsd)
+    val gct = new javax.imageio.metadata.IIOMetadataNode("GlobalColorTable")
+    gct.setAttribute("sizeOfGlobalColorTable", "4")
+    gct.setAttribute("backgroundColorIndex", "0")
+    gct.setAttribute("sortFlag", "FALSE")
+    val palette = Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (127, 127, 127))
+    palette.zipWithIndex.foreach { case ((r, g, b), idx) =>
+      val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+      e.setAttribute("index", idx.toString)
+      e.setAttribute("red", r.toString)
+      e.setAttribute("green", g.toString)
+      e.setAttribute("blue", b.toString)
+      gct.appendChild(e)
+    }
+    sroot.appendChild(gct)
+    streamMd.setFromTree(sfmt, sroot)
+    writer.prepareWriteSequence(streamMd)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      // transparency must live in the frame's COLOR MODEL: the writer
+      // derives the GCE transparentColorFlag from the image's ICM and
+      // overrides the metadata attribute (probed — an opaque ICM writes
+      // flag FALSE however the tree is set)
+      val frameIcm =
+        if (fr.transparentIdx >= 0)
+          new java.awt.image.IndexColorModel(2, 4,
+            Array[Byte](0, -1, 0, 127), Array[Byte](0, 0, -1, 127),
+            Array[Byte](0, 0, 0, 127), fr.transparentIdx)
+        else icm
+      val img = new java.awt.image.BufferedImage(fr.w, fr.h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY, frameIcm)
+      var y = 0
+      while (y < fr.h) {
+        var x = 0
+        while (x < fr.w) {
+          img.getRaster.setSample(x, y, 0,
+            ((seed + 7L * f + x + 31L * y) % 4).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val md = writer.getDefaultImageMetadata(spec, null)
+      val fmt = md.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      def node(name: String): javax.imageio.metadata.IIOMetadataNode = {
+        var c = root.getFirstChild
+        while (c != null && c.getNodeName != name) c = c.getNextSibling
+        if (c != null) c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata.IIOMetadataNode(name)
+          root.appendChild(n); n
+        }
+      }
+      // drop the default LocalColorTable (a 2-entry black/white stub that
+      // would override the 4-entry GCT and halve the pixel depth — probed)
+      var lct = root.getFirstChild
+      while (lct != null) {
+        val next = lct.getNextSibling
+        if (lct.getNodeName == "LocalColorTable") root.removeChild(lct)
+        lct = next
+      }
+      val desc = node("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", fr.left.toString)
+      desc.setAttribute("imageTopPosition", fr.top.toString)
+      desc.setAttribute("imageWidth", fr.w.toString)
+      desc.setAttribute("imageHeight", fr.h.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      val gce = node("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", fr.disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag",
+        if (fr.transparentIdx >= 0) "TRUE" else "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex",
+        math.max(fr.transparentIdx, 0).toString)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      f + 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
   /** REAL frame sampling over animated-GIF payloads: decode every frame
     * ([[MediaCodec.decodeGifFrames]]), keep every `step`-th, and emit
     * exact-integer index stats per kept frame — the pixel-level form of

@@ -1156,6 +1156,37 @@ object Qext {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Animated-GIF DELTA-frame composition end-to-end
+    * ([[Multimodal.encodeGifDelta]] → [[graft.ops.MediaCodec.decodeGifFrames]]):
+    * real JDK-metadata-written animations whose frames are offset
+    * sub-rects — frame 1 additionally carries a transparent index, so
+    * composition must let the prior canvas show through — decoded,
+    * composed per GIF89a §23, and reduced to exact per-frame index stats.
+    * The oracle replays the composition arithmetic over the full pixel
+    * grid in SQL: c0 = full-screen pattern; c1 = rect-1 pattern where
+    * opaque, else c0; c2 = rect-2 pattern in-rect, else c1.
+    */
+  def qExtMultimodalFramesDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, dir, "documents")
+      .filter(col("doc_id") % 8 === 1)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 10 + 4).toInt
+          val h = (id % 7 + 4).toInt
+          val frames = Seq(
+            Multimodal.GifDeltaFrame(0, 0, w, h),
+            Multimodal.GifDeltaFrame(1, 1, w - 2, h - 2, transparentIdx = 2),
+            Multimodal.GifDeltaFrame(2, 1, w - 3, h - 3))
+          Multimodal.MediaRow(id, Multimodal.MediaMeta("image/gif", w, h, 3, 0),
+            Multimodal.encodeGifDelta(frames, seed = id))
+        }
+      }
+    Multimodal.sampleGifFrames(media, step = 1)
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
     * distincts): null/distinct counts and min/max per column — the intake
     * audit generalizing the reference's inline checks. dtype is projected
@@ -1934,6 +1965,7 @@ object Qext {
     "q_ext_multimodal_resize" -> (qExtMultimodalResize _),
     "q_ext_multimodal_gif" -> (qExtMultimodalGif _),
     "q_ext_multimodal_frames" -> (qExtMultimodalFrames _),
+    "q_ext_multimodal_frames_delta" -> (qExtMultimodalFramesDelta _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -3931,6 +3963,49 @@ object Qext {
         |)
         |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
         |       CAST(nf AS INT) AS n_frames,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(sum(v) AS BIGINT) AS idx_sum,
+        |       CAST(min(v) AS BIGINT) AS idx_min,
+        |       CAST(max(v) AS BIGINT) AS idx_max
+        |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Delta-animation composition replay: the per-frame LOCAL pattern
+    // (id + 7f + lx + 31·ly) mod 4 composed over the logical screen per
+    // GIF89a §23 — frame 1's rect skips its transparent index 2 (canvas
+    // shows through), frame 2's rect overwrites. The Spark side writes
+    // REAL JDK-metadata delta GIFs and composes them from the container
+    // bytes, so a hash match proves encode → walk → LZW → compose exactly.
+    "q_ext_multimodal_frames_delta" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 1),
+        |dims AS (SELECT id, id % 10 + 4 AS w, id % 7 + 4 AS h FROM ids),
+        |grid AS (
+        |  SELECT d.id, d.w, d.h, gx.x, gy.y,
+        |         (d.id + gx.x + 31 * gy.y) % 4 AS c0
+        |  FROM dims d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) gx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) gy
+        |),
+        |comp1 AS (
+        |  SELECT id, w, h, x, y, c0,
+        |    CASE WHEN x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
+        |          AND (id + 7 + (x - 1) + 31 * (y - 1)) % 4 <> 2
+        |         THEN (id + 7 + (x - 1) + 31 * (y - 1)) % 4 ELSE c0 END AS c1
+        |  FROM grid
+        |),
+        |comp2 AS (
+        |  SELECT id, w, h, x, y, c0, c1,
+        |    CASE WHEN x BETWEEN 2 AND w - 2 AND y BETWEEN 1 AND h - 3
+        |         THEN (id + 14 + (x - 2) + 31 * (y - 1)) % 4 ELSE c1 END AS c2
+        |  FROM comp1
+        |),
+        |px AS (
+        |  SELECT id, w, h, gf.f,
+        |         CASE gf.f WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END AS v
+        |  FROM comp2
+        |  CROSS JOIN LATERAL (SELECT unnest(range(3)) AS f) gf
+        |)
+        |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(3 AS INT) AS n_frames,
         |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       CAST(sum(v) AS BIGINT) AS idx_sum,
         |       CAST(min(v) AS BIGINT) AS idx_min,

@@ -234,7 +234,122 @@ class MediaCodecSpec extends AnyFlatSpec with Matchers {
     MediaCodec.decodeGifFrames(bytes, maxFrames = 2).get.frames.size shouldBe 2
   }
 
-  it should "reject truncation, offset frames, and trailing garbage totally" in {
+  /** Independent compositor over the JDK reader: rect rasters + the JDK's
+    * OWN per-frame metadata (left/top, disposal, transparency) composed by
+    * test-local code — nothing shared with MediaCodec's walk.
+    */
+  private def child(n: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Element] = {
+    var c = n.getFirstChild
+    while (c != null && c.getNodeName != name) c = c.getNextSibling
+    Option(c).map(_.asInstanceOf[org.w3c.dom.Element])
+  }
+
+  private def composeViaJdk(bytes: Array[Byte]): IndexedSeq[Array[Int]] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val sm = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+    val lsd = child(sm, "LogicalScreenDescriptor").get
+    val w = lsd.getAttribute("logicalScreenWidth").toInt
+    val h = lsd.getAttribute("logicalScreenHeight").toInt
+    val bg = child(sm, "GlobalColorTable")
+      .map(_.getAttribute("backgroundColorIndex").toInt).getOrElse(0)
+    val canvas = Array.fill(w * h)(bg)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    for (f <- 0 until reader.getNumImages(true)) {
+      val md = reader.getImageMetadata(f).getAsTree("javax_imageio_gif_image_1.0")
+      val desc = child(md, "ImageDescriptor").get
+      val left = desc.getAttribute("imageLeftPosition").toInt
+      val top = desc.getAttribute("imageTopPosition").toInt
+      val gce = child(md, "GraphicControlExtension")
+      val disposal = gce.map(_.getAttribute("disposalMethod")).getOrElse("none")
+      val trans = gce.filter(_.getAttribute("transparentColorFlag") == "TRUE")
+        .map(_.getAttribute("transparentColorIndex").toInt).getOrElse(-1)
+      val img = reader.read(f)
+      val before = if (disposal == "restoreToPrevious") canvas.clone() else null
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v = img.getRaster.getSample(x, y, 0)
+        if (v != trans) canvas((top + y) * w + left + x) = v
+      }
+      out += canvas.clone()
+      disposal match {
+        case "restoreToBackgroundColor" =>
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            canvas((top + y) * w + left + x) = bg
+        case "restoreToPrevious" =>
+          System.arraycopy(before, 0, canvas, 0, canvas.length)
+        case _ => ()
+      }
+    }
+    reader.dispose()
+    out.toIndexedSeq
+  }
+
+  it should "compose delta rects, transparency, and disposal like the JDK metadata says" in {
+    import Multimodal.GifDeltaFrame
+    val cases = Seq(
+      // plain overlay chain: full frame, two offset opaque rects
+      ("overlay", Seq(GifDeltaFrame(0, 0, 9, 7), GifDeltaFrame(2, 1, 5, 4),
+        GifDeltaFrame(4, 3, 3, 2))),
+      // transparency: index-2 pixels of the delta leave the canvas showing
+      ("transparent", Seq(GifDeltaFrame(0, 0, 8, 8),
+        GifDeltaFrame(1, 1, 6, 5, transparentIdx = 2))),
+      // restore-to-background: frame 2 composes onto a bg-cleared rect
+      ("dispose-bg", Seq(GifDeltaFrame(0, 0, 8, 6),
+        GifDeltaFrame(1, 1, 5, 3, disposal = "restoreToBackgroundColor"),
+        GifDeltaFrame(3, 2, 4, 3))),
+      // restore-to-previous: frame 3 composes onto the pre-frame-2 canvas
+      ("dispose-prev", Seq(GifDeltaFrame(0, 0, 8, 6),
+        GifDeltaFrame(1, 1, 5, 3, disposal = "restoreToPrevious"),
+        GifDeltaFrame(2, 2, 4, 2))))
+    for ((name, frames) <- cases; seed <- Seq(0L, 5L)) {
+      val bytes = Multimodal.encodeGifDelta(frames, seed)
+      val ours = MediaCodec.decodeGifFrames(bytes)
+      withClue(s"$name seed=$seed: ") {
+        ours should not be empty
+        val jdk = composeViaJdk(bytes)
+        ours.get.frames.size shouldBe jdk.size
+        for (f <- jdk.indices) {
+          withClue(s"frame $f: ") {
+            ours.get.frames(f).map(_ & 0xFF).toSeq shouldBe jdk(f).toSeq
+          }
+        }
+        // guard against silent degeneration: the written stream must
+        // actually CARRY the authored transparency (the JDK writer derives
+        // the GCE flag from the frame's color model and once silently
+        // cleared it — both compositors then agreed on the WRONG stream)
+        if (name == "transparent") {
+          val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          r.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val md = r.getImageMetadata(1).getAsTree("javax_imageio_gif_image_1.0")
+          child(md, "GraphicControlExtension").get
+            .getAttribute("transparentColorFlag") shouldBe "TRUE"
+          r.dispose()
+        }
+      }
+    }
+  }
+
+  it should "reject a delta rect that exceeds the logical screen" in {
+    // forge the descriptor of a valid single-frame GIF: claim left=200
+    val good = Multimodal.encodeGif(10, 6, seed = 3)
+    // find the image descriptor (0x2C introducer)
+    var i = 13 + 3 * 4 // header + LSD + 4-entry GCT
+    while (i < good.length && (good(i) & 0xFF) != 0x2C) {
+      if ((good(i) & 0xFF) == 0x21) {
+        i += 2
+        while ((good(i) & 0xFF) != 0) i += 1 + (good(i) & 0xFF)
+        i += 1
+      } else i += 1
+    }
+    (good(i) & 0xFF) shouldBe 0x2C
+    val forged = good.clone()
+    forged(i + 1) = 200.toByte // imageLeftPosition LE16 low byte
+    MediaCodec.decodeGifFrames(forged) shouldBe None
+  }
+
+  it should "reject truncation and trailing garbage totally" in {
     val good = Multimodal.encodeGif(10, 6, seed = 3)
     MediaCodec.decodeGif(good) should not be empty
     MediaCodec.decodeGif(good.take(good.length - 10)) shouldBe None // cut LZW stream
