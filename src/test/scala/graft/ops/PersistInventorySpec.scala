@@ -52,7 +52,8 @@ class PersistInventorySpec extends AnyFlatSpec with Matchers {
     "pipelines/CorpusPrepStream.scala" -> (1, Released), // per-batch transient
     "pipelines/CorpusStore.scala" -> (1, Serving), // served index, swap frees
     "pipelines/Cpa.scala" -> (1, RunScoped), // validate-mode union reuse
-    "pipelines/Runner.scala" -> (1, RunScoped), // file catalog for one run
+    // (round 14: Runner's one-run catalog cache left with the Storage-trait
+    // refactor — the listing is a driver-side Seq now, nothing to pin)
     "streaming/LshStream.scala" -> (2, Serving) // served LSH index, swap frees
   )
 
