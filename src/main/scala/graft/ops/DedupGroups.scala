@@ -180,6 +180,47 @@ object DedupGroups {
                                   checkpointDir: Option[String])
       : (DataFrame, Int, DataFrame) = {
     val Seq(src, dst) = edges.columns.take(2).toSeq
+    // Measured-small pair graph: resolve in-JVM (union-find with
+    // link-to-min, so each set's root IS its minimum id) and return the
+    // same non-root star mapping as a LocalRelation — the round-14
+    // [[PageRank.LocalEdgesMax]] fast path. The output contract (node →
+    // component minimum) is ALGORITHM-INDEPENDENT, so values are identical
+    // by definition; rounds report 0 (no distributed rounds ran). Near-dup
+    // pair graphs are orders of magnitude smaller than the corpus, so in
+    // practice this is the common regime; `-Dgraft.graph.localEdgesMax=0`
+    // pins the distributed star loop (specs, probes, pathological pairs).
+    val localMax = PageRank.LocalEdgesMax
+    if (localMax > 0 && localMax < Int.MaxValue &&
+        edges.limit(localMax.toInt + 1).count() <= localMax) {
+      val eArr = edges
+        .select(col(src).cast("long"), col(dst).cast("long"))
+        .filter(col(src).isNotNull && col(dst).isNotNull)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = a
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      eArr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = {
+        val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+        eArr.foreach { case (a, b) => s += a; s += b }
+        s
+      }
+      val rows = nodes.toSeq.flatMap { n =>
+        val r = find(n)
+        if (r != n) Some((n, r)) else None
+      }
+      val roots = edges.sparkSession.createDataFrame(rows)
+        .toDF("__id", "group_id")
+      return (roots, 0, roots)
+    }
     // Canonical orientation big→small; self-loops and duplicate pairs out.
     var e = pin(edges.select(
         greatest(col(src), col(dst)).as("__u"),

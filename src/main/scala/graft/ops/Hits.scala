@@ -68,14 +68,76 @@ object Hits {
       .select(col(edgeTo).as("node"), col(scoreCol).as("__s"))
       .groupBy("node").agg(sum("__s").as("__raw"))
 
+  /** Driver-side twin of the distributed half-step chain — the same
+    * per-edge sums, the same `floor(raw·Scale/tot)` normalization on
+    * exact-integer DOUBLES (IEEE multiply/divide/floor are correctly
+    * rounded, so JVM placement cannot change a bit). Called only under
+    * [[PageRank.LocalEdgesMax]]; every HITS oracle exercises this path.
+    */
+  private def localHits(edges: Array[(Long, Long)],
+                        iterations: Int): Seq[(Long, Long, Long)] = {
+    val nodeIds = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      edges.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idx = new java.util.HashMap[Long, Int](nodeIds.length * 2)
+    nodeIds.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+    val n = nodeIds.length
+    val src = new Array[Int](edges.length)
+    val dst = new Array[Int](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      src(i) = idx.get(edges(i)._1); dst(i) = idx.get(edges(i)._2); i += 1
+    }
+    def halfStep(scores: Array[Long], from: Array[Int],
+                 to: Array[Int]): Array[Long] = {
+      val raw = new Array[Long](n)
+      var k = 0
+      while (k < edges.length) { raw(to(k)) += scores(from(k)); k += 1 }
+      var tot = 0L
+      var j = 0
+      while (j < n) { tot += raw(j); j += 1 }
+      val out = new Array[Long](n)
+      if (tot > 0) {
+        j = 0
+        while (j < n) {
+          out(j) = math.floor(
+            raw(j).toDouble * PageRank.Scale.toDouble / tot.toDouble).toLong
+          j += 1
+        }
+      }
+      out
+    }
+    var hubs = Array.fill(n)(PageRank.Scale / n)
+    var auths: Array[Long] = null
+    (1 to iterations).foreach { _ =>
+      auths = halfStep(hubs, src, dst)
+      hubs = halfStep(auths, dst, src)
+    }
+    nodeIds.indices.map(j => (nodeIds(j), hubs(j), auths(j)))
+  }
+
   /** [[hits]] with an explicit cache-release handle. */
   def hitsManaged(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int): Managed = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val localMax = PageRank.LocalEdgesMax
+    if (localMax > 0 && localMax < Int.MaxValue &&
+        e0.limit(localMax.toInt + 1).count() <= localMax) {
+      // measured-small graph: identical arithmetic in-JVM, LocalRelation
+      // out, nothing pinned — see [[PageRank.LocalEdgesMax]]
+      val eArr = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val out = edges.sparkSession
+        .createDataFrame(localHits(eArr, iterations))
+        .toDF("node", "hub_scaled", "auth_scaled")
+      return new Managed(out, Nil, Nil)
+    }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist(lvl)
+    val e = e0.persist(lvl)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist(lvl)

@@ -83,6 +83,27 @@ object PageRank {
   def DstPartition: Boolean =
     sys.props.get("graft.graph.dstPartition").forall(_.toBoolean)
 
+  /** Edge count at or below which the WHOLE iteration runs on the driver
+    * (collect edges once, run the identical integer recurrence in-JVM,
+    * hand back a LocalRelation). The principle extends the broadcast
+    * siding one step: below [[BroadcastNodesMax]] the rank frame already
+    * ships to EVERY executor each iteration — when the edge set too fits
+    * in one JVM, the remaining distributed work is pure job-scheduling
+    * overhead (measured: 5 iterations over a 961-edge TextRank graph cost
+    * 3.3 s at local[32], sub-millisecond in-JVM). Values are BIT-IDENTICAL
+    * by construction — the recurrence is integer floor-division arithmetic
+    * with no float in sight, so engine placement cannot change a digit
+    * (every graph oracle at sf0.01/sf0.1 exercises exactly this path).
+    * The probe is bounded (`limit(max+1).count()`), so big graphs pay one
+    * early-stopping scan, not a full count. Default 2^21 edges (~32 MB of
+    * (long, long) rows); `-Dgraft.graph.localEdgesMax=N` overrides, 0
+    * forces the distributed path (how the structural specs and A/B probes
+    * pin the regime they test).
+    */
+  def LocalEdgesMax: Long =
+    sys.props.get("graft.graph.localEdgesMax").map(_.toLong)
+      .getOrElse(1L << 21)
+
   /** `iterations` power-iteration steps at `dampingPct`/100 damping.
     * Returns (node, rank_scaled): rank_scaled sums to ~[[Scale]]
     * (minus sub-unit truncation). Multi-edges contribute multiply —
@@ -310,10 +331,81 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** The driver-side twin of the distributed recurrence — LINE-FOR-LINE
+    * the arithmetic of [[step]] (per-edge `rank div od` contributions,
+    * dangling mass `div nRecv` to seeds, `dampingPct · (…) div 100`), so
+    * placement cannot change a value. Called only under [[LocalEdgesMax]].
+    */
+  private def localIterate(edges: Array[(Long, Long)], seedSet: Option[Set[Long]],
+                           iterations: Int, dampingPct: Int): Seq[(Long, Long)] = {
+    val nodeIds = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      edges.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idx = new java.util.HashMap[Long, Int](nodeIds.length * 2)
+    nodeIds.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+    val n = nodeIds.length
+    val isSeed = seedSet match {
+      case None => Array.fill(n)(true)
+      case Some(s) => nodeIds.map(s.contains)
+    }
+    val nRecv = isSeed.count(identity).toLong
+    require(nRecv > 0, "seed set does not intersect the graph")
+    val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
+    val od = new Array[Long](n)
+    val src = new Array[Int](edges.length)
+    val dst = new Array[Int](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      src(i) = idx.get(edges(i)._1); dst(i) = idx.get(edges(i)._2)
+      od(src(i)) += 1L
+      i += 1
+    }
+    var rank = Array.tabulate(n)(j => if (isSeed(j)) Scale / nRecv else 0L)
+    (1 to iterations).foreach { _ =>
+      val contrib = new Array[Long](n)
+      var k = 0
+      while (k < edges.length) {
+        contrib(dst(k)) += rank(src(k)) / od(src(k))
+        k += 1
+      }
+      var dangSum = 0L
+      var j = 0
+      while (j < n) { if (od(j) == 0L) dangSum += rank(j); j += 1 }
+      val next = new Array[Long](n)
+      j = 0
+      while (j < n) {
+        val dang = if (isSeed(j)) dangSum / nRecv else 0L
+        next(j) = (if (isSeed(j)) teleport else 0L) +
+          dampingPct * (contrib(j) + dang) / 100L
+        j += 1
+      }
+      rank = next
+    }
+    nodeIds.indices.map(j => (nodeIds(j), rank(j)))
+  }
+
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
                       iterations: Int, dampingPct: Int,
                       seeds: Option[DataFrame]): Managed = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val localMax = LocalEdgesMax
+    if (localMax > 0 && localMax < Int.MaxValue &&
+        e0.limit(localMax.toInt + 1).count() <= localMax) {
+      // measured-small graph: run the identical recurrence in-JVM — see
+      // [[LocalEdgesMax]]. The collected seed set is bounded by the node
+      // set it intersects; a LocalRelation result needs no pins at all.
+      val eArr = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seedSet = seeds.map(_.collect().map(_.getLong(0)).toSet)
+      val spark = edges.sparkSession
+      val out = spark.createDataFrame(
+        localIterate(eArr, seedSet, iterations, dampingPct))
+        .toDF("node", "rank_scaled")
+      return new Managed(out, Nil, Nil)
+    }
     val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds)
     val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     // dangling-aware lineage-truncation cadence — see [[checkpointCadence]]:

@@ -13,6 +13,9 @@ import graft.ops.PageRank
   */
 object GraphBroadcastProbe {
   def main(args: Array[String]): Unit = {
+    // this probe measures the DISTRIBUTED iteration regimes: pin them (the
+    // tiny/medium fixtures would otherwise take the round-14 local fast path)
+    sys.props("graft.graph.localEdgesMax") = "0"
     val n = if (args.length > 0) args(0).toLong else 500000L
     val iters = if (args.length > 1) args(1).toInt else 5
     val reps = if (args.length > 2) args(2).toInt else 3

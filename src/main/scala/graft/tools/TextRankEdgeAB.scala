@@ -13,6 +13,9 @@ import graft.ops.{NgramLm, TextStats}
   */
 object TextRankEdgeAB {
   def main(args: Array[String]): Unit = {
+    // this probe measures the DISTRIBUTED iteration regimes: pin them (the
+    // tiny/medium fixtures would otherwise take the round-14 local fast path)
+    sys.props("graft.graph.localEdgesMax") = "0"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
     val spark = LocalSession(cores = 32, logLevel = "ERROR")

@@ -31,6 +31,11 @@ class DedupGroupsSpec extends SparkSpec {
   }
 
   it should "produce identical groups under a reliable checkpoint dir" in {
+    // the reliable-checkpoint plumbing belongs to the DISTRIBUTED star
+    // loop: pin that regime (the 31-edge fixture would otherwise take the
+    // round-14 local fast path and never touch the directory)
+    sys.props("graft.graph.localEdgesMax") = "0"
+    try {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-").toString
     val nodes = (0L until 32L).toDF("id")
     val edges = (0L until 31L).map(i => (i, i + 1)).toDF("src", "dst")
@@ -43,16 +48,20 @@ class DedupGroupsSpec extends SparkSpec {
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
     files should be > 0
+    } finally sys.props -= "graft.graph.localEdgesMax"
   }
 
   it should "fail loudly when maxIters is too small to converge" in {
     // one star round cannot collapse a 64-path: edges are not at fixpoint —
     // silent return would split one true component into several groups
+    // (maxIters gates the DISTRIBUTED loop: pin that regime, the local
+    // union-find has no rounds to run out of)
+    sys.props("graft.graph.localEdgesMax") = "0"
     val nodes = (0L to 63L).toDF("id")
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
-    val ex = intercept[IllegalStateException] {
+    val ex = try intercept[IllegalStateException] {
       DedupGroups.connectedComponents(nodes, edges, maxIters = 1).collect()
-    }
+    } finally sys.props -= "graft.graph.localEdgesMax"
     ex.getMessage should include("did not converge")
   }
 

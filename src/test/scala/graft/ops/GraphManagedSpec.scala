@@ -17,6 +17,17 @@ class GraphManagedSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // this suite locks the DISTRIBUTED loop's cache lifecycle: pin that
+  // regime, or the tiny fixtures take the round-14 local fast path and
+  // every leak assertion passes vacuously (GraphLocalPathSpec covers the
+  // local regime's value parity)
+  sys.props("graft.graph.localEdgesMax") = "0"
+
+  override def afterAll(): Unit = {
+    sys.props -= "graft.graph.localEdgesMax"
+    super.afterAll()
+  }
+
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 

@@ -94,28 +94,34 @@ class PlanInvariantsSpec extends SparkSpec {
     val edges = (0L until 60L)
       .flatMap(i => Seq((i, (i * 3 + 1) % 60), (i, (i * 7 + 2) % 60)))
       .toDF("src", "dst")
-    Seq(
-      "pageRank" -> graft.ops.PageRank.pageRankManaged(edges, "src", "dst", 5),
-      "trustRank" -> graft.ops.PageRank.trustRankManaged(edges, "src", "dst",
-        Seq(Tuple1(0L)).toDF("node"), "node", 5)
-    ).foreach { case (n, m) =>
-      try {
-        val plans = withCachedSubplans(m.df.queryExecution.executedPlan)
-        withClue(s"$n: iteration step not nested-visible — the SMJ lock " +
-          "above would no longer cover it: ") {
-          plans.size should be > 1
-        }
-        // the nested step must actually contain the per-iteration joins,
-        // and none of them may have degraded to SortMergeJoin
-        withClue(s"$n: ") {
-          val strs = plans.map(_.toString)
-          strs.count(s =>
-            s.contains("ShuffledHashJoin") || s.contains("BroadcastHashJoin")
-          ) should be >= 1
-          strs.foreach(_ should not include "SortMergeJoin")
-        }
-      } finally m.release()
-    }
+    // this lock is ABOUT the distributed iteration: pin that regime (a
+    // 120-edge graph would otherwise take the round-14 local fast path
+    // and return a LocalRelation with no joins to inspect)
+    sys.props("graft.graph.localEdgesMax") = "0"
+    try {
+      Seq(
+        "pageRank" -> graft.ops.PageRank.pageRankManaged(edges, "src", "dst", 5),
+        "trustRank" -> graft.ops.PageRank.trustRankManaged(edges, "src", "dst",
+          Seq(Tuple1(0L)).toDF("node"), "node", 5)
+      ).foreach { case (n, m) =>
+        try {
+          val plans = withCachedSubplans(m.df.queryExecution.executedPlan)
+          withClue(s"$n: iteration step not nested-visible — the SMJ lock " +
+            "above would no longer cover it: ") {
+            plans.size should be > 1
+          }
+          // the nested step must actually contain the per-iteration joins,
+          // and none of them may have degraded to SortMergeJoin
+          withClue(s"$n: ") {
+            val strs = plans.map(_.toString)
+            strs.count(s =>
+              s.contains("ShuffledHashJoin") || s.contains("BroadcastHashJoin")
+            ) should be >= 1
+            strs.foreach(_ should not include "SortMergeJoin")
+          }
+        } finally m.release()
+      }
+    } finally sys.props -= "graft.graph.localEdgesMax"
   }
 
   it should "plan HITS half-steps as hash joins over stats-less cached inputs" in {
