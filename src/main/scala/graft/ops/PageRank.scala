@@ -172,6 +172,35 @@ object PageRank {
                                maxIterations: Int = 50,
                                dampingPct: Int = 85): Converged = {
     require(epsilonScaled >= 0, s"epsilonScaled must be >= 0, got $epsilonScaled")
+    // measured-small graph: the convergence loop is the barrier-heaviest
+    // form (per-round checkpoint + per-round delta job) — route it through
+    // the same in-JVM twin as the fixed-round loop (see [[LocalEdgesMax]]);
+    // per-round values AND the L1 delta are the identical integer
+    // arithmetic, so (ranks, iterations, delta) all match bit-for-bit.
+    val e0c = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val localMaxC = LocalEdgesMax
+    if (localMaxC > 0 && localMaxC < Int.MaxValue &&
+        e0c.limit(localMaxC.toInt + 1).count() <= localMaxC) {
+      val eArr = e0c.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val lctx = new LocalCtx(eArr, None, dampingPct)
+      var cur = lctx.r0
+      var iters = 0
+      var delta = Long.MaxValue
+      while (iters < maxIterations && delta > epsilonScaled) {
+        val next = lctx.step(cur)
+        delta = 0L
+        var j = 0
+        while (j < next.length) { delta += math.abs(next(j) - cur(j)); j += 1 }
+        cur = next
+        iters += 1
+      }
+      val ranks = cur
+      val out = edges.sparkSession
+        .createDataFrame(lctx.nodeIds.indices.map(j => (lctx.nodeIds(j), ranks(j))))
+        .toDF("node", "rank_scaled")
+      return Converged(new Managed(out, Nil, Nil), iters, delta)
+    }
     val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds = None)
     val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     var ranks = ctx.r0
@@ -334,39 +363,42 @@ object PageRank {
   /** The driver-side twin of the distributed recurrence — LINE-FOR-LINE
     * the arithmetic of [[step]] (per-edge `rank div od` contributions,
     * dangling mass `div nRecv` to seeds, `dampingPct · (…) div 100`), so
-    * placement cannot change a value. Called only under [[LocalEdgesMax]].
+    * placement cannot change a value. Used only under [[LocalEdgesMax]].
     */
-  private def localIterate(edges: Array[(Long, Long)], seedSet: Option[Set[Long]],
-                           iterations: Int, dampingPct: Int): Seq[(Long, Long)] = {
-    val nodeIds = {
+  private final class LocalCtx(edges: Array[(Long, Long)],
+                               seedSet: Option[Set[Long]], dampingPct: Int) {
+    val nodeIds: Array[Long] = {
       val s = scala.collection.mutable.LinkedHashSet.empty[Long]
       edges.foreach { case (a, b) => s += a; s += b }
       s.toArray
     }
-    val idx = new java.util.HashMap[Long, Int](nodeIds.length * 2)
+    private val idx = new java.util.HashMap[Long, Int](nodeIds.length * 2)
     nodeIds.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
-    val n = nodeIds.length
-    val isSeed = seedSet match {
+    val n: Int = nodeIds.length
+    private val isSeed: Array[Boolean] = seedSet match {
       case None => Array.fill(n)(true)
       case Some(s) => nodeIds.map(s.contains)
     }
-    val nRecv = isSeed.count(identity).toLong
+    private val nRecv = isSeed.count(identity).toLong
     require(nRecv > 0, "seed set does not intersect the graph")
-    val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
-    val od = new Array[Long](n)
-    val src = new Array[Int](edges.length)
-    val dst = new Array[Int](edges.length)
-    var i = 0
-    while (i < edges.length) {
-      src(i) = idx.get(edges(i)._1); dst(i) = idx.get(edges(i)._2)
-      od(src(i)) += 1L
-      i += 1
+    private val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
+    private val od = new Array[Long](n)
+    private val src = new Array[Int](edges.length)
+    private val dst = new Array[Int](edges.length)
+    locally {
+      var i = 0
+      while (i < edges.length) {
+        src(i) = idx.get(edges(i)._1); dst(i) = idx.get(edges(i)._2)
+        od(src(i)) += 1L
+        i += 1
+      }
     }
-    var rank = Array.tabulate(n)(j => if (isSeed(j)) Scale / nRecv else 0L)
-    (1 to iterations).foreach { _ =>
+    def r0: Array[Long] =
+      Array.tabulate(n)(j => if (isSeed(j)) Scale / nRecv else 0L)
+    def step(rank: Array[Long]): Array[Long] = {
       val contrib = new Array[Long](n)
       var k = 0
-      while (k < edges.length) {
+      while (k < src.length) {
         contrib(dst(k)) += rank(src(k)) / od(src(k))
         k += 1
       }
@@ -381,9 +413,16 @@ object PageRank {
           dampingPct * (contrib(j) + dang) / 100L
         j += 1
       }
-      rank = next
+      next
     }
-    nodeIds.indices.map(j => (nodeIds(j), rank(j)))
+  }
+
+  private def localIterate(edges: Array[(Long, Long)], seedSet: Option[Set[Long]],
+                           iterations: Int, dampingPct: Int): Seq[(Long, Long)] = {
+    val ctx = new LocalCtx(edges, seedSet, dampingPct)
+    var rank = ctx.r0
+    (1 to iterations).foreach(_ => rank = ctx.step(rank))
+    ctx.nodeIds.indices.map(j => (ctx.nodeIds(j), rank(j)))
   }
 
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,

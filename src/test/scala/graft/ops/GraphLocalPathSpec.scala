@@ -52,6 +52,18 @@ class GraphLocalPathSpec extends SparkSpec {
     sortedRows(local) shouldBe sortedRows(dist)
   }
 
+  it should "match the distributed CONVERGED loop on (values, iterations, delta)" in {
+    val (lr, li, ld) = PageRank.pageRankConverged(edges, "src", "dst",
+      epsilonScaled = 1000000L, maxIterations = 30)
+    val (dr, di, dd) = forceDistributed(
+      PageRank.pageRankConverged(edges, "src", "dst",
+        epsilonScaled = 1000000L, maxIterations = 30))
+    li shouldBe di
+    ld shouldBe dd
+    sortedRows(lr) shouldBe sortedRows(dr)
+    li should be > 1 // the epsilon actually drove multiple rounds
+  }
+
   "the local union-find path" should "match the distributed star loop's groups" in {
     // a chain (worst case for label propagation), a clique, and singletons
     val nodes = (0L until 30L).toDF("id")
