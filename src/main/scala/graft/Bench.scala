@@ -68,7 +68,7 @@ object Bench {
     * is the closest observable to the code's floor, and is the merge the
     * round-13 verdict prescribed for the official artifact.
     */
-  private[graft] def sameHeadFloors(head: String,
+  private[graft] def sameHeadFloors(head: String, sfDir: String,
                                     path: java.nio.file.Path): (Map[String, Double], Int) = {
     if (!java.nio.file.Files.exists(path)) return (Map.empty, 0)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -78,7 +78,11 @@ object Bench {
       java.nio.file.Files.readAllLines(path)).asScala.foreach { line =>
       try {
         val js = mapper.readTree(line)
+        // key = same CODE and same SCALE FACTOR: an sf0.01 smoke run's
+        // per-query times are ~10× smaller — merging them would fabricate
+        // the official sf0.1 floors (review finding, round 14)
         if (js.hasNonNull("head") && js.get("head").asText() == head &&
+            js.hasNonNull("sf") && js.get("sf").asText() == sfDir &&
             js.hasNonNull("queries")) {
           runs += 1
           val it = js.get("queries").fields()
@@ -95,6 +99,7 @@ object Bench {
   }
 
   private[graft] def appendRunLog(path: java.nio.file.Path, head: Option[String],
+                                  sfDir: String,
                                   queries: Seq[(String, Double)], value: Double,
                                   loadIdle: Double, passes: Int): Unit =
     try {
@@ -102,7 +107,8 @@ object Bench {
         .map { case (k, v) => jq(k) + ":" + fmt(4, v) }.mkString("{", ",", "}")
       val entry =
         s"""{"ts":${System.currentTimeMillis() / 1000.0},"src":"bench-main",""" +
-          s""""head":${head.map(jq).getOrElse("null")},"passes":$passes,""" +
+          s""""head":${head.map(jq).getOrElse("null")},"sf":${jq(sfDir)},""" +
+          s""""passes":$passes,""" +
           s""""value":${fmt(2, value)},"load_idle":${fmt(2, loadIdle)},""" +
           s""""queries":$qmap}""" + "\n"
       java.nio.file.Files.write(path, entry.getBytes("UTF-8"),
@@ -274,8 +280,10 @@ object Bench {
     val runsLog = java.nio.file.Paths.get("BENCH_RUNS.jsonl")
     val head = gitHead()
     val (histFloors, mergedRuns) =
-      head.map(sameHeadFloors(_, runsLog)).getOrElse((Map.empty[String, Double], 0))
-    appendRunLog(runsLog, head, inRunResults, inRunTotal, loadIdle, allPasses.size)
+      head.map(sameHeadFloors(_, sfDir, runsLog))
+        .getOrElse((Map.empty[String, Double], 0))
+    appendRunLog(runsLog, head, sfDir, inRunResults, inRunTotal, loadIdle,
+      allPasses.size)
     val results =
       if (mergedRuns > 0)
         inRunResults.map { case (k, v) => k -> math.min(v, histFloors.getOrElse(k, v)) }

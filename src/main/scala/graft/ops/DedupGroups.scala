@@ -189,13 +189,20 @@ object DedupGroups {
     // pair graphs are orders of magnitude smaller than the corpus, so in
     // practice this is the common regime; `-Dgraft.graph.localEdgesMax=0`
     // pins the distributed star loop (specs, probes, pathological pairs).
-    val localMax = PageRank.LocalEdgesMax
-    if (localMax > 0 && localMax < Int.MaxValue &&
-        edges.limit(localMax.toInt + 1).count() <= localMax) {
-      val eArr = edges
-        .select(col(src).cast("long"), col(dst).cast("long"))
-        .filter(col(src).isNotNull && col(dst).isNotNull)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // BIGINT ids only: the distributed star loop's greatest/least work on
+    // ANY orderable id type (strings included), a long cast would silently
+    // drop or re-order them (review finding, round 14) — non-long frames
+    // fall through to the distributed loop. Null-carrying frames fall
+    // through too (collectSmallEdges), matching the fallback discipline of
+    // the PageRank/Hits twins.
+    val idsAreLong = edges.schema.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val small =
+      if (idsAreLong)
+        PageRank.collectSmallEdges(edges.select(col(src), col(dst)),
+          PageRank.LocalEdgesMax)
+      else None
+    small.foreach { eArr =>
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(a: Long): Long = {
         var r = a

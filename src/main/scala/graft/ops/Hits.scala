@@ -76,20 +76,11 @@ object Hits {
     */
   private def localHits(edges: Array[(Long, Long)],
                         iterations: Int): Seq[(Long, Long, Long)] = {
-    val nodeIds = {
-      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
-      edges.foreach { case (a, b) => s += a; s += b }
-      s.toArray
-    }
-    val idx = new java.util.HashMap[Long, Int](nodeIds.length * 2)
-    nodeIds.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
-    val n = nodeIds.length
-    val src = new Array[Int](edges.length)
-    val dst = new Array[Int](edges.length)
-    var i = 0
-    while (i < edges.length) {
-      src(i) = idx.get(edges(i)._1); dst(i) = idx.get(edges(i)._2); i += 1
-    }
+    val g = new PageRank.EdgeIndex(edges)
+    val nodeIds = g.nodeIds
+    val n = g.n
+    val src = g.src
+    val dst = g.dst
     def halfStep(scores: Array[Long], from: Array[Int],
                  to: Array[Int]): Array[Long] = {
       val raw = new Array[Long](n)
@@ -124,12 +115,9 @@ object Hits {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val localMax = PageRank.LocalEdgesMax
-    if (localMax > 0 && localMax < Int.MaxValue &&
-        e0.limit(localMax.toInt + 1).count() <= localMax) {
+    PageRank.collectSmallEdges(e0, PageRank.LocalEdgesMax).foreach { eArr =>
       // measured-small graph: identical arithmetic in-JVM, LocalRelation
       // out, nothing pinned — see [[PageRank.LocalEdgesMax]]
-      val eArr = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
       val out = edges.sparkSession
         .createDataFrame(localHits(eArr, iterations))
         .toDF("node", "hub_scaled", "auth_scaled")

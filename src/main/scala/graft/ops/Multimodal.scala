@@ -487,6 +487,17 @@ object Multimodal {
     */
   def encodeGifDelta(frames: Seq[GifDeltaFrame], seed: Long): Array[Byte] = {
     require(frames.nonEmpty, "need at least one frame")
+    // fail at ENCODE time, not as an undecodable payload later: the
+    // logical screen is the first frame's rect, and decodeGifFrames
+    // rejects any rect exceeding it
+    val sw = frames.head.left + frames.head.w
+    val sh = frames.head.top + frames.head.h
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      require(fr.w > 0 && fr.h > 0 && fr.left >= 0 && fr.top >= 0 &&
+        fr.left + fr.w <= sw && fr.top + fr.h <= sh,
+        s"frame $i rect (${fr.left},${fr.top} ${fr.w}x${fr.h}) exceeds the " +
+          s"$sw x $sh logical screen")
+    }
     val icm = new java.awt.image.IndexColorModel(2, 4,
       Array[Byte](0, -1, 0, 127), Array[Byte](0, 0, -1, 127),
       Array[Byte](0, 0, 0, 127))
@@ -589,7 +600,6 @@ object Multimodal {
         math.max(fr.transparentIdx, 0).toString)
       md.setFromTree(fmt, root)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
-      f + 1
     }
     writer.endWriteSequence()
     ios.close()

@@ -179,10 +179,7 @@ object PageRank {
     // arithmetic, so (ranks, iterations, delta) all match bit-for-bit.
     val e0c = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val localMaxC = LocalEdgesMax
-    if (localMaxC > 0 && localMaxC < Int.MaxValue &&
-        e0c.limit(localMaxC.toInt + 1).count() <= localMaxC) {
-      val eArr = e0c.collect().map(r => (r.getLong(0), r.getLong(1)))
+    collectSmallEdges(e0c, LocalEdgesMax).foreach { eArr =>
       val lctx = new LocalCtx(eArr, None, dampingPct)
       var cur = lctx.r0
       var iters = 0
@@ -360,13 +357,28 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** The driver-side twin of the distributed recurrence — LINE-FOR-LINE
-    * the arithmetic of [[step]] (per-edge `rank div od` contributions,
-    * dangling mass `div nRecv` to seeds, `dampingPct · (…) div 100`), so
-    * placement cannot change a value. Used only under [[LocalEdgesMax]].
+  /** Gate + collect for the local fast paths, ONE bounded job: pull at
+    * most `localMax + 1` edge rows; qualify only when the frame really
+    * had ≤ localMax rows AND no null ids. The distributed loops drop
+    * null join keys (with knock-on semantics on the node set), so a
+    * null-carrying frame falls back to the distributed path rather than
+    * letting the in-JVM twin diverge — or NPE (review finding, round 14).
+    * Callers must pre-cast both columns to long.
     */
-  private final class LocalCtx(edges: Array[(Long, Long)],
-                               seedSet: Option[Set[Long]], dampingPct: Int) {
+  private[ops] def collectSmallEdges(e0: DataFrame,
+                                     localMax: Long): Option[Array[(Long, Long)]] = {
+    if (localMax <= 0 || localMax >= Int.MaxValue) return None
+    val rows = e0.limit(localMax.toInt + 1).collect()
+    if (rows.length > localMax) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Driver-side node indexing shared by the local twins (PageRank's
+    * LocalCtx and [[Hits]]' half-steps): stable first-seen node order,
+    * edge endpoints as dense int indexes.
+    */
+  private[ops] final class EdgeIndex(edges: Array[(Long, Long)]) {
     val nodeIds: Array[Long] = {
       val s = scala.collection.mutable.LinkedHashSet.empty[Long]
       edges.foreach { case (a, b) => s += a; s += b }
@@ -375,6 +387,29 @@ object PageRank {
     private val idx = new java.util.HashMap[Long, Int](nodeIds.length * 2)
     nodeIds.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
     val n: Int = nodeIds.length
+    val src: Array[Int] = new Array[Int](edges.length)
+    val dst: Array[Int] = new Array[Int](edges.length)
+    locally {
+      var i = 0
+      while (i < edges.length) {
+        src(i) = idx.get(edges(i)._1); dst(i) = idx.get(edges(i)._2)
+        i += 1
+      }
+    }
+  }
+
+  /** The driver-side twin of the distributed recurrence — LINE-FOR-LINE
+    * the arithmetic of [[step]] (per-edge `rank div od` contributions,
+    * dangling mass `div nRecv` to seeds, `dampingPct · (…) div 100`), so
+    * placement cannot change a value. Used only under [[LocalEdgesMax]].
+    */
+  private final class LocalCtx(edges: Array[(Long, Long)],
+                               seedSet: Option[Set[Long]], dampingPct: Int) {
+    private val g = new EdgeIndex(edges)
+    def nodeIds: Array[Long] = g.nodeIds
+    val n: Int = g.n
+    private val src = g.src
+    private val dst = g.dst
     private val isSeed: Array[Boolean] = seedSet match {
       case None => Array.fill(n)(true)
       case Some(s) => nodeIds.map(s.contains)
@@ -383,15 +418,9 @@ object PageRank {
     require(nRecv > 0, "seed set does not intersect the graph")
     private val teleport = ((100L - dampingPct) * Scale / 100L) / nRecv
     private val od = new Array[Long](n)
-    private val src = new Array[Int](edges.length)
-    private val dst = new Array[Int](edges.length)
     locally {
       var i = 0
-      while (i < edges.length) {
-        src(i) = idx.get(edges(i)._1); dst(i) = idx.get(edges(i)._2)
-        od(src(i)) += 1L
-        i += 1
-      }
+      while (i < src.length) { od(src(i)) += 1L; i += 1 }
     }
     def r0: Array[Long] =
       Array.tabulate(n)(j => if (isSeed(j)) Scale / nRecv else 0L)
@@ -431,14 +460,14 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val localMax = LocalEdgesMax
-    if (localMax > 0 && localMax < Int.MaxValue &&
-        e0.limit(localMax.toInt + 1).count() <= localMax) {
+    collectSmallEdges(e0, LocalEdgesMax).foreach { eArr =>
       // measured-small graph: run the identical recurrence in-JVM — see
       // [[LocalEdgesMax]]. The collected seed set is bounded by the node
-      // set it intersects; a LocalRelation result needs no pins at all.
-      val eArr = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val seedSet = seeds.map(_.collect().map(_.getLong(0)).toSet)
+      // set it intersects; null seeds never match the distributed join,
+      // so dropping them here is exact; a LocalRelation result needs no
+      // pins at all.
+      val seedSet = seeds.map(_.collect()
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet)
       val spark = edges.sparkSession
       val out = spark.createDataFrame(
         localIterate(eArr, seedSet, iterations, dampingPct))

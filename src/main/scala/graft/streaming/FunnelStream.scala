@@ -40,12 +40,12 @@ object FunnelStream {
   /** Timeout conf + per-key deadline refresh for the optional idle TTL —
     * one definition so every operator here bounds state the same way.
     */
-  private def timeoutConf(idleTtl: Option[java.time.Duration]): GroupStateTimeout =
+  private[streaming] def timeoutConf(idleTtl: Option[java.time.Duration]): GroupStateTimeout =
     if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
     else GroupStateTimeout.NoTimeout()
 
-  private def armTtl(state: GroupState[_],
-                     idleTtl: Option[java.time.Duration]): Unit =
+  private[streaming] def armTtl(state: GroupState[_],
+                               idleTtl: Option[java.time.Duration]): Unit =
     if (state.exists) idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
 
   /** Event with microsecond event time — the funnel/attribution tiers

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Streaming k-step path mining: the unbounded form of
   * [[graft.ops.Funnel.topPaths]]'s lead() windows — per user, every
@@ -52,12 +52,9 @@ object PathStream {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = events.sparkSession
     import spark.implicits._
-    val timeout =
-      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Tail, PathHit](
-        OutputMode.Append(), timeout) {
+        OutputMode.Append(), FunnelStream.timeoutConf(idleTtl)) {
         case (userId, rows, state: GroupState[Tail]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Tail]) =>
@@ -79,8 +76,7 @@ object PathStream {
           }
           if (ts.nonEmpty) state.update(Tail(ts.takeRight(k - 1),
             ids.takeRight(k - 1), tps.takeRight(k - 1)))
-          if (state.exists)
-            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          FunnelStream.armTtl(state, idleTtl)
           out.iterator
       }
   }

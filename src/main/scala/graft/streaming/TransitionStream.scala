@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Streaming Markov-transition extraction: the unbounded form of
   * `Qext.qExtEventTransitions`'s lead() — per user, each arriving event
@@ -49,12 +49,9 @@ object TransitionStream {
                   idleTtl: Option[java.time.Duration] = None): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val timeout =
-      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Last, Transition](
-        OutputMode.Append(), timeout) {
+        OutputMode.Append(), FunnelStream.timeoutConf(idleTtl)) {
         case (userId, rows, state: GroupState[Last]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Last]) =>
@@ -77,8 +74,7 @@ object TransitionStream {
             }
           }
           cur.foreach(state.update)
-          if (state.exists)
-            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          FunnelStream.armTtl(state, idleTtl)
           out.iterator
       }
   }

@@ -81,18 +81,23 @@ class BenchLineSpec extends AnyFlatSpec with Matchers {
     js.has("inrun_total") shouldBe false
   }
 
-  "Bench run-log merging" should "round-trip floors and merge only same-head entries" in {
+  "Bench run-log merging" should "round-trip floors and merge only same-head same-sf entries" in {
     val tmp = java.nio.file.Files.createTempFile("bench_runs", ".jsonl")
     try {
       val headA = "a" * 40
       val headB = "b" * 40
-      Bench.appendRunLog(tmp, Some(headA),
+      val sf01 = "/root/testdata/sf0.1"
+      Bench.appendRunLog(tmp, Some(headA), sf01,
         Seq("q1" -> 1.5, "q2" -> 0.8), 2.3, 1.0, 3)
-      Bench.appendRunLog(tmp, Some(headA),
+      Bench.appendRunLog(tmp, Some(headA), sf01,
         Seq("q1" -> 1.2, "q2" -> 0.9, "q3" -> 4.0), 6.1, 0.5, 3)
-      Bench.appendRunLog(tmp, Some(headB), Seq("q1" -> 0.1), 0.1, 0.5, 3)
-      Bench.appendRunLog(tmp, None, Seq("q1" -> 0.01), 0.01, 0.5, 3) // dirty tree
-      val (floors, runs) = Bench.sameHeadFloors(headA, tmp)
+      Bench.appendRunLog(tmp, Some(headB), sf01, Seq("q1" -> 0.1), 0.1, 0.5, 3)
+      Bench.appendRunLog(tmp, None, sf01, Seq("q1" -> 0.01), 0.01, 0.5, 3) // dirty
+      // same code, DIFFERENT scale factor: its ~10x-smaller floors must
+      // never fold into the sf0.1 merge (review finding, round 14)
+      Bench.appendRunLog(tmp, Some(headA), "/root/testdata/sf0.01",
+        Seq("q1" -> 0.05, "q2" -> 0.04), 0.09, 0.5, 3)
+      val (floors, runs) = Bench.sameHeadFloors(headA, sf01, tmp)
       runs shouldBe 2
       floors("q1") shouldBe 1.2 +- 1e-6
       floors("q2") shouldBe 0.8 +- 1e-6
@@ -101,10 +106,11 @@ class BenchLineSpec extends AnyFlatSpec with Matchers {
       java.nio.file.Files.write(tmp,
         "{\"ts\": 1.0, \"run\": 0, \"line\": \"{}\"}\nnot json at all\n".getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.APPEND)
-      val (floors2, runs2) = Bench.sameHeadFloors(headA, tmp)
+      val (floors2, runs2) = Bench.sameHeadFloors(headA, sf01, tmp)
       runs2 shouldBe 2
       floors2 shouldBe floors
-      Bench.sameHeadFloors("c" * 40, tmp)._2 shouldBe 0
+      Bench.sameHeadFloors("c" * 40, sf01, tmp)._2 shouldBe 0
+      Bench.sameHeadFloors(headA, "/root/testdata/sf0.01", tmp)._2 shouldBe 1
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
