@@ -71,7 +71,9 @@ def check_bench_stdout():
                     "is red; do not close on this line")
     ok(f"bench stdout line: {len(line)} chars, parses, "
        f"{js['n_queries']} queries, n_errors=0, "
-       f"ratio_vs_r1={js.get('ratio_vs_r1')}, "
+       f"ratio_vs_r1={js.get('ratio_vs_r1')} (merged-min FLOOR when "
+       f"merged_runs>0), inrun_ratio={js.get('inrun_ratio')} "
+       f"(this run's own min-of-passes — the like-for-like figure), "
        f"core25_ratio={js.get('core25_ratio')}, "
        f"merged_runs={js.get('merged_runs', 0)}")
 

@@ -163,7 +163,15 @@ object Bench {
         s""""load_idle":${fmt(2, loadIdle)},"load_avg":$lds,""" +
         s"""${if (extraPasses > 0) s""""extra_passes":$extraPasses,""" else ""}""" +
         s"""${if (mergedRuns > 0)
-             s""""merged_runs":$mergedRuns,"inrun_total":${fmt(2, inRunTotal)},"""
+             // like-for-like companion (advice, round 14): ratio_vs_r1 on a
+             // merged-min line is a FLOOR estimate (per-query minima folded
+             // across same-code runs); inrun_ratio is this run's own
+             // min-of-passes total over the same denominator — directly
+             // comparable to a single-run round-1 measurement.
+             s""""merged_runs":$mergedRuns,"inrun_total":${fmt(2, inRunTotal)},""" +
+               (if (isSf01 && results.nonEmpty)
+                  s""""inrun_ratio":${fmt(2, inRunTotal / results.size / 0.279)},"""
+                else "")
            else ""}""" +
         s""""n_errors":${errorNames.size},"errors":$errNames,""" +
         s"""${if (topK > 0) s""""top_slowest":$top,""" else ""}""" +

@@ -142,9 +142,13 @@ object Hits {
     // driver total job + an eager checkpoint per half-step — and those
     // barriers, not arithmetic, dominated q_ext_hits at local[32]. The
     // normalization is column-for-column the driver-literal form:
-    // floor(raw·Scale/tot) over exact-integer doubles (both factors are
-    // exact, IEEE multiply/divide/floor correctly rounded) — values
-    // bit-identical (HitsSpec + the q_ext_hits oracle lock it).
+    // floor(raw·Scale/tot). Parity with the local twin holds because
+    // both paths execute the IDENTICAL IEEE op sequence
+    // (long→double, multiply, divide, floor — each correctly rounded),
+    // not because the intermediates are exact: with Scale=1e12, raw
+    // values above 2^53/Scale already round at the long→double cast,
+    // identically on both paths (HitsSpec + the q_ext_hits oracle lock
+    // the bit-identity).
     def halfStep(scores: DataFrame, scoreCol: String,
                  edgeFrom: String, edgeTo: String, outCol: String): DataFrame = {
       val raw = rawHalfStep(e, scores, scoreCol, edgeFrom, edgeTo, small)

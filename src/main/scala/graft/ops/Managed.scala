@@ -43,6 +43,28 @@ final class Managed(val df: DataFrame, val caches: Seq[DataFrame],
 
 object Managed {
 
+  /** Persist `df` unless its exact plan is already registered with the
+    * CacheManager (`Dataset.storageLevel` is the public cache probe).
+    *
+    * The unmanaged warm-path operators (`Sampling.systematicWeighted`,
+    * `SemDedup.dedup`, `TextDedup.simhashNearDups`, ...) deliberately
+    * leave their signature/assignment pin in place so a repeated
+    * invocation over the same input ALIASES into the warm cache instead
+    * of recomputing. A plain `persist()` on that second invocation is a
+    * no-op cache hit, but it logs `CacheManager: Asked to cache already
+    * cached data` — a WARN that rides the bench stderr and reads like
+    * the round-9 stale-snapshot class. This makes the hit explicit and
+    * silent. The aliasing itself is benign BY CONSTRUCTION only for
+    * immutable inputs (the engine's parquet corpus contract);
+    * CacheAliasingSpec locks result identity and pin-count stability
+    * across re-invocations.
+    */
+  def ensurePersisted[T](ds: org.apache.spark.sql.Dataset[T],
+                         lvl: org.apache.spark.storage.StorageLevel): org.apache.spark.sql.Dataset[T] =
+    if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      ds.persist(lvl)
+    else ds
+
   /** EVERY checkpoint RDD reachable in a frame's lineage — including the
     * caller's inputs: eager local checkpoints pin their blocks in the
     * block manager outside the SQL cache, so `DataFrame.unpersist` never

@@ -112,12 +112,12 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85): DataFrame =
-    iterate(edges, srcCol, dstCol, iterations, dampingPct, seeds = None).df
+    iterate(edges, srcCol, dstCol, iterations, dampingPct, seedsRaw = None).df
 
   /** [[pageRank]] with an explicit cache-release handle. */
   def pageRankManaged(edges: DataFrame, srcCol: String, dstCol: String,
                       iterations: Int, dampingPct: Int = 85): Managed =
-    iterate(edges, srcCol, dstCol, iterations, dampingPct, seeds = None)
+    iterate(edges, srcCol, dstCol, iterations, dampingPct, seedsRaw = None)
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
     * personalized PageRank whose teleport — and dangling mass — return
@@ -139,8 +139,7 @@ object PageRank {
                        seeds: DataFrame, seedCol: String,
                        iterations: Int, dampingPct: Int = 85): Managed =
     iterate(edges, srcCol, dstCol, iterations, dampingPct,
-      seeds = Some(seeds.select(col(seedCol).cast("long").as("node"))
-        .distinct()))
+      seedsRaw = Some(seeds.select(col(seedCol).cast("long").as("node"))))
 
   /** [[pageRankConverged]]'s managed result: the rank handle plus how the
     * loop terminated.
@@ -357,18 +356,27 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Gate + collect for the local fast paths, ONE bounded job: pull at
-    * most `localMax + 1` edge rows; qualify only when the frame really
-    * had ≤ localMax rows AND no null ids. The distributed loops drop
-    * null join keys (with knock-on semantics on the node set), so a
-    * null-carrying frame falls back to the distributed path rather than
-    * letting the in-JVM twin diverge — or NPE (review finding, round 14).
-    * Callers must pre-cast both columns to long.
+  /** Gate + collect for the local fast paths: a bounded COUNT probe
+    * (`limit(localMax+1).count()` — the exact job LocalGateProbe
+    * measures; early-stopping, no row transfer), then the collect only
+    * when the count qualifies (advice, round 14: the previous
+    * collect-first gate pulled up to localMax+1 boxed Rows to the driver
+    * per invocation on graphs ABOVE the threshold — ~2M GenericRows at
+    * the default — before rejecting them). Small graphs pay one extra
+    * single-stage job over a LocalLimit; big graphs ship nothing.
+    * Qualify only when the frame really had ≤ localMax rows AND no null
+    * ids: the distributed loops drop null join keys (with knock-on
+    * semantics on the node set), so a null-carrying frame falls back to
+    * the distributed path rather than letting the in-JVM twin diverge —
+    * or NPE (review finding, round 14). Callers must pre-cast both
+    * columns to long.
     */
   private[ops] def collectSmallEdges(e0: DataFrame,
                                      localMax: Long): Option[Array[(Long, Long)]] = {
     if (localMax <= 0 || localMax >= Int.MaxValue) return None
-    val rows = e0.limit(localMax.toInt + 1).collect()
+    val probe = e0.limit(localMax.toInt + 1)
+    if (probe.count() > localMax) return None
+    val rows = probe.collect()
     if (rows.length > localMax) return None
     if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     Some(rows.map(r => (r.getLong(0), r.getLong(1))))
@@ -456,23 +464,40 @@ object PageRank {
 
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
                       iterations: Int, dampingPct: Int,
-                      seeds: Option[DataFrame]): Managed = {
+                      seedsRaw: Option[DataFrame]): Managed = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // seed dedup happens HERE, once, for BOTH regimes (advice, round 14):
+    // a duplicate seed row would duplicate node rows through prepare()'s
+    // left join — inflating nNodes/nRecv and double-counting contributions
+    // — while the local twin's Set dedups naturally; distinct-at-entry
+    // makes the two regimes agree by construction on any seed frame.
+    val seeds = seedsRaw.map(_.distinct())
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     collectSmallEdges(e0, LocalEdgesMax).foreach { eArr =>
       // measured-small graph: run the identical recurrence in-JVM — see
-      // [[LocalEdgesMax]]. The collected seed set is bounded by the node
-      // set it intersects; null seeds never match the distributed join,
-      // so dropping them here is exact; a LocalRelation result needs no
-      // pins at all.
-      val seedSet = seeds.map(_.collect()
-        .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet)
-      val spark = edges.sparkSession
-      val out = spark.createDataFrame(
-        localIterate(eArr, seedSet, iterations, dampingPct))
-        .toDF("node", "rank_scaled")
-      return new Managed(out, Nil, Nil)
+      // [[LocalEdgesMax]]. The seed pull is gated like the edge pull
+      // (advice, round 14): a distinct-seed frame larger than
+      // LocalEdgesMax would OOM the driver on the fast path where the
+      // distributed loop handles it, so it falls through instead. Null
+      // seeds never match the distributed join, so dropping them here is
+      // exact; a LocalRelation result needs no pins at all.
+      val seedSet: Option[Option[Set[Long]]] = seeds match {
+        case None => Some(None)
+        case Some(s) =>
+          val bound = LocalEdgesMax.toInt
+          val probe = s.limit(bound + 1)
+          if (probe.count() > bound) None
+          else Some(Some(probe.collect()
+            .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet))
+      }
+      seedSet.foreach { ss =>
+        val spark = edges.sparkSession
+        val out = spark.createDataFrame(
+          localIterate(eArr, ss, iterations, dampingPct))
+          .toDF("node", "rank_scaled")
+        return new Managed(out, Nil, Nil)
+      }
     }
     val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds)
     val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]

@@ -179,13 +179,29 @@ object Retrieval {
   }
 
   /** Attach 1-based ranks to a retrieval result by (score desc, id asc).
-    * Call AFTER a top-N cut: the input is bounded (<= N rows), so the
-    * single-partition rank window is O(N), not a corpus funnel.
+    * Call AFTER a top-N cut: the input is bounded (<= N rows) BY
+    * CONTRACT, so the rows are collected and ranked on the driver and
+    * returned as a LocalRelation (the same k-bounded materialization as
+    * [[scoreBm25]], whose output is this function's input in the hybrid
+    * path). A window form would need a global single-partition sort —
+    * an Exchange the optimizer re-plans (and WARNs about) on every AQE
+    * stage: Spark 4 folds any constant partitionBy key away
+    * (EliminateWindowPartitions), so the no-partition warning cannot be
+    * silenced declaratively. Nulls sort the way the window form did:
+    * score DESC NULLS LAST, id ASC NULLS FIRST.
     */
   def ranked(topped: DataFrame, idCol: String, rankName: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col(idCol).asc)
-    topped.withColumn(rankName, row_number().over(w))
+    val spark = topped.sparkSession
+    val sorted = topped.orderBy(col("score").desc, col(idCol).asc)
+    val rows = sorted.collect()
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          rankName, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val withRank = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(withRank: _*), schema)
   }
 
   /** Reciprocal-rank fusion of two ranked lists:

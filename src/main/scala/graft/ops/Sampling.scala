@@ -119,7 +119,8 @@ object Sampling {
       .repartitionByRange(col("__id"))
       .sortWithinPartitions("__id")
       .as[(Long, Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Managed.ensurePersisted(_,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // pass 1: one (partitionId, sum) pair per partition
     val partTotals = sorted.mapPartitions { it =>
       var s = 0L
@@ -188,7 +189,8 @@ object Sampling {
       .repartitionByRange(col("__g"), col("__id"))
       .sortWithinPartitions("__g", "__id")
       .as[(String, Long, Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Managed.ensurePersisted(_,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // pass 1: per-(partition, group) sums — groups are contiguous within
     // a sorted partition, so this is a streaming fold
     val partTotals = sorted.mapPartitions { it =>

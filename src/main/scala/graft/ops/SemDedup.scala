@@ -56,10 +56,10 @@ object SemDedup {
                    model: Ivf.Model, tau: Double,
                    scoreDecimals: Int = 6,
                    maxCluster: Int = Blocking.Auto): Managed = {
-    val assigned = Partitioning.spread(df)
+    val assigned = Managed.ensurePersisted(Partitioning.spread(df)
       .select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("cluster", Ivf.assignExpr(col("__v"), model))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("cluster", Ivf.assignExpr(col("__v"), model)),
+      StorageLevel.MEMORY_AND_DISK)
     val eff =
       if (maxCluster < 0) Blocking.resolveAutoCap(assigned, Seq("cluster"))
       else maxCluster
@@ -118,10 +118,10 @@ object SemDedup {
                      idCol: String, vecCol: String, model: Ivf.Model,
                      tau: Double, clusterCol: String = "cluster",
                      scoreDecimals: Int = 6): Managed = {
-    val ba = Partitioning.spread(batch)
+    val ba = Managed.ensurePersisted(Partitioning.spread(batch)
       .select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("cluster", Ivf.assignExpr(col("__v"), model))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("cluster", Ivf.assignExpr(col("__v"), model)),
+      StorageLevel.MEMORY_AND_DISK)
     val b = ba.select(col(idCol).as("id_b"), col("__v").as("__vb"),
       col("cluster"))
     val storedSide = storedAssigned

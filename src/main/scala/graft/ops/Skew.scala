@@ -48,12 +48,18 @@ object Skew {
     * whether salting / AQE skew thresholds are needed for a given key.
     */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    // single scan, fully lazy: the total comes from a window over the
-    // (small) per-key count table, not a second pass over the input
+    // single scan: the total comes from a one-row aggregate over the
+    // (small) per-key count table cross-joined back in (broadcast — one
+    // row), not a second pass over the input (the groupBy exchange is
+    // shared, so ReuseExchange serves both subtrees). A global window
+    // would plan an unpartitioned WindowExec — Spark 4 folds constant
+    // partition keys away (EliminateWindowPartitions), so its
+    // no-partition WARN cannot be silenced declaratively.
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    counts.withColumn("share", round(col("cnt") / sum(col("cnt")).over(w), 6))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") / col("__total"), 6))
+      .drop("__total")
       .orderBy(col("cnt").desc, col(key))
       .limit(topN)
   }

@@ -113,8 +113,8 @@ object SpanDedup {
   def dedupSpansManaged(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, minCount: Long = 2,
                         outCol: String = "text_spandedup"): Managed = {
-    val occ = spanOccurrences(docs, idCol, textCol, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = Managed.ensurePersisted(
+      spanOccurrences(docs, idCol, textCol, k), StorageLevel.MEMORY_AND_DISK)
     val dup = duplicateSpans(occ, idCol, minCount)
     val dropped = occ
       .join(dup, "gram_hash")

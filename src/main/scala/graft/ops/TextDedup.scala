@@ -500,7 +500,8 @@ object TextDedup {
       val (pairs, prepared) = ppjoin(base, idCol, threshold, freqOrdered)
       new Managed(pairs, Seq(prepared))
     } else {
-      val basep = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val basep = Managed.ensurePersisted(base,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one rep per distinct shingle set (group key = the set itself; the
       // membership table joins back on it — array<string> keys hash fine)
       val reps = basep.groupBy(col("__sh")).agg(min(col(idCol)).as(idCol))
@@ -560,7 +561,8 @@ object TextDedup {
     val prepared = ordered
       .withColumn("__prefix", slice(col("__sh"), lit(1),
         (size(col("__sh")) - ceil(lit(threshold) * size(col("__sh"))) + 1).cast("int")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Managed.ensurePersisted(_,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = prepared.select(col(idCol).as("id_a"), explode(col("__prefix")).as("__p"))
     val b = prepared.select(col(idCol).as("id_b"), explode(col("__prefix")).as("__p"))
     val pairs = a.join(b, "__p").filter(col("id_a") < col("id_b"))
@@ -717,9 +719,10 @@ object TextDedup {
       if (portable) (60, simhash60(tokens(col(textCol))))
       else (64, simhash64(tokens(col(textCol))))
     val qBits = bits / 4
-    val withSim = Partitioning.spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), sim.as("__simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSim = Managed.ensurePersisted(
+      Partitioning.spread(df.select(col(idCol), col(textCol)))
+        .select(col(idCol), sim.as("__simhash")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarters = withSim.select(col(idCol), col("__simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("__simhash"), q * qBits)

@@ -271,22 +271,42 @@ object TextStats {
                     textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val v = vocabulary(docs, idCol, textCol).select("token", "tf")
+    // two distributed jobs (the full-vocab agg computes twice — or once,
+    // when ReuseExchange fires on the shared groupBy), then the rank /
+    // cumulative-sum tail runs on the DRIVER over the ≤ topN collected
+    // rows (TakeOrderedAndProject — distributed heap, no global sort)
+    // and returns a self-contained LocalRelation. A window form needs a
+    // single-partition WindowExec; Spark 4 folds any constant
+    // partitionBy key away (EliminateWindowPartitions), so its
+    // no-partition WARN cannot be silenced declaratively — and the
+    // local tail is strictly less work than exchange+sort+window over
+    // the same ≤ topN rows.
     val total = v.agg(sum("tf").cast("long").as("__total"))
-    val order = Seq(col("tf").desc, col("token").asc)
-    // constant partition key: the windows run AFTER limit(topN), so the
-    // single partition holds ≤ topN rows by construction — the explicit
-    // key only silences WindowExec's no-partition warning (identical
-    // execution; the warning was drowning real signals in bench stderr)
-    val onePart = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val w = onePart.orderBy(order: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    v.orderBy(order: _*).limit(topN)
-      .withColumn("rank", row_number().over(onePart.orderBy(order: _*)))
-      .withColumn("cum_tf", sum("tf").over(w))
-      .crossJoin(broadcast(total))
-      .select(col("rank"), col("token"), col("tf"), col("cum_tf"),
-        round(col("cum_tf").cast("double") / col("__total"), 6).as("coverage"))
+      .head().getLong(0)
+    val top = v.orderBy(col("tf").desc, col("token").asc).limit(topN).collect()
+    var cum = 0L
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      val tf = r.getLong(1)
+      cum += tf
+      // same rounding op Spark's round() applies (BigDecimal HALF_UP on
+      // the shortest-repr double) — oracle arithmetic unchanged
+      val coverage = java.math.BigDecimal.valueOf(cum.toDouble / total)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      org.apache.spark.sql.Row(i + 1, r.getString(0), tf, cum, coverage)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tf",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("coverage",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Assign deterministic integer ids to a [[vocabulary]] (or any

@@ -656,21 +656,29 @@ object Qext {
           .as("norm_hash"))
       .orderBy("doc_id")
 
-  /** Compression-ratio quality signals: deflate
-    * ([[TextStats.compressionRatio]]) and the portable normative LZ
-    * ([[TextStats.lzRatio]], round 11). Deliberately declared WITHOUT a
-    * SQL oracle (the only such query): deflate output depends on the
-    * engine's zlib and DuckDB cannot run the normative LZ — so the
-    * driver's rows-only check plus the spec contracts hold it:
-    * CompressRatioSpec for the deflate signal's semantics, LzRatioSpec
-    * for BIT-EXACT equality of lz_ratio against an independently-written
-    * reference compressor (the check no zlib version drift can touch).
+  /** Compression-ratio quality signal: the portable normative LZ
+    * ([[TextStats.lzRatio]], round 11) — greedy LZ77 with every constant
+    * (window, min/max match, candidate cap, bit costs) part of the
+    * definition, so independent implementations must agree bit-for-bit.
+    * Hash-checked against a THIRD, from-scratch implementation: the
+    * DuckDB oracle runs the same normative parse as a recursive CTE over
+    * character positions (list-lambda candidate scan; valid because the
+    * corpus is ASCII — bytes == characters — which
+    * OracleAssumptionsSpec asserts). LzRatioSpec keeps the second
+    * (naive O(n·W) Scala) implementation locked bit-exact as well.
+    *
+    * The deflate sibling ([[TextStats.compressionRatio]]) moved out of
+    * the hashed projection in round 15 (the round-14 verdict's call):
+    * its output depends on the engine's zlib version, so no engine- and
+    * library-independent oracle can exist for it. The operator stays —
+    * CompressRatioSpec holds its semantics (band test, determinism,
+    * signal direction vs lz_ratio) — but the correctness board carries
+    * only columns an independent implementation can reproduce.
     * Rounded to 4 for a stable display; ordering column is doc_id alone.
     */
   def qExtCompressRatio(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        round(TextStats.compressionRatio(col("text")), 4).as("compress_ratio"),
         round(TextStats.lzRatio(col("text")), 4).as("lz_ratio"))
       .orderBy("doc_id")
 
@@ -2647,6 +2655,54 @@ object Qext {
          |  FROM hashed
          |)
          |SELECT doc_id, content_hash FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // A third, from-scratch implementation of the NORMATIVE greedy LZ77
+    // (LzExpressions scaladoc, every constant part of the definition):
+    // a recursive CTE advancing each doc's parse position one step per
+    // iteration. The candidate set at position i is the nearest 128
+    // positions j < i in a 32768-char window whose 4-char prefix matches
+    // (range ascending -> slice keeps the LAST 128 = nearest); the match
+    // length is 4 + chars-before-first-mismatch via a list lambda
+    // (nullif guards DuckDB's 0-for-absent list_position). Only bestLen
+    // is observable in the cost model (24-bit match / 9-bit literal), so
+    // the engine's tie-to-nearest rule needs no SQL counterpart. Chars
+    // stand in for the normative UTF-8 bytes — valid because the corpus
+    // is ASCII (OracleAssumptionsSpec asserts it). The final division is
+    // a single IEEE op on exact integers, identical in both engines.
+    "q_ext_compress_ratio" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, text AS s, length(text)::BIGINT AS n,
+        |         1::BIGINT AS i, 0::BIGINT AS bits
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, s, n,
+        |         i + CASE WHEN best_len IS NULL THEN 1 ELSE best_len END,
+        |         bits + CASE WHEN best_len IS NULL THEN 9 ELSE 24 END
+        |  FROM (
+        |    SELECT doc_id, s, n, i, bits,
+        |      list_max(
+        |        list_transform(
+        |          list_slice(cands, greatest(1, len(cands) - 127), len(cands)),
+        |          j -> coalesce(
+        |            nullif(list_position(
+        |              list_transform(range(4, least(258, n - i + 1)),
+        |                k -> substr(s, (j + k)::INT, 1) != substr(s, (i + k)::INT, 1)),
+        |              true), 0) + 3,
+        |            least(258, n - i + 1))
+        |        )) AS best_len
+        |    FROM (
+        |      SELECT doc_id, s, n, i, bits,
+        |        CASE WHEN i + 3 <= n THEN
+        |          list_filter(range(greatest(1, i - 32768), i),
+        |            j -> substr(s, j::INT, 4) = substr(s, i::INT, 4))
+        |        ELSE [] END AS cands
+        |      FROM p WHERE i <= n
+        |    )
+        |  )
+        |)
+        |SELECT doc_id,
+        |       round(CASE WHEN n = 0 THEN 1.0 ELSE (bits / 8.0) / n END, 4) AS lz_ratio
+        |FROM p WHERE i > n ORDER BY doc_id""".stripMargin,
 
     // Exact pairs via SQL-side prefix filtering (complete recall, see
     // ngramPairsPrefixCtes) — an independent blocking from the engine's

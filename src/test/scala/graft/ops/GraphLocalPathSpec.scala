@@ -46,6 +46,25 @@ class GraphLocalPathSpec extends SparkSpec {
     sortedRows(local) shouldBe sortedRows(dist)
   }
 
+  it should "agree across regimes — and with the clean seed frame — on DUPLICATE seeds" in {
+    // advice, round 14: duplicate seed rows used to duplicate node rows
+    // through prepare()'s left join (inflating nNodes/nRecv) while the
+    // local twin's Set deduped — same input, regime-dependent results.
+    // iterate() now distincts seeds at entry, so all four runs agree.
+    val clean = Seq(0L, 7L).toDF("n")
+    val dup = Seq(0L, 7L, 7L, 0L, 7L).toDF("n")
+    val expected = sortedRows(
+      PageRank.trustRank(edges, "src", "dst", clean, "n", 5))
+    sortedRows(PageRank.trustRank(edges, "src", "dst", dup, "n", 5)) shouldBe
+      expected
+    forceDistributed {
+      sortedRows(PageRank.trustRank(edges, "src", "dst", dup, "n", 5)) shouldBe
+        expected
+      sortedRows(PageRank.trustRank(edges, "src", "dst", clean, "n", 5)) shouldBe
+        expected
+    }
+  }
+
   "the local HITS path" should "match the distributed half-steps bit-for-bit" in {
     val local = Hits.hits(edges, "src", "dst", iterations = 3)
     val dist = forceDistributed(Hits.hits(edges, "src", "dst", iterations = 3))

@@ -24,6 +24,9 @@ import org.scalatest.matchers.should.Matchers
   *    explicit swap/release path (file must call `unpersist`).
   *  - `runScoped` — a driver-boundary pipeline program whose cache dies
   *    with the run's JVM (file must live under `pipelines/`).
+  *  - `helper` — the shared conditional-persist gate
+  *    ([[Managed.ensurePersisted]]): persists only when the plan is not
+  *    already cached; the pin's lifecycle belongs to the CALLING site.
   *
   * `tools/` is excluded: probes are one-shot measurement mains, not
   * library surface. RegistryLifecycleSpec asserts the RUNTIME half — the
@@ -35,6 +38,7 @@ class PersistInventorySpec extends AnyFlatSpec with Matchers {
   private val Released = "released"
   private val Serving = "serving"
   private val RunScoped = "runScoped"
+  private val Helper = "helper"
 
   /** file (relative to src/main/scala/graft) -> (pin-site count, class). */
   private val whitelist: Map[String, (Int, String)] = Map(
@@ -43,11 +47,16 @@ class PersistInventorySpec extends AnyFlatSpec with Matchers {
     "ops/PageRank.scala" -> (5, Managed), // pageRank/trustRankManaged
     "ops/Profiler.scala" -> (1, Released), // rank-select scratch, read twice
     "ops/Retrieval.scala" -> (1, Released), // BM25 tf table, freed post-topN
-    "ops/Sampling.scala" -> (2, Managed), // prefix-sum sorted scratch
-    "ops/SemDedup.scala" -> (2, Managed), // cluster assignment table
+    // round 15: the warm-path pins (Sampling prefix-sum scratch, SemDedup
+    // assignment, SpanDedup occurrences, TextDedup ppjoin/simhash
+    // signatures) route through Managed.ensurePersisted — persist only
+    // when the plan is not already cached, so a re-invocation ALIASES
+    // silently instead of logging the CacheManager re-persist WARN
+    // (CacheAliasingSpec locks the benignity). Their lifecycle class is
+    // unchanged (managed handles still release them).
+    "ops/Managed.scala" -> (1, Helper), // ensurePersisted, the shared gate
     "ops/Similarity.scala" -> (1, Managed), // LSH signature table
-    "ops/SpanDedup.scala" -> (1, Managed), // span occurrence table
-    "ops/TextDedup.scala" -> (5, Managed), // minhash/ppjoin signature tables
+    "ops/TextDedup.scala" -> (2, Managed), // minhash prepare + increment delta
     "ops/TextRank.scala" -> (2, Managed), // keywordsManaged: ids + edges
     "pipelines/CorpusPrepStream.scala" -> (1, Released), // per-batch transient
     "pipelines/CorpusStore.scala" -> (1, Serving), // served index, swap frees
@@ -102,6 +111,11 @@ class PersistInventorySpec extends AnyFlatSpec with Matchers {
           case Managed => text should include("new Managed(")
           case Released | Serving => text should include("unpersist")
           case RunScoped => f should startWith("pipelines/")
+          case Helper =>
+            // the conditional-persist gate: must probe the public cache
+            // state and persist ONLY when absent — lifecycle stays owned
+            // by each calling site's own classification
+            text should include("storageLevel == org.apache.spark.storage.StorageLevel.NONE")
         }
       }
     }

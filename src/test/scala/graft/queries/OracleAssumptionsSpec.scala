@@ -46,4 +46,18 @@ class OracleAssumptionsSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     lsh shouldBe exact
   }
+  "the lz_ratio oracle corpus" should "be pure ASCII (bytes == characters)" in {
+    // the q_ext_compress_ratio DuckDB oracle (round 15) replays the
+    // normative byte-level LZ77 parse over CHARACTER positions — sound
+    // only while every document is single-byte ASCII. A regenerated
+    // corpus with multi-byte text must fail here with the reason.
+    val docs = Sources.table(spark, dir, "documents")
+    val nonAscii = docs
+      .filter(org.apache.spark.sql.functions.length(col("text")) =!=
+        octet_length(col("text")))
+      .count()
+    withClue("non-ASCII documents break the char-position LZ oracle: ") {
+      nonAscii shouldBe 0L
+    }
+  }
 }
