@@ -604,4 +604,551 @@ object MediaCodec {
       case _ => None
     }
   }
+
+  // ------------------------------------------------------------------ JPEG
+  // Baseline-sequential pixel decode (ITU-T T.81 / ISO 10918-1): marker
+  // walk -> canonical Huffman entropy decode (Annex F) -> dequantize ->
+  // fixed-point 2-D IDCT -> level shift -> chroma upsample (replication)
+  // -> YCbCr->RGB. Same contract as decodePng/decodeGif: total (None on
+  // anything malformed, never throws), allocation-guarded against forged
+  // headers, pure JDK arithmetic so the decode runs identically on any
+  // executor.
+  //
+  // Determinism note: unlike PNG/GIF, JPEG decode is NOT uniquely defined
+  // by its standard — T.81 only bounds IDCT error (IEEE 1180), so two
+  // compliant decoders may differ by +-1 in AC-heavy blocks. This decoder
+  // therefore NORMATIVELY pins its arithmetic: the 13-bit fixed-point
+  // Loeffler-Ligtenberg-Moshovitz IDCT (the classic "islow" constants,
+  // published in the JPEG literature), replication (nearest) chroma
+  // upsampling, and 16-bit fixed-point CCIR 601 color conversion with
+  // floor rounding. Two invariants follow and are spec-locked:
+  //   - DC-only blocks decode EXACTLY on any compliant IDCT: coefficient
+  //     F(0,0)=8k yields the flat value 128+k bit-for-bit (the basis of
+  //     the arithmetic-predicted q_ext_multimodal_jpeg oracle), and
+  //   - against the JDK's independent libjpeg-based reader, samples agree
+  //     within the IEEE-1180-scale tolerance (JpegCodecSpec's parity
+  //     bound), differing only where the standard itself permits.
+
+  /** Fully decoded baseline JPEG: SOF fields plus 8-bit samples, row-major
+    * and channel-interleaved (gray: 1 byte/pixel; color: RGB, 3). Produced
+    * by [[decodeJpeg]].
+    */
+  final case class JpegPixels(info: JpegInfo, channels: Int, samples: Array[Byte])
+
+  /** Zigzag index -> natural (row-major) index, T.81 Figure 5. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Entropy-segment bit reader: MSB-first within bytes, 0xFF00 byte
+    * UN-stuffing, and non-stuffed markers surfaced (never consumed as
+    * data). All reads are total: past-the-end or at-a-marker returns the
+    * sentinel instead of throwing.
+    */
+  private final class JBitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var cnt = 0
+    var atMarker = false
+    var markerCode = 0
+
+    /** Next bit, or -1 at a marker / end of data. */
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (atMarker || pos >= b.length) { atMarker = true; return -1 }
+        val v = b(pos) & 0xFF
+        pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) { atMarker = true; return -1 }
+          val m = b(pos) & 0xFF
+          if (m != 0x00) { atMarker = true; markerCode = m; pos += 1; return -1 }
+          pos += 1 // stuffed 0xFF00 -> a literal 0xFF data byte
+        }
+        cur = v
+        cnt = 8
+      }
+      cnt -= 1
+      (cur >> cnt) & 1
+    }
+
+    /** `n` bits MSB-first, or Int.MinValue on marker/end. n <= 16. */
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val x = bit()
+        if (x < 0) return Int.MinValue
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+
+    /** Consume an expected RSTn marker at a restart boundary: drop the
+      * byte-padding bits, then require exactly the in-sequence marker.
+      */
+    def expectRestart(idx: Int): Boolean = expectMarker(0xD0 + idx)
+
+    /** Require the EOI marker after the last MCU: a truncated entropy
+      * stream that happened to satisfy every MCU must still quarantine
+      * (None), matching the PNG decoder's complete-stream discipline.
+      */
+    def expectEoi(): Boolean = expectMarker(0xD9)
+
+    private def expectMarker(code: Int): Boolean = {
+      cnt = 0 // discard pad bits to the byte boundary
+      if (!atMarker) {
+        if (pos + 1 >= b.length || (b(pos) & 0xFF) != 0xFF) return false
+        markerCode = b(pos + 1) & 0xFF
+        atMarker = true
+        pos += 2
+      }
+      if (markerCode == code) { atMarker = false; true } else false
+    }
+  }
+
+  /** Canonical Huffman table (T.81 Annex C build, F.2.2.3 decode):
+    * `counts(l-1)` codes of length l, symbols in code order.
+    */
+  private final class JHuff(counts: Array[Int], symbols: Array[Int]) {
+    private val maxcode = new Array[Int](17)
+    private val mincode = new Array[Int](17)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxcode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Next symbol, or -1 on invalid code / marker / end. */
+    def decode(r: JBitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        val b = r.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+        if (maxcode(l) >= 0 && code <= maxcode(l))
+          return symbols(valptr(l) + code - mincode(l))
+      }
+      -1
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: interpret `v` (`t` bits) as the signed value of
+    * category t.
+    */
+  @inline private def jExtend(v: Int, t: Int): Int =
+    if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  // 13-bit fixed-point IDCT constants (round(x * 8192)) — the classic
+  // Loeffler-Ligtenberg-Moshovitz factorization's multipliers.
+  private val FIX_0_298631336 = 2446L
+  private val FIX_0_390180644 = 3196L
+  private val FIX_0_541196100 = 4433L
+  private val FIX_0_765366865 = 6270L
+  private val FIX_0_899976223 = 7373L
+  private val FIX_1_175875602 = 9633L
+  private val FIX_1_501321110 = 12299L
+  private val FIX_1_847759065 = 15137L
+  private val FIX_1_961570560 = 16069L
+  private val FIX_2_053119869 = 16819L
+  private val FIX_2_562915447 = 20995L
+  private val FIX_3_072711026 = 25172L
+  private val ConstBits = 13
+  private val Pass1Bits = 2
+
+  @inline private def descale(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
+
+  /** 2-D 8x8 inverse DCT over dequantized coefficients (natural order),
+    * level-shifted (+128) and clamped into `out` at `off` with row
+    * `stride`. Long intermediates: a forged stream can carry coefficient
+    * magnitudes beyond the spec range, and the decode must stay total
+    * (wrong pixels for out-of-spec inputs are fine; UB is not).
+    * DC-only blocks produce EXACTLY descale(dc, 3) + 128 per sample —
+    * the exactness the arithmetic-predicted fixtures rely on.
+    */
+  private def idct8x8(coef: Array[Int], out: Array[Byte], off: Int,
+                      stride: Int): Unit = {
+    val ws = new Array[Long](64)
+    // pass 1: columns (operating on natural-order coefficients)
+    var c = 0
+    while (c < 8) {
+      if (coef(8 + c) == 0 && coef(16 + c) == 0 && coef(24 + c) == 0 &&
+          coef(32 + c) == 0 && coef(40 + c) == 0 && coef(48 + c) == 0 &&
+          coef(56 + c) == 0) {
+        val dcval = coef(c).toLong << Pass1Bits
+        var r = 0
+        while (r < 8) { ws(r * 8 + c) = dcval; r += 1 }
+      } else {
+        val z2 = coef(16 + c).toLong
+        val z3 = coef(48 + c).toLong
+        val z1 = (z2 + z3) * FIX_0_541196100
+        val t2 = z1 + z3 * -FIX_1_847759065
+        val t3 = z1 + z2 * FIX_0_765366865
+        val t0 = (coef(c).toLong + coef(32 + c)) << ConstBits
+        val t1 = (coef(c).toLong - coef(32 + c)) << ConstBits
+        val t10 = t0 + t3
+        val t13 = t0 - t3
+        val t11 = t1 + t2
+        val t12 = t1 - t2
+        var o0 = coef(56 + c).toLong
+        var o1 = coef(40 + c).toLong
+        var o2 = coef(24 + c).toLong
+        var o3 = coef(8 + c).toLong
+        var zz1 = o0 + o3
+        var zz2 = o1 + o2
+        var zz3 = o0 + o2
+        var zz4 = o1 + o3
+        val z5 = (zz3 + zz4) * FIX_1_175875602
+        o0 *= FIX_0_298631336
+        o1 *= FIX_2_053119869
+        o2 *= FIX_3_072711026
+        o3 *= FIX_1_501321110
+        zz1 *= -FIX_0_899976223
+        zz2 *= -FIX_2_562915447
+        zz3 = zz3 * -FIX_1_961570560 + z5
+        zz4 = zz4 * -FIX_0_390180644 + z5
+        o0 += zz1 + zz3
+        o1 += zz2 + zz4
+        o2 += zz2 + zz3
+        o3 += zz1 + zz4
+        ws(c) = descale(t10 + o3, ConstBits - Pass1Bits)
+        ws(56 + c) = descale(t10 - o3, ConstBits - Pass1Bits)
+        ws(8 + c) = descale(t11 + o2, ConstBits - Pass1Bits)
+        ws(48 + c) = descale(t11 - o2, ConstBits - Pass1Bits)
+        ws(16 + c) = descale(t12 + o1, ConstBits - Pass1Bits)
+        ws(40 + c) = descale(t12 - o1, ConstBits - Pass1Bits)
+        ws(24 + c) = descale(t13 + o0, ConstBits - Pass1Bits)
+        ws(32 + c) = descale(t13 - o0, ConstBits - Pass1Bits)
+      }
+      c += 1
+    }
+    // pass 2: rows, final descale + level shift + clamp
+    val finalShift = ConstBits + Pass1Bits + 3
+    var r = 0
+    while (r < 8) {
+      val base = r * 8
+      val z2 = ws(base + 2)
+      val z3 = ws(base + 6)
+      val z1 = (z2 + z3) * FIX_0_541196100
+      val t2 = z1 + z3 * -FIX_1_847759065
+      val t3 = z1 + z2 * FIX_0_765366865
+      val t0 = (ws(base) + ws(base + 4)) << ConstBits
+      val t1 = (ws(base) - ws(base + 4)) << ConstBits
+      val t10 = t0 + t3
+      val t13 = t0 - t3
+      val t11 = t1 + t2
+      val t12 = t1 - t2
+      var o0 = ws(base + 7)
+      var o1 = ws(base + 5)
+      var o2 = ws(base + 3)
+      var o3 = ws(base + 1)
+      var zz1 = o0 + o3
+      var zz2 = o1 + o2
+      var zz3 = o0 + o2
+      var zz4 = o1 + o3
+      val z5 = (zz3 + zz4) * FIX_1_175875602
+      o0 *= FIX_0_298631336
+      o1 *= FIX_2_053119869
+      o2 *= FIX_3_072711026
+      o3 *= FIX_1_501321110
+      zz1 *= -FIX_0_899976223
+      zz2 *= -FIX_2_562915447
+      zz3 = zz3 * -FIX_1_961570560 + z5
+      zz4 = zz4 * -FIX_0_390180644 + z5
+      o0 += zz1 + zz3
+      o1 += zz2 + zz4
+      o2 += zz2 + zz3
+      o3 += zz1 + zz4
+      @inline def px(v: Long): Byte = {
+        val s = descale(v, finalShift) + 128
+        (if (s < 0) 0 else if (s > 255) 255 else s.toInt).toByte
+      }
+      val o = off + r * stride
+      out(o) = px(t10 + o3)
+      out(o + 7) = px(t10 - o3)
+      out(o + 1) = px(t11 + o2)
+      out(o + 6) = px(t11 - o2)
+      out(o + 2) = px(t12 + o1)
+      out(o + 5) = px(t12 - o1)
+      out(o + 3) = px(t13 + o0)
+      out(o + 4) = px(t13 - o0)
+      r += 1
+    }
+  }
+
+  private final case class JComp(id: Int, h: Int, v: Int, tq: Int,
+                                 var td: Int = 0, var ta: Int = 0)
+
+  /** FULL baseline JPEG pixel decode, dependency-free. Scope: baseline
+    * sequential DCT (SOF0; SOF1 extended-sequential accepted — identical
+    * coding at 8-bit precision), 8-bit samples, 1 (grayscale) or 3 (YCbCr)
+    * components, any T.81-legal sampling factors (h,v in 1..4 — covers
+    * 4:4:4, 4:2:0, 4:2:2, 4:4:0), restart markers, one interleaved scan.
+    * Progressive (SOF2), arithmetic coding, hierarchical, 12-bit
+    * precision, and multi-scan streams return None (a curation pipeline
+    * quarantines them rather than mis-reading). Total like the header
+    * parsers; output allocation capped via `maxPixels` (the component
+    * planes round up to MCU multiples, bounded by the same cap scaled by
+    * the worst-case 4x padding) so a forged SOF cannot allocate unbounded
+    * executor memory.
+    */
+  def decodeJpeg(bytes: Array[Byte], maxPixels: Long = 1L << 24): Option[JpegPixels] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (u8(bytes, 0) != 0xFF || u8(bytes, 1) != 0xD8) return None // SOI
+    // quant tables in ZIGZAG order (dequantization multiplies by zigzag
+    // index before the coefficient lands in natural order)
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val dcTables = new Array[JHuff](4)
+    val acTables = new Array[JHuff](4)
+    var comps: Array[JComp] = null
+    var width = 0
+    var height = 0
+    var progressive = false
+    var restartInterval = 0
+    var sosAt = -1 // entropy data start, set when SOS parses
+    var i = 2
+    while (sosAt < 0 && i + 3 < bytes.length) {
+      if (u8(bytes, i) != 0xFF) return None
+      var m = u8(bytes, i + 1)
+      while (m == 0xFF && i + 2 < bytes.length) { i += 1; m = u8(bytes, i + 1) }
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { i += 2 }
+      else if (m == 0xD9) return None // EOI before SOS
+      else {
+        if (i + 3 >= bytes.length) return None
+        val segLen = be16(bytes, i + 2)
+        if (segLen < 2 || i + 2 + segLen > bytes.length) return None
+        val p0 = i + 4 // segment payload start
+        val pEnd = i + 2 + segLen
+        m match {
+          case 0xDB => // DQT: one or more (Pq|Tq, 64 or 128 bytes) entries
+            var p = p0
+            while (p < pEnd) {
+              val pq = u8(bytes, p) >> 4
+              val tq = u8(bytes, p) & 15
+              if (tq > 3 || pq > 1) return None
+              val need = 1 + (if (pq == 0) 64 else 128)
+              if (p + need > pEnd) return None
+              var k = 0
+              while (k < 64) {
+                val v = if (pq == 0) u8(bytes, p + 1 + k)
+                        else be16(bytes, p + 1 + 2 * k)
+                if (v <= 0) return None
+                quant(tq)(k) = v
+                k += 1
+              }
+              quantSeen(tq) = true
+              p += need
+            }
+          case 0xC4 => // DHT: one or more (Tc|Th, 16 counts, symbols)
+            var p = p0
+            while (p < pEnd) {
+              if (p + 17 > pEnd) return None
+              val tc = u8(bytes, p) >> 4
+              val th = u8(bytes, p) & 15
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(l => u8(bytes, p + 1 + l))
+              val total = counts.sum
+              if (total == 0 || total > 256 || p + 17 + total > pEnd) return None
+              val symbols = Array.tabulate(total)(k => u8(bytes, p + 17 + k))
+              val huff = new JHuff(counts, symbols)
+              if (tc == 0) dcTables(th) = huff else acTables(th) = huff
+              p += 17 + total
+            }
+          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+            if (comps != null) return None // second frame header
+            if (segLen < 8) return None
+            val precision = u8(bytes, p0)
+            height = be16(bytes, p0 + 1)
+            width = be16(bytes, p0 + 3)
+            val nf = u8(bytes, p0 + 5)
+            if (precision != 8 || width <= 0 || height <= 0) return None
+            if (nf != 1 && nf != 3) return None
+            if (segLen != 8 + 3 * nf) return None
+            comps = Array.tabulate(nf) { ci =>
+              val q = p0 + 6 + 3 * ci
+              val id = u8(bytes, q)
+              val hv = u8(bytes, q + 1)
+              val tq = u8(bytes, q + 2)
+              JComp(id, hv >> 4, hv & 15, tq)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
+                c.tq > 3)) return None
+          case c if (c >= 0xC2 && c <= 0xCF) && c != 0xC4 && c != 0xC8 =>
+            progressive = true // any other SOF / DAC: unsupported coding
+            return None
+          case 0xDD => // DRI
+            if (segLen != 4) return None
+            restartInterval = be16(bytes, p0)
+          case 0xDA => // SOS
+            if (comps == null) return None
+            val ns = u8(bytes, p0)
+            if (ns != comps.length) return None // one interleaved scan only
+            if (segLen != 6 + 2 * ns) return None
+            var k = 0
+            while (k < ns) {
+              val cs = u8(bytes, p0 + 1 + 2 * k)
+              val tt = u8(bytes, p0 + 2 + 2 * k)
+              val comp = comps.find(_.id == cs).getOrElse(return None)
+              comp.td = tt >> 4
+              comp.ta = tt & 15
+              if (comp.td > 3 || comp.ta > 3) return None
+              k += 1
+            }
+            // baseline spectral params must be 0..63 / 0 / 0
+            if (u8(bytes, pEnd - 3) != 0 || u8(bytes, pEnd - 2) != 63 ||
+                u8(bytes, pEnd - 1) != 0) return None
+            sosAt = pEnd
+          case _ => // APPn / COM / others: skip
+        }
+        if (sosAt < 0) i += 2 + segLen
+      }
+    }
+    if (sosAt < 0 || comps == null) return None
+    val channels = comps.length
+    val nSamples = width.toLong * height * channels
+    if (nSamples <= 0 || nSamples > maxPixels) return None
+    comps.foreach { c =>
+      if (!quantSeen(c.tq)) return None
+      if (dcTables(c.td) == null || acTables(c.ta) == null) return None
+    }
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcuW = 8 * hmax
+    val mcuH = 8 * vmax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // component planes round up to whole MCUs: bounded by (w+mcuW)(h+mcuH)
+    // per component — enforce against the cap with the padding allowance
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planeBytes = comps.indices.map(ci => planeW(ci).toLong * planeH(ci)).sum
+    if (planeBytes > 8L * maxPixels) return None
+    val planes = comps.indices.map(ci =>
+      new Array[Byte](planeW(ci) * planeH(ci))).toArray
+    val r = new JBitReader(bytes, sosAt)
+    val preds = new Array[Int](channels)
+    val coef = new Array[Int](64)
+    var rstIdx = 0
+    var mcusDone = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcusDone > 0 &&
+            mcusDone % restartInterval == 0) {
+          if (!r.expectRestart(rstIdx)) return None
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+        }
+        var ci = 0
+        while (ci < channels) {
+          val c = comps(ci)
+          val q = quant(c.tq)
+          val dcH = dcTables(c.td)
+          val acH = acTables(c.ta)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              // one block: DC diff + AC runs, dequantized into natural order
+              java.util.Arrays.fill(coef, 0)
+              val t = dcH.decode(r)
+              if (t < 0 || t > 15) return None
+              var diff = 0
+              if (t > 0) {
+                val v = r.receive(t)
+                if (v == Int.MinValue) return None
+                diff = jExtend(v, t)
+              }
+              preds(ci) += diff
+              coef(0) = preds(ci) * q(0)
+              var k = 1
+              var eob = false
+              while (!eob && k < 64) {
+                val rs = acH.decode(r)
+                if (rs < 0) return None
+                val run = rs >> 4
+                val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else if (run == 0) eob = true
+                  else return None
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  val v = r.receive(size)
+                  if (v == Int.MinValue) return None
+                  coef(ZigZag(k)) = jExtend(v, size) * q(k)
+                  k += 1
+                }
+              }
+              idct8x8(coef, planes(ci),
+                ((my * c.v + by) * 8) * planeW(ci) + (mx * c.h + bx) * 8,
+                planeW(ci))
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcusDone += 1
+        mx += 1
+      }
+      my += 1
+    }
+    if (!r.expectEoi()) return None
+    val out = new Array[Byte](nSamples.toInt)
+    if (channels == 1) {
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * pw, out, y * width, width)
+        y += 1
+      }
+    } else {
+      // replication (nearest) upsample + fixed-point CCIR 601 YCbCr->RGB:
+      //   r = y + floor((91881 (cr-128) + 32768) / 65536)
+      //   g = y + floor((-22554 (cb-128) - 46802 (cr-128) + 32768) / 65536)
+      //   b = y + floor((116130 (cb-128) + 32768) / 65536)
+      // (floor = arithmetic shift; constants are round(x * 65536) of
+      // 1.40200 / 0.34414 / 0.71414 / 1.77200) — normative for this
+      // decoder, reproduced verbatim by the q_ext_multimodal_jpeg oracle.
+      @inline def clamp(v: Int): Byte =
+        (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      val hY = comps(0).h; val vY = comps(0).v
+      val hCb = comps(1).h; val vCb = comps(1).v
+      val hCr = comps(2).h; val vCr = comps(2).v
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yv = planes(0)((y * vY / vmax) * planeW(0) + (x * hY / hmax)) & 0xFF
+          val cb = (planes(1)((y * vCb / vmax) * planeW(1) + (x * hCb / hmax)) & 0xFF) - 128
+          val cr = (planes(2)((y * vCr / vmax) * planeW(2) + (x * hCr / hmax)) & 0xFF) - 128
+          val o = (y * width + x) * 3
+          out(o) = clamp(yv + ((91881 * cr + 32768) >> 16))
+          out(o + 1) = clamp(yv + ((-22554 * cb - 46802 * cr + 32768) >> 16))
+          out(o + 2) = clamp(yv + ((116130 * cb + 32768) >> 16))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val info = JpegInfo(width, height, 8, channels, progressive = false)
+    Some(JpegPixels(info, channels, out))
+  }
 }
+

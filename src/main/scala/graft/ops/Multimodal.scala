@@ -11,18 +11,20 @@ import org.apache.spark.sql.functions._
   *     JPEG SOF marker walk, GIF LSD, WAV RIFF chunk walk, MPEG audio
   *     frame headers), format SNIFFED from magic bytes.
   *   - [[pixelStats]] / [[gifIndexStats]] — full pixel decode (PNG
-  *     scanline inflate+unfilter; GIF LZW) with exact-integer stats.
+  *     scanline inflate+unfilter; baseline JPEG Huffman+IDCT; GIF LZW)
+  *     with exact-integer stats.
   *   - [[resizePng]] — pixel-level nearest-neighbor resize
   *     (decode → resample → JDK re-encode, channels preserved).
   *   - [[sampleGifFrames]] — real frame sampling over animated GIFs
   *     (multi-frame LZW walk); [[sampleFrames]] remains the relational
   *     no-codec plan for formats without a dependency-free decoder.
   *   - [[pixelFeatures]] — histogram features over real DECODED samples
-  *     where a decoder exists; [[fakeDecodeFeatures]]/[[stubFeatures]]
-  *     remain ONLY as the raw-byte fallback (JPEG pixel decode needs a
-  *     Huffman+IDCT pipeline that stays out of scope) — the documented
-  *     seam where a JNI/onnx codec plugs in, changing one branch, not
-  *     the plan shape.
+  *     where a decoder exists (PNG, GIF, baseline JPEG — the JPEG
+  *     Huffman+IDCT pipeline landed in round 15);
+  *     [[fakeDecodeFeatures]]/[[stubFeatures]] remain ONLY as the
+  *     raw-byte fallback for the formats still without a dependency-free
+  *     decoder (progressive JPEG, video) — the documented seam where a
+  *     JNI/onnx codec plugs in, changing one branch, not the plan shape.
   *
   * Scale posture: decode runs inside `mapPartitions` (one codec init per
   * partition, not per row); binary payloads never shuffle — features are
@@ -84,20 +86,23 @@ object Multimodal {
   }
 
   /** Feature extraction with REAL pixel decode where a dependency-free
-    * decoder exists: PNG payloads histogram their DECODED 8-bit samples
-    * ([[MediaCodec.decodePng]] — the distribution of actual pixel values,
+    * decoder exists: PNG and baseline-JPEG payloads histogram their
+    * DECODED 8-bit samples ([[MediaCodec.decodePng]] /
+    * [[MediaCodec.decodeJpeg]] — the distribution of actual pixel values,
     * not of compressed bytes); everything else falls back to the raw-byte
-    * [[stubFeatures]] (JPEG pixel decode needs a Huffman+IDCT pipeline
-    * that stays out of scope — this is the documented seam where a JNI
-    * codec plugs in, changing one branch, not the plan shape).
+    * [[stubFeatures]]. The JPEG seam closed in round 15 (baseline
+    * Huffman+IDCT pipeline in [[MediaCodec]]); the remaining fallback
+    * formats (progressive JPEG, video) stay the documented seam where a
+    * JNI codec plugs in, changing one branch, not the plan shape.
     */
   def pixelFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[FeatureRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val samples = MediaCodec.decodePng(r.content)
-          .map(_.samples).getOrElse(r.content)
+        val samples = MediaCodec.decodePng(r.content).map(_.samples)
+          .orElse(MediaCodec.decodeJpeg(r.content).map(_.samples))
+          .getOrElse(r.content)
         FeatureRow(r.media_id, r.meta.kind, stubFeatures(samples, dims))
       }
     }
@@ -260,19 +265,28 @@ object Multimodal {
                               channels: Long, n_pixels: Long, n_samples: Long,
                               px_sum: Long, px_min: Long, px_max: Long)
 
-  /** Partition-wise pixel decode + stats over PNG payloads. Rows whose
-    * payload is not a decodable 8-bit non-interlaced PNG are DROPPED
-    * (quarantine-by-omission — callers wanting the reject set anti-join on
-    * media_id). Binary bytes never shuffle: the payload dies inside the
-    * partition, only the fixed-width stats row moves.
+  /** Partition-wise pixel decode + stats over PNG and baseline JPEG
+    * payloads (format SNIFFED from magic bytes — PNG signature vs SOI).
+    * Rows whose payload is neither a decodable 8-bit non-interlaced PNG
+    * nor a decodable baseline JPEG are DROPPED (quarantine-by-omission —
+    * callers wanting the reject set anti-join on media_id). Binary bytes
+    * never shuffle: the payload dies inside the partition, only the
+    * fixed-width stats row moves.
     */
   def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        MediaCodec.decodePng(r.content).map { p =>
-          val s = p.samples
+        val decoded: Option[(Int, Int, Int, Array[Byte])] =
+          if (r.content != null && r.content.length >= 2 &&
+              (r.content(0) & 0xFF) == 0xFF && (r.content(1) & 0xFF) == 0xD8)
+            MediaCodec.decodeJpeg(r.content)
+              .map(j => (j.info.width, j.info.height, j.channels, j.samples))
+          else
+            MediaCodec.decodePng(r.content)
+              .map(p => (p.info.width, p.info.height, p.info.channels, p.samples))
+        decoded.map { case (w, h, ch, s) =>
           var sum = 0L; var mn = 255; var mx = 0
           var i = 0
           while (i < s.length) {
@@ -282,9 +296,8 @@ object Multimodal {
             if (v > mx) mx = v
             i += 1
           }
-          PixelStats(r.media_id, p.info.width.toLong, p.info.height.toLong,
-            p.info.channels.toLong, p.info.width.toLong * p.info.height,
-            s.length.toLong, sum, mn.toLong, mx.toLong)
+          PixelStats(r.media_id, w.toLong, h.toLong, ch.toLong,
+            w.toLong * h, s.length.toLong, sum, mn.toLong, mx.toLong)
         }
       }
     }
@@ -639,6 +652,182 @@ object Multimodal {
       }
     }.toDF("media_id", "frame_idx", "n_frames", "width", "height",
       "idx_sum", "idx_min", "idx_max")
+  }
+
+  // ---------------------------------------------------- JPEG DC fixtures
+
+  /** Hand-built baseline JPEG with DC-ONLY blocks and identity (all-ones)
+    * quantization — the arithmetic-predicted fixture family for the JPEG
+    * pixel-decode oracle. Every 8x8 block carries a single DC coefficient
+    * 8k, which EVERY compliant IDCT reconstructs as the exact flat value
+    * 128+k (F(0,0)=8·mean under the T.81 normalization; no AC means no
+    * IDCT-flavor variance — the same trick that lets PNG/GIF oracles
+    * predict pixels, applied to the one LOSSY format). The per-block k
+    * values come from id/block-coordinate arithmetic, so the
+    * q_ext_multimodal_jpeg oracle recomputes every pixel independently of
+    * BOTH this builder and the decoder. The stream is a fully legal JPEG
+    * (Annex K luminance DC table; a minimal one-code AC table for EOB;
+    * the JDK reader decodes it too — JpegCodecSpec cross-checks).
+    *
+    * Layouts (`chroma`): 0 = grayscale (1 component; w,h multiples of 8),
+    * 1 = YCbCr 4:4:4 (w,h multiples of 8), 2 = YCbCr 4:2:0 (Y at 2x2;
+    * w,h multiples of 16 so MCUs tile exactly).
+    *
+    * Block-k contract (bx, by are PLANE block coords per component):
+    *   kY  = ((seed + 7·bx + 13·by) mod 33) − 16
+    *   kCb = ((3·seed + 5·bx + 11·by) mod 33) − 16
+    *   kCr = ((5·seed + 3·bx + 17·by) mod 33) − 16
+    */
+  def encodeJpegDc(w: Int, h: Int, chroma: Int, seed: Long,
+                   restartEvery: Int = 0): Array[Byte] = {
+    require(chroma >= 0 && chroma <= 2, s"chroma layout 0|1|2, got $chroma")
+    val mcuMul = if (chroma == 2) 16 else 8
+    require(w > 0 && h > 0 && w % mcuMul == 0 && h % mcuMul == 0,
+      s"dims must be positive multiples of $mcuMul, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xFF); b(m) }
+    marker(0xD8) // SOI
+    // DQT: table 0, 8-bit, identity
+    marker(0xDB); b16(2 + 65); b(0x00)
+    (0 until 64).foreach(_ => b(1))
+    val nComp = if (chroma == 0) 1 else 3
+    // SOF0
+    marker(0xC0); b16(8 + 3 * nComp); b(8); b16(h); b16(w); b(nComp)
+    if (chroma == 0) { b(1); b(0x11); b(0) }
+    else {
+      val yHv = if (chroma == 2) 0x22 else 0x11
+      b(1); b(yHv); b(0)
+      b(2); b(0x11); b(0)
+      b(3); b(0x11); b(0)
+    }
+    // DHT: DC table 0 = Annex K luminance DC (T.81 Table K.3); AC table 0 =
+    // minimal canonical one-code table (a single 1-bit code "0" -> EOB)
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = 0 to 11
+    marker(0xC4); b16(2 + 1 + 16 + dcVals.size + 1 + 16 + 1)
+    b(0x00); dcBits.foreach(b); dcVals.foreach(b)
+    b(0x10); b(1); (2 to 16).foreach(_ => b(0)); b(0x00)
+    if (restartEvery > 0) { marker(0xDD); b16(4); b16(restartEvery) } // DRI
+    // SOS
+    marker(0xDA); b16(6 + 2 * nComp); b(nComp)
+    (1 to nComp).foreach { id => b(id); b(0x00) }
+    b(0); b(63); b(0)
+    // entropy-coded data: per MCU, per component, per block: DC diff + EOB
+    var bitBuf = 0
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xFF)
+          if ((bitBuf & 0xFF) == 0xFF) out.write(0x00) // byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    // Annex K luminance DC canonical codes, derived from dcBits/dcVals:
+    // category t -> (code, length)
+    val dcCodes: Array[(Int, Int)] = {
+      val codes = new Array[(Int, Int)](12)
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        var c = 0
+        while (c < dcBits(l - 1)) { codes(k) = (code, l); code += 1; k += 1; c += 1 }
+        code <<= 1
+        l += 1
+      }
+      codes
+    }
+    def putDc(diff: Int): Unit = {
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(t)
+      putBits(code, len)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    def kOf(comp: Int, bx: Int, by: Int): Int = comp match {
+      case 0 => (((seed + 7L * bx + 13L * by) % 33).toInt + 33) % 33 - 16
+      case 1 => (((3L * seed + 5L * bx + 11L * by) % 33).toInt + 33) % 33 - 16
+      case _ => (((5L * seed + 3L * bx + 17L * by) % 33).toInt + 33) % 33 - 16
+    }
+    val hmax = if (chroma == 2) 2 else 1
+    val mcusX = w / (8 * hmax)
+    val mcusY = h / (8 * hmax) // square sampling: vmax == hmax here
+    val preds = new Array[Int](nComp)
+    var mcusDone = 0
+    var rstIdx = 0
+    def flushPad(): Unit =
+      if (bitCnt > 0) {
+        bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+        out.write(bitBuf & 0xFF)
+        if ((bitBuf & 0xFF) == 0xFF) out.write(0x00)
+        bitBuf = 0; bitCnt = 0
+      }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartEvery > 0 && mcusDone > 0 && mcusDone % restartEvery == 0) {
+          flushPad()
+          marker(0xD0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+        }
+        var ci = 0
+        while (ci < nComp) {
+          val f = if (ci == 0) hmax else 1 // per-component sampling factor
+          var by = 0
+          while (by < f) {
+            var bx = 0
+            while (bx < f) {
+              val dc = 8 * kOf(ci, mx * f + bx, my * f + by)
+              putDc(dc - preds(ci))
+              preds(ci) = dc
+              putBits(0, 1) // EOB (the one-code AC table: "0")
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcusDone += 1
+        mx += 1
+      }
+      my += 1
+    }
+    flushPad() // pad to byte boundary with 1s
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic DC-only JPEG payloads from ids ([[encodeJpegDc]]).
+    * Parameter arithmetic is the oracle contract for
+    * q_ext_multimodal_jpeg — keep in sync with its SQL:
+    *
+    *   chroma = id mod 3 (0 gray, 1 4:4:4, 2 4:2:0)
+    *   gray/4:4:4: w = 8·(id mod 5 + 1), h = 8·(id mod 3 + 1)
+    *   4:2:0:      w = 16·(id mod 3 + 1), h = 16·(id mod 2 + 1)
+    *   seed = id
+    */
+  def synthesizeJpegDc(ids: Dataset[Long]): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val chroma = (id % 3).toInt
+        val (w, h) =
+          if (chroma == 2) (16 * (id % 3 + 1).toInt, 16 * (id % 2 + 1).toInt)
+          else (8 * (id % 5 + 1).toInt, 8 * (id % 3 + 1).toInt)
+        MediaRow(id, MediaMeta("image/jpeg", w, h, 1, 0),
+          encodeJpegDc(w, h, chroma, seed = id))
+      }
+    }
   }
 
   /** Encode a real PCM WAVE file via the JDK sampled-audio writer. */

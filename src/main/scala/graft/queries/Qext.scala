@@ -1195,6 +1195,32 @@ object Qext {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** REAL baseline-JPEG pixel decode ([[graft.ops.MediaCodec.decodeJpeg]]:
+    * marker walk → Annex-F Huffman → dequant → fixed-point IDCT → level
+    * shift → replication upsample → CCIR 601 YCbCr→RGB) with
+    * exact-integer pixel stats. The payloads are DC-ONLY fixtures
+    * ([[Multimodal.synthesizeJpegDc]]): with identity quantization and
+    * F(0,0)=8k per block, EVERY compliant IDCT reconstructs the exact
+    * flat value 128+k — the one arithmetic door into oracle-exact
+    * verification of a LOSSY codec. Layouts cycle gray / 4:4:4 / 4:2:0
+    * by id, so the entropy decode, the chroma upsampling, and the color
+    * conversion all sit on the oracle path. The oracle recomputes EVERY
+    * block's (r,g,b) from the generating arithmetic — independent of
+    * both the hand-rolled encoder and this decoder (JpegCodecSpec
+    * additionally cross-checks the same fixtures against the JDK's
+    * reader, and locks bit-exact gray parity on real lossy streams).
+    */
+  def qExtMultimodalJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id").cast("long")).as[Long]
+    Multimodal.pixelStats(Multimodal.synthesizeJpegDc(ids)).toDF()
+      .select("media_id", "width", "height", "channels", "n_pixels",
+        "n_samples", "px_sum", "px_min", "px_max")
+      .orderBy("media_id")
+  }
+
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
     * distincts): null/distinct counts and min/max per column — the intake
     * audit generalizing the reference's inline checks. dtype is projected
@@ -1974,6 +2000,7 @@ object Qext {
     "q_ext_multimodal_gif" -> (qExtMultimodalGif _),
     "q_ext_multimodal_frames" -> (qExtMultimodalFrames _),
     "q_ext_multimodal_frames_delta" -> (qExtMultimodalFramesDelta _),
+    "q_ext_multimodal_jpeg" -> (qExtMultimodalJpeg _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -4067,6 +4094,50 @@ object Qext {
         |       CAST(min(v) AS BIGINT) AS idx_min,
         |       CAST(max(v) AS BIGINT) AS idx_max
         |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Every pixel recomputed from the DC-only fixture contract
+    // (Multimodal.encodeJpegDc scaladoc): per-block flat values
+    // y = 128 + kY(bx,by), chroma sampled at the layout's block scale,
+    // then the decoder's NORMATIVE fixed-point YCbCr->RGB (floor
+    // rounding; constants round(x*65536)). Independent of the encoder
+    // that wrote the stream and the Huffman/IDCT walk that reads it.
+    "q_ext_multimodal_jpeg" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS id, (doc_id % 3) AS chroma,
+        |         CASE WHEN doc_id % 3 = 2 THEN 16*(doc_id % 3 + 1)
+        |              ELSE 8*(doc_id % 5 + 1) END AS w,
+        |         CASE WHEN doc_id % 3 = 2 THEN 16*(doc_id % 2 + 1)
+        |              ELSE 8*(doc_id % 3 + 1) END AS h
+        |  FROM documents WHERE doc_id % 5 = 2
+        |), blk AS (
+        |  SELECT id, chroma, w, h,
+        |         unnest(flatten(list_transform(range(0, h // 8), by ->
+        |           list_transform(range(0, w // 8), bx ->
+        |             {'bx': bx, 'by': by})))) AS b
+        |  FROM dims
+        |), vals AS (
+        |  SELECT id, chroma, w, h,
+        |         128 + ((id + 7*b.bx + 13*b.by) % 33) - 16 AS y,
+        |         ((3*id + 5*(CASE WHEN chroma = 2 THEN b.bx // 2 ELSE b.bx END)
+        |                 + 11*(CASE WHEN chroma = 2 THEN b.by // 2 ELSE b.by END)) % 33) - 16 AS cb,
+        |         ((5*id + 3*(CASE WHEN chroma = 2 THEN b.bx // 2 ELSE b.bx END)
+        |                 + 17*(CASE WHEN chroma = 2 THEN b.by // 2 ELSE b.by END)) % 33) - 16 AS cr
+        |  FROM blk
+        |), rgb AS (
+        |  SELECT id, chroma, w, h, y,
+        |         least(255, greatest(0, y + floor((91881*cr + 32768) / 65536.0)))::BIGINT AS r,
+        |         least(255, greatest(0, y + floor((-22554*cb - 46802*cr + 32768) / 65536.0)))::BIGINT AS g,
+        |         least(255, greatest(0, y + floor((116130*cb + 32768) / 65536.0)))::BIGINT AS bl
+        |  FROM vals
+        |)
+        |SELECT id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |       (CASE WHEN chroma = 0 THEN 1 ELSE 3 END)::BIGINT AS channels,
+        |       (w*h)::BIGINT AS n_pixels,
+        |       (w*h*CASE WHEN chroma = 0 THEN 1 ELSE 3 END)::BIGINT AS n_samples,
+        |       sum(CASE WHEN chroma = 0 THEN 64*y ELSE 64*(r+g+bl) END)::BIGINT AS px_sum,
+        |       min(CASE WHEN chroma = 0 THEN y ELSE least(r, g, bl) END)::BIGINT AS px_min,
+        |       max(CASE WHEN chroma = 0 THEN y ELSE greatest(r, g, bl) END)::BIGINT AS px_max
+        |FROM rgb GROUP BY id, chroma, w, h ORDER BY media_id""".stripMargin,
 
     // Resize replay: the same generating arithmetic composed with the
     // nearest-neighbor source map (sx = x*w div 8, sy = y*h div 8) — the

@@ -37,11 +37,21 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.sampleFrames(media, step = 4).count() shouldBe 0 // images skipped
   }
 
-  "pixelStats" should "compute exact stats from real scanline decode, dropping non-PNGs" in {
+  "pixelStats" should "compute exact stats from real scanline decode, dropping non-images" in {
     val ids = Seq(4L, 12L, 5L, 6L).toDS() // 4,12 → RGB PNG; 5 → WAV; 6 → JPEG
     val rows = Multimodal.pixelStats(Multimodal.synthesizeContainers(ids))
       .collect().map(p => p.media_id -> p).toMap
-    rows.keySet shouldBe Set(4L, 12L) // WAV/JPEG quarantined by omission
+    // WAV quarantined by omission; baseline JPEG DECODES since round 15
+    rows.keySet shouldBe Set(4L, 12L, 6L)
+    // id 6 is a lossy JDK-encoded 7x7 RGB JPEG: dims/shape are exact, pixel
+    // values are codec-dependent — exact JPEG pixel prediction lives in
+    // JpegCodecSpec's DC-only fixtures and the q_ext_multimodal_jpeg oracle
+    val p6 = rows(6L)
+    (p6.width, p6.height, p6.channels) shouldBe ((7L, 7L, 3L))
+    p6.n_pixels shouldBe 49L
+    p6.n_samples shouldBe 147L
+    p6.px_min should be >= 0L
+    p6.px_max should be <= 255L
     val p4 = rows(4L) // w=5, h=5, v=(4+31x+17y)%256, all <256 → no wrap
     (p4.width, p4.height, p4.channels) shouldBe ((5L, 5L, 3L))
     p4.n_pixels shouldBe 25L
