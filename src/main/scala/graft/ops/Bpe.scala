@@ -93,24 +93,33 @@ object Bpe {
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
                   driverVocabMax: Long = 200000L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(driverVocabMax < Int.MaxValue,
+      s"driverVocabMax must fit an Int, got $driverVocabMax")
     val spark = docs.sparkSession
-    val wc = wordCounts(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (wc.count() <= driverVocabMax) {
-        val local = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+    // ONE bounded gate job (round 15 — was count-then-collect, two jobs
+    // over a pinned table): pull at most max+1 grouped rows; the transfer
+    // is bounded by the cap either way, and at vocab scale the row data
+    // is a few MB. Qualifying vocabularies go straight to the driver
+    // loop with nothing pinned; larger ones fall through (the distributed
+    // iteration re-derives its working table — one extra corpus pass on
+    // the path that is about to run numMerges cluster jobs anyway).
+    if (driverVocabMax > 0) {
+      val rows = wordCounts(docs, textCol)
+        .limit(driverVocabMax.toInt + 1).collect()
+      if (rows.length <= driverVocabMax) {
+        val local = rows.map(r => (r.getString(0), r.getLong(1)))
         import spark.implicits._
         return learnMergesLocal(local, numMerges)
           .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
       }
-    } finally wc.unpersist(false)
+    }
     learnMergesDistributed(docs, textCol, numMerges)
   }
 
   /** Driver-local merge loop over a collected (word, count) vocabulary —
     * exact [[learnMergesDistributed]] semantics in memory.
     */
-  private[ops] def learnMergesLocal(vocab: Array[(String, Long)],
+  private[graft] def learnMergesLocal(vocab: Array[(String, Long)],
                                     numMerges: Int): Seq[(Int, String, String, Long)] = {
     var words: Array[(Array[String], Long)] =
       vocab.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }

@@ -47,6 +47,30 @@ object NgramLm {
         :+ col("p.w2").as("w2"): _*)
   }
 
+  /** [[docBigrams]] with an END-OF-DOCUMENT SENTINEL: each document with
+    * n >= 1 tokens emits n rows — the n-1 adjacent pairs plus (lastToken,
+    * null) — so EVERY token occurrence appears as `w1` exactly once.
+    * That makes `groupBy(w1, w2).count` a SINGLE corpus pass from which
+    * both the token frequencies (sum of counts per w1 — exact, the
+    * sentinel restores the last occurrence the pair stream drops) and
+    * the adjacency set (rows with w2 non-null) derive — the one-pass
+    * shape [[TextRank]] builds on.
+    */
+  def docBigramsWithEnd(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
+    val shifted = concat(
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+      array(lit(null).cast("string")))
+    val pairs = zip_with(ts, shifted, (a, b) => struct(a.as("w1"), b.as("w2")))
+    // zero-token docs must emit NOTHING: zip_with pads the shorter side
+    // with null, so an empty ts against [null] would fabricate a
+    // (null, null) row — explode(null) drops the doc instead
+    docs.select(col(idCol),
+        explode(when(size(ts) > lit(0), pairs)).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
   /** A trained bigram model: the three static frames scoring joins
     * against. `vocab` is a single-row (v: BIGINT) frame — kept in-plan
     * (broadcast), never a driver scalar.

@@ -454,7 +454,7 @@ object PageRank {
     }
   }
 
-  private def localIterate(edges: Array[(Long, Long)], seedSet: Option[Set[Long]],
+  private[ops] def localIterate(edges: Array[(Long, Long)], seedSet: Option[Set[Long]],
                            iterations: Int, dampingPct: Int): Seq[(Long, Long)] = {
     val ctx = new LocalCtx(edges, seedSet, dampingPct)
     var rank = ctx.r0

@@ -42,7 +42,7 @@ class PersistInventorySpec extends AnyFlatSpec with Matchers {
 
   /** file (relative to src/main/scala/graft) -> (pin-site count, class). */
   private val whitelist: Map[String, (Int, String)] = Map(
-    "ops/Bpe.scala" -> (3, Released), // merge-loop generations + finally
+    "ops/Bpe.scala" -> (2, Released), // distributed merge-loop generations
     "ops/Hits.scala" -> (4, Managed), // hitsManaged: graph frames + iterates
     "ops/PageRank.scala" -> (5, Managed), // pageRank/trustRankManaged
     "ops/Profiler.scala" -> (1, Released), // rank-select scratch, read twice
