@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming k-step path mining: the unbounded form of
   * [[graft.ops.Funnel.topPaths]]'s lead() windows — per user, every
@@ -77,6 +77,53 @@ object PathStream {
           if (ts.nonEmpty) state.update(Tail(ts.takeRight(k - 1),
             ids.takeRight(k - 1), tps.takeRight(k - 1)))
           FunnelStream.armTtl(state, idleTtl)
+          out.iterator
+      }
+  }
+
+  /** [[paths]] with EVENT-time expiry (the [[FunnelStream]] `*EventTtl`
+    * contract): requires `withWatermark("ts", ...)` upstream; a user's
+    * held tail drops when the event-time watermark passes `eventTtl`
+    * beyond its newest event, so no path spans the expiry gap — and,
+    * unlike the processing-time form, a REPLAYED backfill expires (and
+    * therefore outputs) identically every run. The anchor is the tail's
+    * newest timestamp (its max accepted event time — stale stragglers
+    * never move it backwards).
+    */
+  def pathsEventTtl(events: Dataset[Ev], k: Int,
+                    eventTtl: java.time.Duration): Dataset[PathHit] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(!eventTtl.isNegative && !eventTtl.isZero, "eventTtl must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMs = eventTtl.toMillis
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Tail, PathHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[Tail]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (userId, rows, state: GroupState[Tail]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
+          var ts = state.getOption.map(_.tsMs).getOrElse(Nil)
+          var ids = state.getOption.map(_.eventIds).getOrElse(Nil)
+          var tps = state.getOption.map(_.types).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val stale = ts.nonEmpty && (t < ts.last ||
+              (t == ts.last && e.event_id <= ids.last))
+            if (!stale) {
+              ts :+= t; ids :+= e.event_id; tps :+= e.event_type
+              if (ts.size > k) { ts = ts.tail; ids = ids.tail; tps = tps.tail }
+              if (ts.size == k)
+                out += PathHit(userId, tps.mkString(" > "),
+                  new Timestamp(ts.head), new Timestamp(t))
+            }
+          }
+          if (ts.nonEmpty) {
+            state.update(Tail(ts.takeRight(k - 1),
+              ids.takeRight(k - 1), tps.takeRight(k - 1)))
+            FunnelStream.armEventTtl(state, ts.last, ttlMs)
+          }
           out.iterator
       }
   }

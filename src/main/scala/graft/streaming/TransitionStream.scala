@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming Markov-transition extraction: the unbounded form of
   * `Qext.qExtEventTransitions`'s lead() — per user, each arriving event
@@ -75,6 +75,50 @@ object TransitionStream {
           }
           cur.foreach(state.update)
           FunnelStream.armTtl(state, idleTtl)
+          out.iterator
+      }
+  }
+
+  /** [[transitions]] with EVENT-time expiry (the [[FunnelStream]]
+    * `*EventTtl` contract): requires `withWatermark("ts", ...)` upstream;
+    * a user's held event drops when the event-time watermark passes
+    * `eventTtl` beyond it, so a returner's first new event opens a fresh
+    * chain — and, unlike the processing-time form, a REPLAYED backfill
+    * expires (and therefore outputs) identically every run. The anchor is
+    * the held event's own timestamp (`Last.tsMs` IS the user's max
+    * accepted event time — stale stragglers never move it backwards).
+    */
+  def transitionsEventTtl(events: Dataset[Ev],
+                          eventTtl: java.time.Duration): Dataset[Transition] = {
+    require(!eventTtl.isNegative && !eventTtl.isZero, "eventTtl must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMs = eventTtl.toMillis
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Last, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[Last]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (userId, rows, state: GroupState[Last]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            cur match {
+              case Some(c) if e.ts.getTime < c.tsMs ||
+                  (e.ts.getTime == c.tsMs && e.event_id <= c.eventId) =>
+              // stale straggler / redelivery — drop (see transitions)
+              case Some(c) =>
+                out += Transition(userId, c.eventType, e.event_type,
+                  new Timestamp(c.tsMs), e.ts)
+                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
+              case None =>
+                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
+            }
+          }
+          cur.foreach { c =>
+            state.update(c)
+            FunnelStream.armEventTtl(state, c.tsMs, ttlMs)
+          }
           out.iterator
       }
   }
