@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -186,6 +186,58 @@ object PqExpressions {
     new GenericArrayData(out)
   }
 
+  /** ADC score — the large-m twin of Pq.adcScoreExpr's unrolled
+    * element_at chain: `Σ_s lut[s·k + codes[s]]` accumulated in ascending
+    * subspace order (the exact left-associated FP order of the unrolled
+    * `reduceLeft(_ + _)`, so values are bit-identical — PqSpec asserts
+    * it). Generated code is one static call, constant-size in m and k.
+    * Null inputs → null (BinaryExpression default); code validity (-1
+    * sentinels filtered, entries < k) is the ops layer's precondition,
+    * matching the unrolled form's ANSI element_at contract.
+    */
+  case class PqAdc(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires (array<double>, array<int>), got $other")
+      }
+
+    override def nullSafeEval(lutV: Any, codesV: Any): Any =
+      PqExpressions.adc(lutV.asInstanceOf[ArrayData],
+        codesV.asInstanceOf[ArrayData], k)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, c) =>
+        s"graft.functions.PqExpressions.adc($l, $c, $k)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "pq_adc"
+  }
+
+  /** Static ADC kernel shared by eval and codegen: ascending-s sum,
+    * SEEDED with the first term rather than 0.0 — `0.0 + (-0.0)` is 0.0,
+    * so a zero-seeded loop would differ from the unrolled reduceLeft
+    * chain on a negative-zero first term (sign surfaces in the rounded
+    * string the oracle hashes).
+    */
+  def adc(lut: ArrayData, codes: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var acc = lut.getDouble(codes.getInt(0))
+    var s = 1
+    while (s < m) {
+      acc += lut.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   // ------------------------------------------------------ Column API
 
   def pq_encode(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
@@ -195,4 +247,7 @@ object PqExpressions {
   def pq_lut(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
     bridge.column(PqLut(bridge.expression(vec),
       codebooks.map(_.map(_.toSeq))))
+
+  def pq_adc(lut: Column, codes: Column, k: Int): Column =
+    bridge.column(PqAdc(bridge.expression(lut), bridge.expression(codes), k))
 }

@@ -139,10 +139,22 @@ object Pq {
 
   /** ADC score from a query LUT and a candidate code array: the
     * approximate inner product `q · x̂ = Σ_s lut[s*k + code_s]` — m array
-    * lookups and adds per candidate, in an explicit ascending-s chain so
-    * the FP addition order is engine-reproducible.
+    * lookups and adds per candidate in ascending-s order, via the native
+    * [[graft.functions.PqExpressions.pq_adc]] kernel (round 15: the A/B
+    * at both the bench shape m=4,k=16 and the production shape m=16,
+    * k=256 measured the kernel 15-25% faster than the unrolled
+    * element_at chain on the full scoring scan — tools/PqAdcAB — with
+    * bit-identical values, PqSpec-asserted).
     */
   def adcScoreExpr(lut: Column, codes: Column, cb: Codebook): Column =
+    graft.functions.PqExpressions.pq_adc(lut, codes, cb.k)
+
+  /** The unrolled element_at chain — retained as the independent
+    * reference form the kernel is spec-checked against (PqSpec), never
+    * on the hot path.
+    */
+  private[graft] def adcScoreExprUnrolled(lut: Column, codes: Column,
+                                          cb: Codebook): Column =
     (0 until cb.m).map(s =>
       element_at(lut, lit(s * cb.k + 1) + element_at(codes, s + 1)))
       .reduceLeft(_ + _)

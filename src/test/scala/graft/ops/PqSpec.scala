@@ -259,4 +259,33 @@ class PqSpec extends SparkSpec {
     val codes = Pq.encode(df, "id", "vec", t1).collect()
     codes.foreach(_.getSeq[Int](1).foreach(c => c should (be >= 0 and be < 2)))
   }
+  "the native pq_adc kernel" should "be BIT-identical to the unrolled element_at chain" in {
+    // the hot path routes through the kernel (round 15 — tools/PqAdcAB
+    // measured it 15-25% faster at both bench and production shapes);
+    // this identity is what keeps the DuckDB ADC oracles valid for it.
+    // Deterministic pseudo-random vectors, both a small (m=2, k=2) and a
+    // production-shaped (m=16, k=256) codebook.
+    import org.apache.spark.sql.functions.col
+    val dim = 64
+    val vecs = (0L until 40L).map(i =>
+      i -> Seq.tabulate(dim)(d => ((i * 31 + d * 7) % 19 - 9) / 4.0)).toDF("id", "vec")
+    for ((m, k) <- Seq((2, 2), (16, 256))) {
+      val cbx = Pq.Codebook(dim, (0 until m).map(sIdx =>
+        (0 until k).map(j =>
+          Array.tabulate(dim / m)(d => ((sIdx * 13 + j * 5 + d * 3) % 17 - 8) / 8.0))))
+      val withLut = Pq.encode(vecs, "id", "vec", cbx)
+        .join(vecs.select(col("id"), Pq.lutExpr(col("vec"), cbx).as("lut")), "id")
+      val pairs = withLut.select(
+          Pq.adcScoreExpr(col("lut"), col("codes"), cbx).as("kernel"),
+          Pq.adcScoreExprUnrolled(col("lut"), col("codes"), cbx).as("unrolled"))
+        .collect()
+      pairs.length should be > 0
+      pairs.foreach { r =>
+        withClue(s"m=$m k=$k: ") {
+          java.lang.Double.doubleToRawLongBits(r.getDouble(0)) shouldBe
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+        }
+      }
+    }
+  }
 }
