@@ -7,6 +7,7 @@ package graft.tools
   */
 object JpegProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("throughput")) { throughput(); return }
     for (gray <- Seq(true, false); q <- Seq(0.95f, 0.8f, 0.6f);
          (w, h) <- Seq((64, 48), (33, 17), (8, 8), (160, 120))) {
       val img = new java.awt.image.BufferedImage(w, h,
@@ -71,6 +72,35 @@ object JpegProbe {
           }
           println(f"gray=$gray q=$q ${w}x$h ch=${px.channels}: max=$maxd mean=${sumd.toDouble / n}%.3f")
       }
+    }
+  }
+
+  /** Single-thread decode throughput on a realistic lossy payload — the
+    * per-core number the 100 TB posture scales by (decode runs in
+    * mapPartitions, embarrassingly parallel, binary never shuffles).
+    */
+  private def throughput(): Unit = {
+    val img = new java.awt.image.BufferedImage(160, 120,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 120; x <- 0 until 160) {
+      val r = (x * 2 + y) * 255 / 440
+      img.setRGB(x, y, (r << 16) | ((255 - r) << 8) | ((r * 7) % 256))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val bytes = baos.toByteArray
+    (1 to 3).foreach { rep =>
+      val n = 2000
+      val t0 = System.nanoTime()
+      var i = 0
+      var px = 0L
+      while (i < n) {
+        px += graft.ops.MediaCodec.decodeJpeg(bytes).get.samples.length
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[jpeg-tp] rep=$rep ${n / dt}%.0f imgs/s/core " +
+        f"(160x120 color, ${bytes.length} B compressed; ${px / dt / 1e6}%.1f Msamples/s)")
     }
   }
 }
