@@ -986,31 +986,54 @@ object MediaCodec {
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
                 c.tq > 3)) return None
-          case c if (c >= 0xC2 && c <= 0xCF) && c != 0xC4 && c != 0xC8 =>
-            progressive = true // any other SOF / DAC: unsupported coding
-            return None
+          case 0xC2 => // SOF2 progressive DCT, Huffman (round 15)
+            if (comps != null) return None
+            if (segLen < 8) return None
+            val precision = u8(bytes, p0)
+            height = be16(bytes, p0 + 1)
+            width = be16(bytes, p0 + 3)
+            val nf = u8(bytes, p0 + 5)
+            if (precision != 8 || width <= 0 || height <= 0) return None
+            if (nf != 1 && nf != 3) return None
+            if (segLen != 8 + 3 * nf) return None
+            comps = Array.tabulate(nf) { ci =>
+              val q = p0 + 6 + 3 * ci
+              JComp(u8(bytes, q), u8(bytes, q + 1) >> 4,
+                u8(bytes, q + 1) & 15, u8(bytes, q + 2))
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
+                c.tq > 3)) return None
+            progressive = true
+          case c if (c >= 0xC3 && c <= 0xCF) && c != 0xC4 && c != 0xC8 =>
+            return None // lossless / arithmetic / hierarchical: unsupported
           case 0xDD => // DRI
             if (segLen != 4) return None
             restartInterval = be16(bytes, p0)
           case 0xDA => // SOS
             if (comps == null) return None
-            val ns = u8(bytes, p0)
-            if (ns != comps.length) return None // one interleaved scan only
-            if (segLen != 6 + 2 * ns) return None
-            var k = 0
-            while (k < ns) {
-              val cs = u8(bytes, p0 + 1 + 2 * k)
-              val tt = u8(bytes, p0 + 2 + 2 * k)
-              val comp = comps.find(_.id == cs).getOrElse(return None)
-              comp.td = tt >> 4
-              comp.ta = tt & 15
-              if (comp.td > 3 || comp.ta > 3) return None
-              k += 1
+            if (progressive) {
+              // progressive: the scan loop re-parses from the marker —
+              // headers (DHT/DQT/DRI) may also arrive BETWEEN scans
+              sosAt = i
+            } else {
+              val ns = u8(bytes, p0)
+              if (ns != comps.length) return None // one interleaved scan only
+              if (segLen != 6 + 2 * ns) return None
+              var k = 0
+              while (k < ns) {
+                val cs = u8(bytes, p0 + 1 + 2 * k)
+                val tt = u8(bytes, p0 + 2 + 2 * k)
+                val comp = comps.find(_.id == cs).getOrElse(return None)
+                comp.td = tt >> 4
+                comp.ta = tt & 15
+                if (comp.td > 3 || comp.ta > 3) return None
+                k += 1
+              }
+              // baseline spectral params must be 0..63 / 0 / 0
+              if (u8(bytes, pEnd - 3) != 0 || u8(bytes, pEnd - 2) != 63 ||
+                  u8(bytes, pEnd - 1) != 0) return None
+              sosAt = pEnd
             }
-            // baseline spectral params must be 0..63 / 0 / 0
-            if (u8(bytes, pEnd - 3) != 0 || u8(bytes, pEnd - 2) != 63 ||
-                u8(bytes, pEnd - 1) != 0) return None
-            sosAt = pEnd
           case _ => // APPn / COM / others: skip
         }
         if (sosAt < 0) i += 2 + segLen
@@ -1022,7 +1045,10 @@ object MediaCodec {
     if (nSamples <= 0 || nSamples > maxPixels) return None
     comps.foreach { c =>
       if (!quantSeen(c.tq)) return None
-      if (dcTables(c.td) == null || acTables(c.ta) == null) return None
+      // baseline needs the first scan's tables NOW; progressive scans
+      // validate the tables they actually reference, per scan
+      if (!progressive &&
+          (dcTables(c.td) == null || acTables(c.ta) == null)) return None
     }
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
@@ -1038,6 +1064,19 @@ object MediaCodec {
     if (planeBytes > 8L * maxPixels) return None
     val planes = comps.indices.map(ci =>
       new Array[Byte](planeW(ci) * planeH(ci))).toArray
+    if (progressive) {
+      // coefficient planes hold one INT per padded sample (4x the byte
+      // planes): tighter guard than the baseline path's, so a forged
+      // SOF2 with extreme sampling factors cannot quadruple its way past
+      // the cap
+      if (planeBytes > 2L * maxPixels) return None
+      val ok = decodeProgressiveScans(bytes, sosAt, comps, width, height,
+        quant, dcTables, acTables, restartInterval, mcusX, mcusY,
+        planeW, planeH, planes)
+      if (!ok) return None
+      return Some(assembleJpeg(comps, width, height, hmax, vmax, planeW,
+        planes, channels, nSamples.toInt))
+    }
     val r = new JBitReader(bytes, sosAt)
     val preds = new Array[Int](channels)
     val coef = new Array[Int](64)
@@ -1110,7 +1149,24 @@ object MediaCodec {
       my += 1
     }
     if (!r.expectEoi()) return None
-    val out = new Array[Byte](nSamples.toInt)
+    Some(assembleJpeg(comps, width, height, hmax, vmax, planeW, planes,
+      channels, nSamples.toInt))
+  }
+
+  /** Shared render tail: crop (gray) or replication-upsample + fixed-point
+    * CCIR 601 YCbCr->RGB (color) from the decoded byte planes:
+    *   r = y + floor((91881 (cr-128) + 32768) / 65536)
+    *   g = y + floor((-22554 (cb-128) - 46802 (cr-128) + 32768) / 65536)
+    *   b = y + floor((116130 (cb-128) + 32768) / 65536)
+    * (floor = arithmetic shift; constants are round(x * 65536) of
+    * 1.40200 / 0.34414 / 0.71414 / 1.77200) — normative for this decoder,
+    * reproduced verbatim by the q_ext_multimodal_jpeg oracle.
+    */
+  private def assembleJpeg(comps: Array[JComp], width: Int, height: Int,
+                           hmax: Int, vmax: Int, planeW: Seq[Int],
+                           planes: Array[Array[Byte]], channels: Int,
+                           nSamples: Int): JpegPixels = {
+    val out = new Array[Byte](nSamples)
     if (channels == 1) {
       val pw = planeW(0)
       var y = 0
@@ -1119,13 +1175,6 @@ object MediaCodec {
         y += 1
       }
     } else {
-      // replication (nearest) upsample + fixed-point CCIR 601 YCbCr->RGB:
-      //   r = y + floor((91881 (cr-128) + 32768) / 65536)
-      //   g = y + floor((-22554 (cb-128) - 46802 (cr-128) + 32768) / 65536)
-      //   b = y + floor((116130 (cb-128) + 32768) / 65536)
-      // (floor = arithmetic shift; constants are round(x * 65536) of
-      // 1.40200 / 0.34414 / 0.71414 / 1.77200) — normative for this
-      // decoder, reproduced verbatim by the q_ext_multimodal_jpeg oracle.
       @inline def clamp(v: Int): Byte =
         (if (v < 0) 0 else if (v > 255) 255 else v).toByte
       val hY = comps(0).h; val vY = comps(0).v
@@ -1147,8 +1196,378 @@ object MediaCodec {
         y += 1
       }
     }
-    val info = JpegInfo(width, height, 8, channels, progressive = false)
-    Some(JpegPixels(info, channels, out))
+    JpegPixels(JpegInfo(width, height, 8, channels,
+      progressive = false), channels, out)
+  }
+
+  /** Natural index -> zigzag position (inverse of [[ZigZag]]): progressive
+    * coefficients store in natural order; dequantization at render maps
+    * back to the zigzag-ordered quant table.
+    */
+  private lazy val NatToZig: Array[Int] = {
+    val inv = new Array[Int](64)
+    var k = 0
+    while (k < 64) { inv(ZigZag(k)) = k; k += 1 }
+    inv
+  }
+
+  /** Progressive (SOF2) scan loop, T.81 Annex G decode: coefficient
+    * planes accumulate across scans — DC first/refine (interleaved or
+    * single-component), AC first/refine (single-component, spectral band
+    * Ss..Se, successive approximation via Al/Ah, EOB-run codes) — with
+    * DHT/DQT/DRI segments honored BETWEEN scans and restart markers
+    * inside them; after EOI every padded block dequantizes and runs the
+    * same fixed-point IDCT as the baseline path. Returns false on any
+    * malformed structure (the caller quarantines). All reads are bounded;
+    * coefficient memory is guarded by the caller's plane cap.
+    */
+  private def decodeProgressiveScans(bytes: Array[Byte], sosMarkerAt: Int,
+                                     comps: Array[JComp], width: Int,
+                                     height: Int, quant: Array[Array[Int]],
+                                     dcTables: Array[JHuff],
+                                     acTables: Array[JHuff],
+                                     restartInterval0: Int, mcusX: Int,
+                                     mcusY: Int, planeW: Seq[Int],
+                                     planeH: Seq[Int],
+                                     planes: Array[Array[Byte]]): Boolean = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val blocksW = comps.map(c => mcusX * c.h)
+    val blocksH = comps.map(c => mcusY * c.v)
+    // non-interleaved (single-component-scan) grids are UNPADDED per T.81:
+    // ceil(ceil(dim * f / fmax) / 8)
+    val niW = comps.map(c => (((width.toLong * c.h + hmax - 1) / hmax).toInt + 7) / 8)
+    val niH = comps.map(c => (((height.toLong * c.v + vmax - 1) / vmax).toInt + 7) / 8)
+    val coefs = comps.indices.map(ci =>
+      new Array[Int](blocksW(ci) * blocksH(ci) * 64)).toArray
+    var restartInterval = restartInterval0
+    var i = sosMarkerAt // points at an FF xx marker
+    var sawEoi = false
+    while (!sawEoi) {
+      if (i + 1 >= bytes.length || u8(bytes, i) != 0xFF) return false
+      var m = u8(bytes, i + 1)
+      while (m == 0xFF && i + 2 < bytes.length) { i += 1; m = u8(bytes, i + 1) }
+      if (m == 0xD9) { sawEoi = true }
+      else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2
+      else {
+        if (i + 3 >= bytes.length) return false
+        val segLen = be16(bytes, i + 2)
+        if (segLen < 2 || i + 2 + segLen > bytes.length) return false
+        val p0 = i + 4
+        val pEnd = i + 2 + segLen
+        m match {
+          case 0xC4 => // DHT between scans
+            var p = p0
+            while (p < pEnd) {
+              if (p + 17 > pEnd) return false
+              val tc = u8(bytes, p) >> 4
+              val th = u8(bytes, p) & 15
+              if (tc > 1 || th > 3) return false
+              val counts = Array.tabulate(16)(l => u8(bytes, p + 1 + l))
+              val total = counts.sum
+              if (total == 0 || total > 256 || p + 17 + total > pEnd) return false
+              val symbols = Array.tabulate(total)(k => u8(bytes, p + 17 + k))
+              val huff = new JHuff(counts, symbols)
+              if (tc == 0) dcTables(th) = huff else acTables(th) = huff
+              p += 17 + total
+            }
+            i += 2 + segLen
+          case 0xDB => // DQT between scans
+            var p = p0
+            while (p < pEnd) {
+              val pq = u8(bytes, p) >> 4
+              val tq = u8(bytes, p) & 15
+              if (tq > 3 || pq > 1) return false
+              val need = 1 + (if (pq == 0) 64 else 128)
+              if (p + need > pEnd) return false
+              var k = 0
+              while (k < 64) {
+                val v = if (pq == 0) u8(bytes, p + 1 + k)
+                        else be16(bytes, p + 1 + 2 * k)
+                if (v <= 0) return false
+                quant(tq)(k) = v
+                k += 1
+              }
+              p += need
+            }
+            i += 2 + segLen
+          case 0xDD =>
+            if (segLen != 4) return false
+            restartInterval = be16(bytes, p0)
+            i += 2 + segLen
+          case 0xDA => // one scan
+            val ns = u8(bytes, p0)
+            if (ns < 1 || ns > comps.length || segLen != 6 + 2 * ns)
+              return false
+            val scanComps = new Array[Int](ns) // indices into comps
+            val scanTd = new Array[Int](ns)
+            val scanTa = new Array[Int](ns)
+            var k = 0
+            while (k < ns) {
+              val cs = u8(bytes, p0 + 1 + 2 * k)
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0 || scanComps.take(k).contains(ci)) return false
+              scanComps(k) = ci
+              scanTd(k) = u8(bytes, p0 + 2 + 2 * k) >> 4
+              scanTa(k) = u8(bytes, p0 + 2 + 2 * k) & 15
+              if (scanTd(k) > 3 || scanTa(k) > 3) return false
+              k += 1
+            }
+            val ss = u8(bytes, pEnd - 3)
+            val se = u8(bytes, pEnd - 2)
+            val ah = u8(bytes, pEnd - 1) >> 4
+            val al = u8(bytes, pEnd - 1) & 15
+            val isDc = ss == 0
+            if (isDc && se != 0) return false // DC scans carry (0, 0)
+            if (!isDc && (ns != 1 || ss > se || se > 63)) return false
+            if (ah > 13 || al > 13 || (ah != 0 && ah != al + 1)) return false
+            if (isDc) {
+              // DC-first scans read the DC table; DC-refine scans read
+              // raw bits only
+              if (ah == 0 && scanTd.exists(td => dcTables(td) == null))
+                return false
+            } else if (acTables(scanTa(0)) == null) return false // AC: both kinds
+            val r = new JBitReader(bytes, pEnd)
+            if (!decodeOneScan(r, comps, scanComps, scanTd, scanTa, ss, se,
+                ah, al, restartInterval, mcusX, mcusY, blocksW, niW, niH,
+                coefs, dcTables, acTables))
+              return false
+            // continue at the next marker (the reader may have consumed it)
+            if (r.atMarker) i = r.pos - 2
+            else {
+              var p = r.pos
+              if (p + 1 >= bytes.length || u8(bytes, p) != 0xFF) return false
+              i = p
+            }
+          case _ => i += 2 + segLen // APPn/COM between scans
+        }
+      }
+    }
+    // render: dequantize each padded block (natural-order coefficients ×
+    // zigzag-ordered quant) and IDCT into the byte planes
+    val tmp = new Array[Int](64)
+    comps.indices.foreach { ci =>
+      val q = quant(comps(ci).tq)
+      val bw = blocksW(ci)
+      val bh = blocksH(ci)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val base = (by * bw + bx) * 64
+          var n = 0
+          while (n < 64) {
+            tmp(n) = coefs(ci)(base + n) * q(NatToZig(n))
+            n += 1
+          }
+          idct8x8(tmp, planes(ci), (by * 8) * planeW(ci) + bx * 8, planeW(ci))
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    true
+  }
+
+  /** Decode ONE progressive scan's entropy data into the coefficient
+    * planes (T.81 G.2; the four scan kinds). Restart markers reset the
+    * DC predictors AND the EOB run.
+    */
+  private def decodeOneScan(r: JBitReader, comps: Array[JComp],
+                            scanComps: Array[Int], scanTd: Array[Int],
+                            scanTa: Array[Int], ss: Int, se: Int, ah: Int,
+                            al: Int, restartInterval: Int, mcusX: Int,
+                            mcusY: Int, blocksW: Seq[Int], niW: Seq[Int],
+                            niH: Seq[Int], coefs: Array[Array[Int]],
+                            dcTables: Array[JHuff],
+                            acTables: Array[JHuff]): Boolean = {
+    val ns = scanComps.length
+    var rstIdx = 0
+    var unitsDone = 0
+    var eobrun = 0
+    val preds = new Array[Int](ns)
+    @inline def maybeRestart(): Boolean = {
+      if (restartInterval > 0 && unitsDone > 0 &&
+          unitsDone % restartInterval == 0) {
+        if (!r.expectRestart(rstIdx)) return false
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+      }
+      true
+    }
+    // ---- DC scans -------------------------------------------------------
+    def dcUnit(k: Int, blockBase: Int): Boolean = {
+      val ci = scanComps(k)
+      if (ah == 0) {
+        val t = dcTables(scanTd(k)).decode(r)
+        if (t < 0 || t > 15) return false
+        var diff = 0
+        if (t > 0) {
+          val v = r.receive(t)
+          if (v == Int.MinValue) return false
+          diff = jExtend(v, t)
+        }
+        preds(k) += diff
+        coefs(ci)(blockBase) = preds(k) << al
+      } else {
+        val bit = r.receive(1)
+        if (bit == Int.MinValue) return false
+        if (bit == 1) coefs(ci)(blockBase) |= (1 << al)
+      }
+      true
+    }
+    // ---- AC scans (single component) ------------------------------------
+    def acFirstUnit(ci: Int, blockBase: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val acH = acTables(scanTa(0))
+      var k = ss
+      while (k <= se) {
+        val rs = acH.decode(r)
+        if (rs < 0) return false
+        val run = rs >> 4
+        val size = rs & 15
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) {
+              val extra = r.receive(run)
+              if (extra == Int.MinValue) return false
+              eobrun += extra
+            }
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          val v = r.receive(size)
+          if (v == Int.MinValue) return false
+          coefs(ci)(blockBase + ZigZag(k)) = jExtend(v, size) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefineUnit(ci: Int, blockBase: Int): Boolean = {
+      val acH = acTables(scanTa(0))
+      val p1 = 1 << al
+      val m1 = -1 << al
+      @inline def refine(c: Int): Boolean = {
+        val bit = r.receive(1)
+        if (bit == Int.MinValue) return false
+        if (bit == 1 && (coefs(ci)(blockBase + c) & p1) == 0)
+          coefs(ci)(blockBase + c) +=
+            (if (coefs(ci)(blockBase + c) >= 0) p1 else m1)
+        true
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var broke = false
+        while (!broke && k <= se) {
+          val rs = acH.decode(r)
+          if (rs < 0) return false
+          var run = rs >> 4
+          val size = rs & 15
+          var newVal = 0
+          if (size == 0) {
+            if (run != 15) {
+              eobrun = 1 << run
+              if (run > 0) {
+                val extra = r.receive(run)
+                if (extra == Int.MinValue) return false
+                eobrun += extra
+              }
+              broke = true
+            }
+            // run == 15: skip 16 zero-history coefficients, no new value
+          } else {
+            if (size != 1) return false
+            val bit = r.receive(1)
+            if (bit == Int.MinValue) return false
+            newVal = if (bit == 1) p1 else m1
+          }
+          if (!broke) {
+            var placed = false
+            while (!placed && k <= se) {
+              val c = ZigZag(k)
+              if (coefs(ci)(blockBase + c) != 0) {
+                if (!refine(c)) return false
+              } else {
+                if (run == 0) {
+                  if (newVal != 0) coefs(ci)(blockBase + c) = newVal
+                  placed = true
+                } else run -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val c = ZigZag(k)
+          if (coefs(ci)(blockBase + c) != 0) { if (!refine(c)) return false }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    // ---- drive the unit walk --------------------------------------------
+    if (ss == 0 && ns > 1) {
+      // interleaved DC scan over the padded MCU grid
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (!maybeRestart()) return false
+          var k = 0
+          while (k < ns) {
+            val ci = scanComps(k)
+            val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val blockBase =
+                  ((my * c.v + by) * blocksW(ci) + (mx * c.h + bx)) * 64
+                if (!dcUnit(k, blockBase)) return false
+                bx += 1
+              }
+              by += 1
+            }
+            k += 1
+          }
+          unitsDone += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan (DC or AC) over the UNPADDED block grid
+      val ci = scanComps(0)
+      val bw = niW(ci)
+      val bh = niH(ci)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (!maybeRestart()) return false
+          val blockBase = (by * blocksW(ci) + bx) * 64
+          val ok =
+            if (ss == 0) dcUnit(0, blockBase)
+            else if (ah == 0) acFirstUnit(ci, blockBase)
+            else acRefineUnit(ci, blockBase)
+          if (!ok) return false
+          unitsDone += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    true
   }
 }
 

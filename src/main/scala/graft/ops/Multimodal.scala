@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   *     (multi-frame LZW walk); [[sampleFrames]] remains the relational
   *     no-codec plan for formats without a dependency-free decoder.
   *   - [[pixelFeatures]] — histogram features over real DECODED samples
-  *     where a decoder exists (PNG, GIF, baseline JPEG — the JPEG
-  *     Huffman+IDCT pipeline landed in round 15);
+  *     where a decoder exists (PNG, GIF, JPEG — baseline AND
+  *     progressive, both round 15);
   *     [[fakeDecodeFeatures]]/[[stubFeatures]] remain ONLY as the
-  *     raw-byte fallback for the formats still without a dependency-free
-  *     decoder (progressive JPEG, video) — the documented seam where a
-  *     JNI/onnx codec plugs in, changing one branch, not the plan shape.
+  *     raw-byte fallback for formats without a dependency-free decoder
+  *     (video) — the documented seam where a JNI/onnx codec plugs in,
+  *     changing one branch, not the plan shape.
   *
   * Scale posture: decode runs inside `mapPartitions` (one codec init per
   * partition, not per row); binary payloads never shuffle — features are
@@ -90,10 +90,10 @@ object Multimodal {
     * DECODED 8-bit samples ([[MediaCodec.decodePng]] /
     * [[MediaCodec.decodeJpeg]] — the distribution of actual pixel values,
     * not of compressed bytes); everything else falls back to the raw-byte
-    * [[stubFeatures]]. The JPEG seam closed in round 15 (baseline
-    * Huffman+IDCT pipeline in [[MediaCodec]]); the remaining fallback
-    * formats (progressive JPEG, video) stay the documented seam where a
-    * JNI codec plugs in, changing one branch, not the plan shape.
+    * [[stubFeatures]]. The JPEG seam closed in round 15 (baseline AND
+    * progressive Huffman+IDCT pipelines in [[MediaCodec]]); the remaining
+    * fallback (video) stays the documented seam where a JNI codec plugs
+    * in, changing one branch, not the plan shape.
     */
   def pixelFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[FeatureRow] = {
     val spark = media.sparkSession

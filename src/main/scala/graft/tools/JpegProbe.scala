@@ -8,6 +8,7 @@ package graft.tools
 object JpegProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("throughput")) { throughput(); return }
+    val progressive = args.headOption.contains("progressive")
     for (gray <- Seq(true, false); q <- Seq(0.95f, 0.8f, 0.6f);
          (w, h) <- Seq((64, 48), (33, 17), (8, 8), (160, 120))) {
       val img = new java.awt.image.BufferedImage(w, h,
@@ -38,6 +39,8 @@ object JpegProbe {
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(q)
+      if (progressive)
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
       writer.dispose(); ios.close()
       val bytes = baos.toByteArray

@@ -196,15 +196,80 @@ class JpegCodecSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "progressive (SOF2) streams" should "decode BIT-EXACTLY against the JDK reader (gray)" in {
+    // round-15 continuation: the multi-scan Annex-G path (DC first/refine
+    // interleaved, AC first/refine per-component with EOB runs) assembles
+    // the same coefficients the JDK reader sees, and the shared IDCT
+    // makes gray parity exact — any coefficient-assembly defect would
+    // show as large errors, not rounding
+    for ((w, h) <- Seq((64, 48), (33, 17), (160, 120)); q <- Seq(0.9f, 0.6f)) {
+      val bytes = jdkEncode(w, h, gray = true, q, progressive = true)
+      MediaCodec.parseJpeg(bytes).map(_.progressive) shouldBe Some(true)
+      val ours = decodeOurs(bytes)
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var diff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        if ((ours.samples(y * w + x) & 0xFF) != jdk.getRaster.getSample(x, y, 0))
+          diff += 1
+      withClue(s"progressive ${w}x$h q=$q differing samples: ") { diff shouldBe 0 }
+    }
+  }
+
+  it should "agree on color within the upsampling-flavor bound" in {
+    for ((w, h) <- Seq((64, 48), (160, 120)); q <- Seq(0.9f, 0.6f)) {
+      val bytes = jdkEncode(w, h, gray = false, q, progressive = true)
+      MediaCodec.parseJpeg(bytes).map(_.progressive) shouldBe Some(true)
+      val ours = decodeOurs(bytes)
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxd = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = jdk.getRGB(x, y)
+        val o = (y * w + x) * 3
+        for ((a, b) <- Seq((ours.samples(o) & 0xFF, (rgb >> 16) & 0xFF),
+            (ours.samples(o + 1) & 0xFF, (rgb >> 8) & 0xFF),
+            (ours.samples(o + 2) & 0xFF, rgb & 0xFF)))
+          maxd = math.max(maxd, math.abs(a - b))
+      }
+      withClue(s"progressive color ${w}x$h q=$q max=$maxd: ") {
+        maxd should be <= 8
+      }
+    }
+  }
+
+  it should "never throw under truncation or forgery" in {
+    val bytes = jdkEncode(48, 32, gray = false, 0.8f, progressive = true)
+    // truncation at every 7th boundary (full sweep is slow at SOF2 sizes)
+    for (cut <- 0 until bytes.length by 7) {
+      val t = java.util.Arrays.copyOf(bytes, cut)
+      noException should be thrownBy MediaCodec.decodeJpeg(t)
+      withClue(s"truncated at $cut decoded as complete: ") {
+        MediaCodec.decodeJpeg(t) shouldBe None
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val m = bytes.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      noException should be thrownBy MediaCodec.decodeJpeg(m)
+    }
+  }
+
   "unsupported streams" should "return None, not wrong pixels" in {
-    // progressive: a real SOF2 stream from the JDK writer
-    val prog = jdkEncode(32, 32, gray = false, 0.8f, progressive = true)
-    MediaCodec.parseJpeg(prog).map(_.progressive) shouldBe Some(true)
-    MediaCodec.decodeJpeg(prog) shouldBe None
-    // non-JPEG prefixes
+    // non-JPEG prefixes and unsupported coding families
     MediaCodec.decodeJpeg(null) shouldBe None
     MediaCodec.decodeJpeg(Array[Byte]()) shouldBe None
     MediaCodec.decodeJpeg("not a jpeg at all".getBytes) shouldBe None
+    // forge a lossless SOF3 from a baseline stream: must quarantine
+    val base = Multimodal.encodeJpegDc(16, 16, 0, 1L)
+    var i = 2
+    var sof = -1
+    while (sof < 0 && i + 3 < base.length) {
+      if ((base(i) & 0xFF) == 0xFF && (base(i + 1) & 0xFF) == 0xC0) sof = i
+      else i += 1
+    }
+    val forged = base.clone()
+    forged(sof + 1) = 0xC3.toByte
+    MediaCodec.decodeJpeg(forged) shouldBe None
   }
 
   "corrupted streams" should "never throw: truncation at every boundary" in {
