@@ -374,10 +374,26 @@ object PageRank {
   private[ops] def collectSmallEdges(e0: DataFrame,
                                      localMax: Long): Option[Array[(Long, Long)]] = {
     if (localMax <= 0 || localMax >= Int.MaxValue) return None
-    val probe = e0.limit(localMax.toInt + 1)
-    if (probe.count() > localMax) return None
-    val rows = probe.collect()
-    if (rows.length > localMax) return None
+    // two-tier gate: TINY graphs (the common fast-path population —
+    // co-occurrence/session/contraction graphs) qualify in ONE bounded
+    // job via a small direct collect; graphs past the small tier pay a
+    // count probe first so the rejected case ships zero rows (advice,
+    // round 14 — the one-tier collect pulled up to 2M boxed Rows per
+    // invocation on graphs above the threshold). The round-15 floor
+    // diff measured the always-count form costing the small tier an
+    // extra ~0.2 s/query in scheduling — this keeps both properties.
+    val fastMax = math.min(localMax, 1L << 16).toInt
+    val fast = e0.limit(fastMax + 1).collect()
+    val rows =
+      if (fast.length <= fastMax) fast
+      else if (localMax <= fastMax) return None
+      else {
+        val probe = e0.limit(localMax.toInt + 1)
+        if (probe.count() > localMax) return None
+        val r = probe.collect()
+        if (r.length > localMax) return None
+        r
+      }
     if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     Some(rows.map(r => (r.getLong(0), r.getLong(1))))
   }
@@ -466,29 +482,26 @@ object PageRank {
                       iterations: Int, dampingPct: Int,
                       seedsRaw: Option[DataFrame]): Managed = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    // seed dedup happens HERE, once, for BOTH regimes (advice, round 14):
-    // a duplicate seed row would duplicate node rows through prepare()'s
-    // left join — inflating nNodes/nRecv and double-counting contributions
-    // — while the local twin's Set dedups naturally; distinct-at-entry
-    // makes the two regimes agree by construction on any seed frame.
-    val seeds = seedsRaw.map(_.distinct())
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     collectSmallEdges(e0, LocalEdgesMax).foreach { eArr =>
       // measured-small graph: run the identical recurrence in-JVM — see
       // [[LocalEdgesMax]]. The seed pull is gated like the edge pull
-      // (advice, round 14): a distinct-seed frame larger than
-      // LocalEdgesMax would OOM the driver on the fast path where the
-      // distributed loop handles it, so it falls through instead. Null
-      // seeds never match the distributed join, so dropping them here is
-      // exact; a LocalRelation result needs no pins at all.
-      val seedSet: Option[Option[Set[Long]]] = seeds match {
+      // (advice, round 14): a seed frame larger than LocalEdgesMax RAW
+      // rows would OOM the driver on the fast path where the distributed
+      // loop handles it, so it falls through instead (conservative — the
+      // Set dedups whatever qualifies, so duplicate seed rows agree with
+      // the distributed regime's distinct by construction,
+      // GraphLocalPathSpec 4-way). Null seeds never match the
+      // distributed join, so dropping them here is exact; a
+      // LocalRelation result needs no pins at all.
+      val seedSet: Option[Option[Set[Long]]] = seedsRaw match {
         case None => Some(None)
         case Some(s) =>
           val bound = LocalEdgesMax.toInt
-          val probe = s.limit(bound + 1)
-          if (probe.count() > bound) None
-          else Some(Some(probe.collect()
+          val rows = s.limit(bound + 1).collect()
+          if (rows.length > bound) None
+          else Some(Some(rows
             .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet))
       }
       seedSet.foreach { ss =>
@@ -499,7 +512,14 @@ object PageRank {
         return new Managed(out, Nil, Nil)
       }
     }
-    val ctx = prepare(edges, srcCol, dstCol, dampingPct, seeds)
+    // seed dedup for the DISTRIBUTED regime (advice, round 14): a
+    // duplicate seed row would duplicate node rows through prepare()'s
+    // left join — inflating nNodes/nRecv and double-counting
+    // contributions. The local twin's Set dedups naturally, so the
+    // distinct lives on this branch only (no extra shuffle on the fast
+    // path); GraphLocalPathSpec locks 4-way agreement on dup seeds.
+    val ctx = prepare(edges, srcCol, dstCol, dampingPct,
+      seedsRaw.map(_.distinct()))
     val cpRdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     // dangling-aware lineage-truncation cadence — see [[checkpointCadence]]:
     // geometric nest (two rank references per round) cuts every 3, linear

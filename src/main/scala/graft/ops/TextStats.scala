@@ -270,20 +270,26 @@ object TextStats {
   def vocabCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
+    // ONE job: the total token mass rides IN-PLAN as a single-row
+    // broadcast off the same vocabulary subtree (ReuseExchange collapses
+    // the doubled agg — the round-14 trick; two separate driver pulls
+    // cannot share an exchange and re-tokenized the corpus twice), then
+    // the top-N cut collects and the rank / cumulative-sum tail runs on
+    // the DRIVER over the ≤ topN rows (TakeOrderedAndProject upstream —
+    // distributed heap, no global sort), returning a self-contained
+    // LocalRelation. A window form needs a single-partition WindowExec;
+    // Spark 4 folds any constant partitionBy key away
+    // (EliminateWindowPartitions), so its no-partition WARN cannot be
+    // silenced declaratively — and the local tail is strictly less work
+    // than exchange+sort+window over the same ≤ topN rows.
     val v = vocabulary(docs, idCol, textCol).select("token", "tf")
-    // two distributed jobs (the full-vocab agg computes twice — or once,
-    // when ReuseExchange fires on the shared groupBy), then the rank /
-    // cumulative-sum tail runs on the DRIVER over the ≤ topN collected
-    // rows (TakeOrderedAndProject — distributed heap, no global sort)
-    // and returns a self-contained LocalRelation. A window form needs a
-    // single-partition WindowExec; Spark 4 folds any constant
-    // partitionBy key away (EliminateWindowPartitions), so its
-    // no-partition WARN cannot be silenced declaratively — and the
-    // local tail is strictly less work than exchange+sort+window over
-    // the same ≤ topN rows.
-    val total = v.agg(sum("tf").cast("long").as("__total"))
-      .head().getLong(0)
-    val top = v.orderBy(col("tf").desc, col("token").asc).limit(topN).collect()
+    val withTotal = v
+      .crossJoin(broadcast(v.agg(sum("tf").cast("long").as("__total"))))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topN)
+      .collect()
+    val total = if (withTotal.isEmpty) 0L else withTotal.head.getLong(2)
+    val top = withTotal
     var cum = 0L
     val rows = top.zipWithIndex.map { case (r, i) =>
       val tf = r.getLong(1)
