@@ -191,14 +191,19 @@ object PqExpressions {
     * subspace order (the exact left-associated FP order of the unrolled
     * `reduceLeft(_ + _)`, so values are bit-identical — PqSpec asserts
     * it). Generated code is one static call, constant-size in m and k.
-    * Null inputs → null (BinaryExpression default); code validity (-1
-    * sentinels filtered, entries < k) is the ops layer's precondition,
-    * matching the unrolled form's ANSI element_at contract.
+    * Null inputs → null (BinaryExpression default); null ELEMENTS,
+    * malformed codes (empty, -1 sentinel, >= k) and LUT/m·k size
+    * mismatches fail loudly in the kernel instead of the primitive
+    * getter's silent 0.0 / raw AIOOBE — at least as total as the
+    * unrolled form's ANSI element_at contract.
     */
   case class PqAdc(left: Expression, right: Expression, k: Int)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
+    // containsNull=true types are ACCEPTED (parquet round-trips mark
+    // every array containsNull regardless of content); actual null slots
+    // fail loudly in the kernel instead of silently reading as 0.0
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
         case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
@@ -226,13 +231,34 @@ object PqExpressions {
     * so a zero-seeded loop would differ from the unrolled reduceLeft
     * chain on a negative-zero first term (sign surfaces in the rounded
     * string the oracle hashes).
+    *
+    * Precondition (asserted, not assumed): codes non-empty, every code in
+    * [0, k), and lut holds exactly m·k entries — a -1 sentinel or a
+    * truncated LUT fails loudly with the operator name instead of an
+    * executor ArrayIndexOutOfBoundsException (or, worse, a silent wrong
+    * read); a null SLOT (legal in parquet-typed arrays) likewise fails
+    * loudly instead of the primitive getter's silent 0.0. The checks are
+    * branch-only (no allocation), so the constant-size-kernel win over
+    * the unrolled chain is preserved.
     */
   def adc(lut: ArrayData, codes: ArrayData, k: Int): Double = {
     val m = codes.numElements()
-    var acc = lut.getDouble(codes.getInt(0))
-    var s = 1
+    if (m == 0) throw new IllegalArgumentException("pq_adc: empty codes array")
+    if (lut.numElements() != m * k) throw new IllegalArgumentException(
+      s"pq_adc: lut has ${lut.numElements()} entries, expected m*k = ${m * k}")
+    var acc = 0.0
+    var s = 0
     while (s < m) {
-      acc += lut.getDouble(s * k + codes.getInt(s))
+      if (codes.isNullAt(s)) throw new IllegalArgumentException(
+        s"pq_adc: null code at subspace $s")
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k) throw new IllegalArgumentException(
+        s"pq_adc: code $c at subspace $s out of [0, $k)")
+      val i = s * k + c
+      if (lut.isNullAt(i)) throw new IllegalArgumentException(
+        s"pq_adc: null lut entry at $i")
+      val t = lut.getDouble(i)
+      if (s == 0) acc = t else acc += t
       s += 1
     }
     acc

@@ -1075,7 +1075,7 @@ object MediaCodec {
         planeW, planeH, planes)
       if (!ok) return None
       return Some(assembleJpeg(comps, width, height, hmax, vmax, planeW,
-        planes, channels, nSamples.toInt))
+        planes, channels, nSamples.toInt, progressive = true))
     }
     val r = new JBitReader(bytes, sosAt)
     val preds = new Array[Int](channels)
@@ -1150,7 +1150,7 @@ object MediaCodec {
     }
     if (!r.expectEoi()) return None
     Some(assembleJpeg(comps, width, height, hmax, vmax, planeW, planes,
-      channels, nSamples.toInt))
+      channels, nSamples.toInt, progressive = false))
   }
 
   /** Shared render tail: crop (gray) or replication-upsample + fixed-point
@@ -1165,7 +1165,7 @@ object MediaCodec {
   private def assembleJpeg(comps: Array[JComp], width: Int, height: Int,
                            hmax: Int, vmax: Int, planeW: Seq[Int],
                            planes: Array[Array[Byte]], channels: Int,
-                           nSamples: Int): JpegPixels = {
+                           nSamples: Int, progressive: Boolean): JpegPixels = {
     val out = new Array[Byte](nSamples)
     if (channels == 1) {
       val pw = planeW(0)
@@ -1196,8 +1196,8 @@ object MediaCodec {
         y += 1
       }
     }
-    JpegPixels(JpegInfo(width, height, 8, channels,
-      progressive = false), channels, out)
+    JpegPixels(JpegInfo(width, height, 8, channels, progressive),
+      channels, out)
   }
 
   /** Natural index -> zigzag position (inverse of [[ZigZag]]): progressive

@@ -189,11 +189,20 @@ object Retrieval {
     * (EliminateWindowPartitions), so the no-partition warning cannot be
     * silenced declaratively. Nulls sort the way the window form did:
     * score DESC NULLS LAST, id ASC NULLS FIRST.
+    *
+    * The bound is ENFORCED, not just documented: the collect goes
+    * through `limit(maxRows + 1)` — a TakeOrdered, never a full
+    * materialization — and one extra row past `maxRows` fails loudly
+    * instead of silently pulling an untopped frame onto the driver.
     */
-  def ranked(topped: DataFrame, idCol: String, rankName: String): DataFrame = {
+  def ranked(topped: DataFrame, idCol: String, rankName: String,
+             maxRows: Int = 10000): DataFrame = {
     val spark = topped.sparkSession
     val sorted = topped.orderBy(col("score").desc, col(idCol).asc)
-    val rows = sorted.collect()
+    val rows = sorted.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"ranked(): input exceeds the contract bound of $maxRows rows — " +
+        "rank only AFTER a top-N cut (or pass an explicit maxRows)")
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(

@@ -173,6 +173,42 @@ object Sampling {
     systematicWeightedPerGroupManaged(df, groupCol, idCol, weightCol,
       kByGroup, defaultK).df
 
+  /** Exclusive per-(partition, group) offsets from per-(partition, group)
+    * sums: for each entry, the total weight of the SAME group in
+    * lower-numbered partitions. One sort by (group, pid) then a single
+    * running-sum scan — O(E log E) for E = partitions × groups entries,
+    * so the driver step stays linear-ish even at 10⁴ partitions × 10³
+    * strata (10⁷ entries), where the naive per-entry filter-and-sum would
+    * be O(E²) ≈ 10¹⁴ comparisons.
+    */
+  private[graft] def exclusiveOffsets(
+      partTotals: Array[(Int, String, Long)])
+      : collection.Map[(Int, String), Long] = {
+    // field-comparing Ordering (sortBy would allocate a key tuple per
+    // COMPARISON — n log n allocations at the 10^7-entry shape)
+    val sorted = partTotals.clone()
+    java.util.Arrays.sort(sorted,
+      new java.util.Comparator[(Int, String, Long)] {
+        def compare(a: (Int, String, Long), b: (Int, String, Long)): Int = {
+          val c = a._2.compareTo(b._2)
+          if (c != 0) c else Integer.compare(a._1, b._1)
+        }
+      })
+    val out = new scala.collection.mutable.HashMap[(Int, String), Long](
+      initialCapacity = partTotals.length * 2, loadFactor = 0.75)
+    var runG: String = null
+    var run = 0L
+    var i = 0
+    while (i < sorted.length) {
+      val (pid, g, s) = sorted(i)
+      if (g != runG) { runG = g; run = 0L }
+      out((pid, g)) = run
+      run = Math.addExact(run, s)
+      i += 1
+    }
+    out
+  }
+
   /** [[systematicWeightedPerGroup]] with cache-lifecycle control (same
     * persistence requirement as the global form).
     */
@@ -205,12 +241,7 @@ object Sampling {
     }.collect()
     val totals = partTotals.groupBy(_._2)
       .map { case (g, xs) => g -> xs.map(_._3).sum }
-    // exclusive offset of each (pid, group): sums of the same group in
-    // lower-numbered partitions
-    val offsets = partTotals.map { case (pid, g, _) =>
-      (pid, g) -> partTotals
-        .filter(x => x._2 == g && x._1 < pid).map(_._3).sum
-    }.toMap
+    val offsets = exclusiveOffsets(partTotals)
     val ks = totals.keys.map(g =>
       g -> kByGroup.getOrElse(g, defaultK)).toMap
     val result = sorted.mapPartitions { it =>

@@ -32,6 +32,25 @@ import org.apache.spark.sql.functions._
   */
 object TextRank {
 
+  /** `a < b` in unsigned UTF-8 byte order — exactly Spark's UTF8String
+    * binary comparison (and code-point order for valid strings), so the
+    * driver-local regime tie-breaks identically to the distributed one
+    * even for supplementary-plane tokens, where Java String '<' (UTF-16
+    * code-unit order) diverges from UTF-8 order.
+    */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Top-`topN` corpus keywords: (token, rank_scaled), rank desc, token
     * tie-break. Pins the pair/vocab frames for the session in the
     * distributed regime (job-per-query shape); long-lived sessions should
@@ -76,9 +95,13 @@ object TextRank {
           val w1 = r.getString(0)
           tf(w1) = tf.getOrElse(w1, 0L) + r.getLong(2)
         }
-        // vocab ids by (tf desc, token asc) — the vocabIds order
+        // vocab ids by (tf desc, token asc) — the vocabIds order.
+        // Tie-break in UTF-8 BYTE order (= code-point order), not Java
+        // String '<' (UTF-16 code-unit order): the two diverge for
+        // supplementary-plane tokens vs U+E000..U+FFFF, and the
+        // distributed twin sorts by Spark's UTF8String binary order
         val tokens = tf.keysIterator.toArray
-          .sortWith((x, y) => tf(x) > tf(y) || (tf(x) == tf(y) && x < y))
+          .sortWith((x, y) => tf(x) > tf(y) || (tf(x) == tf(y) && utf8Lt(x, y)))
         val idOf = new java.util.HashMap[String, Int](tokens.length * 2)
         tokens.zipWithIndex.foreach { case (t, j) => idOf.put(t, j) }
         // distinct unordered id pairs, then both directions (a≠b)
@@ -98,7 +121,7 @@ object TextRank {
         val top = ranked
           .map { case (node, rank) => (tokens(node.toInt), rank) }
           .sortWith { case ((t1, r1), (t2, r2)) =>
-            r1 > r2 || (r1 == r2 && t1 < t2)
+            r1 > r2 || (r1 == r2 && utf8Lt(t1, t2)) // UTF-8 order, as above
           }
           .take(topN)
         import spark.implicits._

@@ -288,4 +288,29 @@ class PqSpec extends SparkSpec {
       }
     }
   }
+
+  it should "fail loudly on malformed codes instead of AIOOBE or silent 0.0" in {
+    // round-16 ADVICE: the kernel must be at least as total as the
+    // unrolled ANSI element_at chain it replaced
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Any*): GenericArrayData = new GenericArrayData(xs.toArray)
+    val k = 4
+    val lut = arr(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0) // m=2, k=4
+    // happy path: seeded first-term sum
+    graft.functions.PqExpressions.adc(lut, arr(1, 2), k) shouldBe 2.0 + 7.0
+    val cases = Seq(
+      ("empty codes", arr(), lut),
+      ("negative sentinel", arr(-1, 2), lut),
+      ("code >= k", arr(1, 4), lut),
+      ("null code slot", arr(null, 2), lut),
+      ("lut size mismatch", arr(1, 2), arr(1.0, 2.0, 3.0)),
+      ("null lut entry", arr(1, 2), arr(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, null, 8.0)))
+    cases.foreach { case (label, codes, theLut) =>
+      withClue(label + ": ") {
+        val e = the[IllegalArgumentException] thrownBy
+          graft.functions.PqExpressions.adc(theLut, codes, k)
+        e.getMessage should include("pq_adc")
+      }
+    }
+  }
 }

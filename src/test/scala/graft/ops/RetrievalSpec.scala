@@ -100,6 +100,26 @@ class RetrievalSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  "ranked" should "attach 1-based ranks by (score desc, id asc)" in {
+    val topped = Seq((3L, 0.5), (1L, 0.9), (2L, 0.5)).toDF("id", "score")
+    val out = Retrieval.ranked(topped, "id", "rank")
+      .select("id", "rank").as[(Long, Int)].collect().toSeq
+    out shouldBe Seq((1L, 1), (2L, 2), (3L, 3)) // tie 2-vs-3 breaks by id
+  }
+
+  it should "fail loudly past the enforced maxRows bound, not collect it" in {
+    // round-16 ADVICE: the <= N contract is enforced via limit(maxRows+1),
+    // so an untopped frame can never be fully materialized on the driver
+    val untopped = spark.range(0, 100)
+      .select(col("id"), (col("id") % 7).cast("double").as("score"))
+    val e = the[IllegalArgumentException] thrownBy
+      Retrieval.ranked(untopped, "id", "rank", maxRows = 50)
+    e.getMessage should include("maxRows")
+    // at the bound it still works
+    Retrieval.ranked(untopped.limit(50), "id", "rank", maxRows = 50)
+      .count() shouldBe 50L
+  }
+
   "bm25 lifecycle" should "leave neither cache pins nor checkpoint blocks behind" in {
     // round-11: the postings pin releases after the k-bounded result is
     // collected into a LocalRelation — repeated calls in a long-lived

@@ -114,6 +114,35 @@ class SamplingSpec extends SparkSpec {
     out.filter(_._1 == "b").map(t => (t._2, t._3, t._4)).toSet shouldBe onlyB
   }
 
+  "exclusiveOffsets" should "match the quadratic reference form bit-for-bit" in {
+    val rnd = new scala.util.Random(42)
+    // holes on purpose: not every group appears in every partition
+    val entries = (for { pid <- 0 until 37; g <- 0 until 11
+                         if rnd.nextInt(4) > 0 }
+      yield (pid, s"g$g", rnd.nextInt(1000).toLong)).toArray
+    // the pre-round-16 O(E^2) form, kept here as the reference semantics
+    val quadratic = entries.map { case (pid, g, _) =>
+      (pid, g) -> entries.filter(x => x._2 == g && x._1 < pid).map(_._3).sum
+    }.toMap
+    Sampling.exclusiveOffsets(entries) shouldBe quadratic
+  }
+
+  it should "handle the driver shape 10^4 partitions x 10^2 groups linearly" in {
+    // 10^6 entries in-spec (the full 10^7 shape is measured by
+    // tools/OffsetsProbe); the quadratic form would be ~10^12 comparisons
+    val entries = Array.tabulate(1000000) { i =>
+      (i % 10000, s"g${i / 10000}", (i % 97).toLong)
+    }
+    val t0 = System.nanoTime()
+    val out = Sampling.exclusiveOffsets(entries)
+    val sec = (System.nanoTime() - t0) / 1e9
+    out.size shouldBe 1000000
+    // spot-check one offset: group g3, pid 5 = sum of g3 in pids 0..4
+    out((5, "g3")) shouldBe entries
+      .filter(x => x._2 == "g3" && x._1 < 5).map(_._3).sum
+    sec should be < 30.0 // linear-ish; the quadratic form would never finish
+  }
+
   it should "be partitioning-independent and skip k<=0 groups" in {
     val rows = (1L to 200L).map(i => (s"g${i % 3}", i, i % 5 + 1))
     val a = Sampling.systematicWeightedPerGroup(

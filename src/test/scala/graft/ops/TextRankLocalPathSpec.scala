@@ -41,7 +41,36 @@ class TextRankLocalPathSpec extends SparkSpec {
     local shouldBe dist
   }
 
-  it should "leave the persistent-RDD map at baseline in the local regime" in {
+  it should "tie-break identically across regimes for supplementary-plane tokens" in {
+    // 😀 (U+1F600) is UTF-16 D83D DE00 but UTF-8 F0 9F 98 80; ！ (U+FF01)
+    // is UTF-16 FF01 but UTF-8 EF BC 81 — Java String '<' and Spark's
+    // UTF8String binary order DISAGREE on this pair, so a rank tie at the
+    // topN boundary exposes any code-unit-ordered tie-break (round-16
+    // ADVICE). The graph is symmetric in the two tokens: exact tie.
+    val emoji = "😀"
+    val fullw = "！"
+    val tricky = Seq(
+      (0L, s"$emoji hub"), (1L, s"$fullw hub"),
+      (2L, s"hub $emoji"), (3L, s"hub $fullw")).toDF("doc_id", "text")
+    val local = rows(TextRank.keywords(tricky, "doc_id", "text",
+      iterations = 4, topN = 2))
+    val dist = forceDistributed(rows(TextRank.keywords(tricky, "doc_id", "text",
+      iterations = 4, topN = 2)))
+    local shouldBe dist
+    // the boundary slot goes to the UTF-8-smaller token
+    local.map(_._1) shouldBe Seq("hub", fullw)
+  }
+
+  "utf8Lt" should "order by code point, not UTF-16 code units" in {
+    TextRank.utf8Lt("！", "😀") shouldBe true
+    TextRank.utf8Lt("😀", "！") shouldBe false
+    ("😀" < "！") shouldBe true // the Java order the fix avoids
+    TextRank.utf8Lt("a", "ab") shouldBe true
+    TextRank.utf8Lt("ab", "a") shouldBe false
+    TextRank.utf8Lt("a", "a") shouldBe false
+  }
+
+  "TextRank" should "leave the persistent-RDD map at baseline in the local regime" in {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = TextRank.keywords(docs, "doc_id", "text", iterations = 3, topN = 10)
     out.count() should be > 0L
