@@ -133,6 +133,41 @@ def check_testrun(n):
     ok(f"{path}: green")
 
 
+def check_recall(n):
+    # Round-16 verdict item 5: the ANN tier's recall must be
+    # round-over-round driver-visible, so a perf win that silently trades
+    # recall fails the close instead of passing today's gates.
+    if n is None:
+        print("[close-gate] skip: RECALL check (no -n ROUND given)")
+        return
+    path = f"RECALL_r{n:02d}.json"
+    if not os.path.exists(path):
+        return fail(f"{path} missing — run "
+                    f"`sbt \"runMain graft.tools.RecallReport "
+                    f"/root/testdata/sf0.1 {path}\"`")
+    try:
+        js = json.loads(open(path).read())
+    except json.JSONDecodeError as e:
+        return fail(f"{path} does not parse: {e}")
+    tiers = ["lsh_nbits8", "lsh_nbits4", "ivf_trained", "ivf_portable",
+             "ivf_pq", "pq_rerank", "int8_brute"]
+    missing = [t for t in tiers if t not in js]
+    if missing:
+        return fail(f"{path} missing tiers: {missing}")
+    # drift alarm vs the previous round's artifact, when one exists
+    prev = sorted(glob.glob("RECALL_r*.json"))
+    prev = [q for q in prev if q < path]
+    if prev:
+        old = json.loads(open(prev[-1]).read())
+        drops = [t for t in tiers if t in old
+                 and js[t]["recall"] < old[t]["recall"] - 1e-9]
+        if drops:
+            return fail(f"recall dropped vs {prev[-1]} in: " + ", ".join(
+                f"{t} {old[t]['recall']:.3f}->{js[t]['recall']:.3f}"
+                for t in drops))
+    ok(f"{path}: " + ", ".join(f"{t}={js[t]['recall']:.3f}" for t in tiers))
+
+
 def check_clean_tree():
     out = subprocess.run(["git", "status", "--porcelain"],
                          capture_output=True, text=True).stdout
@@ -152,6 +187,7 @@ def main():
     check_bench_local()
     check_head_moved()
     check_testrun(args.n)
+    check_recall(args.n)
     check_clean_tree()
     if FAILURES:
         print(f"[close-gate] ROUND CLOSE BLOCKED — {len(FAILURES)} failure(s)")
