@@ -62,12 +62,23 @@ object Decontaminate {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
-  /** The filter form: `docs` minus contaminated rows. */
+  /** The filter form: `docs` minus contaminated rows. One shuffle
+    * lighter than `tag(...).filter(!contaminated)`: the drop decision
+    * needs only contaminated-doc IDS, so the exploded-shingle hits
+    * `distinct` to ids and anti-join back — no per-doc overlap count, no
+    * count-carrying join-back row for every clean document (the vast
+    * majority at corpus scale). Survivor rows identical to the tag form
+    * (DecontaminateSpec asserts it).
+    */
   def clean(docs: DataFrame, idCol: String, textCol: String,
-            benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
-    tag(docs, idCol, textCol, benchmark, benchTextCol, n)
-      .filter(!col("contaminated"))
-      .drop("n_contaminated", "contaminated")
+            benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val contaminatedIds = docs
+      .select(col(idCol),
+        explode(array_distinct(TextDedup.shingles(col(textCol), n))).as("__s"))
+      .join(broadcast(prepareBenchmark(benchmark, benchTextCol, n)), "__s")
+      .select(idCol).distinct()
+    docs.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
 
   /** [[tag]] for benchmark sets TOO BIG to broadcast — the contract [[tag]]
     * refuses. Same result, different shuffle story ([[Bloom]]): a Bloom

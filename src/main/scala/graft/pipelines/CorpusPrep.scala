@@ -96,13 +96,17 @@ object CorpusPrep {
                          cfg: Config): Staged = {
     val quality = TextStats.qualityFilter(deduped, "text")
     val kept = quality.filter(col("keep")).drop("keep", "fail_reason")
-    val tagFn =
-      if (cfg.bloomBenchmark) Decontaminate.tagBloom(_: DataFrame, "doc_id",
-        "text", benchmark, "text", cfg.shingleN)
-      else Decontaminate.tag(_: DataFrame, "doc_id", "text", benchmark,
-        "text", cfg.shingleN)
-    val clean = tagFn(kept).filter(!col("contaminated"))
-      .drop("n_contaminated", "contaminated")
+    // filter-only use: the anti-join clean form (one shuffle lighter than
+    // tag+filter — no per-doc overlap counts; round-16 convergence work,
+    // the decontaminate stage was the composition's load-sensitive step)
+    val clean =
+      if (cfg.bloomBenchmark)
+        Decontaminate.tagBloom(kept, "doc_id", "text", benchmark, "text",
+            cfg.shingleN)
+          .filter(!col("contaminated"))
+          .drop("n_contaminated", "contaminated")
+      else Decontaminate.clean(kept, "doc_id", "text", benchmark, "text",
+        cfg.shingleN)
     val budgeted = Curation.tokenBudgetPerGroup(
         clean.withColumn("__n_tokens", size(TextDedup.tokens(col("text")))),
         groupCol = "source", tokenCol = "__n_tokens",

@@ -41,4 +41,14 @@ class DecontaminateSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("doc_id", "text")
     out.select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
   }
+
+  it should "keep exactly the tag form's survivors (anti-join rewrite)" in {
+    // round 16: clean() is an id-distinct anti-join, one shuffle lighter
+    // than tag+filter — the survivor SET must be identical by contract
+    val viaTag = Decontaminate.tag(docs, "doc_id", "text", bench, "text", n = 5)
+      .filter(!col("contaminated")).drop("n_contaminated", "contaminated")
+      .orderBy("doc_id").collect()
+    Decontaminate.clean(docs, "doc_id", "text", bench, "text", n = 5)
+      .orderBy("doc_id").collect() shouldBe viaTag
+  }
 }
