@@ -49,12 +49,25 @@ object Runner {
       .orderBy("path").limit(1)
       .select("path").collect().headOption.map(_.getString(0))
 
-  /** All-string headered CSV read — deterministic (no inference); the
+  /** All-string headered ingest — deterministic (no inference); the
     * pipelines stringify everything anyway, like the reference's astype
-    * passes.
+    * passes. Dispatches on extension: CSV (Spark reader), .xlsx
+    * ([[graft.io.Xlsx]]) and legacy .xls ([[graft.io.Xls]], BIFF8 —
+    * round 16) all land as the same all-string frame, so the reference's
+    * mixed Excel/CSV storage roots ingest without a pre-conversion step.
     */
-  private def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+  private def readAny(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    // the Excel readers are driver-side java.nio/ZipFile consumers: strip
+    // the file: scheme Storage.fetch staging returns (CSV goes through
+    // Spark's Hadoop reader, which takes the URI as-is)
+    def localPath: String =
+      if (lower.startsWith("file:")) new java.net.URI(path).getPath else path
+    if (lower.endsWith(".xlsx")) graft.io.Xlsx.read(spark, localPath)
+    else if (lower.endsWith(".xls")) graft.io.Xls.read(spark, localPath)
+    else spark.read.option("header", "true")
+      .option("inferSchema", "false").csv(path)
+  }
 
   final case class RunResult(loadSummary: Seq[LoadStatus],
                              pua: Option[DataFrame],
@@ -89,7 +102,7 @@ object Runner {
         s.used))
 
     def load(name: String): Option[DataFrame] =
-      picked(name).map(e => readCsv(spark, storage.fetch(e)))
+      picked(name).map(e => readAny(spark, storage.fetch(e)))
 
     val puaOut = for {
       pua <- load("pua"); tsOrg <- load("ts_org"); tsDept <- load("ts_dept")

@@ -11,6 +11,8 @@ import graft.SparkSpec
   */
 class RunnerSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private def write(dir: java.io.File, name: String, lines: Seq[String]): Unit =
     Files.writeString(new java.io.File(dir, name).toPath, lines.mkString("\n"))
 
@@ -31,6 +33,14 @@ class RunnerSpec extends SparkSpec {
       "CA,BW,Eligible,Civil Service Long"))
     write(dir, "TE_M.csv", Seq("UIN Job,TE M,Time Entry Method,Time Entry Type",
       "100-101,W,Web,T1"))
+    // the overtime lookup ALSO exists as a legacy .xls — the CSV wins the
+    // deterministic by-path pick ("Overtime_E_Class.csv" < "..._old.xls"),
+    // and the .xls ingest path is covered by the dedicated test below
+    graft.io.Xls.write(
+      Seq(("CA", "BW", "Eligible", "Civil Service Long"))
+        .toDF("Job Eclass", "Pay ID", "Overtime FLSA",
+          "Job Detail E-Class Long Desc"),
+      new java.io.File(dir, "Overtime_old.xls").getAbsolutePath)
     // note: no Feeder_List, no YTD file → load summary must flag them
     dir.getAbsolutePath
   }
@@ -88,6 +98,28 @@ class RunnerSpec extends SparkSpec {
     memResult.pua.get.collect().map(_.toSeq) shouldBe
       result.pua.get.collect().map(_.toSeq)
     memResult.cpa.get.output.count() shouldBe result.cpa.get.output.count()
+  }
+
+  it should "ingest a lookup that exists ONLY as legacy .xls (round 16)" in {
+    // a storage root where the overtime lookup is a BIFF8 binary — the
+    // reference's mixed Excel/CSV drive, no pre-conversion step
+    val dir = Files.createTempDirectory("graft_runner_xls").toFile
+    Seq("monthly_PUA_file.csv", "cert_BW_2026.csv", "cert_MN_2026.csv",
+      "TS_Org.csv", "TS_Dept.csv", "TE_M.csv").foreach { n =>
+      Files.copy(new java.io.File(root, n).toPath,
+        new java.io.File(dir, n).toPath)
+    }
+    graft.io.Xls.write(
+      Seq(("CA", "BW", "Eligible", "Civil Service Long"))
+        .toDF("Job Eclass", "Pay ID", "Overtime FLSA",
+          "Job Detail E-Class Long Desc"),
+      new java.io.File(dir, "Overtime_E_Class.xls").getAbsolutePath)
+    val r = Runner.run(spark, dir.getAbsolutePath, None,
+      runDate = LocalDate.of(2026, 8, 12), dedupOrder = Seq(col("UIN")))
+    r.loadSummary.find(_.name == "overtime").get.path.get should
+      endWith(".xls")
+    // the PUA pipeline's overtime join resolved through the .xls lookup
+    r.pua.get.collect().head.getAs[String]("Overtime") shouldBe "Eligible"
   }
 
   it should "pick identically through the distributed catalog and the Storage listing" in {
