@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * against the PUBLIC Microsoft specs: [MS-CFB] (Compound File Binary:
   * 512-byte sectors, FAT/DIFAT chains, directory, mini-FAT/mini-stream)
   * and [MS-XLS] (BIFF8 record stream: BOF/BOUNDSHEET/SST with CONTINUE
-  * fragments, LABELSST/LABEL/NUMBER/RK/MULRK/BOOLERR cell records).
+  * fragments, LABELSST/LABEL/NUMBER/RK/MULRK/BOOLERR cell records, and
+  * FORMULA cells via their CACHED results — number inline, string in the
+  * trailing STRING record — matching `pd.read_excel`, which surfaces the
+  * last-calculated value, never the formula text).
   *
   * Read contract matches [[Xlsx.read]]: all-string DataFrame, first row
   * as header (`pd.read_excel` defaults); numbers render integral values
@@ -244,6 +247,9 @@ object Xls {
 
     // ---- worksheet substream: cell records until EOF ----
     val cells = scala.collection.mutable.HashMap.empty[(Int, Int), String]
+    // FORMULA with a cached-string result: the value arrives in the next
+    // STRING record ([MS-XLS] 2.4.268) — remember whose cell it fills.
+    var pendingString: Option[(Int, Int)] = None
     p = sheetAt
     var done = false
     while (!done && p + 4 <= wb.length) {
@@ -278,6 +284,34 @@ object Xls {
           if ((wb(d + 7) & 0xFF) == 0)
             cells((le16(wb, d), le16(wb, d + 2))) =
               if ((wb(d + 6) & 0xFF) != 0) "TRUE" else "FALSE"
+        case 0x0006 if len >= 14 => // FORMULA: decode the CACHED result
+          val rc = (le16(wb, d), le16(wb, d + 2))
+          if (le16(wb, d + 12) == 0xFFFF) { // non-numeric sentinel
+            (wb(d + 6) & 0xFF) match {
+              case 0x00 => pendingString = Some(rc) // value in next STRING
+              case 0x01 => // cached boolean
+                cells(rc) = if ((wb(d + 8) & 0xFF) != 0) "TRUE" else "FALSE"
+              case 0x03 => cells(rc) = "" // cached empty string
+              case _ => // 0x02 cached error: skip, like BOOLERR errors
+            }
+          } else { // cached IEEE double
+            var bits = 0L
+            (0 until 8).foreach(j => bits |= (wb(d + 6 + j).toLong & 0xFF) << (8 * j))
+            cells(rc) = numStr(java.lang.Double.longBitsToDouble(bits))
+          }
+        case 0x0207 if len >= 3 => // STRING: cached string of prior FORMULA
+          pendingString.foreach { rc =>
+            val cch = le16(wb, d)
+            val wide = (wb(d + 2) & 0x01) != 0
+            val avail = math.min(len - 3, if (wide) cch * 2 else cch)
+            cells(rc) =
+              if (wide)
+                new String(wb, d + 3, avail,
+                  java.nio.charset.StandardCharsets.UTF_16LE)
+              else new String(wb.slice(d + 3, d + 3 + avail)
+                .map(b => (b & 0xFF).toChar))
+          }
+          pendingString = None
         case 0x000A => done = true
         case _ =>
       }

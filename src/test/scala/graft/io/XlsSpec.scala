@@ -105,6 +105,72 @@ class XlsSpec extends SparkSpec {
       ("TRUE", null)) // BOOLERR
   }
 
+  it should "decode FORMULA cells through their cached results" in {
+    // pd.read_excel surfaces the last-calculated value of a formula cell,
+    // never the formula text — [MS-XLS] 2.4.127 FORMULA carries the cached
+    // number inline (or a 0xFFFF-sentinel for bool/error/string, the
+    // string arriving in the trailing 2.4.268 STRING record)
+    val bo = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bo.write(v & 0xFF); bo.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v); w16(v >> 16) }
+    def rec(id: Int)(body: => Unit): Unit = {
+      val saved = bo.toByteArray; bo.reset(); body
+      val b = bo.toByteArray; bo.reset(); bo.write(saved, 0, saved.length)
+      w16(id); w16(b.length); bo.write(b, 0, b.length)
+    }
+    def bof(dt: Int): Unit = rec(0x0809) {
+      w16(0x0600); w16(dt); w16(0); w16(0); w32(0); w32(0)
+    }
+    // formula tail after the 8-byte num: grbit(2) + chn(4) + cce(2)=0
+    def formulaTail(): Unit = { w16(0); w32(0); w16(0) }
+    bof(0x0005)
+    val bsAt = bo.size()
+    rec(0x0085) { w32(0); w16(0); bo.write(2); bo.write(0)
+      bo.write('h'); bo.write('x') }
+    rec(0x00FC) { w32(1); w32(1)
+      w16(1); bo.write(0); bo.write('k') } // header column "k"
+    rec(0x000A) {}
+    val sheetAt = bo.size()
+    bof(0x0010)
+    rec(0x00FD) { w16(0); w16(0); w16(0); w32(0) } // header A1 = "k"
+    rec(0x0006) { w16(1); w16(0); w16(0) // A2: cached number 41.5
+      val bits = java.lang.Double.doubleToLongBits(41.5)
+      (0 until 8).foreach(j => bo.write(((bits >> (8 * j)) & 0xFF).toInt))
+      formulaTail() }
+    rec(0x0006) { w16(2); w16(0); w16(0) // A3: cached string "net pay"
+      bo.write(0x00); bo.write(0); bo.write(0); bo.write(0)
+      bo.write(0); bo.write(0); w16(0xFFFF)
+      formulaTail() }
+    rec(0x0207) { w16(7); bo.write(0) // compressed STRING "net pay"
+      "net pay".foreach(c => bo.write(c.toInt)) }
+    rec(0x0006) { w16(3); w16(0); w16(0) // A4: cached boolean TRUE
+      bo.write(0x01); bo.write(0); bo.write(1); bo.write(0)
+      bo.write(0); bo.write(0); w16(0xFFFF)
+      formulaTail() }
+    rec(0x0006) { w16(4); w16(0); w16(0) // A5: cached error #DIV/0! -> null
+      bo.write(0x02); bo.write(0); bo.write(0x07); bo.write(0)
+      bo.write(0); bo.write(0); w16(0xFFFF)
+      formulaTail() }
+    rec(0x0006) { w16(5); w16(0); w16(0) // A6: cached empty string
+      bo.write(0x03); bo.write(0); bo.write(0); bo.write(0)
+      bo.write(0); bo.write(0); w16(0xFFFF)
+      formulaTail() }
+    rec(0x000A) {}
+    val wb = bo.toByteArray
+    wb(bsAt + 4) = (sheetAt & 0xFF).toByte
+    wb(bsAt + 5) = ((sheetAt >> 8) & 0xFF).toByte
+    wb(bsAt + 6) = ((sheetAt >> 16) & 0xFF).toByte
+    wb(bsAt + 7) = ((sheetAt >> 24) & 0xFF).toByte
+
+    val dir = Files.createTempDirectory("graft_xls_formula")
+    val path = dir.resolve("f.xls").toString
+    Files.write(java.nio.file.Paths.get(path), Xls.cfbWrap("Workbook", wb))
+    val back = Xls.read(spark, path).collect().map(_.getString(0))
+    // the error row holds no decoded cell, so (like any all-empty row)
+    // it does not materialize — pd.read_excel parity would give NaN there
+    back.toSeq shouldBe Seq("41.5", "net pay", "TRUE", "")
+  }
+
   it should "be total on truncation and seeded corruption" in {
     val df = Seq(("a", "1"), ("b", "2")).toDF("x", "y")
     val path = tmp("graft_xls_fuzz")
