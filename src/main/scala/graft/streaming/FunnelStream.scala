@@ -87,7 +87,7 @@ object FunnelStream {
   private[streaming] def usOf(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
 
-  private def toEv(e: EvT): Ev = Ev(e.user_id, e.event_id, usOf(e.ts), e.event_type)
+  private[streaming] def toEv(e: EvT): Ev = Ev(e.user_id, e.event_id, usOf(e.ts), e.event_type)
 
   // ------------------------------------------------------- timed funnel
 
@@ -118,7 +118,7 @@ object FunnelStream {
   /** The funnel fold shared by both TTL forms: apply pre-SORTED events to
     * the prior step times; returns (new times if advanced, output).
     */
-  private def foldFunnel(stepIdx: Map[String, Int], nSteps: Int,
+  private[streaming] def foldFunnel(stepIdx: Map[String, Int], nSteps: Int,
                          maxGapUs: Long, userId: Long, sorted: Seq[Ev],
                          prior: List[Long]): (Option[List[Long]], Iterator[FunnelAdvance]) = {
     val before = prior.size
