@@ -1728,6 +1728,20 @@ object Qext {
     NgramLm.avgLogProb(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DSIR importance weights ([[Dsir.importanceWeights]]): score every
+    * document by how much more likely its unigram+bigram bag is under
+    * the English subset's feature distribution than the whole corpus's —
+    * the published importance-resampling selection signal. Same integer
+    * nano-nat discipline as q_ext_lm_score; the hashed fixed-width form
+    * is spec-locked (hash not in the oracle surface).
+    */
+  def qExtDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage curve ([[TextStats.vocabCoverage]]): cumulative
     * token mass of the top-200 tokens — the tokenizer-sizing measure.
     * TakeOrdered + constant-bounded window; exact BIGINT cumsums.
@@ -2048,6 +2062,7 @@ object Qext {
     "q_ext_scd2" -> (qExtScd2 _),
     "q_ext_hard_negatives" -> (qExtHardNegatives _),
     "q_ext_lm_score" -> (qExtLmScore _),
+    "q_ext_dsir_weights" -> (qExtDsirWeights _),
     "q_ext_vocab_coverage" -> (qExtVocabCoverage _),
     "q_ext_source_overlap" -> (qExtSourceOverlap _),
     "q_ext_length_buckets" -> (qExtLengthBuckets _),
@@ -4537,6 +4552,38 @@ object Qext {
          |             JOIN cu ON b.w1 = cu.w1)
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(t)::BIGINT AS ll_scaled,
          |       round(sum(t)::BIGINT::DOUBLE / count(*) / 1e9, 6) AS avg_ll
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance weights: identical nano-nat term shape, computed
+    // left-associated exactly as Dsir.termScaled writes it; the target
+    // corpus is the lang='en' subset, smoothing space = raw features.
+    "q_ext_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, list_filter(string_split($normSql, ' '),
+         |                                   x -> x <> '') AS ts
+         |  FROM documents
+         |), feats AS (
+         |  SELECT doc_id, lang, unnest(ts) AS f FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, lang, (u).a || ' ' || (u).b AS f FROM (
+         |    SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)),
+         |                          j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
+         |    FROM toks)
+         |), cr AS (SELECT f, count(*)::BIGINT AS cr FROM feats GROUP BY f),
+         |ct AS (SELECT f, count(*)::BIGINT AS ct FROM feats
+         |       WHERE lang = 'en' GROUP BY f),
+         |tot AS (SELECT sum(cr)::BIGINT AS nr, count(*)::BIGINT AS fcard FROM cr),
+         |ntot AS (SELECT sum(ct)::BIGINT AS nt FROM ct),
+         |terms AS (
+         |  SELECT fe.doc_id,
+         |         floor(1e9 * (ln(coalesce(ct.ct, 0) + 1)
+         |                      - ln((SELECT nt FROM ntot) + (SELECT fcard FROM tot))
+         |                      - ln(cr.cr + 1)
+         |                      + ln((SELECT nr FROM tot) + (SELECT fcard FROM tot)))
+         |               + 0.5)::BIGINT AS t
+         |  FROM feats fe JOIN cr ON fe.f = cr.f LEFT JOIN ct ON fe.f = ct.f)
+         |SELECT doc_id, count(*)::BIGINT AS n_feats, sum(t)::BIGINT AS logw_scaled,
+         |       round(sum(t)::BIGINT::DOUBLE / 1e9, 6) AS logw
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact BIGINT cumulative sums over the top-200 ranks; coverage is
