@@ -58,15 +58,19 @@ object Dsir {
   val LnScale: Double = NgramLm.LnScale
 
   /** The DSIR feature stream: one row per unigram and per adjacent
-    * bigram occurrence — (idCol, f) with bigrams space-joined.
+    * bigram occurrence — (idCol, keep..., f) with bigrams space-joined.
+    * `keep` columns ride along untouched (e.g. an event-time column for
+    * the streaming scorer).
     */
-  def docFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def docFeatures(docs: DataFrame, idCol: String, textCol: String,
+                  keep: Seq[String] = Nil): DataFrame = {
     val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
     val bigrams = zip_with(
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
-    docs.select(col(idCol), explode(concat(ts, bigrams)).as("f"))
+    docs.select(col(idCol) +: keep.map(col)
+      :+ explode(concat(ts, bigrams)).as("f"): _*)
   }
 
   /** [[docFeatures]] folded to `buckets` hashed features — the
@@ -105,6 +109,24 @@ object Dsir {
       targetTotal = ct.agg(sum("ct").as("nt")))
   }
 
+  /** Attach the per-occurrence nano-nat term to a feature stream under a
+    * fitted model — LEFT joins on BOTH count frames, so a feature the
+    * fitted raw corpus never saw (possible when scoring a NEW batch, the
+    * amortized fit/score use) floors at add-one on both sides and scores
+    * the corpus-ratio constant ln((Nr+F)/(Nt+F)) instead of being
+    * silently dropped (an inner join would deflate n_feats by exactly
+    * the unseen mass). For self-scoring every key matches and the
+    * coalesce never fires — identical values.
+    */
+  def withTermScaled(feats: DataFrame, model: Model): DataFrame =
+    feats
+      .join(model.rawCounts.withColumnRenamed("cr", "cr_hit"), Seq("f"), "left")
+      .join(model.targetCounts.withColumnRenamed("ct", "ct_hit"), Seq("f"), "left")
+      .crossJoin(broadcast(model.rawTotals))
+      .crossJoin(broadcast(model.targetTotal))
+      .withColumn("t", termScaled(coalesce(col("ct_hit"), lit(0L)),
+        coalesce(col("cr_hit"), lit(0L)), col("nt"), col("nr"), col("fcard")))
+
   /** Score `docs` under a fitted model — one feature-stream pass joined
     * co-keyed to the count frames; totals ride as broadcast singletons.
     */
@@ -114,13 +136,7 @@ object Dsir {
       case Some(b) => docFeaturesHashed(docs, idCol, textCol, b)
       case None => docFeatures(docs, idCol, textCol)
     }
-    fr.join(model.rawCounts, Seq("f"))
-      .join(model.targetCounts.withColumnRenamed("ct", "ct_hit"), Seq("f"), "left")
-      .crossJoin(broadcast(model.rawTotals))
-      .crossJoin(broadcast(model.targetTotal))
-      .select(col(idCol),
-        termScaled(coalesce(col("ct_hit"), lit(0L)),
-          col("cr"), col("nt"), col("nr"), col("fcard")).as("t"))
+    withTermScaled(fr, model)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"), sum("t").as("logw_scaled"))
       .withColumn("logw",
