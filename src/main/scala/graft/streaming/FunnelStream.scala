@@ -229,7 +229,7 @@ object FunnelStream {
   implicit private val touchEncT: Encoder[TouchStateT] = Encoders.product[TouchStateT]
 
   /** The last-touch fold shared by both TTL forms (sorted input). */
-  private def foldLastTouch(convertType: String, touches: Set[String],
+  private[streaming] def foldLastTouch(convertType: String, touches: Set[String],
                             windowUs: Long, userId: Long, sorted: Seq[Ev],
                             prior: Option[TouchState]): (Option[TouchState], Iterator[Attribution]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]

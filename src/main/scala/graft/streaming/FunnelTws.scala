@@ -4,14 +4,15 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-import graft.streaming.FunnelStream.{Ev, EvT, FunnelAdvance, FunnelState,
-  FunnelStateT}
+import graft.streaming.FunnelStream.{Attribution, Ev, EvT, FunnelAdvance,
+  FunnelState, FunnelStateT, TouchState, TouchStateT}
 
-/** `transformWithState` forms of the streaming timed funnel — the same
-  * funnel arithmetic as [[FunnelStream]] (the shared
-  * [[FunnelStream.foldFunnel]] IS the semantics of record), but per-key
-  * retention is delegated to the Spark 4 state-store runtime instead of
-  * hand-armed `GroupState` timeouts:
+/** `transformWithState` forms of the streaming timed funnel and
+  * last-touch attribution — the same arithmetic as [[FunnelStream]] (the
+  * shared [[FunnelStream.foldFunnel]]/[[FunnelStream.foldLastTouch]] ARE
+  * the semantics of record), but per-key retention is delegated to the
+  * Spark 4 state-store runtime instead of hand-armed `GroupState`
+  * timeouts:
   *
   *   - [[timedFunnel]] — PROCESSING-time idle TTL via the store's native
   *     `TTLConfig`: the value-state row expires `ttl` after its last
@@ -119,6 +120,115 @@ object FunnelTws {
         new EventTtlProcessor(steps.zipWithIndex.toMap, steps.size, maxGapUs,
           eventTtl.toMillis),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // -------------------------------------------- last-touch attribution
+
+  implicit private val attrEnc: Encoder[Attribution] =
+    Encoders.product[Attribution]
+
+  /** Last-touch attribution with the store's native processing-time TTL.
+    * Semantics of record: [[FunnelStream.lastTouch]] (shared fold).
+    */
+  def lastTouch(events: Dataset[Ev], convertType: String,
+                touchTypes: Seq[String], windowUs: Long,
+                idleTtl: Option[java.time.Duration] = None): Dataset[Attribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    requireRocksDb(events)
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new TouchIdleProcessor(convertType, touchTypes.toSet, windowUs,
+          idleTtl.map(_.toMillis)),
+        if (idleTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Last-touch attribution with event-time expiry via state-store
+    * timers; `withWatermark("ts", ...)` upstream is REQUIRED. Semantics
+    * of record: [[FunnelStream.lastTouchEventTtl]].
+    */
+  def lastTouchEventTtl(events: Dataset[EvT], convertType: String,
+                        touchTypes: Seq[String], windowUs: Long,
+                        eventTtl: java.time.Duration): Dataset[Attribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!eventTtl.isNegative && !eventTtl.isZero, "eventTtl must be positive")
+    requireRocksDb(events)
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new TouchEventTtlProcessor(convertType, touchTypes.toSet, windowUs,
+          eventTtl.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Processing-time form: the held touch in a TTL'd value state. */
+  private final class TouchIdleProcessor(convertType: String,
+                                         touches: Set[String],
+                                         windowUs: Long, ttlMs: Option[Long])
+    extends StatefulProcessor[Long, Ev, Attribution] {
+
+    @transient private var st: ValueState[TouchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+        .getOrElse(TTLConfig.NONE)
+      st = getHandle.getValueState[TouchState]("touch",
+        Encoders.product[TouchState], ttl)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[Attribution] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val prior = if (st.exists()) Some(st.get()) else None
+      val (held, out) = FunnelStream.foldLastTouch(
+        convertType, touches, windowUs, userId, sorted, prior)
+      // update on ANY held touch (even unchanged): resets the TTL clock,
+      // matching the GroupState form's every-batch armTtl refresh
+      held.foreach(st.update)
+      out
+    }
+  }
+
+  /** Event-time form: optional held touch + horizon anchor, one timer. */
+  private final class TouchEventTtlProcessor(convertType: String,
+                                             touches: Set[String],
+                                             windowUs: Long, ttlMs: Long)
+    extends StatefulProcessor[Long, EvT, Attribution] {
+
+    @transient private var st: ValueState[TouchStateT] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TouchStateT]("touch",
+        Encoders.product[TouchStateT], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[EvT],
+                                 tv: TimerValues): Iterator[Attribution] = {
+      val sorted = rows.toSeq.map(FunnelStream.toEv)
+        .sortBy(e => (e.ts_us, e.event_id))
+      val prior = if (st.exists()) Some(st.get()) else None
+      val (held, out) = FunnelStream.foldLastTouch(
+        convertType, touches, windowUs, userId, sorted,
+        prior.flatMap(_.touch))
+      val lastSeenMs = math.max(
+        prior.map(_.lastSeenMs).getOrElse(Long.MinValue),
+        if (sorted.isEmpty) Long.MinValue
+        else Math.floorDiv(sorted.map(_.ts_us).max, 1000L))
+      st.update(TouchStateT(held, lastSeenMs))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(lastSeenMs + ttlMs)
+      out
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Attribution] = {
+      st.clear()
+      Iterator.empty
+    }
   }
 
   /** Processing-time form: funnel state in a TTL'd value state. */

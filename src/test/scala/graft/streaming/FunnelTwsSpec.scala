@@ -146,6 +146,82 @@ class FunnelTwsSpec extends SparkSpec {
       FunnelTws.timedFunnel(input.toDS(), steps, gapUs, None)
   }
 
+  // ------------------------------------------------ last-touch parity
+
+  private def runTouch(batches: Seq[Seq[Ev]], name: String,
+                       tws: Boolean): Seq[FunnelStream.Attribution] = {
+    def start() = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val ds =
+        if (tws) FunnelTws.lastTouch(input.toDS(), "purchase",
+          Seq("ad", "email"), gapUs, None)
+        else FunnelStream.lastTouch(input.toDS(), "purchase",
+          Seq("ad", "email"), gapUs, None)
+      (input, ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start())
+    }
+    val (input, query) = if (tws) withRocksDb(start()) else start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[FunnelStream.Attribution].collect().toSeq
+    } finally query.stop()
+  }
+
+  "FunnelTws.lastTouch" should "match the GroupState form, single and split batches" in {
+    val evs = Seq(
+      Ev(1L, 1L, mins(0), "ad"), Ev(1L, 2L, mins(3), "email"),
+      Ev(1L, 3L, mins(5), "purchase"), // credits the email (latest touch)
+      Ev(2L, 4L, mins(1), "purchase"), // organic: no touch held
+      Ev(1L, 5L, mins(12), "purchase"), // re-credits the held email (9 min <= 10)
+      Ev(3L, 6L, mins(2), "ad"), Ev(3L, 7L, mins(40), "purchase")) // outside window
+    Seq(Seq(evs), evs.map(Seq(_))).zipWithIndex.foreach { case (batches, i) =>
+      val tws = runTouch(batches, s"twst_par_$i", tws = true)
+      val gs = runTouch(batches, s"twst_gs_$i", tws = false)
+      tws.sortBy(a => (a.user_id, a.conv_us)) shouldBe
+        gs.sortBy(a => (a.user_id, a.conv_us))
+      // and the fixture exercises all three outcomes
+      tws.count(_.touch_id.isDefined) shouldBe 2
+      tws.count(_.touch_id.isEmpty) shouldBe 2
+    }
+  }
+
+  "FunnelTws.lastTouchEventTtl" should "forget the held touch once the watermark passes the horizon" in {
+    implicit val sqlCtx = spark.sqlContext
+    val ttl = java.time.Duration.ofMinutes(10)
+    def run(tws: Boolean, name: String): Seq[FunnelStream.Attribution] = {
+      def start() = {
+        val input = MemoryStream[EvT]
+        val wm = input.toDS().withWatermark("ts", "0 seconds")
+        val ds = if (tws) FunnelTws.lastTouchEventTtl(wm, "purchase",
+          Seq("ad"), 120L * 60L * 1000000L, ttl)
+        else FunnelStream.lastTouchEventTtl(wm, "purchase",
+          Seq("ad"), 120L * 60L * 1000000L, ttl)
+        (input, ds.writeStream.format("memory").queryName(name)
+          .outputMode("append").start())
+      }
+      val (input, query) = if (tws) withRocksDb(start()) else start()
+      try {
+        Seq(
+          Seq(EvT(1L, 1L, tsOfMin(0), "ad")),
+          Seq(EvT(2L, 2L, tsOfMin(60), "ad")), // advances watermark past 1's horizon
+          Seq(EvT(1L, 3L, tsOfMin(61), "purchase")) // held ad expired -> organic
+        ).foreach { b =>
+          input.addData(b: _*)
+          query.processAllAvailable()
+        }
+        spark.table(name).as[FunnelStream.Attribution].collect().toSeq
+      } finally query.stop()
+    }
+    val tws = run(tws = true, "twst_ev")
+    val gs = run(tws = false, "twst_ev_gs")
+    tws.map(a => (a.user_id, a.touch_id)) shouldBe Seq((1L, None))
+    tws shouldBe gs
+  }
+
   // ----------------------------------------------------- event-time TTL
 
   // day-anchored: TimeMode.EventTime drops rows at-or-behind the previous
