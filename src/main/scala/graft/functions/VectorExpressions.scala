@@ -232,6 +232,112 @@ object VectorExpressions {
     bridge.column(LshSign(bridge.expression(vec),
       planes.map(_.toVector).toVector))
 
+  /** Margin-ranked multi-probe sequence (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007): the vector's own bucket first, then the single-bit
+    * flips of the `nprobe-1` planes with the SMALLEST |dot| margin —
+    * the buckets a near-neighbor most plausibly fell into, since a
+    * small margin means the hyperplane barely separated them. Per-plane
+    * dot arithmetic is EXACTLY [[sigCompute]]'s (min-length loop, null
+    * elements skipped, accumulate in index order), so probe 0 equals
+    * [[LshSign]] bit-for-bit and the margin order is reproducible in
+    * any IEEE engine (ties by plane index ascending).
+    */
+  def probesCompute(vec: ArrayData, dt: Int, planes: Array[Array[Double]],
+                    nprobe: Int): Array[Long] = {
+    val dots = new Array[Double](planes.length)
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(vec.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i)) {
+          val x = dt match {
+            case 0 => vec.getFloat(i).toDouble
+            case 1 => vec.getInt(i).toDouble
+            case _ => vec.getDouble(i)
+          }
+          s += x * plane(i)
+        }
+        i += 1
+      }
+      dots(p) = s
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    val order = (0 until planes.length).sortBy(j => (math.abs(dots(j)), j))
+    val m = math.min(nprobe, planes.length + 1)
+    val out = new Array[Long](m)
+    out(0) = sig
+    var j = 1
+    while (j < m) { out(j) = sig ^ (1L << order(j - 1)); j += 1 }
+    out
+  }
+
+  case class LshProbes(child: Expression, planes: IndexedSeq[IndexedSeq[Double]],
+                       nprobe: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(planes.nonEmpty && planes.length <= 64,
+      s"plane count must be in [1,64], got ${planes.length}")
+    require(nprobe >= 1 && nprobe <= planes.length + 1,
+      s"nprobe must be in [1, nbits+1], got $nprobe")
+
+    @transient private lazy val planesArr: Array[Array[Double]] =
+      planes.map(_.toArray).toArray
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (checkVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"lsh_probes requires array<float|double|int> input, got ${child.dataType}")
+
+    private def dtCode: Int = child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => 0
+      case IntegerType => 1
+      case _ => 2
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      val arr =
+        if (v == null) probesCompute(ArrayData.toArrayData(Array.empty[Double]),
+          2, planesArr, nprobe)
+        else probesCompute(v.asInstanceOf[ArrayData], dtCode, planesArr, nprobe)
+      ArrayData.toArrayData(arr)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val planesRef = ctx.addReferenceObj("lshProbePlanes", planesArr, "double[][]")
+      val empty = ctx.addReferenceObj("lshProbeEmpty",
+        ArrayData.toArrayData(Array.empty[Double]),
+        "org.apache.spark.sql.catalyst.util.ArrayData")
+      ev.copy(code =
+        code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+              graft.functions.VectorExpressions.probesCompute(
+                ${c.isNull} ? $empty : ${c.value}, $dtCode, $planesRef, $nprobe));
+          """,
+        isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_probes"
+  }
+
+  def lsh_probes(vec: Column, planes: Seq[Array[Double]], nprobe: Int): Column =
+    bridge.column(LshProbes(bridge.expression(vec),
+      planes.map(_.toVector).toVector, nprobe))
+
   def vec_dot(a: Column, b: Column): Column =
     bridge.column(VectorDot(bridge.expression(a), bridge.expression(b)))
 

@@ -199,6 +199,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB 2007): each query scans its
+    * own bucket PLUS the single-bit-flip buckets of its `nprobe-1`
+    * smallest-|margin| hyperplanes — the buckets a near neighbor most
+    * plausibly landed in — then ranks by exact cosine. Recall multiplies
+    * with `nprobe` while work stays `nprobe/2^nbits` of the corpus:
+    * the published alternative to more hash tables (memory) or fewer
+    * bits (bucket blow-up). `nprobe = 1` is exactly [[annTopK]].
+    *
+    * Shape: candidates carry ONE bucket (the [[lshSignature]] native
+    * expression); only the broadcast-side queries explode to their probe
+    * list ([[graft.functions.VectorExpressions.LshProbes]], margin
+    * arithmetic bit-identical to the signature's), so the corpus-side
+    * plan is unchanged from single-probe. Probe buckets are distinct by
+    * construction — no pair dedup needed.
+    */
+  def annTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nbits: Int = 8, dim: Int = 64, nprobe: Int = 3,
+                        scoreDecimals: Int = 6,
+                        planesFor: (Int, Int) => Seq[Array[Double]] = hyperplanes(_, _)): DataFrame = {
+    val planes = planesFor(nbits, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__bucket", explode(
+        graft.functions.VectorExpressions.lsh_probes(col("__qv"), planes, nprobe)))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+      .withColumn("__bucket", lshSignature(col("__cv"), planes))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), scoreDecimals))
+    rankTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (id_a < id_b),
     * LSH-blocked so only same-bucket pairs are compared.
     */

@@ -378,6 +378,21 @@ object Qext {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe LSH top-5 ([[Similarity.annTopKMultiProbe]]): same
+    * md5-portable planes as q_ext_sim_ann_lsh, each query additionally
+    * probing the 2 smallest-|margin| single-bit flips — the VLDB'07
+    * recall-vs-work lever. The oracle reproduces the probe sequence in
+    * SQL (per-plane dots, abs-margin rank, xor), so bucket choice —
+    * not just scoring — is hash-checked.
+    */
+  def qExtSimAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.annTopKMultiProbe(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, nbits = 6, dim = 64, nprobe = 3,
+        planesFor = Similarity.md5Hyperplanes)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF ANN top-5: k-means coarse quantizer (k=16, 2 Lloyd iterations,
     * trained in-query deterministically via [[Ivf.trainPortable]] —
     * integer-quantized centroid sums make every centroid element an exact
@@ -1986,6 +2001,7 @@ object Qext {
     "q_ext_sim_topk" -> (qExtSimTopk _),
     "q_ext_sim_topk_int8" -> (qExtSimTopkInt8 _),
     "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
+    "q_ext_sim_ann_multiprobe" -> (qExtSimAnnMultiprobe _),
     "q_ext_sim_ivf" -> (qExtSimIvf _),
     "q_ext_sim_ivf_fixed" -> (qExtSimIvfFixed _),
     "q_ext_pq_codes" -> (qExtPqCodes _),
@@ -2990,6 +3006,57 @@ object Qext {
         |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
         |  FROM sv q JOIN sv c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 8
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Multi-probe: the probe sequence itself is reproduced in SQL —
+    // per-plane dots, |margin| ascending rank (ties by plane index),
+    // xor single-bit flips — so the oracle checks bucket CHOICE, not
+    // just the cosine scoring of whatever buckets the engine picked.
+    "q_ext_sim_ann_multiprobe" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    ('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT
+        |      / 4294967295.0 * 2 - 1) AS vec
+        |  FROM range(6) pt(p)
+        |), v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), dots AS (
+        |  SELECT v.vec_id, planes.p,
+        |         list_dot_product(v.emb, planes.vec) AS d
+        |  FROM v, planes
+        |), sig AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN d > 0
+        |                           THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id
+        |), flips AS (
+        |  SELECT vec_id, p,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY abs(d) ASC, p ASC) AS r
+        |  FROM dots WHERE vec_id < 8
+        |), qprobes AS (
+        |  SELECT vec_id, bucket AS probe FROM sig WHERE vec_id < 8
+        |  UNION ALL
+        |  SELECT f.vec_id, xor(s.bucket, 1::BIGINT << f.p) AS probe
+        |  FROM flips f JOIN sig s USING (vec_id) WHERE f.r <= 2
+        |), sv AS (
+        |  SELECT s.vec_id, s.bucket, v.emb FROM sig s JOIN v USING (vec_id)
+        |), scored AS (
+        |  SELECT qp.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM qprobes qp
+        |  JOIN v q ON q.vec_id = qp.vec_id
+        |  JOIN sv c ON c.bucket = qp.probe AND c.vec_id <> qp.vec_id
         |), ranked AS (
         |  SELECT query_id, cand_id, score,
         |         row_number() OVER (PARTITION BY query_id

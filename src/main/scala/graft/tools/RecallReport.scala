@@ -53,6 +53,11 @@ object RecallReport {
       k = k, nbits = 8)))
     record("lsh_nbits4", pairs(Similarity.annTopK(q, e, "vec_id", "embedding",
       k = k, nbits = 4)))
+    // the VLDB'07 recall-vs-work lever at the SAME 8-bit buckets: each
+    // query probes its 4 smallest-|margin| single-bit flips too (5/256
+    // of the corpus scanned vs 1/256 single-probe)
+    record("lsh_multiprobe8", pairs(Similarity.annTopKMultiProbe(q, e,
+      "vec_id", "embedding", k = k, nbits = 8, nprobe = 5)))
 
     val ivfT = Ivf.train(e, "vec_id", "embedding", k = 16, iters = 2)
     record("ivf_trained", pairs(Ivf.annTopK(q, e, "vec_id", "embedding",
