@@ -66,7 +66,7 @@ object FunnelTws {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  private def requireRocksDb(ds: Dataset[_]): Unit = {
+  private[streaming] def requireRocksDb(ds: Dataset[_]): Unit = {
     val got = ds.sparkSession.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass").getOrElse("")
     require(got.endsWith("RocksDBStateStoreProvider"),

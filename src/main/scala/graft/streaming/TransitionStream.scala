@@ -39,6 +39,32 @@ object TransitionStream {
 
   implicit private val lastEnc: Encoder[Last] = Encoders.product[Last]
 
+  /** The transition fold shared by every retention form (sorted input):
+    * apply events to the held (ts, id, type) triple; returns (new held,
+    * emitted transitions). Stale stragglers and at-least-once
+    * redeliveries of the held event itself ((ts, id) <= held) are
+    * dropped — emitting on equality would fabricate a phantom
+    * self-transition with from_ts == to_ts.
+    */
+  private[streaming] def foldTransitions(userId: Long, sorted: Seq[Ev],
+                                         prior: Option[Last]): (Option[Last], Iterator[Transition]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    var cur = prior
+    sorted.foreach { e =>
+      cur match {
+        case Some(c) if e.ts.getTime < c.tsMs ||
+            (e.ts.getTime == c.tsMs && e.event_id <= c.eventId) =>
+        case Some(c) =>
+          out += Transition(userId, c.eventType, e.event_type,
+            new Timestamp(c.tsMs), e.ts)
+          cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
+        case None =>
+          cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
+      }
+    }
+    (cur, out.iterator)
+  }
+
   /** `idleTtl`: optional processing-time state TTL — the
     * [[FunnelStream]] convention: None (default) never expires (semantics
     * of record, state O(all-time users)); Some(d) drops a user's held
@@ -55,27 +81,12 @@ object TransitionStream {
         case (userId, rows, state: GroupState[Last]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Last]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-          var cur = state.getOption
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            cur match {
-              case Some(c) if e.ts.getTime < c.tsMs ||
-                  (e.ts.getTime == c.tsMs && e.event_id <= c.eventId) =>
-              // stale straggler OR at-least-once redelivery of the held
-              // event itself ((ts, event_id) <= held) — drop; emitting on
-              // equality would fabricate a phantom self-transition with
-              // from_ts == to_ts
-              case Some(c) =>
-                out += Transition(userId, c.eventType, e.event_type,
-                  new Timestamp(c.tsMs), e.ts)
-                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
-              case None =>
-                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
-            }
-          }
+          val (cur, out) = foldTransitions(userId,
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)),
+            state.getOption)
           cur.foreach(state.update)
           FunnelStream.armTtl(state, idleTtl)
-          out.iterator
+          out
       }
   }
 
@@ -100,26 +111,14 @@ object TransitionStream {
         case (userId, rows, state: GroupState[Last]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Last]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-          var cur = state.getOption
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            cur match {
-              case Some(c) if e.ts.getTime < c.tsMs ||
-                  (e.ts.getTime == c.tsMs && e.event_id <= c.eventId) =>
-              // stale straggler / redelivery — drop (see transitions)
-              case Some(c) =>
-                out += Transition(userId, c.eventType, e.event_type,
-                  new Timestamp(c.tsMs), e.ts)
-                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
-              case None =>
-                cur = Some(Last(e.ts.getTime, e.event_id, e.event_type))
-            }
-          }
+          val (cur, out) = foldTransitions(userId,
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)),
+            state.getOption)
           cur.foreach { c =>
             state.update(c)
             FunnelStream.armEventTtl(state, c.tsMs, ttlMs)
           }
-          out.iterator
+          out
       }
   }
 }
