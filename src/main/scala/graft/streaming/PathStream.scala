@@ -41,6 +41,35 @@ object PathStream {
 
   implicit private val tailEnc: Encoder[Tail] = Encoders.product[Tail]
 
+  /** The path fold shared by every retention form (sorted input): apply
+    * events to the held tail, emit each completed k-window; returns
+    * (new tail if non-empty, hits). Stragglers at-or-older than the
+    * newest held event — including at-least-once redeliveries — drop.
+    */
+  private[streaming] def foldPaths(k: Int, userId: Long, sorted: Seq[Ev],
+                                   prior: Option[Tail]): (Option[Tail], Iterator[PathHit]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
+    var ts = prior.map(_.tsMs).getOrElse(Nil)
+    var ids = prior.map(_.eventIds).getOrElse(Nil)
+    var tps = prior.map(_.types).getOrElse(Nil)
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      val stale = ts.nonEmpty && (t < ts.last ||
+        (t == ts.last && e.event_id <= ids.last))
+      if (!stale) {
+        ts :+= t; ids :+= e.event_id; tps :+= e.event_type
+        if (ts.size > k) { ts = ts.tail; ids = ids.tail; tps = tps.tail }
+        if (ts.size == k)
+          out += PathHit(userId, tps.mkString(" > "),
+            new Timestamp(ts.head), new Timestamp(t))
+      }
+    }
+    val tail = if (ts.isEmpty) None
+      else Some(Tail(ts.takeRight(k - 1), ids.takeRight(k - 1),
+        tps.takeRight(k - 1)))
+    (tail, out.iterator)
+  }
+
   /** `idleTtl`: optional processing-time state TTL — the
     * [[FunnelStream]] convention: None (default) never expires (semantics
     * of record, state O(all-time users)); Some(d) drops a user's held
@@ -58,26 +87,12 @@ object PathStream {
         case (userId, rows, state: GroupState[Tail]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Tail]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
-          var ts = state.getOption.map(_.tsMs).getOrElse(Nil)
-          var ids = state.getOption.map(_.eventIds).getOrElse(Nil)
-          var tps = state.getOption.map(_.types).getOrElse(Nil)
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            val stale = ts.nonEmpty && (t < ts.last ||
-              (t == ts.last && e.event_id <= ids.last))
-            if (!stale) {
-              ts :+= t; ids :+= e.event_id; tps :+= e.event_type
-              if (ts.size > k) { ts = ts.tail; ids = ids.tail; tps = tps.tail }
-              if (ts.size == k)
-                out += PathHit(userId, tps.mkString(" > "),
-                  new Timestamp(ts.head), new Timestamp(t))
-            }
-          }
-          if (ts.nonEmpty) state.update(Tail(ts.takeRight(k - 1),
-            ids.takeRight(k - 1), tps.takeRight(k - 1)))
+          val (tail, out) = foldPaths(k, userId,
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)),
+            state.getOption)
+          tail.foreach(state.update)
           FunnelStream.armTtl(state, idleTtl)
-          out.iterator
+          out
       }
   }
 
@@ -103,28 +118,14 @@ object PathStream {
         case (userId, rows, state: GroupState[Tail]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case (userId, rows, state: GroupState[Tail]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
-          var ts = state.getOption.map(_.tsMs).getOrElse(Nil)
-          var ids = state.getOption.map(_.eventIds).getOrElse(Nil)
-          var tps = state.getOption.map(_.types).getOrElse(Nil)
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            val stale = ts.nonEmpty && (t < ts.last ||
-              (t == ts.last && e.event_id <= ids.last))
-            if (!stale) {
-              ts :+= t; ids :+= e.event_id; tps :+= e.event_type
-              if (ts.size > k) { ts = ts.tail; ids = ids.tail; tps = tps.tail }
-              if (ts.size == k)
-                out += PathHit(userId, tps.mkString(" > "),
-                  new Timestamp(ts.head), new Timestamp(t))
-            }
+          val (tail, out) = foldPaths(k, userId,
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)),
+            state.getOption)
+          tail.foreach { tl =>
+            state.update(tl)
+            FunnelStream.armEventTtl(state, tl.tsMs.last, ttlMs)
           }
-          if (ts.nonEmpty) {
-            state.update(Tail(ts.takeRight(k - 1),
-              ids.takeRight(k - 1), tps.takeRight(k - 1)))
-            FunnelStream.armEventTtl(state, ts.last, ttlMs)
-          }
-          out.iterator
+          out
       }
   }
 }
