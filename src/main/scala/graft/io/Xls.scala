@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Read contract matches [[Xlsx.read]]: all-string DataFrame, first row
   * as header (`pd.read_excel` defaults); numbers render integral values
   * without the trailing `.0` the float round-trip would add (the same
-  * normalization the pipelines' `astype(str)` pass applies). The writer
+  * normalization the pipelines' `astype(str)` pass applies). Date-
+  * FORMATTED numeric cells (FORMAT/XF walk + Date1904, see
+  * [[ExcelDates]]) render as ISO strings — `pd.read_excel` parity, so
+  * E7 coercion parses them instead of nulling the raw serial. The writer
   * is a minimal single-sheet BIFF8-in-CFB emitter — fixture/round-trip
   * support at the adapter boundary (like [[Xlsx.write]], driver-side by
   * design), not a data sink.
@@ -207,9 +210,14 @@ object Xls {
     val wb = cfbStream(bytes, "Workbook").orElse(cfbStream(bytes, "Book"))
       .getOrElse(throw new IllegalArgumentException(s"$path: no Workbook stream"))
 
-    // ---- globals substream: SST + BOUNDSHEETs ----
+    // ---- globals substream: SST + BOUNDSHEETs + number-format table ----
     val sst = scala.collection.mutable.ArrayBuffer.empty[String]
     val sheets = scala.collection.mutable.ArrayBuffer.empty[Int] // stream offsets
+    // date-cell parity ([[ExcelDates]]): XF records in file order carry
+    // ifmt; FORMAT records define custom codes; Date1904 flips the epoch
+    val xfIfmt = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val customFmt = scala.collection.mutable.HashMap.empty[Int, String]
+    var date1904 = false
     var p = 0
     var inGlobals = true
     while (inGlobals && p + 4 <= wb.length) {
@@ -218,6 +226,21 @@ object Xls {
       rec match {
         case 0x0085 => // BOUNDSHEET: absolute stream position of sheet BOF
           sheets += le32(wb, d)
+        case 0x0022 if len >= 2 => // Date1904
+          date1904 = le16(wb, d) == 1
+        case 0x00E0 if len >= 4 => // XF: ifmt at offset 2
+          xfIfmt += le16(wb, d + 2)
+        case 0x041E if len >= 5 => // FORMAT: ifmt + XLUnicodeString code
+          val ifmt = le16(wb, d)
+          val cch = le16(wb, d + 2)
+          val wideF = (wb(d + 4) & 0x01) != 0
+          val avail = math.min(len - 5, if (wideF) cch * 2 else cch)
+          if (avail >= 0)
+            customFmt(ifmt) =
+              if (wideF) new String(wb, d + 5, avail,
+                java.nio.charset.StandardCharsets.UTF_16LE)
+              else new String(wb.slice(d + 5, d + 5 + avail)
+                .map(b => (b & 0xFF).toChar))
         case 0x00FC => // SST (+ CONTINUEs): concatenate, remember breaks
           val data = scala.collection.mutable.ArrayBuffer.empty[Byte]
           data ++= wb.slice(d, d + len)
@@ -244,11 +267,22 @@ object Xls {
     }
     val sheetAt = sheets.lift(sheet).getOrElse(
       throw new IllegalArgumentException(s"no sheet $sheet in $path"))
+    // per-XF date flag, resolved once (cell records index XFs by ixfe)
+    val xfIsDate: Array[Boolean] =
+      xfIfmt.map(ifmt => ExcelDates.isDateFormat(ifmt, customFmt)).toArray
+    // date-formatted serial -> ISO string; anything unrepresentable (or a
+    // non-date XF) keeps the numeric rendering
+    def cellNum(ixfe: Int, v: Double): String =
+      if (ixfe >= 0 && ixfe < xfIsDate.length && xfIsDate(ixfe))
+        ExcelDates.serialToString(v, date1904).getOrElse(numStr(v))
+      else numStr(v)
 
     // ---- worksheet substream: cell records until EOF ----
     val cells = scala.collection.mutable.HashMap.empty[(Int, Int), String]
     // FORMULA with a cached-string result: the value arrives in the next
     // STRING record ([MS-XLS] 2.4.268) — remember whose cell it fills.
+    // ADVICE r16: any other CELL record disarms it, so a malformed
+    // sequence can never route a later STRING into a stale cell.
     var pendingString: Option[(Int, Int)] = None
     p = sheetAt
     var done = false
@@ -257,10 +291,12 @@ object Xls {
       val d = p + 4
       rec match {
         case 0x00FD => // LABELSST
+          pendingString = None
           val idx = le32(wb, d + 6)
           if (idx >= 0 && idx < sst.length)
             cells((le16(wb, d), le16(wb, d + 2))) = sst(idx)
         case 0x0204 => // LABEL (inline string cell, pre-SST files)
+          pendingString = None
           val cch = le16(wb, d + 6)
           val widef = (wb(d + 8) & 0x01) != 0
           val s = if (widef)
@@ -268,23 +304,30 @@ object Xls {
           else new String(wb.slice(d + 9, d + 9 + cch).map(b => (b & 0xFF).toChar))
           cells((le16(wb, d), le16(wb, d + 2))) = s
         case 0x0203 => // NUMBER: IEEE double LE at offset 6
+          pendingString = None
           var bits = 0L
           (0 until 8).foreach(j => bits |= (wb(d + 6 + j).toLong & 0xFF) << (8 * j))
           cells((le16(wb, d), le16(wb, d + 2))) =
-            numStr(java.lang.Double.longBitsToDouble(bits))
+            cellNum(le16(wb, d + 4), java.lang.Double.longBitsToDouble(bits))
         case 0x027E => // RK
-          cells((le16(wb, d), le16(wb, d + 2))) = numStr(rkValue(le32(wb, d + 6)))
-        case 0x00BD => // MULRK: run of RKs, colFirst..colLast
+          pendingString = None
+          cells((le16(wb, d), le16(wb, d + 2))) =
+            cellNum(le16(wb, d + 4), rkValue(le32(wb, d + 6)))
+        case 0x00BD => // MULRK: run of [ixfe, RK], colFirst..colLast
+          pendingString = None
           val rw = le16(wb, d); val colFirst = le16(wb, d + 2)
           val n = (len - 6) / 6
           (0 until n).foreach { j =>
-            cells((rw, colFirst + j)) = numStr(rkValue(le32(wb, d + 4 + 6 * j + 2)))
+            cells((rw, colFirst + j)) =
+              cellNum(le16(wb, d + 4 + 6 * j), rkValue(le32(wb, d + 4 + 6 * j + 2)))
           }
         case 0x0205 => // BOOLERR: booleans as TRUE/FALSE, errors skipped
+          pendingString = None
           if ((wb(d + 7) & 0xFF) == 0)
             cells((le16(wb, d), le16(wb, d + 2))) =
               if ((wb(d + 6) & 0xFF) != 0) "TRUE" else "FALSE"
         case 0x0006 if len >= 14 => // FORMULA: decode the CACHED result
+          pendingString = None
           val rc = (le16(wb, d), le16(wb, d + 2))
           if (le16(wb, d + 12) == 0xFFFF) { // non-numeric sentinel
             (wb(d + 6) & 0xFF) match {
@@ -297,19 +340,39 @@ object Xls {
           } else { // cached IEEE double
             var bits = 0L
             (0 until 8).foreach(j => bits |= (wb(d + 6 + j).toLong & 0xFF) << (8 * j))
-            cells(rc) = numStr(java.lang.Double.longBitsToDouble(bits))
+            cells(rc) =
+              cellNum(le16(wb, d + 4), java.lang.Double.longBitsToDouble(bits))
           }
         case 0x0207 if len >= 3 => // STRING: cached string of prior FORMULA
           pendingString.foreach { rc =>
+            // chars may continue across CONTINUE records ([MS-XLS] 2.1.4),
+            // each fragment re-declaring its compression flag — stitch
+            // them, like the SST path (ADVICE r16)
             val cch = le16(wb, d)
-            val wide = (wb(d + 2) & 0x01) != 0
-            val avail = math.min(len - 3, if (wide) cch * 2 else cch)
-            cells(rc) =
-              if (wide)
-                new String(wb, d + 3, avail,
-                  java.nio.charset.StandardCharsets.UTF_16LE)
-              else new String(wb.slice(d + 3, d + 3 + avail)
-                .map(b => (b & 0xFF).toChar))
+            val sb = new java.lang.StringBuilder(cch)
+            var wide = (wb(d + 2) & 0x01) != 0
+            var q = d + 3
+            var end = math.min(d + len, wb.length)
+            var nextRec = p + 4 + len
+            var truncated = false // malformed tail: keep what decoded
+            while (sb.length < cch && !truncated) {
+              if (q >= end) { // hop into the next CONTINUE fragment
+                if (nextRec + 4 > wb.length || le16(wb, nextRec) != 0x003C)
+                  truncated = true
+                else {
+                  val clen = le16(wb, nextRec + 2)
+                  q = nextRec + 4
+                  end = math.min(q + clen, wb.length)
+                  nextRec = q + clen
+                  if (clen > 0 && q < end) { wide = (wb(q) & 0x01) != 0; q += 1 }
+                  else if (clen > 0) truncated = true
+                }
+              } else if (wide) {
+                if (q + 2 > end) truncated = true
+                else { sb.append(le16(wb, q).toChar); q += 2 }
+              } else { sb.append((wb(q) & 0xFF).toChar); q += 1 }
+            }
+            cells(rc) = sb.toString
           }
           pendingString = None
         case 0x000A => done = true
@@ -333,24 +396,37 @@ object Xls {
   // ------------------------------------------------------------- writer
 
   /** Write a (small, dim-scale) DataFrame as a single-sheet BIFF8 .xls —
-    * header row + all cells as SST strings, wrapped in a v3 CFB
-    * container. Adapter-boundary fixture support, mirroring
-    * [[Xlsx.write]]; the frame is collected to the driver by design.
+    * header row + cells as SST strings, wrapped in a v3 CFB container.
+    * Adapter-boundary fixture support, mirroring [[Xlsx.write]]; the
+    * frame is collected to the driver by design.
+    *
+    * Columns named in `dateColumns` whose values are ISO dates
+    * (`yyyy-MM-dd[ HH:mm:ss]`) are written as date-FORMATTED NUMBER cells
+    * (serial + an XF carrying builtin date ifmt 22) — the workbook shape
+    * `pd.read_excel` surfaces as datetimes, and [[read]] renders back as
+    * the same ISO strings.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, dateColumns: Set[String] = Set.empty): Unit = {
     val cols = df.columns
     val rows = df.collect()
+    val dateCol: Array[Boolean] = cols.map(dateColumns.contains)
     val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def sstIdx(s: String): Int =
       strings.getOrElseUpdate(s, strings.size)
-    val cellRefs = // (row, col, sstIdx); row 0 = header
-      (cols.zipWithIndex.map { case (c, i) => (0, i, sstIdx(c)) }) ++
+    // (row, col, Left(sstIdx) | Right(dateSerial)); row 0 = header
+    val cellRefs: Seq[(Int, Int, Either[Int, Double])] =
+      (cols.zipWithIndex.map { case (c, i) => (0, i, Left(sstIdx(c))) }) ++
         rows.zipWithIndex.flatMap { case (r, k) =>
           cols.indices.flatMap { i =>
-            Option(r.get(i)).map(v => (k + 1, i, sstIdx(v.toString)))
+            Option(r.get(i)).map { v =>
+              val s = v.toString
+              val serial =
+                if (dateCol(i)) ExcelDates.dateToSerial(s) else None
+              (k + 1, i, serial.toRight(sstIdx(s)))
+            }
           }
         }
-    val totalRefs = cellRefs.length
+    val totalRefs = cellRefs.count(_._3.isLeft)
 
     val bo = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = bo.write(v & 0xFF)
@@ -400,17 +476,29 @@ object Xls {
       def x32(v: Int): Unit = { x16(v); x16(v >> 16) }
       val bof = bofBody(0x0010) // worksheet
       x16(0x0809); x16(bof.length); b.write(bof, 0, bof.length)
-      cellRefs.foreach { case (r, c, idx) =>
-        x16(0x00FD); x16(10); x16(r); x16(c); x16(0) /* xf */ ; x32(idx)
+      cellRefs.foreach {
+        case (r, c, Left(idx)) => // LABELSST, General XF 0
+          x16(0x00FD); x16(10); x16(r); x16(c); x16(0); x32(idx)
+        case (r, c, Right(serial)) => // NUMBER with the date XF 1
+          x16(0x0203); x16(14); x16(r); x16(c); x16(1)
+          val bits = java.lang.Double.doubleToLongBits(serial)
+          (0 until 8).foreach(j => b.write(((bits >> (8 * j)) & 0xFF).toInt))
       }
       x16(0x000A); x16(0)
       b.toByteArray
     }
-    // globals size: BOF(4+16) + BOUNDSHEET(4+8+name) + SST/CONTINUE
-    // records (4+len each) + EOF(4)
+    // XF table: 0 = General (ifmt 0), 1 = builtin date-time ifmt 22 —
+    // 20-byte records, only ifmt (offset 2) is semantically load-bearing
+    def xfBody(ifmt: Int): Array[Byte] = {
+      val b = new Array[Byte](20)
+      b(2) = (ifmt & 0xFF).toByte; b(3) = ((ifmt >> 8) & 0xFF).toByte
+      b
+    }
+    // globals size: BOF(4+16) + BOUNDSHEET(4+8+name) + 2 XF(4+20 each) +
+    // SST/CONTINUE records (4+len each) + EOF(4)
     val sheetName = "Sheet1"
     val globalsLen = (4 + 16) + (4 + 6 + 2 + sheetName.length) +
-      sstPages.map(4 + _.length).sum + 4
+      2 * (4 + 20) + sstPages.map(4 + _.length).sum + 4
     record(0x0809, bofBody(0x0005)) // globals BOF
     val bsBody = new java.io.ByteArrayOutputStream()
     bsBody.write(Array[Byte]((globalsLen & 0xFF).toByte,
@@ -419,6 +507,8 @@ object Xls {
     bsBody.write(sheetName.length); bsBody.write(0x00) // compressed name
     sheetName.foreach(c => bsBody.write(c.toInt & 0xFF))
     record(0x0085, bsBody.toByteArray)
+    record(0x00E0, xfBody(0))
+    record(0x00E0, xfBody(22))
     record(0x00FC, sstPages.head)
     sstPages.tail.foreach(record(0x003C, _))
     record(0x000A, Array.emptyByteArray)

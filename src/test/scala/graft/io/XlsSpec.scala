@@ -171,6 +171,76 @@ class XlsSpec extends SparkSpec {
     back.toSeq shouldBe Seq("41.5", "net pay", "TRUE", "")
   }
 
+  it should "round-trip date-formatted cells as ISO strings (r17 date parity)" in {
+    // pd.read_excel surfaces date-FORMATTED numeric cells as datetimes;
+    // the adapter's parity contract is ISO strings the E7 coercion parses
+    // (round-16 verdict item 3). Writer emits NUMBER + date XF; reader
+    // walks XF/FORMAT and renders ISO.
+    val df = Seq(
+      ("U1", "2026-01-15", "plain"),
+      ("U2", "2024-07-04 08:30:00", "2026-02-01"), // datetime + date-in-string-col
+      ("U3", "not a date", "x")) // unparseable stays a string cell
+      .toDF("UIN", "Calc Date", "Note")
+    val path = tmp("graft_xls_dates")
+    Xls.write(df, path, dateColumns = Set("Calc Date"))
+    val back = Xls.read(spark, path).orderBy("UIN").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    back.toSeq shouldBe Seq(
+      ("U1", "2026-01-15", "plain"),
+      ("U2", "2024-07-04 08:30:00", "2026-02-01"),
+      ("U3", "not a date", "x"))
+  }
+
+  it should "detect CUSTOM date formats and honor Date1904 (hand-built records)" in {
+    // reader-only path the writer doesn't emit: a FORMAT record defining a
+    // custom date code, an XF referencing it, and the 1904 epoch flag
+    val bo = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bo.write(v & 0xFF); bo.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v); w16(v >> 16) }
+    def rec(id: Int)(body: => Unit): Unit = {
+      val saved = bo.toByteArray; bo.reset(); body
+      val b = bo.toByteArray; bo.reset(); bo.write(saved, 0, saved.length)
+      w16(id); w16(b.length); bo.write(b, 0, b.length)
+    }
+    def bof(dt: Int): Unit = rec(0x0809) {
+      w16(0x0600); w16(dt); w16(0); w16(0); w32(0); w32(0)
+    }
+    bof(0x0005)
+    rec(0x0022) { w16(1) } // Date1904
+    val bsAt = bo.size()
+    rec(0x0085) { w32(0); w16(0); bo.write(2); bo.write(0)
+      bo.write('h'); bo.write('x') }
+    rec(0x041E) { w16(164); w16(10); bo.write(0) // FORMAT 164 = custom date
+      "yyyy-mm-dd".foreach(c => bo.write(c.toInt)) }
+    rec(0x041E) { w16(165); w16(5); bo.write(0) // FORMAT 165 = numeric
+      "#,##0".foreach(c => bo.write(c.toInt)) }
+    rec(0x00E0) { w16(0); w16(0); (0 until 16).foreach(_ => bo.write(0)) } // XF0 General
+    rec(0x00E0) { w16(0); w16(164); (0 until 16).foreach(_ => bo.write(0)) } // XF1 custom date
+    rec(0x00E0) { w16(0); w16(165); (0 until 16).foreach(_ => bo.write(0)) } // XF2 custom numeric
+    rec(0x00FC) { w32(1); w32(1)
+      w16(1); bo.write(0); bo.write('d') } // header column "d"
+    rec(0x000A) {}
+    val sheetAt = bo.size()
+    bof(0x0010)
+    rec(0x00FD) { w16(0); w16(0); w16(0); w32(0) } // header A1 = "d"
+    rec(0x0203) { w16(1); w16(0); w16(1) // A2: NUMBER, custom-date XF, 1904 epoch
+      val bits = java.lang.Double.doubleToLongBits(43844.0)
+      (0 until 8).foreach(j => bo.write(((bits >> (8 * j)) & 0xFF).toInt)) }
+    rec(0x027E) { w16(2); w16(0); w16(2); w32((43844 << 2) | 0x02) } // A3: RK, numeric XF
+    rec(0x000A) {}
+    val wb = bo.toByteArray
+    wb(bsAt + 4) = (sheetAt & 0xFF).toByte
+    wb(bsAt + 5) = ((sheetAt >> 8) & 0xFF).toByte
+    wb(bsAt + 6) = ((sheetAt >> 16) & 0xFF).toByte
+    wb(bsAt + 7) = ((sheetAt >> 24) & 0xFF).toByte
+    val dir = Files.createTempDirectory("graft_xls_custfmt")
+    val path = dir.resolve("d.xls").toString
+    Files.write(java.nio.file.Paths.get(path), Xls.cfbWrap("Workbook", wb))
+    val back = Xls.read(spark, path).collect().map(_.getString(0))
+    // custom date XF renders ISO under the 1904 epoch; numeric XF stays raw
+    back.toSeq shouldBe Seq("2024-01-15", "43844")
+  }
+
   it should "be total on truncation and seeded corruption" in {
     val df = Seq(("a", "1"), ("b", "2")).toDF("x", "y")
     val path = tmp("graft_xls_fuzz")

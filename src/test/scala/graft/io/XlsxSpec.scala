@@ -61,4 +61,47 @@ class XlsxSpec extends SparkSpec {
     out.count() shouldBe 1
     out.collect().head.getAs[String]("TS-Org Title") shouldBe "Org"
   }
+
+  "date-formatted cells" should "round-trip as ISO strings via styles.xml (r17 date parity)" in {
+    import spark.implicits._
+    val df = Seq(
+      ("U1", "2026-01-15", "plain"),
+      ("U2", "2024-07-04 08:30:00", "x"),
+      ("U3", "not a date", "y")) // unparseable stays an inline string
+      .toDF("UIN", "Calc Date", "Note")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_xlsx_dates").resolve("d.xlsx").toString
+    Xlsx.write(df, path, dateColumns = Set("Calc Date"))
+    val back = Xlsx.read(spark, path).orderBy("UIN").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    back.toSeq shouldBe Seq(
+      ("U1", "2026-01-15", "plain"),
+      ("U2", "2024-07-04 08:30:00", "x"),
+      ("U3", "not a date", "y"))
+  }
+
+  it should "honor custom numFmts and workbookPr date1904 in foreign workbooks" in {
+    // hand-written OOXML parts the writer doesn't emit: a custom numFmt
+    // date code and the 1904 epoch flag
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_foreign")
+    val path = dir.resolve("f.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><workbookPr date1904="1"/><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""")
+    entry("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/><numFmt numFmtId="165" formatCode="#,##0.00"/></numFmts><cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="165"/></cellXfs></styleSheet>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c><c r="B1" t="inlineStr"><is><t>n</t></is></c></row><row r="2"><c r="A2" s="1"><v>43844</v></c><c r="B2" s="2"><v>43844</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val back = Xlsx.read(spark, path).collect().head
+    back.getString(0) shouldBe "2024-01-15" // custom date code, 1904 epoch
+    back.getString(1) shouldBe "43844" // numeric code stays raw
+  }
 }

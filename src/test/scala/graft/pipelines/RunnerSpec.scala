@@ -122,6 +122,33 @@ class RunnerSpec extends SparkSpec {
     r.pua.get.collect().head.getAs[String]("Overtime") shouldBe "Eligible"
   }
 
+  it should "parse date-FORMATTED Calc Date cells from a PUA .xls workbook (r17 date parity)" in {
+    // the last pd.read_excel behavior gap (round-16 verdict item 3): a
+    // payroll workbook whose Calc Date column is date-formatted numerics.
+    // Pre-parity those cells reached the pipeline as raw serial strings
+    // ("46037") and E7 coercion silently nulled them; now the adapter
+    // renders ISO and the PreTAM output carries the real timestamp.
+    val dir = Files.createTempDirectory("graft_runner_xlsdate").toFile
+    Seq("cert_BW_2026.csv", "cert_MN_2026.csv", "TS_Org.csv", "TS_Dept.csv",
+      "Overtime_E_Class.csv", "TE_M.csv").foreach { n =>
+      Files.copy(new java.io.File(root, n).toPath,
+        new java.io.File(dir, n).toPath)
+    }
+    val puaDf = spark.read.option("header", "true")
+      .csv(new java.io.File(root, "monthly_PUA_file.csv").getAbsolutePath)
+    graft.io.Xls.write(puaDf,
+      new java.io.File(dir, "monthly_PUA_file.xls").getAbsolutePath,
+      dateColumns = Set("Calc Date"))
+    val r = Runner.run(spark, dir.getAbsolutePath, None,
+      runDate = LocalDate.of(2026, 8, 12), dedupOrder = Seq(col("UIN")))
+    r.loadSummary.find(_.name == "pua").get.path.get should endWith(".xls")
+    val row = r.pua.get.collect().head
+    row.getAs[java.sql.Timestamp]("Calc Date") shouldBe
+      java.sql.Timestamp.valueOf("2026-01-15 00:00:00")
+    // and the rest of the pipeline is untouched by the adapter change
+    row.getAs[String]("TS-Org Title") shouldBe "Engineering Org"
+  }
+
   it should "pick identically through the distributed catalog and the Storage listing" in {
     // pickFile (DataFrame rlike, the lake-scale form) and Storage.pickFirst
     // (driver regex find, the SaaS-listing form) implement ONE operator:
