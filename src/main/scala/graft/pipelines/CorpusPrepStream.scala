@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Chunker, Curation, Decontaminate, TextDedup, TextStats}
-import graft.streaming.LshStream
+import graft.ops.{Chunker, Curation, Decontaminate, Profiler, TextDedup, TextStats}
+import graft.streaming.{DriftStream, LshStream}
 
 /** [[CorpusPrep]] over an UNBOUNDED document stream — the curation recipe
   * (dedup → quality → decontaminate → budget → chunk) applied per arriving
@@ -78,6 +78,18 @@ object CorpusPrepStream {
 
   /** `nearDupThreshold` applies to the served-index tag; LSH geometry
     * (bands × rowsPerBand) must match the index's signature width.
+    *
+    * Drift gate (opt-in, round-16 verdict item 8): when `driftReference`
+    * is set (a blessed [[Profiler.profile]] snapshot), each arriving
+    * micro-batch is profiled over `driftCols` (default: every column in
+    * the reference) and checked with [[DriftStream.drift]]'s escape rules
+    * BEFORE any pipeline stage runs. A flagged batch is a poisoned
+    * intake window: its rows and flagged profile land under
+    * `quarantineDir` (exactly-once, batch_id-partitioned — the
+    * [[graft.streaming.DriftSink]] posture) and the pipeline state is
+    * untouched — no hash-table append, no budget spend, so a healthy
+    * re-delivery of the same content later is processed as if the
+    * poisoned window never happened.
     */
   final case class Config(
       shingleN: Int = 3,
@@ -89,7 +101,56 @@ object CorpusPrepStream {
       lshShingleN: Int = 3,
       lshBands: Int = 16,
       lshRowsPerBand: Int = 4,
-      nearDupThreshold: Double = 0.6)
+      nearDupThreshold: Double = 0.6,
+      driftReference: Option[DataFrame] = None,
+      driftCols: Seq[String] = Nil,
+      driftNullFracTol: Double = 0.01,
+      driftDistinctTol: Double = 1.05,
+      quarantineDir: Option[String] = None)
+
+  /** Drift check of one micro-batch against a blessed profile: the
+    * [[DriftStream.drift]] rules (missing column / null-fraction move /
+    * extrema escape / distinct growth) applied to a single whole-batch
+    * "window" (window bounds are null — a micro-batch has no event-time
+    * extent). Returns the full per-column comparison with the `drift`
+    * flag; one aggregation pass over the batch.
+    */
+  def batchDrift(batch: DataFrame, reference: DataFrame,
+                 cols: Seq[String] = Nil, nullFracTol: Double = 0.01,
+                 distinctTol: Double = 1.05): DataFrame = {
+    val wanted =
+      if (cols.nonEmpty) cols
+      else reference.select("column").collect().map(_.getString(0)).toSeq
+    val (monitored, absent) = wanted.partition(batch.columns.contains)
+    require(monitored.nonEmpty || absent.nonEmpty,
+      "batchDrift: nothing to monitor (empty reference and cols)")
+    def present: DataFrame = {
+      val prof = Profiler.profile(batch.select(monitored.map(col): _*))
+      val windowed = prof.select(
+        lit(null).cast("timestamp").as("window_start"),
+        lit(null).cast("timestamp").as("window_end"),
+        col("column"), col("n_rows"), col("n_nulls"), col("min"), col("max"),
+        col("n_distinct"))
+      DriftStream.drift(windowed, reference, nullFracTol, distinctTol)
+    }
+    if (absent.isEmpty) present
+    else {
+      // a monitored column the batch doesn't even carry IS drift (the
+      // schema changed upstream) — drift()'s left join can't see it
+      import batch.sparkSession.implicits._
+      val missingRows = absent.toDF("column").select(
+        lit(null).cast("timestamp").as("window_start"),
+        lit(null).cast("timestamp").as("window_end"), col("column"),
+        lit(0L).as("n_rows"), lit(null).cast("double").as("null_frac"),
+        lit(null).cast("double").as("ref_null_frac"),
+        lit(null).cast("string").as("min"), lit(null).cast("string").as("max"),
+        lit(null).cast("string").as("ref_min"),
+        lit(null).cast("string").as("ref_max"),
+        lit(null).cast("long").as("n_distinct"),
+        lit(null).cast("long").as("ref_distinct"), lit(true).as("drift"))
+      if (monitored.isEmpty) missingRows else present.unionByName(missingRows)
+    }
+  }
 
   /** One batch's outputs: the next state, the admitted docs (post-budget,
     * pre-chunk — the frame to hand to [[CorpusPipeline.ingest]] or a store
@@ -253,7 +314,8 @@ object CorpusPrepStream {
                     benchTextCol: String,
                     index: Option[LshStream.ServedIndex] = None,
                     cfg: Config = Config(),
-                    onBatch: (Long, BatchPrepared) => Unit = (_, _) => ()): StreamingPrep = {
+                    onBatch: (Long, BatchPrepared) => Unit = (_, _) => (),
+                    onQuarantine: (Long, DataFrame) => Unit = (_, _) => ()): StreamingPrep = {
     val handle = new StreamingPrep(
       emptyState(stream.sparkSession, idCol))
     val benchSh =
@@ -263,18 +325,44 @@ object CorpusPrepStream {
     handle.benchRef = benchSh
     handle.queryRef = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = handle.state
-        val r = prepareBatch(handle.state, batch, idCol, textCol, groupCol,
-          benchmark, benchTextCol, index, cfg, checkpointState = true,
-          preparedBenchShingles = benchSh)
-        handle.state = r.state
-        onBatch(batchId, r)
-        // release the superseded hash-table generation and this batch's
-        // checkpoint blocks (the new state is checkpointed; the hook has
-        // materialized what it keeps — same contract as streamIngest)
-        releaseCp(prev.seenHashes)
-        releaseCp(r.transients: _*)
-        releaseCp(r.chunks, r.audit)
+        // drift gate (opt-in, see Config doc): a flagged batch is
+        // quarantined WHOLE and never touches pipeline state
+        val poisoned = cfg.driftReference.exists { ref =>
+          val report = batchDrift(batch, ref, cfg.driftCols,
+            cfg.driftNullFracTol, cfg.driftDistinctTol).localCheckpoint()
+          val bad = report.filter(col("drift")).count() > 0
+          if (bad) {
+            cfg.quarantineDir.foreach { dir =>
+              // DriftSink's exactly-once recipe: each batch overwrites its
+              // own batch_id partition, so a replayed delivery never
+              // duplicates quarantined rows
+              def dump(df: DataFrame, sub: String): Unit =
+                df.withColumn("batch_id", lit(batchId))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id").parquet(s"$dir/$sub")
+              dump(batch, "rows")
+              dump(report, "report")
+            }
+            onQuarantine(batchId, report)
+          }
+          releaseCp(report)
+          bad
+        }
+        if (!poisoned) {
+          val prev = handle.state
+          val r = prepareBatch(handle.state, batch, idCol, textCol, groupCol,
+            benchmark, benchTextCol, index, cfg, checkpointState = true,
+            preparedBenchShingles = benchSh)
+          handle.state = r.state
+          onBatch(batchId, r)
+          // release the superseded hash-table generation and this batch's
+          // checkpoint blocks (the new state is checkpointed; the hook has
+          // materialized what it keeps — same contract as streamIngest)
+          releaseCp(prev.seenHashes)
+          releaseCp(r.transients: _*)
+          releaseCp(r.chunks, r.audit)
+        }
       }
       .start()
     handle

@@ -355,7 +355,7 @@ object FunnelStream {
   /** The multi-touch fold shared by both TTL forms (sorted input).
     * Returns the new held list (oldest-first) and the output rows.
     */
-  private def foldMultiTouch(convertType: String, touches: Set[String],
+  private[streaming] def foldMultiTouch(convertType: String, touches: Set[String],
                              windowUs: Long, userId: Long, sorted: Seq[Ev],
                              prior: List[TouchState]): (List[TouchState], Iterator[MultiAttribution]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[MultiAttribution]
@@ -480,7 +480,7 @@ object FunnelStream {
                                     weight: Long, credit_bp_decay: Long)
 
   /** The time-decay fold shared by both TTL forms (sorted input). */
-  private def foldTimeDecay(convertType: String, touches: Set[String],
+  private[streaming] def foldTimeDecay(convertType: String, touches: Set[String],
                             windowUs: Long, halfLifeUs: Long, userId: Long,
                             sorted: Seq[Ev],
                             prior: List[TouchState]): (List[TouchState], Iterator[DecayAttribution]) = {

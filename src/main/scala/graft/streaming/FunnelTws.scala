@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-import graft.streaming.FunnelStream.{Attribution, Ev, EvT, FunnelAdvance,
-  FunnelState, FunnelStateT, TouchState, TouchStateT}
+import graft.streaming.FunnelStream.{Attribution, DecayAttribution, Ev, EvT,
+  FunnelAdvance, FunnelState, FunnelStateT, MultiAttribution, MultiTouchState,
+  MultiTouchStateT, TouchState, TouchStateT}
 
-/** `transformWithState` forms of the streaming timed funnel and
-  * last-touch attribution — the same arithmetic as [[FunnelStream]] (the
-  * shared [[FunnelStream.foldFunnel]]/[[FunnelStream.foldLastTouch]] ARE
-  * the semantics of record), but per-key retention is delegated to the
-  * Spark 4 state-store runtime instead of hand-armed `GroupState`
+/** `transformWithState` forms of ALL SIX streaming event drivers —
+  * timed funnel, last-touch, multi-touch and time-decay attribution here,
+  * transitions in [[TransitionTws]], paths in [[PathTws]] (tier completed
+  * round 17). Same arithmetic as [[FunnelStream]] (the shared
+  * [[FunnelStream.foldFunnel]]/foldLastTouch/foldMultiTouch/foldTimeDecay
+  * ARE the semantics of record), but per-key retention is delegated to
+  * the Spark 4 state-store runtime instead of hand-armed `GroupState`
   * timeouts:
   *
   *   - [[timedFunnel]] — PROCESSING-time idle TTL via the store's native
@@ -75,6 +78,23 @@ object FunnelTws {
         s"(got '$got')")
   }
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(FunnelTws.getClass)
+  private val ttlWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-time heads-up for the TimeMode.ProcessingTime scheduling trap
+    * (ADVICE r16): a TTL'd query never quiesces — `processAllAvailable()`
+    * hangs under the default trigger. Surface the Trigger.Once guidance
+    * at CALL time, not only in the object scaladoc.
+    */
+  private def warnTtlScheduling(idleTtl: Option[java.time.Duration]): Unit =
+    if (idleTtl.isDefined && ttlWarned.compareAndSet(false, true))
+      log.warn("transformWithState with idleTtl uses TimeMode.ProcessingTime," +
+        " which never quiesces: processAllAvailable() will hang under the" +
+        " default trigger. Run always-on with a real trigger interval, or" +
+        " drive Trigger.Once batches over a shared checkpoint (see the" +
+        " FunnelTws object scaladoc).")
+
   implicit private val advEnc: Encoder[FunnelAdvance] =
     Encoders.product[FunnelAdvance]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
@@ -82,6 +102,11 @@ object FunnelTws {
   /** Timed funnel with the state store's native processing-time TTL
     * (None = never expire). Semantics of record:
     * [[FunnelStream.timedFunnel]].
+    *
+    * @param idleTtl when set, the query runs in TimeMode.ProcessingTime
+    *   and NEVER quiesces (`processAllAvailable()` hangs under the
+    *   default trigger) — run always-on or drive `Trigger.Once` batches
+    *   over a shared checkpoint; see the object scaladoc.
     */
   def timedFunnel(events: Dataset[Ev], steps: Seq[String], maxGapUs: Long,
                   idleTtl: Option[java.time.Duration] = None): Dataset[FunnelAdvance] = {
@@ -89,6 +114,7 @@ object FunnelTws {
     require(steps.distinct.size == steps.size, "steps must be distinct")
     require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
     requireRocksDb(events)
+    warnTtlScheduling(idleTtl)
     events.groupByKey(_.user_id)
       .transformWithState(
         new IdleProcessor(steps.zipWithIndex.toMap, steps.size, maxGapUs,
@@ -129,6 +155,9 @@ object FunnelTws {
 
   /** Last-touch attribution with the store's native processing-time TTL.
     * Semantics of record: [[FunnelStream.lastTouch]] (shared fold).
+    *
+    * @param idleTtl when set, the query runs in TimeMode.ProcessingTime
+    *   and NEVER quiesces — see [[timedFunnel]]'s idleTtl note.
     */
   def lastTouch(events: Dataset[Ev], convertType: String,
                 touchTypes: Seq[String], windowUs: Long,
@@ -138,6 +167,7 @@ object FunnelTws {
       "convertType must not be a touch type")
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     requireRocksDb(events)
+    warnTtlScheduling(idleTtl)
     events.groupByKey(_.user_id)
       .transformWithState(
         new TouchIdleProcessor(convertType, touchTypes.toSet, windowUs,
@@ -164,6 +194,223 @@ object FunnelTws {
         new TouchEventTtlProcessor(convertType, touchTypes.toSet, windowUs,
           eventTtl.toMillis),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ------------------------------------- multi-touch / time-decay (r17)
+
+  implicit private val multiEnc: Encoder[MultiAttribution] =
+    Encoders.product[MultiAttribution]
+  implicit private val decayEnc: Encoder[DecayAttribution] =
+    Encoders.product[DecayAttribution]
+
+  /** Multi-touch attribution with the store's native processing-time TTL
+    * — completes the TWS tier over all six event drivers (round-16
+    * verdict item 5). Semantics of record: [[FunnelStream.multiTouch]]
+    * (shared fold; window-pruned touch list, so state is bounded by
+    * in-window activity at any corpus scale).
+    *
+    * @param idleTtl when set, the query runs in TimeMode.ProcessingTime
+    *   and NEVER quiesces — see [[timedFunnel]]'s idleTtl note.
+    */
+  def multiTouch(events: Dataset[Ev], convertType: String,
+                 touchTypes: Seq[String], windowUs: Long,
+                 idleTtl: Option[java.time.Duration] = None): Dataset[MultiAttribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    requireRocksDb(events)
+    warnTtlScheduling(idleTtl)
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new MultiIdleProcessor(convertType, touchTypes.toSet, windowUs,
+          idleTtl.map(_.toMillis)),
+        if (idleTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Multi-touch attribution with event-time expiry via state-store
+    * timers; `withWatermark("ts", ...)` upstream is REQUIRED. Semantics
+    * of record: [[FunnelStream.multiTouchEventTtl]].
+    */
+  def multiTouchEventTtl(events: Dataset[EvT], convertType: String,
+                         touchTypes: Seq[String], windowUs: Long,
+                         eventTtl: java.time.Duration): Dataset[MultiAttribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!eventTtl.isNegative && !eventTtl.isZero, "eventTtl must be positive")
+    requireRocksDb(events)
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new MultiEventTtlProcessor(convertType, touchTypes.toSet, windowUs,
+          eventTtl.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Time-decay attribution with the store's native processing-time TTL.
+    * Semantics of record: [[FunnelStream.timeDecay]] (shared fold; same
+    * window-pruned touch-list state as [[multiTouch]]).
+    *
+    * @param idleTtl when set, the query runs in TimeMode.ProcessingTime
+    *   and NEVER quiesces — see [[timedFunnel]]'s idleTtl note.
+    */
+  def timeDecay(events: Dataset[Ev], convertType: String,
+                touchTypes: Seq[String], windowUs: Long, halfLifeUs: Long,
+                idleTtl: Option[java.time.Duration] = None): Dataset[DecayAttribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    requireRocksDb(events)
+    warnTtlScheduling(idleTtl)
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new DecayIdleProcessor(convertType, touchTypes.toSet, windowUs,
+          halfLifeUs, idleTtl.map(_.toMillis)),
+        if (idleTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Time-decay attribution with event-time expiry via state-store
+    * timers; `withWatermark("ts", ...)` upstream is REQUIRED. Semantics
+    * of record: [[FunnelStream.timeDecayEventTtl]].
+    */
+  def timeDecayEventTtl(events: Dataset[EvT], convertType: String,
+                        touchTypes: Seq[String], windowUs: Long,
+                        halfLifeUs: Long,
+                        eventTtl: java.time.Duration): Dataset[DecayAttribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convertType),
+      "convertType must not be a touch type")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    require(!eventTtl.isNegative && !eventTtl.isZero, "eventTtl must be positive")
+    requireRocksDb(events)
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new DecayEventTtlProcessor(convertType, touchTypes.toSet, windowUs,
+          halfLifeUs, eventTtl.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Shared shape of the touch-list processing-time processors: the
+    * window-pruned touch history in a TTL'd value state, the fold
+    * supplied by the concrete subclass (multi-touch or time-decay).
+    * The GroupState forms update state unconditionally per active batch
+    * — mirrored here, which is also exactly the every-batch TTL refresh.
+    */
+  private sealed abstract class TouchListIdleProcessor[Out](
+      ttlMs: Option[Long])
+    extends StatefulProcessor[Long, Ev, Out] {
+
+    @transient protected var st: ValueState[MultiTouchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+        .getOrElse(TTLConfig.NONE)
+      st = getHandle.getValueState[MultiTouchState]("touches",
+        Encoders.product[MultiTouchState], ttl)
+    }
+
+    protected def fold(userId: Long, sorted: Seq[Ev],
+                       prior: List[TouchState]): (List[TouchState], Iterator[Out])
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[Out] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val prior = if (st.exists()) st.get().touches else Nil
+      val (held, out) = fold(userId, sorted, prior)
+      st.update(MultiTouchState(held))
+      out
+    }
+  }
+
+  private final class MultiIdleProcessor(convertType: String,
+                                         touches: Set[String], windowUs: Long,
+                                         ttlMs: Option[Long])
+    extends TouchListIdleProcessor[MultiAttribution](ttlMs) {
+    override protected def fold(userId: Long, sorted: Seq[Ev],
+                                prior: List[TouchState]) =
+      FunnelStream.foldMultiTouch(convertType, touches, windowUs, userId,
+        sorted, prior)
+  }
+
+  private final class DecayIdleProcessor(convertType: String,
+                                         touches: Set[String], windowUs: Long,
+                                         halfLifeUs: Long, ttlMs: Option[Long])
+    extends TouchListIdleProcessor[DecayAttribution](ttlMs) {
+    override protected def fold(userId: Long, sorted: Seq[Ev],
+                                prior: List[TouchState]) =
+      FunnelStream.foldTimeDecay(convertType, touches, windowUs, halfLifeUs,
+        userId, sorted, prior)
+  }
+
+  /** Shared shape of the touch-list event-time processors: touch history
+    * + horizon anchor, one re-armed expiry timer (the
+    * [[EventTtlProcessor]] pattern, including the ADVICE-r16 empty-input
+    * guard: no input and no prior state writes nothing and arms no
+    * timer).
+    */
+  private sealed abstract class TouchListEventTtlProcessor[Out](
+      ttlMs: Long)
+    extends StatefulProcessor[Long, EvT, Out] {
+
+    @transient protected var st: ValueState[MultiTouchStateT] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MultiTouchStateT]("touches",
+        Encoders.product[MultiTouchStateT], TTLConfig.NONE)
+
+    protected def fold(userId: Long, sorted: Seq[Ev],
+                       prior: List[TouchState]): (List[TouchState], Iterator[Out])
+
+    override def handleInputRows(userId: Long, rows: Iterator[EvT],
+                                 tv: TimerValues): Iterator[Out] = {
+      val sorted = rows.toSeq.map(FunnelStream.toEv)
+        .sortBy(e => (e.ts_us, e.event_id))
+      val prior = if (st.exists()) Some(st.get()) else None
+      if (sorted.isEmpty && prior.isEmpty) return Iterator.empty
+      val (held, out) = fold(userId, sorted,
+        prior.map(_.touches).getOrElse(Nil))
+      val lastSeenMs = math.max(
+        prior.map(_.lastSeenMs).getOrElse(Long.MinValue),
+        if (sorted.isEmpty) Long.MinValue
+        else Math.floorDiv(sorted.map(_.ts_us).max, 1000L))
+      st.update(MultiTouchStateT(held, lastSeenMs))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(lastSeenMs + ttlMs)
+      out
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Out] = {
+      st.clear() // FORGET: touch history is gone, conversions go organic
+      Iterator.empty
+    }
+  }
+
+  private final class MultiEventTtlProcessor(convertType: String,
+                                             touches: Set[String],
+                                             windowUs: Long, ttlMs: Long)
+    extends TouchListEventTtlProcessor[MultiAttribution](ttlMs) {
+    override protected def fold(userId: Long, sorted: Seq[Ev],
+                                prior: List[TouchState]) =
+      FunnelStream.foldMultiTouch(convertType, touches, windowUs, userId,
+        sorted, prior)
+  }
+
+  private final class DecayEventTtlProcessor(convertType: String,
+                                             touches: Set[String],
+                                             windowUs: Long, halfLifeUs: Long,
+                                             ttlMs: Long)
+    extends TouchListEventTtlProcessor[DecayAttribution](ttlMs) {
+    override protected def fold(userId: Long, sorted: Seq[Ev],
+                                prior: List[TouchState]) =
+      FunnelStream.foldTimeDecay(convertType, touches, windowUs, halfLifeUs,
+        userId, sorted, prior)
   }
 
   /** Processing-time form: the held touch in a TTL'd value state. */
@@ -211,6 +458,11 @@ object FunnelTws {
       val sorted = rows.toSeq.map(FunnelStream.toEv)
         .sortBy(e => (e.ts_us, e.event_id))
       val prior = if (st.exists()) Some(st.get()) else None
+      // ADVICE r16: no input and no prior state — write nothing, arm no
+      // timer (a Long.MinValue+ttl "timer" would be nonsense). Unreachable
+      // today (handleInputRows only fires for keys with rows) but nothing
+      // upstream guarantees that forever.
+      if (sorted.isEmpty && prior.isEmpty) return Iterator.empty
       val (held, out) = FunnelStream.foldLastTouch(
         convertType, touches, windowUs, userId, sorted,
         prior.flatMap(_.touch))
@@ -277,6 +529,8 @@ object FunnelTws {
       val sorted = rows.toSeq.map(FunnelStream.toEv)
         .sortBy(e => (e.ts_us, e.event_id))
       val prior = if (st.exists()) Some(st.get()) else None
+      // ADVICE r16 empty-input guard — see TouchEventTtlProcessor
+      if (sorted.isEmpty && prior.isEmpty) return Iterator.empty
       val (advanced, out) = FunnelStream.foldFunnel(
         stepIdx, nSteps, maxGapUs, userId, sorted,
         prior.map(_.times).getOrElse(Nil))

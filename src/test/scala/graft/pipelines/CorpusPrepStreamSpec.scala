@@ -210,4 +210,65 @@ class CorpusPrepStreamSpec extends SparkSpec {
     streamed.sortBy(r => (r.getLong(0), r.getInt(1))) shouldBe
       batchChunks.toSeq.sortBy(r => (r.getLong(0), r.getInt(1)))
   }
+
+  it should "quarantine a drift-flagged window and admit healthy windows unchanged (r17)" in {
+    // the drift→quarantine loop (round-16 verdict item 8): a poisoned
+    // micro-batch — here a null source, the classic upstream-schema
+    // breakage — is diverted WHOLE to the quarantine store and leaves
+    // pipeline state untouched; healthy windows before and after flow
+    // through exactly as without the gate.
+    implicit val sqlCtx = spark.sqlContext
+    // blessed snapshot: sources a/b, no nulls
+    val blessed = graft.ops.Profiler.profile(Seq(
+      PrepDoc(100, "a", goodText("ref one")),
+      PrepDoc(101, "b", goodText("ref two"))).toDF().select("source"))
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft_prep_quarantine").toString
+    val cfg = CorpusPrepStream.Config(
+      driftReference = Some(blessed), driftCols = Seq("source"),
+      quarantineDir = Some(qDir))
+    val input = MemoryStream[PrepDoc]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val quarantined = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val handle = CorpusPrepStream.streamPrepare(
+      input.toDF(), "doc_id", "text", "source", bench, "text", None, cfg,
+      onBatch = (id, r) => admitted.synchronized {
+        admitted += ((id, r.admitted.select("doc_id").as[Long].collect().toSeq))
+      },
+      onQuarantine = (id, report) => quarantined.synchronized {
+        quarantined += ((id, report.filter(col("drift"))
+          .select("column").as[String].collect().toSeq))
+      })
+    try {
+      Seq(
+        Seq(PrepDoc(1, "a", goodText("alpha")), PrepDoc(2, "b", goodText("beta"))),
+        // poisoned: doc 3's source is null -> null_frac 0.5 escapes the band
+        Seq(PrepDoc(3, null, goodText("gamma")), PrepDoc(4, "a", goodText("delta"))),
+        // healthy again; doc 5 re-delivers the poisoned window's doc-4 text:
+        // state was untouched, so it is NOVEL, not a cross-batch duplicate
+        Seq(PrepDoc(5, "a", goodText("delta")), PrepDoc(6, "b", goodText("epsilon")))
+      ).foreach { b =>
+        input.addData(b: _*)
+        handle.query.processAllAvailable()
+      }
+    } finally handle.close()
+    // healthy windows admitted unchanged; the poisoned one produced NO batch
+    admitted.map(_._2.toSet).toSeq shouldBe Seq(Set(1L, 2L), Set(5L, 6L))
+    quarantined.toSeq shouldBe Seq((1L, Seq("source")))
+    // the quarantine store holds the poisoned window's rows + flagged report
+    val rows = spark.read.parquet(s"$qDir/rows")
+    rows.select("doc_id").as[Long].collect().toSet shouldBe Set(3L, 4L)
+    rows.select("batch_id").distinct().as[Long].collect().toSeq shouldBe Seq(1L)
+    val report = spark.read.parquet(s"$qDir/report").filter(col("drift"))
+    report.select("column").as[String].collect().toSeq shouldBe Seq("source")
+  }
+
+  it should "flag a monitored column missing from the batch entirely (r17)" in {
+    val blessed = graft.ops.Profiler.profile(
+      Seq(PrepDoc(100, "a", goodText("ref"))).toDF().select("source"))
+    val batchMissing = Seq((1L, goodText("x"))).toDF("doc_id", "text")
+    val report = CorpusPrepStream.batchDrift(batchMissing, blessed)
+    report.filter(col("drift")).select("column")
+      .as[String].collect().toSeq shouldBe Seq("source")
+  }
 }

@@ -222,6 +222,186 @@ class FunnelTwsSpec extends SparkSpec {
     tws shouldBe gs
   }
 
+  // -------------------------------- multi-touch / time-decay (r17 tier)
+
+  private def runMulti(batches: Seq[Seq[Ev]], name: String,
+                       tws: Boolean): Seq[FunnelStream.MultiAttribution] = {
+    def start() = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val ds =
+        if (tws) FunnelTws.multiTouch(input.toDS(), "purchase",
+          Seq("ad", "email"), gapUs, None)
+        else FunnelStream.multiTouch(input.toDS(), "purchase",
+          Seq("ad", "email"), gapUs, None)
+      (input, ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start())
+    }
+    val (input, query) = if (tws) withRocksDb(start()) else start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[FunnelStream.MultiAttribution].collect().toSeq
+    } finally query.stop()
+  }
+
+  private def runDecay(batches: Seq[Seq[Ev]], name: String,
+                       tws: Boolean): Seq[FunnelStream.DecayAttribution] = {
+    def start() = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val ds =
+        if (tws) FunnelTws.timeDecay(input.toDS(), "purchase",
+          Seq("ad", "email"), gapUs, mins(3), None)
+        else FunnelStream.timeDecay(input.toDS(), "purchase",
+          Seq("ad", "email"), gapUs, mins(3), None)
+      (input, ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start())
+    }
+    val (input, query) = if (tws) withRocksDb(start()) else start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[FunnelStream.DecayAttribution].collect().toSeq
+    } finally query.stop()
+  }
+
+  // three touches then two conversions (the second re-credits), one
+  // organic user, one out-of-window touch — exercises multi-row credit,
+  // both credit models' remainder paths, and the window prune
+  private val multiEvs = Seq(
+    Ev(1L, 1L, mins(0), "ad"), Ev(1L, 2L, mins(2), "email"),
+    Ev(1L, 3L, mins(4), "ad"), Ev(1L, 4L, mins(6), "purchase"),
+    Ev(1L, 5L, mins(8), "purchase"),
+    Ev(2L, 6L, mins(1), "purchase"), // organic
+    Ev(3L, 7L, mins(0), "ad"), Ev(3L, 8L, mins(40), "purchase")) // pruned
+
+  "FunnelTws.multiTouch" should "match the GroupState form, single and split batches" in {
+    Seq(Seq(multiEvs), multiEvs.grouped(3).toSeq, multiEvs.map(Seq(_)))
+      .zipWithIndex.foreach { case (batches, i) =>
+        val tws = runMulti(batches, s"twsm_par_$i", tws = true)
+        val gs = runMulti(batches, s"twsm_gs_$i", tws = false)
+        tws.sortBy(a => (a.user_id, a.conv_us, a.pos)) shouldBe
+          gs.sortBy(a => (a.user_id, a.conv_us, a.pos))
+        // fixture exercises all the shapes: 3-touch credit, organic, pruned
+        tws.filter(a => a.user_id == 1L && a.conv_us == mins(6))
+          .map(_.n_touches).distinct shouldBe Seq(3L)
+        tws.filter(_.user_id == 2L).map(_.credit_bp_linear) shouldBe Seq(10000L)
+        tws.filter(_.user_id == 3L).map(_.touch_id) shouldBe Seq(None)
+        // credits sum to exactly 10000 bp per conversion in both models
+        tws.groupBy(a => (a.user_id, a.conv_us)).values.foreach { rows =>
+          rows.map(_.credit_bp_linear).sum shouldBe 10000L
+          rows.map(_.credit_bp_position).sum shouldBe 10000L
+        }
+      }
+  }
+
+  "FunnelTws.timeDecay" should "match the GroupState form, single and split batches" in {
+    Seq(Seq(multiEvs), multiEvs.map(Seq(_))).zipWithIndex.foreach {
+      case (batches, i) =>
+        val tws = runDecay(batches, s"twsd_par_$i", tws = true)
+        val gs = runDecay(batches, s"twsd_gs_$i", tws = false)
+        tws.sortBy(a => (a.user_id, a.conv_us, a.pos)) shouldBe
+          gs.sortBy(a => (a.user_id, a.conv_us, a.pos))
+        // touch ages differ within a conversion -> different halvings
+        // (conv at min 6: touches aged 6/4/2 min at half-life 3 -> h 2/1/0)
+        tws.filter(a => a.user_id == 1L && a.conv_us == mins(6))
+          .map(_.halvings).sorted shouldBe Seq(0L, 1L, 2L)
+        tws.groupBy(a => (a.user_id, a.conv_us)).values.foreach { rows =>
+          rows.map(_.credit_bp_decay).sum shouldBe 10000L
+        }
+    }
+  }
+
+  "FunnelTws.multiTouch with native TTL" should "forget touch history after idle expiry" in withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_twsm_ckpt").toString
+    val input = MemoryStream[Ev]
+    val out = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[FunnelStream.MultiAttribution]())
+    val batches = Seq(
+      Seq(Ev(9L, 1L, mins(0), "ad"), Ev(9L, 2L, mins(1), "email")),
+      Seq(Ev(9L, 3L, mins(2), "purchase"))) // after expiry -> organic
+    batches.foreach { b =>
+      input.addData(b: _*)
+      val q = FunnelTws.multiTouch(input.toDS(), "purchase",
+        Seq("ad", "email"), gapUs, Some(java.time.Duration.ofMillis(400)))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelStream.MultiAttribution], _: Long) =>
+          batch.collect().foreach(out.add)
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+      Thread.sleep(1200)
+    }
+    import scala.jdk.CollectionConverters._
+    // the two touches expired before the conversion arrived -> organic
+    out.asScala.toSeq.map(a => (a.user_id, a.touch_id, a.credit_bp_linear)) shouldBe
+      Seq((9L, None, 10000L))
+  }
+
+  "FunnelTws.multiTouchEventTtl / timeDecayEventTtl" should "match GroupState and forget past the horizon" in {
+    implicit val sqlCtx = spark.sqlContext
+    val ttl = java.time.Duration.ofMinutes(10)
+    val win = 120L * 60L * 1000000L
+    val batches = Seq(
+      Seq(EvT(1L, 1L, tsOfMin(0), "ad"), EvT(1L, 2L, tsOfMin(2), "ad")),
+      Seq(EvT(1L, 3L, tsOfMin(5), "purchase")), // inside horizon: 2 touches
+      Seq(EvT(2L, 4L, tsOfMin(60), "ad")), // watermark passes 1's horizon
+      Seq(EvT(1L, 5L, tsOfMin(61), "purchase"))) // history expired -> organic
+    def runM(tws: Boolean, name: String): Seq[FunnelStream.MultiAttribution] = {
+      def start() = {
+        val input = MemoryStream[EvT]
+        val wm = input.toDS().withWatermark("ts", "0 seconds")
+        val ds = if (tws) FunnelTws.multiTouchEventTtl(wm, "purchase",
+          Seq("ad"), win, ttl)
+        else FunnelStream.multiTouchEventTtl(wm, "purchase", Seq("ad"), win, ttl)
+        (input, ds.writeStream.format("memory").queryName(name)
+          .outputMode("append").start())
+      }
+      val (input, query) = if (tws) withRocksDb(start()) else start()
+      try {
+        batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+        spark.table(name).as[FunnelStream.MultiAttribution].collect().toSeq
+      } finally query.stop()
+    }
+    def runD(tws: Boolean, name: String): Seq[FunnelStream.DecayAttribution] = {
+      def start() = {
+        val input = MemoryStream[EvT]
+        val wm = input.toDS().withWatermark("ts", "0 seconds")
+        val ds = if (tws) FunnelTws.timeDecayEventTtl(wm, "purchase",
+          Seq("ad"), win, mins(3), ttl)
+        else FunnelStream.timeDecayEventTtl(wm, "purchase", Seq("ad"), win,
+          mins(3), ttl)
+        (input, ds.writeStream.format("memory").queryName(name)
+          .outputMode("append").start())
+      }
+      val (input, query) = if (tws) withRocksDb(start()) else start()
+      try {
+        batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+        spark.table(name).as[FunnelStream.DecayAttribution].collect().toSeq
+      } finally query.stop()
+    }
+    val m = runM(tws = true, "twsm_ev")
+    m.sortBy(a => (a.conv_us, a.pos)) shouldBe
+      runM(tws = false, "twsm_ev_gs").sortBy(a => (a.conv_us, a.pos))
+    // first conversion credits both touches; post-expiry one is organic
+    m.filter(_.conv_us == FunnelStream.toEv(EvT(1L, 3L, tsOfMin(5), "x")).ts_us)
+      .map(_.n_touches).distinct shouldBe Seq(2L)
+    m.filter(_.conv_id == 5L).map(_.touch_id) shouldBe Seq(None)
+    val d = runD(tws = true, "twsd_ev")
+    d.sortBy(a => (a.conv_us, a.pos)) shouldBe
+      runD(tws = false, "twsd_ev_gs").sortBy(a => (a.conv_us, a.pos))
+    d.filter(_.conv_id == 5L).map(_.touch_id) shouldBe Seq(None)
+  }
+
   // ----------------------------------------------------- event-time TTL
 
   // day-anchored: TimeMode.EventTime drops rows at-or-behind the previous
