@@ -168,6 +168,63 @@ def check_recall(n):
     ok(f"{path}: " + ", ".join(f"{t}={js[t]['recall']:.3f}" for t in tiers))
 
 
+def check_floors(n):
+    # Round-16 verdict item 1: per-query merged floors gate round-over-round.
+    # A single query's floor regressing >25% vs the previous round's floor
+    # table fails the close unless SCALE.md carries an adjudication line
+    # `floor-adjudication r{N}: <query>`; the table itself ships as
+    # BENCH_FLOORS_r{N}.json (scripts/bench_floors.py).
+    if n is None:
+        print("[close-gate] skip: floors check (no -n ROUND given)")
+        return
+    cur_path = f"BENCH_FLOORS_r{n:02d}.json"
+    if not os.path.exists(cur_path):
+        return fail(f"{cur_path} missing — run "
+                    f"`python3 scripts/bench_floors.py {n}` after the kept "
+                    "bench run")
+    try:
+        cur = json.loads(open(cur_path).read())
+    except json.JSONDecodeError as e:
+        return fail(f"{cur_path} does not parse: {e}")
+    if "floors" not in cur or not cur["floors"]:
+        return fail(f"{cur_path} carries no floors")
+    # the committed table must match the bench it claims to ship
+    if os.path.exists("BENCH_LOCAL.json"):
+        bl = json.loads(open("BENCH_LOCAL.json").read())
+        blf = bl.get("queries_merged") or bl.get("queries", {})
+        drifted = [q for q, v in cur["floors"].items()
+                   if q in blf and abs(blf[q] - v) > 5e-4]
+        if drifted:
+            return fail(f"{cur_path} is stale vs BENCH_LOCAL.json "
+                        f"({len(drifted)} floors differ, e.g. {drifted[:3]}) "
+                        f"— regenerate with scripts/bench_floors.py {n}")
+    prev = sorted(glob.glob("BENCH_FLOORS_r*.json"))
+    prev = [p for p in prev if p < cur_path]
+    if not prev:
+        return ok(f"{cur_path}: {len(cur['floors'])} floors "
+                  "(no previous round's table — baseline round)")
+    old = json.loads(open(prev[-1]).read())
+    scale = open("SCALE.md").read() if os.path.exists("SCALE.md") else ""
+    regressed, waived = [], []
+    for q, v_old in old.get("floors", {}).items():
+        v_new = cur["floors"].get(q)
+        if v_new is None or v_old <= 0:
+            continue  # dropped/renamed queries are a registry change, not perf
+        if v_new > v_old * 1.25:
+            if f"floor-adjudication r{n}: {q}" in scale:
+                waived.append(q)
+            else:
+                regressed.append(f"{q} {v_old:.3f}->{v_new:.3f} "
+                                 f"({v_new / v_old:.2f}x)")
+    if regressed:
+        return fail(f"per-query floor regressions vs {prev[-1]} without a "
+                    "SCALE.md `floor-adjudication` entry:\n    " +
+                    "\n    ".join(regressed))
+    ok(f"{cur_path}: {len(cur['floors'])} floors vs {prev[-1]} — no "
+       f"unadjudicated >25% regressions"
+       + (f" ({len(waived)} adjudicated: {waived})" if waived else ""))
+
+
 def check_clean_tree():
     out = subprocess.run(["git", "status", "--porcelain"],
                          capture_output=True, text=True).stdout
@@ -188,6 +245,7 @@ def main():
     check_head_moved()
     check_testrun(args.n)
     check_recall(args.n)
+    check_floors(args.n)
     check_clean_tree()
     if FAILURES:
         print(f"[close-gate] ROUND CLOSE BLOCKED — {len(FAILURES)} failure(s)")

@@ -36,6 +36,21 @@ object Bench {
   private def fmt(dec: Int, v: Double): String =
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
+  /** (steal, total) jiffies from the aggregate `cpu` line of /proc/stat —
+    * the host-steal observable loadavg misses (round-15/16 finding: this
+    * host's CPU steal spikes while loadavg reads quiet and vice versa).
+    * (-1, -1) when unreadable (non-Linux), which NaN-omits the metric.
+    */
+  private[graft] def procStatCpu(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse(return (-1L, -1L))
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal guest guest_nice
+      val steal = if (f.length > 7) f(7) else return (-1L, -1L)
+      (steal, f.sum)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
   /** Key identifying the CODE under measurement: the git tree hash of
     * `src` plus the `build.sbt` blob — None when either is dirty or git is
     * unavailable. Same-code merging is only sound between runs of
@@ -132,7 +147,8 @@ object Bench {
                                  sfDir: String,
                                  extraPasses: Int = 0,
                                  mergedRuns: Int = 0,
-                                 inRunTotal: Double = Double.NaN): String = {
+                                 inRunTotal: Double = Double.NaN,
+                                 stealPct: Double = Double.NaN): String = {
     val total = results.map(_._2).sum
     val sPerQuery = if (results.nonEmpty) total / results.size else 0.0
     val isSf01 = sfDir.contains("sf0.1")
@@ -173,6 +189,17 @@ object Bench {
                   s""""inrun_ratio":${fmt(2, inRunTotal / results.size / 0.279)},"""
                 else "")
            else ""}""" +
+        s"""${if (stealPct.isNaN) "" else {
+             // steal-corrected companion (round-16 verdict item 7, derivation
+             // in BASELINE.md): CPU-bound wall time under host steal fraction
+             // s inflates by ~1/(1-s), so the quiet-host estimate of this
+             // run's in-run figure is measured × (1 − s).
+             s""""steal_pct":${fmt(1, stealPct)},""" +
+               (if (isSf01 && results.nonEmpty && !inRunTotal.isNaN && stealPct < 100)
+                  s""""inrun_ratio_steal_adj":${fmt(2,
+                    inRunTotal * (1 - stealPct / 100) / results.size / 0.279)},"""
+                else "")
+           }}""" +
         s""""n_errors":${errorNames.size},"errors":$errNames,""" +
         s"""${if (topK > 0) s""""top_slowest":$top,""" else ""}""" +
         s""""sf":"$sfDir"}"""
@@ -246,6 +273,7 @@ object Bench {
       }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val allPasses = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val (steal0, jiffies0) = procStatCpu()
     (1 to passes).foreach { _ => loads += loadAvg(); allPasses += timedPass() }
     // Weather-adaptive extra passes (round-13 verdict finding #1): the
     // per-query min only reflects the CODE's floor if at least one pass per
@@ -265,6 +293,15 @@ object Bench {
     while (extraPasses < maxExtra && sfDir.contains("sf0.1") && core25Hot()) {
       loads += loadAvg(); allPasses += timedPass(); extraPasses += 1
     }
+    // steal fraction ACROSS the timed window (all passes): Δsteal/Δtotal
+    // of the aggregate /proc/stat cpu line — the weather observable the
+    // 1-min loadavg misses on this host (BASELINE.md derivation)
+    val (steal1, jiffies1) = procStatCpu()
+    val stealPct =
+      if (steal0 >= 0 && steal1 > steal0 && jiffies1 > jiffies0)
+        100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+      else if (steal0 >= 0 && jiffies1 > jiffies0) 0.0
+      else Double.NaN
     val passTotals = allPasses.toSeq.map(_.map(_._2).sum)
     val singlePassTotal = passTotals.head
     def median(xs: Seq[Double]): Double = {
@@ -313,6 +350,12 @@ object Bench {
     // to adjudicate a driver-side artifact (this file is committed).
     val fullQs = byQuery.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    // the MERGED per-query floors (same-head history folded in) — the
+    // close-gate's round-over-round per-query regression input
+    // (round-16 verdict item 1; scripts/bench_floors.py ships them as
+    // BENCH_FLOORS_r{N}.json)
+    val fullMerged = results.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullP50 = byQuery.map { case (k, _, p) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val fullRaw = allPasses.map(p =>
@@ -333,7 +376,10 @@ object Bench {
         s""""load_idle":$loadIdle,""" +
         s""""load_avg":${loads.mkString("[", ",", "]")},""" +
         s""""n_errors":${errors.size},"errors":$fullErrs,""" +
+        s"""${if (stealPct.isNaN) "" else s""""steal_pct":$stealPct,"""}""" +
         s""""queries":$fullQs,"queries_p50":$fullP50,""" +
+        s""""queries_merged":$fullMerged,""" +
+        s""""head":${head.map(jq).getOrElse("null")},""" +
         s""""raw_passes":$fullRaw,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -341,7 +387,8 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => () }
     val out = summaryLine(results, passes, passTotals, p50Total,
       loadIdle, loads.toSeq, errors.keys.toSeq, sfDir,
-      extraPasses = extraPasses, mergedRuns = mergedRuns, inRunTotal = inRunTotal)
+      extraPasses = extraPasses, mergedRuns = mergedRuns,
+      inRunTotal = inRunTotal, stealPct = stealPct)
     println(out)
     // The stdout line verbatim, for the close gate (scripts/close_gate.py)
     // to assert window-fit + parseability without re-running the bench.

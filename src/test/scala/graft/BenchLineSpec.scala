@@ -48,6 +48,25 @@ class BenchLineSpec extends AnyFlatSpec with Matchers {
     js.get("errors").size() should be > 0
   }
 
+  it should "emit steal metrics and the corrected in-run ratio, still fitting the window (r17)" in {
+    val line = Bench.summaryLine(fakeResults(200), 3,
+      Seq(68.1, 106.2, 70.6), 71.2, 3.69, Seq(7.13, 6.2, 2.6),
+      Nil, "/root/testdata/sf0.1", mergedRuns = 4, inRunTotal = 60.0,
+      stealPct = 20.0)
+    line.length should be <= 1900
+    val js = parseTail2000(line)
+    js.get("steal_pct").asDouble() shouldBe 20.0 +- 0.01
+    // corrected = inrun_total × (1 − steal) / n / 0.279
+    js.get("inrun_ratio_steal_adj").asDouble() shouldBe
+      (60.0 * 0.8 / 200 / 0.279) +- 0.01
+    // and NaN steal omits both keys (non-Linux hosts)
+    val noSteal = parseTail2000(Bench.summaryLine(fakeResults(10), 1,
+      Seq(1.0), 1.0, 1.0, Seq(1.0), Nil, "/root/testdata/sf0.1",
+      mergedRuns = 1, inRunTotal = 1.0))
+    noSteal.has("steal_pct") shouldBe false
+    noSteal.has("inrun_ratio_steal_adj") shouldBe false
+  }
+
   it should "emit the fixed-mix core25 ratio when all 25 are present at sf0.1" in {
     val core = Bench.Core25.toSeq.sorted.map(k => (k, 0.2))
     val ext = (1 to 95).map(i => (f"q_ext_x_$i%03d", 0.3))
