@@ -149,8 +149,13 @@ def check_recall(n):
         js = json.loads(open(path).read())
     except json.JSONDecodeError as e:
         return fail(f"{path} does not parse: {e}")
+    # random-fixture tiers (r16) + clustered-fixture tiers (r17, verdict
+    # item 2: the clustered fixture is where LSH recall is meaningful —
+    # 2/80-level random-fixture numbers can't express a regression)
     tiers = ["lsh_nbits8", "lsh_nbits4", "ivf_trained", "ivf_portable",
-             "ivf_pq", "pq_rerank", "int8_brute"]
+             "ivf_pq", "pq_rerank", "int8_brute",
+             "c_lsh_nbits8", "c_multiprobe8", "c_ivf_trained",
+             "c_ivf_pq_resid", "c_pq_rerank"]
     missing = [t for t in tiers if t not in js]
     if missing:
         return fail(f"{path} missing tiers: {missing}")

@@ -240,14 +240,39 @@ object Pq {
   def ivfAdcTopK(queries: DataFrame, candidates: DataFrame,
                  queryIdCol: String, vecCol: String, candIdCol: String,
                  model: Ivf.Model, cb: Codebook, topK: Int, nprobe: Int = 4,
-                 scoreDecimals: Int = 6): DataFrame = {
-    require(topK > 0, s"topK must be positive: $topK")
-    val cand = Ivf.assign(candidates.select(
+                 scoreDecimals: Int = 6): DataFrame =
+    ivfAdcTopKIndexed(queries,
+      buildIvfIndex(candidates, candIdCol, vecCol, model, cb),
+      queryIdCol, vecCol, model, cb, topK, nprobe, scoreDecimals)
+
+  /** The IVF-PQ index AT REST: (cand_id, cluster, codes) — one small int
+    * plus m byte-scale codes per vector; the original vectors never load
+    * at query time. Persist this table once (next to
+    * [[saveCodebook]]/[[Ivf.saveModel]]) and serve queries through
+    * [[ivfAdcTopKIndexed]] — the deployment shape that amortizes the
+    * assign+encode pass across every query (round-16 verdict item 4;
+    * `tools/PqWarmAB` measures the split).
+    */
+  def buildIvfIndex(candidates: DataFrame, candIdCol: String, vecCol: String,
+                    model: Ivf.Model, cb: Codebook): DataFrame =
+    Ivf.assign(candidates.select(
         col(candIdCol).cast("long").as("cand_id"), col(vecCol).as("__cv")),
-        "__cv", model, clusterCol = "__cluster")
-      .withColumn("__codes", encodeExpr(col("__cv"), cb))
-      .filter(!array_contains(col("__codes"), lit(-1)))
-      .select("cand_id", "__cluster", "__codes")
+        "__cv", model, clusterCol = "cluster")
+      .withColumn("codes", encodeExpr(col("__cv"), cb))
+      .filter(!array_contains(col("codes"), lit(-1)))
+      .select("cand_id", "cluster", "codes")
+
+  /** [[ivfAdcTopK]] over a pre-built [[buildIvfIndex]] table — the warm
+    * query path: probe explode + LUT on the broadcast query side, one scan
+    * of the codes table, no per-query assign/encode work.
+    */
+  def ivfAdcTopKIndexed(queries: DataFrame, index: DataFrame,
+                        queryIdCol: String, vecCol: String,
+                        model: Ivf.Model, cb: Codebook, topK: Int,
+                        nprobe: Int = 4, scoreDecimals: Int = 6): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val cand = index.select(col("cand_id"), col("cluster").as("__cluster"),
+      col("codes").as("__codes"))
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__probe", explode(Ivf.probesExpr(col("__qv"), model, nprobe)))
@@ -273,11 +298,25 @@ object Pq {
   def adcRerankTopK(queries: DataFrame, candidates: DataFrame,
                     queryIdCol: String, vecCol: String, candIdCol: String,
                     cb: Codebook, topK: Int, shortlist: Int,
-                    scoreDecimals: Int = 6): DataFrame = {
+                    scoreDecimals: Int = 6): DataFrame =
+    adcRerankTopKEncoded(queries, candidates,
+      encode(candidates, candIdCol, vecCol, cb),
+      queryIdCol, vecCol, candIdCol, cb, topK, shortlist, scoreDecimals)
+
+  /** [[adcRerankTopK]] over a pre-built code table ([[encode]] output,
+    * persisted once) — the warm query path: the compressed shortlist scan
+    * reads codes at rest, the exact re-score pulls only the shortlisted
+    * full vectors (round-16 verdict item 4; `tools/PqWarmAB`).
+    */
+  def adcRerankTopKEncoded(queries: DataFrame, candidates: DataFrame,
+                           codes: DataFrame, queryIdCol: String,
+                           vecCol: String, candIdCol: String,
+                           cb: Codebook, topK: Int, shortlist: Int,
+                           scoreDecimals: Int = 6): DataFrame = {
     require(shortlist >= topK, s"shortlist $shortlist must be >= topK $topK")
     val cand = candidates.select(col(candIdCol).cast("long").as("cand_id"),
       col(vecCol).as("__cv"))
-    val short = adcTopK(queries, encode(candidates, candIdCol, vecCol, cb),
+    val short = adcTopK(queries, codes,
       queryIdCol, vecCol, candIdCol, cb, topK = shortlist, scoreDecimals)
       .select("query_id", "cand_id")
     val q = queries.filter(col(vecCol).isNotNull)

@@ -19,34 +19,51 @@ import graft.ops.{Ivf, Pq, Similarity}
   * verdict asked for before adjudicating the operator's registry place.
   */
 object PqClusteredRecall {
-  def main(args: Array[String]): Unit = {
-    val spark = LocalSession(cores = 32, logLevel = "ERROR")
-    import spark.implicits._
 
-    val nClusters = 16
-    val perCluster = 125 // 2000 vectors, the sf0.1 corpus size
-    val dim = 64
-    // deterministic LCG in [-1, 1)
-    var s = 0x2545F4914F6CDD1DL
+  val NClusters = 16
+  val PerCluster = 125 // 2000 vectors, the sf0.1 corpus size
+  val Dim = 64
+
+  /** The deterministic clustered fixture: well-separated LCG centers
+    * (norm ~4/element) + ANISOTROPIC noise — the within-cluster spread
+    * lives in a low-dimensional slice (first 2 of 64 dims at full scale,
+    * rest at 0.02), the realistic embedding regime (intrinsic dimension
+    * << ambient). Isotropic noise was probed first and is quantization-
+    * noise-floor-bound for BOTH coders (raw 3.787 vs residual 3.751 mean
+    * |q·x − ADC| at m=8 k=64) — no coder can compress an isotropic ball.
+    * Same bits every run (fixed LCG seed); `vec_id % NClusters` IS the
+    * cluster id. `unitNorm = true` L2-normalizes each vector so cosine
+    * and inner-product rankings coincide — one brute-force truth then
+    * serves every tier (the RecallReport clustered rows).
+    */
+  private[tools] def fixture(spark: org.apache.spark.sql.SparkSession,
+                             unitNorm: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    var s = 0x2545F4914F6CDD1DL // deterministic LCG in [-1, 1)
     def nxt(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L
       ((s >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1
     }
-    // well-separated centers (norm ~4/element) + ANISOTROPIC noise: the
-    // within-cluster spread lives in a low-dimensional slice (first 8 of
-    // 64 dims), the realistic embedding regime (intrinsic dimension <<
-    // ambient). Isotropic noise was probed first and is quantization-
-    // noise-floor-bound for BOTH coders (raw 3.787 vs residual 3.751 mean
-    // |q·x − ADC| at m=8 k=64) — no coder can compress an isotropic ball.
-    val centers = Array.fill(nClusters)(Array.fill(dim)(nxt() * 4.0))
+    val centers = Array.fill(NClusters)(Array.fill(Dim)(nxt() * 4.0))
     val noiseScale = (d: Int) => if (d < 2) 1.2 else 0.02
-    val rows = (0 until nClusters * perCluster).map { i =>
-      val c = centers(i % nClusters)
-      (i.toLong,
-        c.zipWithIndex.map { case (v, d) =>
-          (v + nxt() * noiseScale(d)).toFloat }.toSeq)
+    val rows = (0 until NClusters * PerCluster).map { i =>
+      val c = centers(i % NClusters)
+      val v = c.zipWithIndex.map { case (x, d) => x + nxt() * noiseScale(d) }
+      val out =
+        if (unitNorm) {
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(x => (x / n).toFloat)
+        } else v.map(_.toFloat)
+      (i.toLong, out.toSeq)
     }
-    val e = rows.toDF("vec_id", "embedding").repartition(8)
+    rows.toDF("vec_id", "embedding").repartition(8)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = LocalSession(cores = 32, logLevel = "ERROR")
+
+    val perCluster = PerCluster
+    val e = fixture(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
 

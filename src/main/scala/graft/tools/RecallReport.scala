@@ -78,6 +78,63 @@ object RecallReport {
     record("int8_brute", pairs(Similarity.bruteForceTopK(
       qe.filter(col("vec_id") < nQueries), qe, "vec_id", "q8", k = k)))
 
+    // ---- clustered-fixture tiers (round-16 verdict item 2) ----
+    // The random sf embeddings gate near-zero LSH numbers (2/80, 6/80) —
+    // too close to the floor to detect a regression. The deterministic
+    // clustered fixture (tools/PqClusteredRecall, round 14 — the measured
+    // WIN regime) puts every tier where recall is meaningful. Each tier
+    // is judged in ITS OWN metric (the round-14 lesson: cosine truth caps
+    // measurable ADC recall at the dot-vs-cosine ranking agreement):
+    // cosine truth for the LSH/IVF/rerank tiers (their scoring metric),
+    // exact inner-product truth for the residual-ADC tier (what ADC
+    // approximates).
+    val ce = PqClusteredRecall.fixture(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ce.count()
+    val cq = ce.filter(col("vec_id") < nQueries)
+    val cTruth = pairs(
+      Similarity.bruteForceTopK(cq, ce, "vec_id", "embedding", k = k))
+    def recordVs(truthSet: Set[(Long, Long)])(name: String,
+                 got: Set[(Long, Long)]): Unit = {
+      results(name) = (got.intersect(truthSet).size, truthSet.size)
+      println(f"[recall] $name%-14s recall@$k = " +
+        f"${got.intersect(truthSet).size}/${truthSet.size}")
+    }
+    val recordC = recordVs(cTruth) _
+    recordC("c_lsh_nbits8", pairs(Similarity.annTopK(cq, ce, "vec_id",
+      "embedding", k = k, nbits = 8)))
+    recordC("c_multiprobe8", pairs(Similarity.annTopKMultiProbe(cq, ce,
+      "vec_id", "embedding", k = k, nbits = 8, nprobe = 5)))
+    val cIvf = Ivf.train(ce, "vec_id", "embedding", k = 16, iters = 2)
+    recordC("c_ivf_trained", pairs(Ivf.annTopK(cq, ce, "vec_id", "embedding",
+      cIvf, k = k, nprobe = 4)))
+    val cCbRaw = Pq.trainPortable(ce, "vec_id", "embedding", m = 8, k = 64,
+      iters = 2)
+    recordC("c_pq_rerank", pairs(Pq.adcRerankTopK(cq, ce, "vec_id",
+      "embedding", "vec_id", cCbRaw, topK = k, shortlist = 64)))
+    // residual ADC at m=8 k=256 vs inner-product truth — the round-14
+    // ladder's strongest rung (31/40 there at 8 queries)
+    val cTruthDot = {
+      val exact = cq.select(col("vec_id").as("query_id"),
+          col("embedding").as("__q"))
+        .crossJoin(ce.select(col("vec_id").as("cand_id"),
+          col("embedding").as("__c")))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          graft.functions.VectorExpressions.vec_dot(
+            Similarity.toDouble(col("__q")),
+            Similarity.toDouble(col("__c"))).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+      pairs(exact.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k).select("query_id", "cand_id"))
+    }
+    val cCb = Pq.trainPortable(
+      ce.select(col("vec_id"), Pq.residualExpr(col("embedding"), cIvf).as("r")),
+      "vec_id", "r", m = 8, k = 256, iters = 2)
+    recordVs(cTruthDot)("c_ivf_pq_resid", pairs(Pq.ivfAdcResidualTopK(cq, ce,
+      "vec_id", "embedding", "vec_id", cIvf, cCb, topK = k, nprobe = 4)))
+
     val fields = results.map { case (n, (hit, of)) =>
       f""""$n":{"hit":$hit,"of":$of,"recall":${hit.toDouble / of}%.4f}"""
     }.mkString(",")

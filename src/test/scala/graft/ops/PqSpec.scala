@@ -313,4 +313,44 @@ class PqSpec extends SparkSpec {
       }
     }
   }
+
+  "the warm (at-rest index) paths" should "reproduce the cold forms bit-exactly (r17)" in {
+    // the deployment split (round-16 verdict item 4): codebook/model saved
+    // and reloaded, codes/index persisted once — results must equal the
+    // in-query forms row-for-row, or the amortization trades correctness
+    val n = 64
+    val rows = (0L until n).map { i =>
+      i -> Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11).toDouble)
+    }
+    val e = vdf(rows: _*)
+    val cbT = Pq.fixedCodebook(e, "id", "vec", Seq(0L, 5L, 9L, 13L), m = 2)
+    val model = Ivf.fixedModel(e, "id", "vec", Seq(0L, 5L, 9L, 13L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_warm_spec")
+    Pq.saveCodebook(spark, cbT, s"$dir/cb")
+    Ivf.saveModel(spark, model, s"$dir/ivf")
+    Pq.encode(e, "id", "vec", cbT)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    Pq.buildIvfIndex(e, "id", "vec", model, cbT)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val cbW = Pq.loadCodebook(spark, s"$dir/cb")
+    val modelW = Ivf.loadModel(spark, s"$dir/ivf")
+    val codesW = spark.read.parquet(s"$dir/codes")
+    val indexW = spark.read.parquet(s"$dir/index")
+    val q = e.filter(col("id") < 4)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    rowsOf(Pq.ivfAdcTopKIndexed(q, indexW, "id", "vec", modelW, cbW,
+        topK = 3, nprobe = 2)) shouldBe
+      rowsOf(Pq.ivfAdcTopK(q, e, "id", "vec", "id", model, cbT,
+        topK = 3, nprobe = 2))
+    rowsOf(Pq.adcRerankTopKEncoded(q, e, codesW, "id", "vec", "id", cbW,
+        topK = 3, shortlist = 8)) shouldBe
+      rowsOf(Pq.adcRerankTopK(q, e, "id", "vec", "id", cbT,
+        topK = 3, shortlist = 8))
+    rowsOf(Pq.adcTopK(q, codesW, "id", "vec", "id", cbW, topK = 3)) shouldBe
+      rowsOf(Pq.adcTopK(q, Pq.encode(e, "id", "vec", cbT), "id", "vec", "id",
+        cbT, topK = 3))
+  }
 }
