@@ -113,10 +113,12 @@ object ExcelDates {
     try {
       val d = LocalDate.parse(datePart)
       if (d.getYear < 1900 || d.getYear > 9999) return None
-      val secs = timePart.fold(0L) { tp =>
+      val secs = timePart.fold(0.0) { tp =>
         val p = tp.split(":")
         if (p.length != 3) return None
-        p(0).toLong * 3600L + p(1).toLong * 60L + p(2).toLong
+        // fractional seconds accepted: java.sql.Timestamp.toString renders
+        // "HH:mm:ss.S" (the typed-column write path)
+        p(0).toLong * 3600.0 + p(1).toLong * 60.0 + p(2).toDouble
       }
       val epoch =
         if (d.isBefore(LocalDate.of(1900, 3, 1))) LocalDate.of(1899, 12, 31)

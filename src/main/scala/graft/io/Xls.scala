@@ -409,7 +409,12 @@ object Xls {
   def write(df: DataFrame, path: String, dateColumns: Set[String] = Set.empty): Unit = {
     val cols = df.columns
     val rows = df.collect()
-    val dateCol: Array[Boolean] = cols.map(dateColumns.contains)
+    // typed timestamp/date columns are date cells automatically (see
+    // [[Xlsx.write]] — `to_excel` parity)
+    val dateCol: Array[Boolean] = df.schema.fields.map(f =>
+      dateColumns.contains(f.name) ||
+        f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.DateType)
     val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def sstIdx(s: String): Int =
       strings.getOrElseUpdate(s, strings.size)

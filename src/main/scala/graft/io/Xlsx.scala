@@ -225,7 +225,13 @@ object Xlsx {
   def write(df: DataFrame, path: String, dateColumns: Set[String] = Set.empty): Unit = {
     val cols = df.columns
     val rows = df.collect()
-    val dateCol: Array[Boolean] = cols.map(dateColumns.contains)
+    // typed timestamp/date columns are date cells automatically —
+    // `to_excel` parity (pandas writes datetime64 columns as
+    // date-formatted numerics, not "... 00:00:00.0" strings)
+    val dateCol: Array[Boolean] = df.schema.fields.map(f =>
+      dateColumns.contains(f.name) ||
+        f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.DateType)
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))

@@ -80,6 +80,23 @@ class XlsxSpec extends SparkSpec {
       ("U3", "not a date", "y"))
   }
 
+  it should "write TYPED timestamp columns as date cells automatically (to_excel parity)" in {
+    import spark.implicits._
+    // the Runner's PreTAM output carries Calc Date as TimestampType;
+    // pandas to_excel writes datetime64 columns as date-formatted cells,
+    // not "... 00:00:00.0" strings — the typed column needs no opt-in
+    val df = Seq(("U1", java.sql.Timestamp.valueOf("2026-01-15 00:00:00")),
+        ("U2", java.sql.Timestamp.valueOf("2024-07-04 08:30:00")))
+      .toDF("UIN", "Calc Date")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_xlsx_typed").resolve("t.xlsx").toString
+    Xlsx.write(df, path)
+    val back = Xlsx.read(spark, path).orderBy("UIN").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    back.toSeq shouldBe Seq(
+      ("U1", "2026-01-15"), ("U2", "2024-07-04 08:30:00"))
+  }
+
   it should "honor custom numFmts and workbookPr date1904 in foreign workbooks" in {
     // hand-written OOXML parts the writer doesn't emit: a custom numFmt
     // date code and the 1904 epoch flag

@@ -173,19 +173,24 @@ class LargeCorpusSpec extends SparkSpec {
   // The write→read round-trip digests are pinned SEPARATELY from the
   // in-memory goldens because serialization semantics legitimately differ:
   // both the xlsx reader (empty cells → missing, pd.read_excel parity) and
-  // Spark's CSV reader collapse "" to null, and CSV formats timestamps as
-  // ISO-8601 while toString renders "yyyy-MM-dd HH:mm:ss.S". Evidence the
-  // collapse is the ONLY divergence: cpaOut (all-string, no timestamps)
-  // digests IDENTICALLY through xlsx and CSV. Any writer/reader drift
-  // breaks these goldens the same way pipeline drift breaks the in-memory
-  // ones.
+  // Spark's CSV reader collapse "" to null; CSV formats timestamps as
+  // ISO-8601 with a T separator, while the xlsx path (since the round-17
+  // date-cell parity) writes TYPED timestamp columns as date-FORMATTED
+  // cells that read back as "yyyy-MM-dd[ HH:mm:ss]" ISO strings — the
+  // to_excel/read_excel round-trip shape, replacing the old raw
+  // "yyyy-MM-dd HH:mm:ss.0" toString. Evidence the collapse is the ONLY
+  // other divergence: cpaOut (all-string, no timestamps) digests
+  // IDENTICALLY through xlsx and CSV. Any writer/reader drift breaks
+  // these goldens the same way pipeline drift breaks the in-memory ones.
 
   it should "match the committed xlsx round-trip digest" in {
     val p = java.nio.file.Files.createTempFile("graft_pua_rt", ".xlsx").toString
     graft.io.Xlsx.write(puaOut, p)
     val back = graft.io.Xlsx.read(spark, p)
     back.count() shouldBe 240L
-    digest(back) shouldBe "03fec161b804a3bb3df81f9ef4454c69"
+    // re-pinned at round 17 (was 03fec161…): Calc Date now round-trips
+    // as a real date cell, not a ".0"-suffixed string
+    digest(back) shouldBe "49e15d0b94b2aeff9fc937bf180c8351"
   }
 
   it should "match the committed CSV round-trip digest" in {
