@@ -333,6 +333,52 @@ object Pq {
     Similarity.rankTopK(rescored, topK)
   }
 
+  /** IVF-pruned ADC shortlist + exact cosine re-rank — the full
+    * production ANN recipe (FAISS's IVFADC + refine): IVF prunes each
+    * query to its `nprobe` clusters, ADC over codes picks a
+    * `shortlist`-sized candidate set from the probed volume, and ONLY
+    * those rows load full vectors for exact re-scoring. Work per query:
+    * probed-volume × m lookups + `shortlist` exact dots — at 100 TB both
+    * the scan (pruned) and the full-precision pass (shortlist-bounded)
+    * are sub-corpus by construction.
+    */
+  def ivfAdcRerankTopK(queries: DataFrame, candidates: DataFrame,
+                       queryIdCol: String, vecCol: String, candIdCol: String,
+                       model: Ivf.Model, cb: Codebook, topK: Int,
+                       nprobe: Int = 4, shortlist: Int = 32,
+                       scoreDecimals: Int = 6): DataFrame =
+    ivfAdcRerankTopKIndexed(queries, candidates,
+      buildIvfIndex(candidates, candIdCol, vecCol, model, cb),
+      queryIdCol, vecCol, candIdCol, model, cb, topK, nprobe, shortlist,
+      scoreDecimals)
+
+  /** [[ivfAdcRerankTopK]] over a pre-built [[buildIvfIndex]] table — the
+    * warm form: shortlist from the at-rest index, re-rank pulls only the
+    * shortlisted full vectors.
+    */
+  def ivfAdcRerankTopKIndexed(queries: DataFrame, candidates: DataFrame,
+                              index: DataFrame, queryIdCol: String,
+                              vecCol: String, candIdCol: String,
+                              model: Ivf.Model, cb: Codebook, topK: Int,
+                              nprobe: Int, shortlist: Int,
+                              scoreDecimals: Int = 6): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must be >= topK $topK")
+    val short = ivfAdcTopKIndexed(queries, index, queryIdCol, vecCol, model,
+      cb, topK = shortlist, nprobe, scoreDecimals)
+      .select("query_id", "cand_id")
+    val cand = candidates.select(col(candIdCol).cast("long").as("cand_id"),
+      col(vecCol).as("__cv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(vecCol).as("__qv"))
+    val rescored = cand.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.VectorExpressions.vec_cosine(
+          col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    Similarity.rankTopK(rescored, topK)
+  }
+
   // ------------------------------------------------------ residual (IVFADC)
 
   private def centroidsLit(model: Ivf.Model): Column =

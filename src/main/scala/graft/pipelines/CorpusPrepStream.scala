@@ -83,13 +83,16 @@ object CorpusPrepStream {
     * is set (a blessed [[Profiler.profile]] snapshot), each arriving
     * micro-batch is profiled over `driftCols` (default: every column in
     * the reference) and checked with [[DriftStream.drift]]'s escape rules
-    * BEFORE any pipeline stage runs. A flagged batch is a poisoned
-    * intake window: its rows and flagged profile land under
-    * `quarantineDir` (exactly-once, batch_id-partitioned — the
-    * [[graft.streaming.DriftSink]] posture) and the pipeline state is
-    * untouched — no hash-table append, no budget spend, so a healthy
-    * re-delivery of the same content later is processed as if the
-    * poisoned window never happened.
+    * BEFORE any pipeline stage runs; `driftQuantileReference` (a blessed
+    * [[Profiler.quantiles]] snapshot over `driftQuantileCols`) adds the
+    * [[DriftStream.quantileDrift]] band rule — a distribution that
+    * SHIFTED inside fixed bounds, which the profile rules can't see. A
+    * batch flagged by ANY rule is a poisoned intake window: its rows and
+    * per-rule reports land under `quarantineDir` (exactly-once,
+    * batch_id-partitioned — the [[graft.streaming.DriftSink]] posture)
+    * and the pipeline state is untouched — no hash-table append, no
+    * budget spend, so a healthy re-delivery of the same content later is
+    * processed as if the poisoned window never happened.
     */
   final case class Config(
       shingleN: Int = 3,
@@ -106,6 +109,9 @@ object CorpusPrepStream {
       driftCols: Seq[String] = Nil,
       driftNullFracTol: Double = 0.01,
       driftDistinctTol: Double = 1.05,
+      driftQuantileReference: Option[DataFrame] = None,
+      driftQuantileCols: Seq[String] = Nil,
+      driftBandTol: Double = 0.25,
       quarantineDir: Option[String] = None)
 
   /** Drift check of one micro-batch against a blessed profile: the
@@ -148,6 +154,40 @@ object CorpusPrepStream {
         lit(null).cast("string").as("ref_max"),
         lit(null).cast("long").as("n_distinct"),
         lit(null).cast("long").as("ref_distinct"), lit(true).as("drift"))
+      if (monitored.isEmpty) missingRows else present.unionByName(missingRows)
+    }
+  }
+
+  /** Quantile drift check of one micro-batch against a blessed
+    * [[Profiler.quantiles]] snapshot ([[DriftStream.quantileDrift]]'s
+    * band rule on a single whole-batch window): catches a distribution
+    * that SHIFTED inside fixed bounds, which the profile rules
+    * (nulls/extrema/distincts) cannot see. Columns missing from the
+    * batch flag, like [[batchDrift]].
+    */
+  def batchQuantileDrift(batch: DataFrame, reference: DataFrame,
+                         cols: Seq[String], bandTol: Double = 0.25): DataFrame = {
+    require(cols.nonEmpty, "batchQuantileDrift: name the numeric columns")
+    val (monitored, absent) = cols.partition(batch.columns.contains)
+    def present: DataFrame = {
+      val qs = Profiler.quantiles(batch, monitored)
+      val windowed = qs.select(
+        lit(null).cast("timestamp").as("window_start"),
+        lit(null).cast("timestamp").as("window_end"),
+        col("column"), lit(batch.count()).as("n_rows"),
+        col("p25"), col("p50"), col("p75"))
+      DriftStream.quantileDrift(windowed, reference, bandTol)
+    }
+    if (absent.isEmpty) present
+    else {
+      import batch.sparkSession.implicits._
+      val missingRows = absent.toDF("column").select(
+        lit(null).cast("timestamp").as("window_start"),
+        lit(null).cast("timestamp").as("window_end"), col("column"),
+        lit(0L).as("n_rows"), lit(null).cast("double").as("window_mid"),
+        lit(null).cast("double").as("ref_lo"),
+        lit(null).cast("double").as("ref_mid"),
+        lit(null).cast("double").as("ref_hi"), lit(true).as("drift"))
       if (monitored.isEmpty) missingRows else present.unionByName(missingRows)
     }
   }
@@ -325,12 +365,26 @@ object CorpusPrepStream {
     handle.benchRef = benchSh
     handle.queryRef = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // drift gate (opt-in, see Config doc): a flagged batch is
-        // quarantined WHOLE and never touches pipeline state
-        val poisoned = cfg.driftReference.exists { ref =>
-          val report = batchDrift(batch, ref, cfg.driftCols,
-            cfg.driftNullFracTol, cfg.driftDistinctTol).localCheckpoint()
-          val bad = report.filter(col("drift")).count() > 0
+        // drift gate (opt-in, see Config doc): profile rules + the
+        // quantile band rule (r17 — a distribution can shift inside fixed
+        // bounds, which only quantiles catch); ANY flagged rule
+        // quarantines the batch WHOLE and never touches pipeline state
+        val checks: Seq[(String, DataFrame)] =
+          cfg.driftReference.map(ref => "profile" ->
+            batchDrift(batch, ref, cfg.driftCols, cfg.driftNullFracTol,
+              cfg.driftDistinctTol)).toSeq ++
+          cfg.driftQuantileReference.map(ref => "quantile" ->
+            batchQuantileDrift(batch, ref, cfg.driftQuantileCols,
+              cfg.driftBandTol))
+        val poisoned = checks.nonEmpty && {
+          val reports = checks.map { case (rule, df) =>
+            rule -> df.localCheckpoint() }
+          // one slim frame for the gate + callback: (column, rule, drift)
+          val flagged = reports.map { case (rule, df) =>
+            df.filter(col("drift"))
+              .select(col("column"), lit(rule).as("rule"), col("drift"))
+          }.reduce(_ unionByName _).localCheckpoint()
+          val bad = flagged.count() > 0
           if (bad) {
             cfg.quarantineDir.foreach { dir =>
               // DriftSink's exactly-once recipe: each batch overwrites its
@@ -342,11 +396,11 @@ object CorpusPrepStream {
                   .option("partitionOverwriteMode", "dynamic")
                   .partitionBy("batch_id").parquet(s"$dir/$sub")
               dump(batch, "rows")
-              dump(report, "report")
+              reports.foreach { case (rule, df) => dump(df, s"report_$rule") }
             }
-            onQuarantine(batchId, report)
+            onQuarantine(batchId, flagged)
           }
-          releaseCp(report)
+          releaseCp(flagged +: reports.map(_._2): _*)
           bad
         }
         if (!poisoned) {

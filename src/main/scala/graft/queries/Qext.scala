@@ -524,6 +524,26 @@ object Qext {
   private val pqResidualCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
 
+  /** IVF-pruned ADC shortlist + exact cosine re-rank
+    * ([[Pq.ivfAdcRerankTopK]], nprobe=4, shortlist=20) — the FULL
+    * production ANN recipe (FAISS IVFADC + refine; round-17): IVF prunes
+    * WHICH candidates each query scores, ADC picks 20 from the probed
+    * volume, only those 20 load full vectors for exact re-scoring. Both
+    * quantizers fixed, so prune→encode→LUT→shortlist→rescore→rank
+    * replays exactly in SQL.
+    */
+  def qExtPqIvfRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.ivfAdcRerankTopK(e.filter(col("vec_id") < 8), e, "vec_id",
+        "embedding", "vec_id", model, cb, topK = 5, nprobe = 4,
+        shortlist = 20)
+      .orderBy("query_id", "rank")
+  }
+
   /** PQ codes under a TRAINED codebook ([[Pq.trainPortable]], m=4, k=16,
     * 2 Lloyd iterations): the integer-quantized means make every codeword
     * element an exact rational, so the ENTIRE train→encode pipeline
@@ -2007,6 +2027,7 @@ object Qext {
     "q_ext_pq_codes" -> (qExtPqCodes _),
     "q_ext_pq_adc" -> (qExtPqAdc _),
     "q_ext_pq_ivf_adc" -> (qExtPqIvfAdc _),
+    "q_ext_pq_ivf_rerank" -> (qExtPqIvfRerank _),
     "q_ext_pq_rerank" -> (qExtPqRerank _),
     "q_ext_pq_ivf_residual" -> (qExtPqIvfResidual _),
     "q_ext_pq_codes_trained" -> (qExtPqCodesTrained _),
@@ -3916,6 +3937,96 @@ object Qext {
     // IVF-PQ replay: the ivf_fixed assignment/probe CTEs (cosine coarse
     // quantizer) composed with the pq_adc encode/LUT CTEs (L2 fine
     // quantizer) — prune by probed cluster, score by the LUT chain.
+    "q_ext_pq_ivf_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
+        |),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM v q CROSS JOIN cw c WHERE q.vec_id < 8
+        |),
+        |shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT p.query_id, a.vec_id AS cand_id,
+        |           row_number() OVER (PARTITION BY p.query_id
+        |             ORDER BY round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) DESC,
+        |                      a.vec_id ASC) AS rn
+        |    FROM probes p
+        |    JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+        |    JOIN codesp cd ON cd.vec_id = a.vec_id
+        |    JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |    JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |    JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |    JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |  ) WHERE rn <= 20
+        |),
+        |rescored AS (
+        |  SELECT s.query_id, s.cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(qq.emb, qq.emb))
+        |                         * sqrt(list_dot_product(cv.emb, cv.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(qq.emb, cv.emb)
+        |                    / (sqrt(list_dot_product(qq.emb, qq.emb))
+        |                       * sqrt(list_dot_product(cv.emb, cv.emb))) END, 6) AS score
+        |  FROM shortlist s
+        |  JOIN v qq ON qq.vec_id = s.query_id
+        |  JOIN v cv ON cv.vec_id = s.cand_id
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM rescored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q_ext_pq_ivf_adc" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cents AS (

@@ -352,5 +352,47 @@ class PqSpec extends SparkSpec {
     rowsOf(Pq.adcTopK(q, codesW, "id", "vec", "id", cbW, topK = 3)) shouldBe
       rowsOf(Pq.adcTopK(q, Pq.encode(e, "id", "vec", cbT), "id", "vec", "id",
         cbT, topK = 3))
+    // the composed IVF+rerank (r17): warm == cold, and every result row
+    // is drawn from the query's probed clusters
+    val composedCold = Pq.ivfAdcRerankTopK(q, e, "id", "vec", "id", model,
+      cbT, topK = 3, nprobe = 2, shortlist = 8)
+    rowsOf(Pq.ivfAdcRerankTopKIndexed(q, e, indexW, "id", "vec", "id",
+      modelW, cbW, topK = 3, nprobe = 2, shortlist = 8)) shouldBe
+      rowsOf(composedCold)
+  }
+
+  "ivfAdcRerankTopK" should "rescore exactly the IVF-pruned ADC shortlist (r17)" in {
+    // compose-by-hand oracle: the shortlist IS ivfAdcTopK(topK=shortlist);
+    // rerank replaces ADC scores with exact cosine over just those pairs
+    val n = 48
+    val rows = (0L until n).map { i =>
+      i -> Seq.tabulate(8)(d => ((i * 5 + d * 7) % 13).toDouble)
+    }
+    val e = vdf(rows: _*)
+    val cbT = Pq.fixedCodebook(e, "id", "vec", Seq(0L, 3L, 11L, 17L), m = 2)
+    val model = Ivf.fixedModel(e, "id", "vec", Seq(0L, 3L, 11L, 17L))
+    val q = e.filter(col("id") < 3)
+    val composed = Pq.ivfAdcRerankTopK(q, e, "id", "vec", "id", model, cbT,
+        topK = 4, nprobe = 2, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val short = Pq.ivfAdcTopK(q, e, "id", "vec", "id", model, cbT,
+        topK = 10, nprobe = 2)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every composed row comes from the shortlist...
+    composed.foreach { case (qid, cid, _) =>
+      short should contain((qid, cid))
+    }
+    // ...and its score is the exact cosine, not the ADC approximation
+    val byId = rows.toMap
+    composed.foreach { case (qid, cid, score) =>
+      val (a, b) = (byId(qid), byId(cid))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      score shouldBe (BigDecimal(cos).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) +- 1e-9
+    }
+    composed.length shouldBe 3 * 4 // topK per query
   }
 }

@@ -259,8 +259,49 @@ class CorpusPrepStreamSpec extends SparkSpec {
     val rows = spark.read.parquet(s"$qDir/rows")
     rows.select("doc_id").as[Long].collect().toSet shouldBe Set(3L, 4L)
     rows.select("batch_id").distinct().as[Long].collect().toSeq shouldBe Seq(1L)
-    val report = spark.read.parquet(s"$qDir/report").filter(col("drift"))
+    val report = spark.read.parquet(s"$qDir/report_profile").filter(col("drift"))
     report.select("column").as[String].collect().toSeq shouldBe Seq("source")
+  }
+
+  it should "quarantine a window whose DISTRIBUTION shifted inside fixed bounds (quantile rule, r17)" in {
+    // the profile rules can't see this poisoning: doc lengths stay inside
+    // the blessed [min, max] and carry no nulls, but the median collapses
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, words: Int) =
+      PrepDoc(id, "a", ("the quick brown fox jumps over " * 40)
+        .split(" ").take(words).mkString(" "))
+    // blessed snapshot: lengths around 180-240 chars
+    val blessedDocs = (100L to 130L).map(i => doc(i, 30 + (i % 12).toInt)).toDF()
+      .withColumn("len", org.apache.spark.sql.functions.length(col("text")))
+    val qRef = graft.ops.Profiler.quantiles(blessedDocs, Seq("len"))
+    val cfg = CorpusPrepStream.Config(
+      driftQuantileReference = Some(qRef), driftQuantileCols = Seq("len"))
+    val input = MemoryStream[PrepDoc]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val quarantined = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(String, String)])]
+    val handle = CorpusPrepStream.streamPrepare(
+      input.toDF().withColumn("len", org.apache.spark.sql.functions.length(col("text"))),
+      "doc_id", "text", "source", bench, "text", None, cfg,
+      onBatch = (_, r) => admitted.synchronized {
+        admitted += r.admitted.select("doc_id").as[Long].collect().toSeq
+      },
+      onQuarantine = (id, report) => quarantined.synchronized {
+        quarantined += ((id, report.select("column", "rule")
+          .as[(String, String)].collect().toSeq))
+      })
+    try {
+      Seq(
+        (1L to 2L).map(i => doc(i, 31 + i.toInt)), // healthy: in-band medians
+        (3L to 4L).map(i => doc(i, 8)), // poisoned: median collapses, still > min? (8 words ~ 40 chars)
+        (5L to 6L).map(i => doc(i, 33 + i.toInt)) // healthy again
+      ).foreach { b =>
+        input.addData(b: _*)
+        handle.query.processAllAvailable()
+      }
+    } finally handle.close()
+    admitted.map(_.toSet).toSeq shouldBe Seq(Set(1L, 2L), Set(5L, 6L))
+    quarantined.map(_._1).toSeq shouldBe Seq(1L)
+    quarantined.head._2 shouldBe Seq(("len", "quantile"))
   }
 
   it should "flag a monitored column missing from the batch entirely (r17)" in {
