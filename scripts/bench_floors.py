@@ -19,10 +19,21 @@ import sys
 def main():
     n = int(sys.argv[1])
     js = json.load(open("BENCH_LOCAL.json"))
-    floors = js.get("queries_merged") or js["queries"]
+    floors = js.get("queries_merged")
+    if not floors:
+        # a stale BENCH_LOCAL.json from an older binary would silently ship
+        # the noisier single-run minima as the round's gating baseline
+        sys.exit("BENCH_LOCAL.json lacks queries_merged — re-run graft.Bench "
+                 "at the committed head (merged floors are the gate input; "
+                 "the unmerged single-run table is not an acceptable "
+                 "fallback)")
     if "sf0.1" not in str(js.get("sf", "")):
         sys.exit(f"BENCH_LOCAL.json is not an sf0.1 run ({js.get('sf')}) — "
                  "floors must come from the official scale factor")
+    if js.get("rotate"):
+        sys.exit(f"BENCH_LOCAL.json is a rotated partial run "
+                 f"({js['rotate']}) — the floor table must come from a "
+                 "FULL-registry run (BASELINE.md rotation policy)")
     out = {
         "round": n,
         "sf": js["sf"],

@@ -33,11 +33,16 @@ import sys
 import time
 
 
-def run_bench(sf_dir: str) -> str:
+def run_bench(sf_dir: str, rotate: str | None = None) -> str:
+    env = {**__import__("os").environ,
+           "SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32"}
+    if rotate:
+        env["SPARK_GRAFT_ROTATE"] = rotate
+    else:
+        env.pop("SPARK_GRAFT_ROTATE", None)
     proc = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
-        env={**__import__("os").environ,
-             "SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32"},
+        env=env,
         capture_output=True, text=True)
     lines = re.findall(r'\{"metric".*', proc.stdout)
     if not lines:
@@ -51,12 +56,20 @@ def main() -> int:
     ap.add_argument("--max-runs", type=int, default=3)
     ap.add_argument("--quiet-threshold", type=float, default=4.6)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--rotate", type=int, default=0, metavar="K",
+                    help="farm PARTIAL runs: core-25 + tail slice i%%K per "
+                    "run (i = run index). Seeds per-query floors into "
+                    "BENCH_RUNS.jsonl at ~1/K of full-registry cost; "
+                    "BENCH_STDOUT.txt is NOT updated (the stamped line "
+                    "must be a full run — BASELINE.md rotation policy)")
     args = ap.parse_args()
 
     runs = []
     merged = {}
     for i in range(args.max_runs):
-        line = run_bench(args.sf_dir)
+        line = run_bench(args.sf_dir,
+                         f"{i % args.rotate}/{args.rotate}"
+                         if args.rotate > 0 else None)
         # fold this run's per-query floors into the same-head merged-min:
         # the per-run total breathes with the window, the per-query min
         # across runs is the closest observable to the CODE's floor
@@ -87,8 +100,12 @@ def main() -> int:
                   f"<= {args.quiet_threshold}) — stopping early")
             break
     best_load, best_line = min(runs, key=lambda r: r[0])
-    with open("BENCH_STDOUT.txt", "w") as f:
-        f.write(best_line + "\n")
+    if args.rotate > 0:
+        print("[bench-quiet] rotated farm runs only — BENCH_STDOUT.txt left "
+              "untouched; stamp the close with one FULL run (no --rotate)")
+    else:
+        with open("BENCH_STDOUT.txt", "w") as f:
+            f.write(best_line + "\n")
     if merged:
         with open("BENCH_MERGED.json", "w") as f:
             json.dump({"n_runs": len(runs), "n_queries": len(merged),
@@ -99,8 +116,10 @@ def main() -> int:
         print(f"[bench-quiet] merged-min across {len(runs)} runs: "
               f"{sum(merged.values()):.1f}s / {len(merged)} queries "
               f"-> BENCH_MERGED.json")
-    print(f"[bench-quiet] kept min-core25 run (core25_total {best_load:.2f}) "
-          f"of {len(runs)} -> BENCH_STDOUT.txt; all raw lines in BENCH_RUNS.jsonl")
+    dest = ("floors seeded (rotated)" if args.rotate > 0
+            else "-> BENCH_STDOUT.txt")
+    print(f"[bench-quiet] min-core25 run (core25_total {best_load:.2f}) "
+          f"of {len(runs)} {dest}; all raw lines in BENCH_RUNS.jsonl")
     return 0
 
 

@@ -56,6 +56,11 @@ def check_bench_stdout():
     if js["n_errors"] != 0:
         return fail(f"bench recorded {js['n_errors']} query errors: "
                     f"{js.get('errors')}")
+    if js.get("rotate"):
+        return fail(f"kept bench line is a rotated partial run "
+                    f"({js['rotate']}) — stamp a FULL-registry run "
+                    "(BASELINE.md rotation policy: rotation is for farm "
+                    "runs only)")
     if "sf0.1" in str(js.get("sf", "")) and "ratio_vs_r1" not in js:
         return fail("sf0.1 bench line lacks ratio_vs_r1")
     # Weather refusal (round-13 verdict): never stamp a line whose fixed-mix
@@ -152,10 +157,14 @@ def check_recall(n):
     # random-fixture tiers (r16) + clustered-fixture tiers (r17, verdict
     # item 2: the clustered fixture is where LSH recall is meaningful —
     # 2/80-level random-fixture numbers can't express a regression)
+    # random-fixture + clustered-fixture tiers, plus (r18, verdict item 1)
+    # the composed IVF→ADC→rerank production recipe with its two knob-
+    # sensitivity points — all deterministic, all no-drop gated
     tiers = ["lsh_nbits8", "lsh_nbits4", "ivf_trained", "ivf_portable",
              "ivf_pq", "pq_rerank", "int8_brute",
              "c_lsh_nbits8", "c_multiprobe8", "c_ivf_trained",
-             "c_ivf_pq_resid", "c_pq_rerank"]
+             "c_ivf_pq_resid", "c_pq_rerank",
+             "c_ivf_rerank", "c_ivf_rerank_np2", "c_ivf_rerank_s32"]
     missing = [t for t in tiers if t not in js]
     if missing:
         return fail(f"{path} missing tiers: {missing}")
@@ -171,6 +180,46 @@ def check_recall(n):
                 f"{t} {old[t]['recall']:.3f}->{js[t]['recall']:.3f}"
                 for t in drops))
     ok(f"{path}: " + ", ".join(f"{t}={js[t]['recall']:.3f}" for t in tiers))
+
+
+def check_warm(n):
+    # Round-17 verdict item 4: the warm/at-rest ANN path (persisted index +
+    # *Indexed/*Encoded entry points) is the deployment recipe, but the
+    # registry deliberately times the cold oracle-portable shapes — so a
+    # warm-path regression was invisible. BENCH_WARM_r{N}.json
+    # (graft.tools.BenchWarm, fixed parameters, min-of-passes) is emitted
+    # each close; any query >2x the previous round's floor fails.
+    if n is None:
+        print("[close-gate] skip: warm-ANN check (no -n ROUND given)")
+        return
+    path = f"BENCH_WARM_r{n:02d}.json"
+    if not os.path.exists(path):
+        return fail(f"{path} missing — run "
+                    f"`sbt \"runMain graft.tools.BenchWarm "
+                    f"/root/testdata/sf0.1 {path}\"`")
+    try:
+        js = json.loads(open(path).read())
+    except json.JSONDecodeError as e:
+        return fail(f"{path} does not parse: {e}")
+    expected = ["pq_adc", "ivf_adc", "pq_rerank", "ivf_rerank"]
+    qs = js.get("queries", {})
+    missing = [q for q in expected if q not in qs]
+    if missing:
+        return fail(f"{path} missing warm rows: {missing}")
+    prev = sorted(glob.glob("BENCH_WARM_r*.json"))
+    prev = [p for p in prev if p < path]
+    if not prev:
+        return ok(f"{path}: " + ", ".join(
+            f"{q}={qs[q]:.3f}s" for q in expected) + " (baseline round)")
+    old = json.loads(open(prev[-1]).read()).get("queries", {})
+    slow = [f"{q} {old[q]:.3f}->{qs[q]:.3f} ({qs[q] / old[q]:.2f}x)"
+            for q in expected if q in old and old[q] > 0
+            and qs[q] > old[q] * 2.0]
+    if slow:
+        return fail(f"warm-ANN regressions >2x vs {prev[-1]}: "
+                    + ", ".join(slow))
+    ok(f"{path}: " + ", ".join(f"{q}={qs[q]:.3f}s" for q in expected)
+       + f" — all within 2x of {prev[-1]}")
 
 
 def check_floors(n):
@@ -250,6 +299,7 @@ def main():
     check_head_moved()
     check_testrun(args.n)
     check_recall(args.n)
+    check_warm(args.n)
     check_floors(args.n)
     check_clean_tree()
     if FAILURES:

@@ -46,9 +46,12 @@ object Bench {
       val line = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).getOrElse(return (-1L, -1L))
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      // user nice system idle iowait irq softirq steal guest guest_nice
+      // user nice system idle iowait irq softirq steal guest guest_nice —
+      // the kernel already folds guest/guest_nice into user/nice, so the
+      // denominator is the first 8 fields only (user..steal); summing all
+      // 10 double-counts guest time and understates steal_pct
       val steal = if (f.length > 7) f(7) else return (-1L, -1L)
-      (steal, f.sum)
+      (steal, f.take(8).sum)
     } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
   /** Key identifying the CODE under measurement: the git tree hash of
@@ -148,7 +151,8 @@ object Bench {
                                  extraPasses: Int = 0,
                                  mergedRuns: Int = 0,
                                  inRunTotal: Double = Double.NaN,
-                                 stealPct: Double = Double.NaN): String = {
+                                 stealPct: Double = Double.NaN,
+                                 rotate: Option[(Int, Int)] = None): String = {
     val total = results.map(_._2).sum
     val sPerQuery = if (results.nonEmpty) total / results.size else 0.0
     val isSf01 = sfDir.contains("sf0.1")
@@ -202,6 +206,10 @@ object Bench {
            }}""" +
         s""""n_errors":${errorNames.size},"errors":$errNames,""" +
         s"""${if (topK > 0) s""""top_slowest":$top,""" else ""}""" +
+        // a rotated (partial-registry) run must be unmistakable in its own
+        // line: its totals cover a slice, not the registry — the close
+        // gate refuses to stamp one (BASELINE.md rotation policy, r18)
+        s"""${rotate.map { case (i, k) => s""""rotate":"$i/$k",""" }.getOrElse("")}""" +
         s""""sf":"$sfDir"}"""
     }
     Seq((10, 20), (0, 20), (0, 5), (0, 0))
@@ -244,10 +252,33 @@ object Bench {
       if (!errors.contains(name))
         errors(name) =
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160)}"
+    // Registry rotation (round-17 verdict item 3, policy in BASELINE.md):
+    // SPARK_GRAFT_ROTATE="i/k" times core-25 (always — it is the weather
+    // probe AND the reference-parity gate mix) plus the i-th of k
+    // deterministic tail slices. Slice membership hashes the query NAME
+    // (String.hashCode is spec-fixed), so adding a query never reshuffles
+    // existing assignments the way index-mod-k would. Farm runs rotate to
+    // seed per-query floors at ~1/k of the full-registry cost; the kept
+    // stamped line and the floor table always come from a FULL run (the
+    // close gate refuses a line carrying the `rotate` key).
+    val rotate: Option[(Int, Int)] =
+      sys.env.get("SPARK_GRAFT_ROTATE").flatMap { s =>
+        s.split("/") match {
+          case Array(i, k) =>
+            for { ii <- i.toIntOption; kk <- k.toIntOption
+                  if kk > 0 && ii >= 0 && ii < kk } yield (ii, kk)
+          case _ => None
+        }
+      }
+    val benchQueries = rotate match {
+      case Some((i, k)) => SparkEntry.queries.filter { case (name, _) =>
+        Core25.contains(name) || math.floorMod(name.hashCode, k) == i }
+      case None => SparkEntry.queries
+    }
     // Warmup pass: pay JVM/codegen/broadcast-build startup once, outside the
     // timed run (the first executed query otherwise absorbs ~4s of session
     // warmup regardless of its own cost).
-    SparkEntry.queries.foreach { case (name, fn) =>
+    benchQueries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case e: Throwable => recordError(name, e) }
     }
     // N timed passes (default 3, clamped to >=1; a malformed env value falls
@@ -265,7 +296,7 @@ object Bench {
     val passes = math.max(
       1, sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(3))
     def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => recordError(name, e) }
@@ -380,6 +411,7 @@ object Bench {
         s""""queries":$fullQs,"queries_p50":$fullP50,""" +
         s""""queries_merged":$fullMerged,""" +
         s""""head":${head.map(jq).getOrElse("null")},""" +
+        s"""${rotate.map { case (i, k) => s""""rotate":"$i/$k",""" }.getOrElse("")}""" +
         s""""raw_passes":$fullRaw,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -388,7 +420,7 @@ object Bench {
     val out = summaryLine(results, passes, passTotals, p50Total,
       loadIdle, loads.toSeq, errors.keys.toSeq, sfDir,
       extraPasses = extraPasses, mergedRuns = mergedRuns,
-      inRunTotal = inRunTotal, stealPct = stealPct)
+      inRunTotal = inRunTotal, stealPct = stealPct, rotate = rotate)
     println(out)
     // The stdout line verbatim, for the close gate (scripts/close_gate.py)
     // to assert window-fit + parseability without re-running the bench.

@@ -16,9 +16,14 @@ import java.time.LocalDate
   * Rendering contract: ISO-8601 strings — `yyyy-MM-dd` for whole-day
   * serials, `yyyy-MM-dd HH:mm:ss` otherwise (both parse under the engine's
   * E7 `try_to_timestamp` coercion, [[graft.ops.Temporal.coerceTimestamp]]).
-  * Values the date system cannot represent (negative serials, the phantom
-  * 1900-02-29 at serial 60, post-9999 overflow) fall back to the raw
-  * numeric rendering — total, never throwing.
+  * EXCEPTION: 1900-system serials in [0,1) are time-of-day only and render
+  * bare `HH:mm:ss`, which does NOT survive the E7 coercion — deliberately
+  * matching pandas, where `read_excel` yields a `datetime.time` whose
+  * `to_datetime(..., errors="coerce")` is NaT too; both engines agree the
+  * cell is not a datetime. Values the date system cannot represent
+  * (negative serials, the phantom 1900-02-29 at serial 60, post-9999
+  * overflow) fall back to the raw numeric rendering — total, never
+  * throwing.
   */
 object ExcelDates {
 

@@ -81,6 +81,30 @@ object Profiler {
     * percents replace the point ("p2_5"). Shared with the streaming
     * quantile monitor ([[graft.streaming.DriftStream.windowQuantiles]]).
     */
+  /** Per-value counts of low-cardinality `cols`: (column, value, n) with
+    * values rendered as strings (the [[profile]] convention — one frame
+    * carries any column type). The categorical leg of a blessed intake
+    * snapshot: [[graft.streaming.DriftStream.categoryDrift]] compares a
+    * window's value mix against this by total-variation distance, which
+    * catches a source silently flipping its `lang`/`source` mix INSIDE
+    * fixed bounds — invisible to the null/extrema/distinct rules.
+    *
+    * One distributed pass for all columns (stack column/value pairs, one
+    * groupBy); NULLs are excluded — null-share drift is the null-fraction
+    * rule's jurisdiction, and the frequencies here are over PRESENT values
+    * so the two rules stay independent. Output size is Σ per-column
+    * cardinality — use on genuinely low-cardinality columns.
+    */
+  def categories(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "categories: name at least one column")
+    val stacked = cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value")))
+    df.select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.value").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("column", "value").agg(count(lit(1)).as("n"))
+  }
+
   def probName(p: Double): String = {
     val pct = BigDecimal(p.toString) * 100
     if (pct.isWhole) s"p${pct.toBigInt}"

@@ -86,8 +86,12 @@ object CorpusPrepStream {
     * BEFORE any pipeline stage runs; `driftQuantileReference` (a blessed
     * [[Profiler.quantiles]] snapshot over `driftQuantileCols`) adds the
     * [[DriftStream.quantileDrift]] band rule — a distribution that
-    * SHIFTED inside fixed bounds, which the profile rules can't see. A
-    * batch flagged by ANY rule is a poisoned intake window: its rows and
+    * SHIFTED inside fixed bounds, which the profile rules can't see; and
+    * `driftCategoryReference` (a blessed [[Profiler.categories]] snapshot
+    * over `driftCategoryCols`) adds the [[DriftStream.categoryDrift]]
+    * total-variation rule — a source silently flipping its value MIX
+    * (lang/source shares) inside fixed bounds, which neither of the other
+    * two sees. A batch flagged by ANY rule is a poisoned intake window: its rows and
     * per-rule reports land under `quarantineDir` (exactly-once,
     * batch_id-partitioned — the [[graft.streaming.DriftSink]] posture)
     * and the pipeline state is untouched — no hash-table append, no
@@ -112,6 +116,9 @@ object CorpusPrepStream {
       driftQuantileReference: Option[DataFrame] = None,
       driftQuantileCols: Seq[String] = Nil,
       driftBandTol: Double = 0.25,
+      driftCategoryReference: Option[DataFrame] = None,
+      driftCategoryCols: Seq[String] = Nil,
+      driftTvTol: Double = 0.1,
       quarantineDir: Option[String] = None)
 
   /** Drift check of one micro-batch against a blessed profile: the
@@ -189,6 +196,53 @@ object CorpusPrepStream {
         lit(null).cast("double").as("ref_mid"),
         lit(null).cast("double").as("ref_hi"), lit(true).as("drift"))
       if (monitored.isEmpty) missingRows else present.unionByName(missingRows)
+    }
+  }
+
+  /** Categorical-mix drift check of one micro-batch against a blessed
+    * [[Profiler.categories]] snapshot ([[DriftStream.categoryDrift]]'s
+    * total-variation rule on a single whole-batch window): catches a
+    * source silently FLIPPING its `lang`/`source` mix inside fixed
+    * bounds, which neither the profile escape rules nor the quantile band
+    * can see (no extremum moves, no null count moves, cardinality
+    * unchanged). `cols` defaults to every column in the reference, like
+    * [[batchDrift]]. Columns missing from the batch flag; so does a
+    * monitored column whose batch values are ALL null (zero category
+    * rows would otherwise silently produce no verdict at all — an
+    * unadjudicable column is a drifted column).
+    */
+  def batchCategoryDrift(batch: DataFrame, reference: DataFrame,
+                         cols: Seq[String] = Nil,
+                         tvTol: Double = 0.1): DataFrame = {
+    val wanted =
+      if (cols.nonEmpty) cols
+      else reference.select("column").distinct()
+        .collect().map(_.getString(0)).toSeq
+    require(wanted.nonEmpty, "batchCategoryDrift: nothing to monitor")
+    val (monitored, absent) = wanted.partition(batch.columns.contains)
+    import batch.sparkSession.implicits._
+    def flagRows(names: Seq[String]): DataFrame =
+      names.toDF("column").select(
+        lit(null).cast("timestamp").as("window_start"),
+        lit(null).cast("timestamp").as("window_end"), col("column"),
+        lit(0L).as("n_rows"), lit(0L).as("n_values"),
+        lit(null).cast("double").as("tv"), lit(true).as("drift"))
+    if (monitored.isEmpty) flagRows(absent)
+    else {
+      val cats = Profiler.categories(
+          batch.select(monitored.map(col): _*), monitored)
+        .select(lit(null).cast("timestamp").as("window_start"),
+          lit(null).cast("timestamp").as("window_end"),
+          col("column"), col("value"), col("n"))
+      val present = DriftStream.categoryDrift(cats, reference, tvTol)
+      // all-null monitored columns emit no category rows → no verdict row;
+      // surface them as flagged (anti-join over per-column rows — tiny)
+      val silent = monitored.toDF("column")
+        .join(present.select("column"), Seq("column"), "left_anti")
+        .collect().map(_.getString(0)).toSeq
+      val flagged = absent ++ silent
+      if (flagged.isEmpty) present
+      else present.unionByName(flagRows(flagged))
     }
   }
 
@@ -364,7 +418,15 @@ object CorpusPrepStream {
         cfg.shingleN).persist())
     handle.benchRef = benchSh
     handle.queryRef = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // with the drift gate on, the batch is read by several actions
+        // before prepareBatch (profile + quantile checks, each an
+        // aggregation, plus the quarantine dump) — checkpoint it ONCE so
+        // every healthy batch pays one source read, not one per action
+        val gated = cfg.driftReference.nonEmpty ||
+          cfg.driftQuantileReference.nonEmpty ||
+          cfg.driftCategoryReference.nonEmpty
+        val batch = if (gated) batch0.localCheckpoint() else batch0
         // drift gate (opt-in, see Config doc): profile rules + the
         // quantile band rule (r17 — a distribution can shift inside fixed
         // bounds, which only quantiles catch); ANY flagged rule
@@ -375,7 +437,10 @@ object CorpusPrepStream {
               cfg.driftDistinctTol)).toSeq ++
           cfg.driftQuantileReference.map(ref => "quantile" ->
             batchQuantileDrift(batch, ref, cfg.driftQuantileCols,
-              cfg.driftBandTol))
+              cfg.driftBandTol)).toSeq ++
+          cfg.driftCategoryReference.map(ref => "category" ->
+            batchCategoryDrift(batch, ref, cfg.driftCategoryCols,
+              cfg.driftTvTol))
         val poisoned = checks.nonEmpty && {
           val reports = checks.map { case (rule, df) =>
             rule -> df.localCheckpoint() }
@@ -417,6 +482,10 @@ object CorpusPrepStream {
           releaseCp(r.transients: _*)
           releaseCp(r.chunks, r.audit)
         }
+        // the gate's one-read checkpoint of the batch itself: everything
+        // downstream (reports, quarantine dump, prepareBatch state) has
+        // materialized by now
+        if (gated) releaseCp(batch)
       }
       .start()
     handle

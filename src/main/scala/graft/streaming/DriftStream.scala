@@ -103,6 +103,96 @@ object DriftStream {
         col("n_rows")) ++ names.map(nm => col(s"s.$nm").as(nm)): _*)
   }
 
+  /** Per-window per-value counts of low-cardinality `cols` over event-time
+    * `tsCol` — the categorical leg of the intake monitor: (window_start,
+    * window_end, column, value, n), values rendered as strings
+    * ([[graft.ops.Profiler.categories]]' convention, so a blessed
+    * categories snapshot is directly joinable as [[categoryDrift]]'s
+    * reference). ONE windowed aggregation (stack column/value pairs
+    * statelessly, then group by window × column × value); per-open-window
+    * state is O(Σ per-column cardinality) count cells — low-cardinality
+    * columns by contract. NULLs are excluded (the null-fraction rule's
+    * jurisdiction); an all-null window emits no rows for that column.
+    * Append mode end-to-end.
+    */
+  def windowCategories(rows: DataFrame, tsCol: String, watermark: String,
+                       windowLen: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "monitor at least one column")
+    val stacked = cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value")))
+    rows.withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(array(stacked: _*)).as("s"))
+      .filter(col("s.value").isNotNull)
+      .groupBy(window(col(tsCol), windowLen),
+        col("s.column").as("column"), col("s.value").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("column"), col("value"),
+        col("n"))
+  }
+
+  /** Flag each closed window's per-column VALUE MIX against a static
+    * reference categories snapshot ([[graft.ops.Profiler.categories]]
+    * output of the blessed intake): drift when the total-variation
+    * distance `TV = ½ Σ_v |p_v − q_v|` between the window's value
+    * frequencies p and the reference's q exceeds `tvTol` — the standard
+    * third leg after the profile escape rules and the quantile band: a
+    * source silently FLIPPING its `lang`/`source` mix inside fixed bounds
+    * moves no extremum, no null count, and (below the distinct tolerance)
+    * no cardinality, but moves TV by exactly the flipped mass.
+    *
+    * The sum runs over the UNION of value sets without materializing it:
+    * a left join covers v ∈ window (reference-missing values contribute
+    * their full window mass), and the reference-only remainder is
+    * `1 − Σ_{matched} q_v` (q sums to 1). A column absent from the
+    * reference has every q_v null → TV = 1 → flags; `tvTol` must be < 1
+    * so that degenerate case can never pass. Input `categories` is closed
+    * per-window aggregates ([[windowCategories]] output, or a whole-batch
+    * frame with null window bounds — grouping treats null bounds as one
+    * group, so the batch form needs no special casing). Unlike
+    * [[drift]]/[[quantileDrift]] (join-only, stateless), the TV sum is an
+    * AGGREGATION — on a live stream apply it inside `foreachBatch` over
+    * [[windowCategories]]' closed output (append mode emits each window
+    * exactly once, so per-batch TV is computed on whole windows), which is
+    * exactly how [[graft.pipelines.CorpusPrepStream]] wires it. Cost:
+    * frame algebra over windows × columns × cardinality rows — closed
+    * aggregates, not raw data.
+    */
+  def categoryDrift(categories: DataFrame, reference: DataFrame,
+                    tvTol: Double = 0.1): DataFrame = {
+    require(tvTol >= 0 && tvTol < 1,
+      s"tvTol must be in [0,1) — at 1 a reference-missing column would " +
+        s"pass: $tvTol")
+    val refCounts = reference.select(col("column"),
+      col("value").cast("string").as("value"),
+      col("n").cast("double").as("__rn"))
+    val refTotals = refCounts.groupBy("column").agg(sum("__rn").as("__rtot"))
+    val ref = broadcast(refCounts.join(refTotals, "column")
+      .select(col("column"), col("value"),
+        (col("__rn") / col("__rtot")).as("__q")))
+    // per-(window, column) totals via a window function, NOT a self-join:
+    // the whole-batch form carries null window bounds, which partitionBy
+    // groups together but join equality would drop
+    val byWinCol = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start", "window_end", "column")
+    categories.select(col("window_start"), col("window_end"), col("column"),
+        col("value").cast("string").as("value"),
+        col("n").cast("double").as("__wn"))
+      .withColumn("__wtot", sum("__wn").over(byWinCol))
+      .join(ref, Seq("column", "value"), "left")
+      .groupBy("window_start", "window_end", "column")
+      .agg(sum("__wn").cast("long").as("n_rows"),
+        count(lit(1)).as("n_values"),
+        sum(abs(col("__wn") / col("__wtot")
+          - coalesce(col("__q"), lit(0.0)))).as("__l1w"),
+        sum(coalesce(col("__q"), lit(0.0))).as("__qm"))
+      .withColumn("tv", round(
+        (col("__l1w") + greatest(lit(0.0), lit(1.0) - col("__qm"))) / 2.0, 6))
+      .withColumn("drift", coalesce(col("tv") > tvTol, lit(true)))
+      .select(col("window_start"), col("window_end"), col("column"),
+        col("n_rows"), col("n_values"), col("tv"), col("drift"))
+  }
+
   /** Flag each closed window's per-column MEDIAN against a static reference
     * quantile profile ([[graft.ops.Profiler.quantiles]] output of the
     * blessed snapshot): drift when the window median escapes the

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ivf, Pq}
+
+/** Round-close warm-ANN bench artifact (round-17 verdict item 4): the
+  * DEPLOYMENT path of the PQ/IVF tier — codebook/model loaded from their
+  * saved parquet forms, codes and the IVF index read at rest, queries
+  * served via the `*Indexed`/`*Encoded` entry points — timed every close
+  * and gated no-worse-than-2×-of-prior-round by `scripts/close_gate.py`.
+  * `tools/PqWarmAB` measured this once (2.5–3.2× over the registry's
+  * cold shapes); without a per-round artifact a regression in
+  * [[graft.ops.Pq.buildIvfIndex]] / [[graft.ops.Pq.ivfAdcRerankTopKIndexed]]
+  * would be invisible — the registry queries deliberately keep the cold,
+  * oracle-portable shapes.
+  *
+  * Parameters are FIXED (the PqWarmAB set: 16 fixed quantizer ids, m=4,
+  * nprobe=4, topK=5, shortlist=50) so the numbers are comparable
+  * round-over-round; timing is min-of-`passes` after one warmup, the
+  * engine's standard floor estimate on this weather-prone host.
+  *
+  * Usage: `runMain graft.tools.BenchWarm [sfDir] [outPath] [passes]`.
+  */
+object BenchWarm {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = args.drop(1).headOption.getOrElse("BENCH_WARM_LOCAL.json")
+    val passes = args.drop(2).headOption.flatMap(_.toIntOption).getOrElse(5)
+    val spark = LocalSession(cores = 32, logLevel = "ERROR")
+
+    val e = graft.io.Sources.table(spark, sfDir, "embeddings")
+    val ids = (0 until 16).map(_ * 31L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_warm").toString
+
+    // one-time index build (the amortized cost a deployment pays once)
+    val tBuild0 = System.nanoTime()
+    val cb = Pq.fixedCodebook(e, "vec_id", "embedding", ids, m = 4)
+    val model = Ivf.fixedModel(e, "vec_id", "embedding", ids)
+    Pq.saveCodebook(spark, cb, s"$dir/cb")
+    Ivf.saveModel(spark, model, s"$dir/ivf")
+    Pq.encode(e, "vec_id", "embedding", cb)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    Pq.buildIvfIndex(e, "vec_id", "embedding", model, cb)
+      .write.mode("overwrite").parquet(s"$dir/ivf_index")
+    val buildS = (System.nanoTime() - tBuild0) / 1e9
+
+    val cbW = Pq.loadCodebook(spark, s"$dir/cb")
+    val modelW = Ivf.loadModel(spark, s"$dir/ivf")
+    val codesW = spark.read.parquet(s"$dir/codes")
+    val indexW = spark.read.parquet(s"$dir/ivf_index")
+    val q = e.filter(col("vec_id") < 8)
+
+    def time(fn: () => Long): Double = {
+      fn() // warmup (JIT/codegen)
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val rows = Seq(
+      "pq_adc" -> time(() => Pq.adcTopK(q, codesW, "vec_id", "embedding",
+        "vec_id", cbW, topK = 5).orderBy("query_id", "rank").count()),
+      "ivf_adc" -> time(() => Pq.ivfAdcTopKIndexed(q, indexW, "vec_id",
+        "embedding", modelW, cbW, topK = 5, nprobe = 4)
+        .orderBy("query_id", "rank").count()),
+      "pq_rerank" -> time(() => Pq.adcRerankTopKEncoded(q, e, codesW,
+        "vec_id", "embedding", "vec_id", cbW, topK = 5, shortlist = 50)
+        .orderBy("query_id", "rank").count()),
+      "ivf_rerank" -> time(() => Pq.ivfAdcRerankTopKIndexed(q, e, indexW,
+        "vec_id", "embedding", "vec_id", modelW, cbW, topK = 5, nprobe = 4,
+        shortlist = 50).orderBy("query_id", "rank").count()))
+
+    rows.foreach { case (n, s) => println(f"[bench-warm] $n%-10s $s%.3fs") }
+    val qs = rows.map { case (n, s) =>
+      "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(s))
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"warm_ann","passes":$passes,""" +
+      s""""build_s":${String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(buildS))},"queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[bench-warm] wrote $outPath (build ${f"$buildS%.2f"}s)")
+    spark.stop()
+  }
+}

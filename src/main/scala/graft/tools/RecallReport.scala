@@ -112,6 +112,22 @@ object RecallReport {
       iters = 2)
     recordC("c_pq_rerank", pairs(Pq.adcRerankTopK(cq, ce, "vec_id",
       "embedding", "vec_id", cCbRaw, topK = k, shortlist = 64)))
+    // composed production recipe (round-17 verdict item 1): IVF prune →
+    // ADC shortlist → exact cosine rerank (`q_ext_pq_ivf_rerank`'s
+    // operator), judged in cosine like c_pq_rerank. The headline row is
+    // the matched-shortlist point (nprobe=4, shortlist=64 — comparable to
+    // c_pq_rerank directly: the delta IS the IVF-pruning cost); the two
+    // sensitivity rows put data on each knob (halved probes, halved
+    // shortlist) so a tuning decision never starts blind.
+    recordC("c_ivf_rerank", pairs(Pq.ivfAdcRerankTopK(cq, ce, "vec_id",
+      "embedding", "vec_id", cIvf, cCbRaw, topK = k, nprobe = 4,
+      shortlist = 64)))
+    recordC("c_ivf_rerank_np2", pairs(Pq.ivfAdcRerankTopK(cq, ce, "vec_id",
+      "embedding", "vec_id", cIvf, cCbRaw, topK = k, nprobe = 2,
+      shortlist = 64)))
+    recordC("c_ivf_rerank_s32", pairs(Pq.ivfAdcRerankTopK(cq, ce, "vec_id",
+      "embedding", "vec_id", cIvf, cCbRaw, topK = k, nprobe = 4,
+      shortlist = 32)))
     // residual ADC at m=8 k=256 vs inner-product truth — the round-14
     // ladder's strongest rung (31/40 there at 8 queries)
     val cTruthDot = {

@@ -5,18 +5,36 @@ import org.apache.spark.sql.functions._
 
 /** Derive an N× dataset under /tmp for scale validation (NEXT round-2
   * item 2): each copy k shifts ids by k·stride and, for documents,
-  * suffixes every token with `_k` — within-copy near-dup structure is
-  * preserved exactly (the suffixing is a shingle bijection, Jaccard is
-  * bijection-invariant), while cross-copy texts share no tokens, so the
-  * dup-pair count scales linearly like a real corpus, not quadratically
-  * like naive duplication. (Round 2 used a rotated alphabet instead —
-  * only 26 distinct rotations, so copies ≥ 26 silently produced
+  * suffixes every content token with `_k` — within-copy near-dup structure
+  * is preserved exactly (the suffixing is a shingle bijection, Jaccard is
+  * bijection-invariant), while cross-copy texts share no content tokens,
+  * so the dup-pair count scales linearly like a real corpus, not
+  * quadratically like naive duplication. (Round 2 used a rotated alphabet
+  * instead — only 26 distinct rotations, so copies ≥ 26 silently produced
   * identical cross-copy texts and a quadratic pair blow-up at 100×; the
   * token suffix is injective for any copy count.)
+  *
+  * STOPWORDS are left untouched (round-17 verdict item 2): suffixing them
+  * too (`the → the_7`) erased all stopword evidence, so the Gopher-style
+  * quality rule (`minStopwordRatio`) rejected every scaled doc and the
+  * corpus-prep admission stages never ran at 100×. Content words still
+  * carry the copy index, so cross-copy texts stay near-dup-disjoint (only
+  * all-stopword shingles can collide across copies — Jaccard ≪ any
+  * threshold); within-copy bijectivity is unaffected (the map is identity
+  * on stopwords, injective suffixing elsewhere).
   *
   * Usage: `sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1ish [copies]"`.
   */
 object ScaleGen {
+
+  /** Token-suffix pattern: a whole token (not preceded by non-space) that
+    * is not exactly a default stopword. `(?<!\S)` anchors the match to a
+    * token start — a bare negative lookahead would let `\S+` re-match the
+    * tail of a rejected stopword (`the` → `t` + `he_k`).
+    */
+  private[tools] val contentTokenRe: String =
+    "(?<!\\S)(?!(?:" + graft.ops.TextStats.defaultStopwords.mkString("|") +
+      ")(?!\\S))(\\S+)"
 
   def copies(spark: SparkSession, src: DataFrame, n: Int,
              idCols: Seq[String], stride: Long,
@@ -25,7 +43,7 @@ object ScaleGen {
       val shifted = idCols.foldLeft(src)((df, c) =>
         df.withColumn(c, col(c) + lit(k * stride)))
       textCols.foldLeft(shifted)((df, c) =>
-        df.withColumn(c, regexp_replace(col(c), "(\\S+)", "$1_" + k)))
+        df.withColumn(c, regexp_replace(col(c), contentTokenRe, "$1_" + k)))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {

@@ -91,6 +91,16 @@ class BenchLineSpec extends AnyFlatSpec with Matchers {
     js.get("pass_totals").size() shouldBe 5
   }
 
+  it should "mark rotated partial runs and omit the key on full runs (r18)" in {
+    val rotated = parseTail2000(Bench.summaryLine(fakeResults(60), 3,
+      Seq(20.0), 20.0, 1.0, Seq(1.0), Nil, "/root/testdata/sf0.1",
+      rotate = Some((1, 3))))
+    rotated.get("rotate").asText() shouldBe "1/3"
+    val full = parseTail2000(Bench.summaryLine(fakeResults(60), 3,
+      Seq(20.0), 20.0, 1.0, Seq(1.0), Nil, "/root/testdata/sf0.1"))
+    full.has("rotate") shouldBe false
+  }
+
   it should "omit merged provenance when there is nothing to merge" in {
     val line = Bench.summaryLine(fakeResults(120), 3, Seq(10.0), 10.0, 1.0,
       Seq(1.0), Nil, "/root/testdata/sf0.1")

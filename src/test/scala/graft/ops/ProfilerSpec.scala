@@ -30,6 +30,17 @@ class ProfilerSpec extends SparkSpec {
     row shouldBe ("v", "string", 2L, 2L, 0L, None, None)
   }
 
+  "categories" should "count per-value occurrences as strings, excluding nulls (r18)" in {
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "fr"), (4L, null))
+      .toDF("id", "lang")
+    val out = Profiler.categories(d, Seq("lang", "id"))
+      .orderBy("column", "value")
+      .as[(String, String, Long)].collect()
+    out shouldBe Array(
+      ("id", "1", 1L), ("id", "2", 1L), ("id", "3", 1L), ("id", "4", 1L),
+      ("lang", "en", 2L), ("lang", "fr", 1L))
+  }
+
   it should "profile an empty table without NPE in both modes" in {
     val empty = df.limit(0)
     for (exact <- Seq(false, true)) {

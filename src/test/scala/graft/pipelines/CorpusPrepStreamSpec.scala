@@ -304,6 +304,69 @@ class CorpusPrepStreamSpec extends SparkSpec {
     quarantined.head._2 shouldBe Seq(("len", "quantile"))
   }
 
+  it should "quarantine a window whose VALUE MIX flipped inside fixed bounds (category rule, r18)" in {
+    // neither the profile rules nor the quantile band can see this
+    // poisoning: sources stay inside the blessed {a, b}, no nulls, same
+    // cardinality — only the per-value frequency mix moves
+    implicit val sqlCtx = spark.sqlContext
+    // blessed mix: a 2/3, b 1/3
+    val catRef = graft.ops.Profiler.categories(
+      Seq(PrepDoc(100, "a", goodText("r one")),
+        PrepDoc(101, "a", goodText("r two")),
+        PrepDoc(102, "b", goodText("r three"))).toDF(), Seq("source"))
+    val cfg = CorpusPrepStream.Config(
+      driftCategoryReference = Some(catRef), driftTvTol = 0.2)
+    val input = MemoryStream[PrepDoc]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val quarantined = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(String, String)])]
+    val handle = CorpusPrepStream.streamPrepare(
+      input.toDF(), "doc_id", "text", "source", bench, "text", None, cfg,
+      onBatch = (_, r) => admitted.synchronized {
+        admitted += r.admitted.select("doc_id").as[Long].collect().toSeq
+      },
+      onQuarantine = (id, report) => quarantined.synchronized {
+        quarantined += ((id, report.select("column", "rule")
+          .as[(String, String)].collect().toSeq))
+      })
+    try {
+      Seq(
+        // healthy: the blessed mix exactly (TV 0)
+        Seq(PrepDoc(1, "a", goodText("alpha")),
+          PrepDoc(2, "a", goodText("beta")),
+          PrepDoc(3, "b", goodText("gamma"))),
+        // poisoned: flipped to a 1/3, b 2/3 — TV = 1/3 > 0.2
+        Seq(PrepDoc(4, "a", goodText("delta")),
+          PrepDoc(5, "b", goodText("epsilon")),
+          PrepDoc(6, "b", goodText("zeta"))),
+        // healthy again
+        Seq(PrepDoc(7, "a", goodText("eta")),
+          PrepDoc(8, "a", goodText("theta")),
+          PrepDoc(9, "b", goodText("iota")))
+      ).foreach { b =>
+        input.addData(b: _*)
+        handle.query.processAllAvailable()
+      }
+    } finally handle.close()
+    admitted.map(_.toSet).toSeq shouldBe Seq(Set(1L, 2L, 3L), Set(7L, 8L, 9L))
+    quarantined.map(_._1).toSeq shouldBe Seq(1L)
+    quarantined.head._2 shouldBe Seq(("source", "category"))
+  }
+
+  it should "flag category columns the batch lacks or carries all-null (r18)" in {
+    val catRef = graft.ops.Profiler.categories(
+      Seq(PrepDoc(100, "a", goodText("ref"))).toDF(), Seq("source"))
+    // column absent from the batch entirely
+    val missing = Seq((1L, goodText("x"))).toDF("doc_id", "text")
+    CorpusPrepStream.batchCategoryDrift(missing, catRef)
+      .filter(col("drift")).select("column")
+      .as[String].collect().toSeq shouldBe Seq("source")
+    // column present but ALL null: zero category rows must still flag
+    val allNull = Seq(PrepDoc(1, null, goodText("x"))).toDF()
+    CorpusPrepStream.batchCategoryDrift(allNull, catRef)
+      .filter(col("drift")).select("column")
+      .as[String].collect().toSeq shouldBe Seq("source")
+  }
+
   it should "flag a monitored column missing from the batch entirely (r17)" in {
     val blessed = graft.ops.Profiler.profile(
       Seq(PrepDoc(100, "a", goodText("ref"))).toDF().select("source"))

@@ -161,4 +161,85 @@ class DriftStreamSpec extends SparkSpec {
       allNull.isNullAt(allNull.fieldIndex("window_mid")) shouldBe true
     } finally query.stop()
   }
+
+  "windowCategories + categoryDrift" should "pass a matching mix and flag a flipped one" in {
+    implicit val sqlCtx = spark.sqlContext
+    // blessed mix: en 2/3, fr 1/3 (values stay inside {en, fr} throughout —
+    // no extremum, null, or distinct rule can see a mix flip)
+    val reference = Profiler.categories(
+      Seq("en", "en", "fr").toDF("lang"), Seq("lang"))
+
+    val input = MemoryStream[Doc]
+    val closed = DriftStream.windowCategories(
+      input.toDF(), "ts", watermark = "0 minutes", windowLen = "10 minutes",
+      cols = Seq("lang"))
+    // the TV sum is an aggregation, so on a live stream it runs per
+    // closed-window batch in foreachBatch (the CorpusPrepStream wiring)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+    val query = closed.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = DriftStream.categoryDrift(batch, reference).collect()
+        out.synchronized {
+          out ++= rows.map(r => (
+            r.getAs[Timestamp]("window_start").getTime / 60000L,
+            r.getAs[Double]("tv"), r.getAs[Boolean]("drift")))
+        }
+        ()
+      }.start()
+    try {
+      // [0,10): the blessed mix exactly — TV 0
+      input.addData(Doc(ts(1), 1L, "en"), Doc(ts(2), 2L, "en"),
+        Doc(ts(3), 3L, "fr"))
+      query.processAllAvailable()
+      // [10,20): flipped — en 1/3, fr 2/3; TV = ½(1/3 + 1/3) = 1/3 > 0.1
+      input.addData(Doc(ts(11), 1L, "en"), Doc(ts(12), 2L, "fr"),
+        Doc(ts(13), 3L, "fr"))
+      query.processAllAvailable()
+      input.addData(Doc(ts(21), 1L, "en")) // closes [10,20)
+      query.processAllAvailable()
+    } finally query.stop()
+    val byWin = out.toSeq.map { case (w, tv, d) => w -> ((tv, d)) }.toMap
+    byWin(0L) shouldBe ((0.0, false))
+    byWin(10L) shouldBe ((0.333333, true))
+  }
+
+  it should "flag a column absent from the reference at TV = 1" in {
+    val reference = Profiler.categories(
+      Seq("en").toDF("lang"), Seq("lang"))
+    // whole-batch form: null window bounds group as one window
+    val cats = Seq(("source", "a", 3L), ("source", "b", 1L)).toDF(
+        "column", "value", "n")
+      .select(org.apache.spark.sql.functions.lit(null).cast("timestamp")
+          .as("window_start"),
+        org.apache.spark.sql.functions.lit(null).cast("timestamp")
+          .as("window_end"),
+        org.apache.spark.sql.functions.col("column"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("n"))
+    val rows = DriftStream.categoryDrift(cats, reference).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Double]("tv") shouldBe 1.0
+    rows.head.getAs[Boolean]("drift") shouldBe true
+    rows.head.getAs[Long]("n_rows") shouldBe 4L
+    rows.head.getAs[Long]("n_values") shouldBe 2L
+  }
+
+  it should "charge unseen reference mass: a window missing a blessed value drifts by its share" in {
+    val reference = Profiler.categories(
+      Seq("a", "a", "b", "b").toDF("source"), Seq("source"))
+    // window carries ONLY a: p = {a: 1}; q = {a: ½, b: ½}
+    // TV = ½(|1 − ½| + ½) = ½ — the vanished value's full blessed share
+    val cats = Profiler.categories(Seq("a", "a").toDF("source"), Seq("source"))
+      .select(org.apache.spark.sql.functions.lit(null).cast("timestamp")
+          .as("window_start"),
+        org.apache.spark.sql.functions.lit(null).cast("timestamp")
+          .as("window_end"),
+        org.apache.spark.sql.functions.col("column"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("n"))
+    val rows = DriftStream.categoryDrift(cats, reference).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Double]("tv") shouldBe 0.5
+    rows.head.getAs[Boolean]("drift") shouldBe true
+  }
 }
