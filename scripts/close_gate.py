@@ -164,7 +164,11 @@ def check_recall(n):
              "ivf_pq", "pq_rerank", "int8_brute",
              "c_lsh_nbits8", "c_multiprobe8", "c_ivf_trained",
              "c_ivf_pq_resid", "c_pq_rerank",
-             "c_ivf_rerank", "c_ivf_rerank_np2", "c_ivf_rerank_s32"]
+             "c_ivf_rerank", "c_ivf_rerank_np2", "c_ivf_rerank_s32",
+             # text-LSH served-index tag (r18 continuation): planted-pair
+             # recall per edit-distance band on the deterministic fixture
+             "t_lsh_tag_k6", "t_lsh_tag_k10", "t_lsh_tag_k14",
+             "t_lsh_tag_k18"]
     missing = [t for t in tiers if t not in js]
     if missing:
         return fail(f"{path} missing tiers: {missing}")

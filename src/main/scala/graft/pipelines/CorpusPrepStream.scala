@@ -172,16 +172,22 @@ object CorpusPrepStream {
     * (nulls/extrema/distincts) cannot see. Columns missing from the
     * batch flag, like [[batchDrift]].
     */
+  /** `nRows`: pass the batch's row count when the caller already knows it
+    * (the [[streamPrepare]] gate counts the checkpointed batch once for
+    * all rules); −1 counts here — one extra action per call.
+    */
   def batchQuantileDrift(batch: DataFrame, reference: DataFrame,
-                         cols: Seq[String], bandTol: Double = 0.25): DataFrame = {
+                         cols: Seq[String], bandTol: Double = 0.25,
+                         nRows: Long = -1L): DataFrame = {
     require(cols.nonEmpty, "batchQuantileDrift: name the numeric columns")
     val (monitored, absent) = cols.partition(batch.columns.contains)
     def present: DataFrame = {
+      val n = if (nRows >= 0) nRows else batch.count()
       val qs = Profiler.quantiles(batch, monitored)
       val windowed = qs.select(
         lit(null).cast("timestamp").as("window_start"),
         lit(null).cast("timestamp").as("window_end"),
-        col("column"), lit(batch.count()).as("n_rows"),
+        col("column"), lit(n).as("n_rows"),
         col("p25"), col("p50"), col("p75"))
       DriftStream.quantileDrift(windowed, reference, bandTol)
     }
@@ -234,15 +240,18 @@ object CorpusPrepStream {
         .select(lit(null).cast("timestamp").as("window_start"),
           lit(null).cast("timestamp").as("window_end"),
           col("column"), col("value"), col("n"))
-      val present = DriftStream.categoryDrift(cats, reference, tvTol)
+      val verdicts = DriftStream.categoryDrift(cats, reference, tvTol)
       // all-null monitored columns emit no category rows → no verdict row;
-      // surface them as flagged (anti-join over per-column rows — tiny)
-      val silent = monitored.toDF("column")
-        .join(present.select("column"), Seq("column"), "left_anti")
-        .collect().map(_.getString(0)).toSeq
-      val flagged = absent ++ silent
-      if (flagged.isEmpty) present
-      else present.unionByName(flagRows(flagged))
+      // a LAZY left-join guard surfaces them as flagged without spending a
+      // per-batch collect (the r18 fused-gate measurement: every extra
+      // driver action costs ~300 ms of scheduling on a healthy batch)
+      val present = monitored.toDF("column").join(verdicts, Seq("column"), "left")
+        .select(col("window_start"), col("window_end"), col("column"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_values"), lit(0L)).as("n_values"),
+          col("tv"), coalesce(col("drift"), lit(true)).as("drift"))
+      if (absent.isEmpty) present
+      else present.unionByName(flagRows(absent))
     }
   }
 
@@ -417,6 +426,18 @@ object CorpusPrepStream {
       else Some(Decontaminate.prepareBenchmark(benchmark, benchTextCol,
         cfg.shingleN).persist())
     handle.benchRef = benchSh
+    // resolve monitored-column defaults from the blessed references ONCE —
+    // deriving them inside the batch loop was one collect per rule per
+    // batch (r18 fused-gate measurement: the gate's cost is action count,
+    // not data volume)
+    val profileCols =
+      if (cfg.driftCols.nonEmpty) cfg.driftCols
+      else cfg.driftReference.map(_.select("column").collect()
+        .map(_.getString(0)).toSeq).getOrElse(Nil)
+    val categoryCols =
+      if (cfg.driftCategoryCols.nonEmpty) cfg.driftCategoryCols
+      else cfg.driftCategoryReference.map(_.select("column").distinct()
+        .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
     handle.queryRef = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // with the drift gate on, the batch is read by several actions
@@ -428,29 +449,37 @@ object CorpusPrepStream {
           cfg.driftCategoryReference.nonEmpty
         val batch = if (gated) batch0.localCheckpoint() else batch0
         // drift gate (opt-in, see Config doc): profile rules + the
-        // quantile band rule (r17 — a distribution can shift inside fixed
-        // bounds, which only quantiles catch); ANY flagged rule
-        // quarantines the batch WHOLE and never touches pipeline state
-        val checks: Seq[(String, DataFrame)] =
+        // quantile band rule (r17) + the categorical TV rule (r18); ANY
+        // flagged rule quarantines the batch WHOLE and never touches
+        // pipeline state. Fused healthy path (r18, measured in
+        // PrepStreamBench: the un-fused gate cost ~2.7 s/batch — more
+        // than the five-stage pipeline — almost entirely driver-action
+        // scheduling): the three rules' drift-filtered slim rows union
+        // into ONE materialization; the full per-rule reports are only
+        // built (and checkpointed) on the rare poisoned path, where the
+        // once-checkpointed batch makes their recompute cheap.
+        def checks(): Seq[(String, DataFrame)] = {
+          val nRows =
+            if (cfg.driftQuantileReference.nonEmpty) batch.count() else 0L
           cfg.driftReference.map(ref => "profile" ->
-            batchDrift(batch, ref, cfg.driftCols, cfg.driftNullFracTol,
+            batchDrift(batch, ref, profileCols, cfg.driftNullFracTol,
               cfg.driftDistinctTol)).toSeq ++
           cfg.driftQuantileReference.map(ref => "quantile" ->
             batchQuantileDrift(batch, ref, cfg.driftQuantileCols,
-              cfg.driftBandTol)).toSeq ++
+              cfg.driftBandTol, nRows)).toSeq ++
           cfg.driftCategoryReference.map(ref => "category" ->
-            batchCategoryDrift(batch, ref, cfg.driftCategoryCols,
-              cfg.driftTvTol))
-        val poisoned = checks.nonEmpty && {
-          val reports = checks.map { case (rule, df) =>
-            rule -> df.localCheckpoint() }
+            batchCategoryDrift(batch, ref, categoryCols, cfg.driftTvTol))
+        }
+        val poisoned = gated && {
           // one slim frame for the gate + callback: (column, rule, drift)
-          val flagged = reports.map { case (rule, df) =>
+          val flagged = checks().map { case (rule, df) =>
             df.filter(col("drift"))
               .select(col("column"), lit(rule).as("rule"), col("drift"))
           }.reduce(_ unionByName _).localCheckpoint()
           val bad = flagged.count() > 0
           if (bad) {
+            val reports = checks().map { case (rule, df) =>
+              rule -> df.localCheckpoint() }
             cfg.quarantineDir.foreach { dir =>
               // DriftSink's exactly-once recipe: each batch overwrites its
               // own batch_id partition, so a replayed delivery never
@@ -464,8 +493,9 @@ object CorpusPrepStream {
               reports.foreach { case (rule, df) => dump(df, s"report_$rule") }
             }
             onQuarantine(batchId, flagged)
+            releaseCp(reports.map(_._2): _*)
           }
-          releaseCp(flagged +: reports.map(_._2): _*)
+          releaseCp(flagged)
           bad
         }
         if (!poisoned) {

@@ -21,13 +21,22 @@ import graft.streaming.LshStream
   * cost should stay flat in the corpus scan + index probe and NOT grow
   * with the number of ingested batches beyond the linear hash-table scan.
   *
-  * Usage: `sbt "runMain graft.tools.PrepStreamBench [sfDir] [batchN] [nBatches]"`.
+  * Mode `drift` (4th arg) enables the full three-rule drift gate
+  * (profile + quantile + category) against blessed snapshots of the
+  * arrival slice itself, with tolerances loose enough that every batch
+  * passes — so the plain-vs-drift delta IS the gate's per-batch cost
+  * (the round-19 fused-profile decision needs this number; the gate
+  * runs three separate aggregation passes over the once-checkpointed
+  * batch today).
+  *
+  * Usage: `sbt "runMain graft.tools.PrepStreamBench [sfDir] [batchN] [nBatches] [plain|drift]"`.
   */
 object PrepStreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchN = args.drop(1).headOption.map(_.toInt).getOrElse(500)
     val nBatches = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val driftMode = args.drop(3).headOption.contains("drift")
     val spark = LocalSession(cores = 32, logLevel = "ERROR")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -51,16 +60,41 @@ object PrepStreamBench {
     require(arrivals.length >= batchN * nBatches,
       s"need ${batchN * nBatches} docs, sf dir has ${arrivals.length}")
 
+    // drift mode: bless the whole arrival slice so every batch passes —
+    // loose tolerances on purpose (the measurement is the gate's COST per
+    // healthy batch, not its sensitivity; DriftStreamSpec owns that)
+    val driftCfg =
+      if (!driftMode) CorpusPrepStream.Config(shingleN = 5)
+      else {
+        val blessed = arrivals.toSeq.toDF("doc_id", "source", "text")
+          .withColumn("len", length(col("text")))
+        CorpusPrepStream.Config(shingleN = 5,
+          driftReference =
+            Some(graft.ops.Profiler.profile(blessed.select("source"))),
+          driftNullFracTol = 0.1, driftDistinctTol = 2.0,
+          driftQuantileReference =
+            Some(graft.ops.Profiler.quantiles(blessed, Seq("len"))),
+          driftQuantileCols = Seq("len"), driftBandTol = 2.0,
+          driftCategoryReference =
+            Some(graft.ops.Profiler.categories(blessed, Seq("source"))),
+          driftTvTol = 0.5)
+      }
+
     val input = MemoryStream[(Long, String, String)]
     var chunksOut = 0L
+    var quarantines = 0L
+    val streamBase = input.toDF().toDF("doc_id", "source", "text")
     val handle = CorpusPrepStream.streamPrepare(
-      input.toDF().toDF("doc_id", "source", "text"),
+      // drift mode monitors `len`, so the stream must carry it; plain mode
+      // carries it too for an apples-to-apples pipeline cost
+      streamBase.withColumn("len", length(col("text"))),
       "doc_id", "text", "source", bench, "text", Some(index),
       // 5-gram decontamination, like q_ext_corpus_prep: at 3-grams the
       // synthetic corpus is ~97% contaminated against its own slice and
       // the tag/budget/chunk stages would measure empty frames
-      CorpusPrepStream.Config(shingleN = 5),
-      onBatch = (_, r) => chunksOut += r.chunks.count())
+      driftCfg,
+      onBatch = (_, r) => chunksOut += r.chunks.count(),
+      onQuarantine = (_, _) => quarantines += 1)
 
     def feed(rows: Seq[(Long, String, String)]): Double = {
       val t0 = System.nanoTime()
@@ -78,8 +112,12 @@ object PrepStreamBench {
         ms
       }
       val seen = handle.state.seenHashes.count()
-      println(f"[prepbench] index=$nIndex seen_hashes=$seen chunks=$chunksOut")
-      println(f"[prepbench] per-batch ($batchN docs): first=${times.head}%.0fms " +
+      val mode = if (driftMode) "drift" else "plain"
+      require(quarantines == 0,
+        s"drift gate quarantined $quarantines healthy batches — the cost " +
+          "comparison is invalid; loosen the blessed tolerances")
+      println(f"[prepbench] mode=$mode index=$nIndex seen_hashes=$seen chunks=$chunksOut")
+      println(f"[prepbench] mode=$mode per-batch ($batchN docs): first=${times.head}%.0fms " +
         f"last=${times.last}%.0fms mean=${times.sum / times.size}%.0fms = " +
         f"${batchN / (times.sum / times.size / 1000)}%.0f docs/s steady-state")
     } finally {

@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ivf, Pq, Similarity}
+import graft.ops.{Ivf, Pq, Similarity, TextDedup}
+import graft.streaming.LshStream
 
 /** Round-close recall artifact (round-16 verdict item 5): recall@k vs
   * exact float brute force for every shipped ANN tier — LSH buckets, IVF
@@ -150,6 +151,68 @@ object RecallReport {
       "vec_id", "r", m = 8, k = 256, iters = 2)
     recordVs(cTruthDot)("c_ivf_pq_resid", pairs(Pq.ivfAdcResidualTopK(cq, ce,
       "vec_id", "embedding", "vec_id", cIvf, cCb, topK = k, nprobe = 4)))
+
+    // ---- text-LSH served-index tag recall (round-18 continuation: the
+    // last similarity surface without a recall row). Deterministic LCG
+    // corpus of 256 60-token docs; each "arriving" doc is its base doc
+    // with the last k tokens replaced by fresh ones, so the exact
+    // 3-shingle Jaccard is pinned per band (≈ (58−(k+2))/(58+(k+2)):
+    // 0.76 / 0.66 / 0.57 / 0.49 for k = 6/10/14/18) while the 16×4
+    // banding miss probability (1 − J⁴)¹⁶ grows — the recall ladder the
+    // LSH geometry predicts (~1.0 / .97 / .83 / .61). The tag VERIFIES
+    // with exact Jaccard, so false tags are impossible: every miss here
+    // is a banding miss, making the rows a pure round-over-round probe
+    // of the minhash/bucket pipeline. Threshold 0.45 keeps all four
+    // bands in-truth. Everything is deterministic (fixed LCG, xxhash64
+    // signatures) — gateable no-drop like the vector tiers.
+    val tagThreshold = 0.45
+    var lcg = 0x9E3779B97F4A7C15L
+    def lnxt(): Long = {
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      lcg >>> 11
+    }
+    val corpusRows = (0 until 256).map { i =>
+      (i.toLong, Array.fill(60)("w" + (lnxt() % 10000)).mkString(" "))
+    }
+    val ks = Seq(6, 10, 14, 18)
+    val streamRows = corpusRows.map { case (id, text) =>
+      val toks = text.split(" ")
+      val kk = ks((id % 4).toInt)
+      (id + 10000L,
+        (toks.dropRight(kk) ++ Array.fill(kk)("x" + (lnxt() % 10000)))
+          .mkString(" "), kk)
+    }
+    import spark.implicits._
+    val corpusDf = corpusRows.toDF("doc_id", "text")
+    val streamDf = streamRows.toDF("doc_id", "text", "k")
+    val served = LshStream.serve(LshStream.corpusIndex(
+      TextDedup.minhashPrepare(corpusDf, "doc_id", "text", shingleN = 3,
+        numHashes = 64), "doc_id"), "doc_id").persist()
+    val tagged = LshStream.nearDupTagStream(
+        streamDf.select("doc_id", "text"), served, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = tagThreshold)
+      .select("stream_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truthPairs = streamDf
+      .select(col("doc_id").as("stream_id"), col("text").as("__ts"),
+        col("k"))
+      .withColumn("corpus_id", col("stream_id") - 10000L)
+      .join(corpusDf.select(col("doc_id").as("corpus_id"),
+        col("text").as("__tc")), Seq("corpus_id"))
+      .withColumn("j", TextDedup.jaccard(
+        TextDedup.shingles(col("__ts"), 3),
+        TextDedup.shingles(col("__tc"), 3)))
+      .filter(col("j") >= tagThreshold)
+      .select("stream_id", "corpus_id", "k").collect()
+    served.unpersist()
+    ks.foreach { kk =>
+      val tr = truthPairs.filter(_.getInt(2) == kk)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      results(s"t_lsh_tag_k$kk") = (tr.count(tagged.contains), tr.size)
+      println(f"[recall] t_lsh_tag_k$kk%-12s recall = " +
+        f"${tr.count(tagged.contains)}/${tr.size}")
+    }
 
     val fields = results.map { case (n, (hit, of)) =>
       f""""$n":{"hit":$hit,"of":$of,"recall":${hit.toDouble / of}%.4f}"""
