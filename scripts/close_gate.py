@@ -26,6 +26,22 @@ import sys
 FAILURES = []
 
 
+def round_of(path):
+    """Round number encoded in an artifact filename, -1 if none."""
+    m = re.search(r"_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else -1
+
+
+def prev_round_artifact(pattern, cur_path):
+    """Latest artifact matching `pattern` from a round STRICTLY BEFORE
+    `cur_path`'s, compared NUMERICALLY — lexicographic filename order
+    breaks at round >= 100 ('r100' sorts before 'r18')."""
+    cur_n = round_of(cur_path)
+    cands = [(round_of(p), p) for p in glob.glob(pattern)]
+    cands = [(n, p) for n, p in cands if 0 <= n < cur_n]
+    return max(cands)[1] if cands else None
+
+
 def fail(msg):
     FAILURES.append(msg)
     print(f"[close-gate] FAIL: {msg}")
@@ -173,14 +189,13 @@ def check_recall(n):
     if missing:
         return fail(f"{path} missing tiers: {missing}")
     # drift alarm vs the previous round's artifact, when one exists
-    prev = sorted(glob.glob("RECALL_r*.json"))
-    prev = [q for q in prev if q < path]
+    prev = prev_round_artifact("RECALL_r*.json", path)
     if prev:
-        old = json.loads(open(prev[-1]).read())
+        old = json.loads(open(prev).read())
         drops = [t for t in tiers if t in old
                  and js[t]["recall"] < old[t]["recall"] - 1e-9]
         if drops:
-            return fail(f"recall dropped vs {prev[-1]} in: " + ", ".join(
+            return fail(f"recall dropped vs {prev} in: " + ", ".join(
                 f"{t} {old[t]['recall']:.3f}->{js[t]['recall']:.3f}"
                 for t in drops))
     ok(f"{path}: " + ", ".join(f"{t}={js[t]['recall']:.3f}" for t in tiers))
@@ -210,20 +225,24 @@ def check_warm(n):
     missing = [q for q in expected if q not in qs]
     if missing:
         return fail(f"{path} missing warm rows: {missing}")
-    prev = sorted(glob.glob("BENCH_WARM_r*.json"))
-    prev = [p for p in prev if p < path]
+    prev = prev_round_artifact("BENCH_WARM_r*.json", path)
     if not prev:
         return ok(f"{path}: " + ", ".join(
             f"{q}={qs[q]:.3f}s" for q in expected) + " (baseline round)")
-    old = json.loads(open(prev[-1]).read()).get("queries", {})
+    old = json.loads(open(prev).read()).get("queries", {})
     slow = [f"{q} {old[q]:.3f}->{qs[q]:.3f} ({qs[q] / old[q]:.2f}x)"
             for q in expected if q in old and old[q] > 0
             and qs[q] > old[q] * 2.0]
     if slow:
-        return fail(f"warm-ANN regressions >2x vs {prev[-1]}: "
-                    + ", ".join(slow))
+        return fail(f"warm-ANN regressions >2x vs {prev}: "
+                    + ", ".join(slow)
+                    + " — farm more BenchWarm runs at this head first "
+                    "(same-head merged floors, r18 verdict item 5); a "
+                    "persistent 2x after quiet-window merges is code")
     ok(f"{path}: " + ", ".join(f"{q}={qs[q]:.3f}s" for q in expected)
-       + f" — all within 2x of {prev[-1]}")
+       + f" — all within 2x of {prev}"
+       + (f" (merged over {js['merged_runs']} same-head runs)"
+          if js.get("merged_runs") else ""))
 
 
 def check_floors(n):
@@ -256,12 +275,11 @@ def check_floors(n):
             return fail(f"{cur_path} is stale vs BENCH_LOCAL.json "
                         f"({len(drifted)} floors differ, e.g. {drifted[:3]}) "
                         f"— regenerate with scripts/bench_floors.py {n}")
-    prev = sorted(glob.glob("BENCH_FLOORS_r*.json"))
-    prev = [p for p in prev if p < cur_path]
+    prev = prev_round_artifact("BENCH_FLOORS_r*.json", cur_path)
     if not prev:
         return ok(f"{cur_path}: {len(cur['floors'])} floors "
                   "(no previous round's table — baseline round)")
-    old = json.loads(open(prev[-1]).read())
+    old = json.loads(open(prev).read())
     scale = open("SCALE.md").read() if os.path.exists("SCALE.md") else ""
     regressed, waived = [], []
     for q, v_old in old.get("floors", {}).items():
@@ -275,10 +293,10 @@ def check_floors(n):
                 regressed.append(f"{q} {v_old:.3f}->{v_new:.3f} "
                                  f"({v_new / v_old:.2f}x)")
     if regressed:
-        return fail(f"per-query floor regressions vs {prev[-1]} without a "
+        return fail(f"per-query floor regressions vs {prev} without a "
                     "SCALE.md `floor-adjudication` entry:\n    " +
                     "\n    ".join(regressed))
-    ok(f"{cur_path}: {len(cur['floors'])} floors vs {prev[-1]} — no "
+    ok(f"{cur_path}: {len(cur['floors'])} floors vs {prev} — no "
        f"unadjudicated >25% regressions"
        + (f" ({len(waived)} adjudicated: {waived})" if waived else ""))
 
@@ -288,7 +306,9 @@ def check_clean_tree():
                          capture_output=True, text=True).stdout
     dirty = [l for l in out.splitlines()
              if l and not l.endswith(("BENCH_LOCAL.json", "BENCH_STDOUT.txt",
-                                      "BENCH_RUNS.jsonl", "LEAKCHECK.json"))]
+                                      "BENCH_RUNS.jsonl",
+                                      "BENCH_WARM_RUNS.jsonl",
+                                      "LEAKCHECK.json"))]
     if dirty:
         return fail("uncommitted changes at close:\n  " + "\n  ".join(dirty))
     ok("working tree clean (modulo regenerated artifacts)")

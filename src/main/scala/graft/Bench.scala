@@ -119,12 +119,13 @@ object Bench {
   private[graft] def appendRunLog(path: java.nio.file.Path, head: Option[String],
                                   sfDir: String,
                                   queries: Seq[(String, Double)], value: Double,
-                                  loadIdle: Double, passes: Int): Unit =
+                                  loadIdle: Double, passes: Int,
+                                  src: String = "bench-main"): Unit =
     try {
       val qmap = queries.sortBy(_._1)
         .map { case (k, v) => jq(k) + ":" + fmt(4, v) }.mkString("{", ",", "}")
       val entry =
-        s"""{"ts":${System.currentTimeMillis() / 1000.0},"src":"bench-main",""" +
+        s"""{"ts":${System.currentTimeMillis() / 1000.0},"src":${jq(src)},""" +
           s""""head":${head.map(jq).getOrElse("null")},"sf":${jq(sfDir)},""" +
           s""""passes":$passes,""" +
           s""""value":${fmt(2, value)},"load_idle":${fmt(2, loadIdle)},""" +

@@ -186,9 +186,12 @@ object DriftStream {
         sum(abs(col("__wn") / col("__wtot")
           - coalesce(col("__q"), lit(0.0)))).as("__l1w"),
         sum(coalesce(col("__q"), lit(0.0))).as("__qm"))
-      .withColumn("tv", round(
-        (col("__l1w") + greatest(lit(0.0), lit(1.0) - col("__qm"))) / 2.0, 6))
-      .withColumn("drift", coalesce(col("tv") > tvTol, lit(true)))
+      // verdict on the UNROUNDED distance — rounding is display-only (a
+      // true TV within 5e-7 above the tolerance must still flag)
+      .withColumn("__tv",
+        (col("__l1w") + greatest(lit(0.0), lit(1.0) - col("__qm"))) / 2.0)
+      .withColumn("drift", coalesce(col("__tv") > tvTol, lit(true)))
+      .withColumn("tv", round(col("__tv"), 6))
       .select(col("window_start"), col("window_end"), col("column"),
         col("n_rows"), col("n_values"), col("tv"), col("drift"))
   }

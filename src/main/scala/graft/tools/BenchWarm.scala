@@ -20,6 +20,15 @@ import graft.ops.{Ivf, Pq}
   * round-over-round; timing is min-of-`passes` after one warmup, the
   * engine's standard floor estimate on this weather-prone host.
   *
+  * The GATED `queries` map is the same-head merged minimum over every run
+  * recorded in BENCH_WARM_RUNS.jsonl (round-18 verdict item 5: the rows
+  * are sub-second, so a single hot window has ~0.3 s of headroom against
+  * the 2× gate — min-of-5 in ONE window isn't a floor, min across windows
+  * at the same source tree is; the main bench's BENCH_RUNS.jsonl
+  * protocol). This run's own numbers ship alongside as `queries_inrun`;
+  * the log key is [[graft.Bench.gitHead]]'s src-tree hash, so artifact
+  * commits preserve history and source commits reset it, by design.
+  *
   * Usage: `runMain graft.tools.BenchWarm [sfDir] [outPath] [passes]`.
   */
 object BenchWarm {
@@ -27,6 +36,10 @@ object BenchWarm {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = args.drop(1).headOption.getOrElse("BENCH_WARM_LOCAL.json")
     val passes = args.drop(2).headOption.flatMap(_.toIntOption).getOrElse(5)
+    val loadIdle =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val spark = LocalSession(cores = 32, logLevel = "ERROR")
 
     val e = graft.io.Sources.table(spark, sfDir, "embeddings")
@@ -73,17 +86,41 @@ object BenchWarm {
         "vec_id", "embedding", "vec_id", modelW, cbW, topK = 5, nprobe = 4,
         shortlist = 50).orderBy("query_id", "rank").count()))
 
-    rows.foreach { case (n, s) => println(f"[bench-warm] $n%-10s $s%.3fs") }
-    val qs = rows.map { case (n, s) =>
+    // same-head merged floors: read history BEFORE appending this run (so
+    // merged_runs counts prior runs, like Bench), gate on the fold of both
+    val runsLog = java.nio.file.Paths.get("BENCH_WARM_RUNS.jsonl")
+    val head = graft.Bench.gitHead()
+    val (hist, mergedRuns) = head
+      .map(h => graft.Bench.sameHeadFloors(h, sfDir, runsLog))
+      .getOrElse((Map.empty[String, Double], 0))
+    graft.Bench.appendRunLog(runsLog, head, sfDir, rows, rows.map(_._2).sum,
+      loadIdle, passes, src = "bench-warm")
+    val merged = rows.map { case (n, s) =>
+      n -> math.min(s, hist.getOrElse(n, s)) }
+
+    merged.zip(rows).foreach { case ((n, m), (_, s)) =>
+      println(f"[bench-warm] $n%-10s floor $m%.3fs (this run $s%.3fs)") }
+    def qmap(q: Seq[(String, Double)]): String = q.map { case (n, s) =>
       "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
         Double.box(s))
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"warm_ann","passes":$passes,""" +
       s""""build_s":${String.format(java.util.Locale.ROOT, "%.2f",
-        Double.box(buildS))},"queries":$qs,"sf":"$sfDir"}"""
+        Double.box(buildS))},"queries":${qmap(merged)},""" +
+      s""""queries_inrun":${qmap(rows)},"merged_runs":$mergedRuns,""" +
+      s""""load_idle":${String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(loadIdle))},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[bench-warm] wrote $outPath (build ${f"$buildS%.2f"}s)")
+    println(s"[bench-warm] wrote $outPath (build ${f"$buildS%.2f"}s, " +
+      s"merged over $mergedRuns prior same-head runs)")
+    // the throwaway index build under java.io.tmpdir must not outlive the
+    // run (r18 advice: each close leaked one directory)
+    try {
+      import java.nio.file.{Files, Path}
+      Files.walk(Path.of(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -28,12 +28,20 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   /** Token-suffix pattern: a whole token (not preceded by non-space) that
-    * is not exactly a default stopword. `(?<!\S)` anchors the match to a
-    * token start — a bare negative lookahead would let `\S+` re-match the
-    * tail of a rejected stopword (`the` → `t` + `he_k`).
+    * is not a default stopword. `(?<!\S)` anchors the match to a token
+    * start — a bare negative lookahead would let `\S+` re-match the tail
+    * of a rejected stopword (`the` → `t` + `he_k`). The stopword
+    * alternation is case-INSENSITIVE (`(?i:...)`) because
+    * [[graft.ops.TextStats.stopwordCount]] lowercases before matching: a
+    * sentence-capitalized `The` suffixed to `The_k` would stop matching
+    * `\bthe\b` (underscore is a word character), silently erasing
+    * capitalized-stopword evidence from scaled copies. Each stopword is
+    * regex-quoted so a future list entry carrying a metacharacter can't
+    * corrupt the pattern.
     */
   private[tools] val contentTokenRe: String =
-    "(?<!\\S)(?!(?:" + graft.ops.TextStats.defaultStopwords.mkString("|") +
+    "(?<!\\S)(?!(?i:" + graft.ops.TextStats.defaultStopwords
+      .map(java.util.regex.Pattern.quote).mkString("|") +
       ")(?!\\S))(\\S+)"
 
   def copies(spark: SparkSession, src: DataFrame, n: Int,

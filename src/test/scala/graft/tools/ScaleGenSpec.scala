@@ -26,6 +26,26 @@ class ScaleGenSpec extends SparkSpec {
       "the quick_1 fox_1 is in a box_1 theory_1 and it"
   }
 
+  it should "preserve CAPITALIZED stopwords unsuffixed (r18 advice: the (?i:) alternation)" in {
+    // stopwordCount lowercases before \b matching, so `The_k` would stop
+    // matching `\bthe\b` — sentence-capitalized stopword evidence must
+    // survive scaling exactly like lowercase evidence
+    val src = Seq((0L, "The quick fox And a Box It theory"))
+      .toDF("doc_id", "text")
+    val out = ScaleGen.copies(spark, src, 2, Seq("doc_id"), 100L, Seq("text"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    out(0) shouldBe "The quick_0 fox_0 And a Box_0 It theory_0"
+    out(1) shouldBe "The quick_1 fox_1 And a Box_1 It theory_1"
+    // the preserved capitalized forms still count as stopword evidence
+    import graft.ops.TextStats
+    val n = Seq(out(0)).toDF("text")
+      .select(TextStats.stopwordCount(
+        org.apache.spark.sql.functions.col("text"),
+        TextStats.defaultStopwords).as("n"))
+      .head().getInt(0)
+    n shouldBe 4 // The, And, a, It
+  }
+
   it should "keep cross-copy content tokens disjoint and stopword evidence intact" in {
     val src = Seq((0L, "data the table a value and spark"))
       .toDF("doc_id", "text")
