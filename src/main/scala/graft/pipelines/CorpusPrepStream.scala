@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.{Chunker, Curation, Decontaminate, Profiler, TextDedup, TextStats}
-import graft.streaming.{DriftStream, LshStream}
+import graft.streaming.{DriftGate, DriftStream, LshStream}
 
 /** [[CorpusPrep]] over an UNBOUNDED document stream — the curation recipe
   * (dedup → quality → decontaminate → budget → chunk) applied per arriving
@@ -426,60 +426,46 @@ object CorpusPrepStream {
       else Some(Decontaminate.prepareBenchmark(benchmark, benchTextCol,
         cfg.shingleN).persist())
     handle.benchRef = benchSh
-    // resolve monitored-column defaults from the blessed references ONCE —
-    // deriving them inside the batch loop was one collect per rule per
-    // batch (r18 fused-gate measurement: the gate's cost is action count,
-    // not data volume)
-    val profileCols =
-      if (cfg.driftCols.nonEmpty) cfg.driftCols
-      else cfg.driftReference.map(_.select("column").collect()
-        .map(_.getString(0)).toSeq).getOrElse(Nil)
-    val categoryCols =
-      if (cfg.driftCategoryCols.nonEmpty) cfg.driftCategoryCols
-      else cfg.driftCategoryReference.map(_.select("column").distinct()
-        .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+    // gather the blessed references driver-side ONCE (column defaults
+    // resolved, extrema pre-cast): the r18 measurement showed the gate's
+    // cost is driver-action count, not data volume — the fused gate
+    // (round-18 verdict item 1) runs ONE aggregation job per batch
+    val gateRefs = DriftGate.collect(
+      cfg.driftReference, cfg.driftCols,
+      cfg.driftNullFracTol, cfg.driftDistinctTol,
+      cfg.driftQuantileReference, cfg.driftQuantileCols, cfg.driftBandTol,
+      cfg.driftCategoryReference, cfg.driftCategoryCols, cfg.driftTvTol)
     handle.queryRef = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        // with the drift gate on, the batch is read by several actions
-        // before prepareBatch (profile + quantile checks, each an
-        // aggregation, plus the quarantine dump) — checkpoint it ONCE so
-        // every healthy batch pays one source read, not one per action
-        val gated = cfg.driftReference.nonEmpty ||
-          cfg.driftQuantileReference.nonEmpty ||
-          cfg.driftCategoryReference.nonEmpty
+        // with the drift gate on, the batch is read by the gate pass and —
+        // healthy — by the pipeline stages; checkpoint it ONCE so every
+        // batch pays one source read, not one per action
+        val gated = gateRefs.enabled
         val batch = if (gated) batch0.localCheckpoint() else batch0
         // drift gate (opt-in, see Config doc): profile rules + the
         // quantile band rule (r17) + the categorical TV rule (r18); ANY
         // flagged rule quarantines the batch WHOLE and never touches
-        // pipeline state. Fused healthy path (r18, measured in
-        // PrepStreamBench: the un-fused gate cost ~2.7 s/batch — more
-        // than the five-stage pipeline — almost entirely driver-action
-        // scheduling): the three rules' drift-filtered slim rows union
-        // into ONE materialization; the full per-rule reports are only
-        // built (and checkpointed) on the rare poisoned path, where the
+        // pipeline state. Fused single pass (r19): one aggregation
+        // computes all three rules' inputs and the verdicts are driver
+        // arithmetic ([[graft.streaming.DriftGate]]); the full per-rule
+        // reports are only built on the rare poisoned path, where the
         // once-checkpointed batch makes their recompute cheap.
-        def checks(): Seq[(String, DataFrame)] = {
-          val nRows =
-            if (cfg.driftQuantileReference.nonEmpty) batch.count() else 0L
-          cfg.driftReference.map(ref => "profile" ->
-            batchDrift(batch, ref, profileCols, cfg.driftNullFracTol,
-              cfg.driftDistinctTol)).toSeq ++
-          cfg.driftQuantileReference.map(ref => "quantile" ->
-            batchQuantileDrift(batch, ref, cfg.driftQuantileCols,
-              cfg.driftBandTol, nRows)).toSeq ++
-          cfg.driftCategoryReference.map(ref => "category" ->
-            batchCategoryDrift(batch, ref, categoryCols, cfg.driftTvTol))
-        }
         val poisoned = gated && {
-          // one slim frame for the gate + callback: (column, rule, drift)
-          val flagged = checks().map { case (rule, df) =>
-            df.filter(col("drift"))
-              .select(col("column"), lit(rule).as("rule"), col("drift"))
-          }.reduce(_ unionByName _).localCheckpoint()
-          val bad = flagged.count() > 0
-          if (bad) {
-            val reports = checks().map { case (rule, df) =>
-              rule -> df.localCheckpoint() }
+          val gate = DriftGate.check(batch, gateRefs)
+          if (gate.poisoned) {
+            val reports: Seq[(String, DataFrame)] = (
+              cfg.driftReference.map(ref => "profile" ->
+                batchDrift(batch, ref,
+                  gateRefs.profile.map(_.cols).getOrElse(Nil),
+                  cfg.driftNullFracTol, cfg.driftDistinctTol)).toSeq ++
+              cfg.driftQuantileReference.map(ref => "quantile" ->
+                batchQuantileDrift(batch, ref, cfg.driftQuantileCols,
+                  cfg.driftBandTol, gate.nRows)).toSeq ++
+              cfg.driftCategoryReference.map(ref => "category" ->
+                batchCategoryDrift(batch, ref,
+                  gateRefs.category.map(_.cols).getOrElse(Nil),
+                  cfg.driftTvTol))
+            ).map { case (rule, df) => rule -> df.localCheckpoint() }
             cfg.quarantineDir.foreach { dir =>
               // DriftSink's exactly-once recipe: each batch overwrites its
               // own batch_id partition, so a replayed delivery never
@@ -492,11 +478,13 @@ object CorpusPrepStream {
               dump(batch, "rows")
               reports.foreach { case (rule, df) => dump(df, s"report_$rule") }
             }
-            onQuarantine(batchId, flagged)
+            import batch.sparkSession.implicits._
+            onQuarantine(batchId, gate.flagged
+              .map(v => (v.column, v.rule, v.drift))
+              .toDF("column", "rule", "drift"))
             releaseCp(reports.map(_._2): _*)
           }
-          releaseCp(flagged)
-          bad
+          gate.poisoned
         }
         if (!poisoned) {
           val prev = handle.state

@@ -24,10 +24,12 @@ import graft.streaming.LshStream
   * Mode `drift` (4th arg) enables the full three-rule drift gate
   * (profile + quantile + category) against blessed snapshots of the
   * arrival slice itself, with tolerances loose enough that every batch
-  * passes — so the plain-vs-drift delta IS the gate's per-batch cost
-  * (the round-19 fused-profile decision needs this number; the gate
-  * runs three separate aggregation passes over the once-checkpointed
-  * batch today).
+  * passes — so the plain-vs-drift delta IS the gate's per-batch cost.
+  * History: un-fused (three report subtrees + union + count) the gate
+  * cost 2.75 s/batch; the r18 healthy-path fuse took it to 2.34 s; the
+  * r19 single-pass gate ([[graft.streaming.DriftGate]] — ONE aggregation
+  * job, driver-side verdicts) takes it inside measurement noise
+  * (~0.1-0.35 s across alternating pairs, SCALE.md r19).
   *
   * Usage: `sbt "runMain graft.tools.PrepStreamBench [sfDir] [batchN] [nBatches] [plain|drift]"`.
   */
