@@ -184,10 +184,22 @@ def check_recall(n):
              # text-LSH served-index tag (r18 continuation): planted-pair
              # recall per edit-distance band on the deterministic fixture
              "t_lsh_tag_k6", "t_lsh_tag_k10", "t_lsh_tag_k14",
-             "t_lsh_tag_k18"]
+             "t_lsh_tag_k18",
+             # multi-probe tag (r19): query-side probe expansion over the
+             # SAME served index — must dominate the plain tiers per band
+             "t_lsh_tag_mp_k6", "t_lsh_tag_mp_k10", "t_lsh_tag_mp_k14",
+             "t_lsh_tag_mp_k18"]
     missing = [t for t in tiers if t not in js]
     if missing:
         return fail(f"{path} missing tiers: {missing}")
+    dominated = [k for k in (6, 10, 14, 18)
+                 if js[f"t_lsh_tag_mp_k{k}"]["recall"]
+                 < js[f"t_lsh_tag_k{k}"]["recall"] - 1e-9]
+    if dominated:
+        return fail(f"{path}: multi-probe tag recall BELOW the plain tag "
+                    f"at bands {dominated} — probe expansion can only add "
+                    "verified pairs; a drop means the probe matrix or the "
+                    "dedup rule broke")
     # drift alarm vs the previous round's artifact, when one exists
     prev = prev_round_artifact("RECALL_r*.json", path)
     if prev:

@@ -188,6 +188,42 @@ object TextDedup {
     array((0 until bands).map(b =>
       xxhash64(slice(sigCol, b * rowsPerBand + 1, rowsPerBand))): _*)
 
+  /** [[minhashSignature]] tracking each hash function's second-smallest
+    * distinct value too — output length 2k, first half bit-identical to
+    * the signature ([[graft.functions.MinhashExpressions.MinhashSignature2]]).
+    * The runner-ups are [[probeBucketMatrix]]'s substitution values.
+    */
+  def minhashSignature2(shinglesCol: Column, numHashes: Int): Column =
+    graft.functions.MinhashExpressions.minhash_signature2(shinglesCol, numHashes)
+
+  /** Multi-probe LSH banding over a [[minhashSignature2]] column: element
+    * [band] = array of `1 + rowsPerBand` bucket hashes — the EXACT band
+    * bucket first (bit-identical to [[bucketArray]] on the signature
+    * half, so a probe matrix joins a plain-banded index unchanged), then
+    * one bucket per band slot with that slot substituted by its hash
+    * function's second-smallest value. Rationale: a near-dup that misses
+    * a band usually disagrees on ONE slot, and when the corpus doc lacks
+    * exactly the query's winning shingle for that slot, its own minimum
+    * over the shared shingles is most often the query's runner-up — so
+    * the single-slot substitutions recover the dominant banding-miss
+    * mode at `1 + rowsPerBand`× query-side fan-out, corpus side
+    * untouched (the [[graft.ops.Similarity.annTopKMultiProbe]] posture).
+    * Unrolled like [[bucketArray]], same CollapseProject reasoning.
+    */
+  def probeBucketMatrix(sig2Col: Column, bands: Int, rowsPerBand: Int): Column = {
+    val k = bands * rowsPerBand
+    array((0 until bands).map { b =>
+      val exact = xxhash64(slice(sig2Col, b * rowsPerBand + 1, rowsPerBand))
+      val subs = (0 until rowsPerBand).map { j =>
+        xxhash64(array((0 until rowsPerBand).map { i =>
+          val slot = b * rowsPerBand + i + 1
+          element_at(sig2Col, if (i == j) k + slot else slot)
+        }: _*))
+      }
+      array(exact +: subs: _*)
+    }: _*)
+  }
+
   /** LSH banding: one row per (doc, band) with a bucket hash of the band's
     * signature slice. Self-joining on (band, bucket) yields candidate pairs.
     */

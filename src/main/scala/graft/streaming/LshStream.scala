@@ -186,13 +186,73 @@ object LshStream {
       // stateless per-pair dedup: keep the first colliding band's row only
       .filter(col("band") === firstCollidingBand(col("__bk_s"), col("__bk_c")))
       .select("stream_id", "corpus_id", "__sh_s")
-    // verify stage: fetch corpus shingles for the resolved pairs only —
-    // another stateless stream-static join, stream side broadcast again
+    verifyPairs(pairs, index, idCol, threshold)
+  }
+
+  /** Verify stage shared by the taggers: fetch corpus shingles for the
+    * resolved pairs only — a stateless stream-static join, stream side
+    * broadcast — and keep exact Jaccard >= threshold.
+    */
+  private def verifyPairs(pairs: DataFrame, index: ServedIndex,
+                          idCol: String, threshold: Double): DataFrame =
     broadcast(pairs)
       .join(index.compact.select(col(idCol).as("corpus_id"),
         col("__shingles").as("__sh_c")), Seq("corpus_id"))
       .withColumn("jaccard", TextDedup.jaccard(col("__sh_s"), col("__sh_c")))
       .filter(col("jaccard") >= threshold)
       .select("stream_id", "corpus_id", "jaccard")
+
+  /** [[nearDupTagStream]] with MULTI-PROBE banding on the query side
+    * (round-18 verdict item 3): each band probes its exact bucket PLUS
+    * `rowsPerBand` single-slot-substitution buckets built from the
+    * second-smallest minhash values ([[TextDedup.probeBucketMatrix]]),
+    * recovering the dominant single-slot banding-miss mode — measured on
+    * the RecallReport fixture: the k14/k18 bands (J ≈ 0.57/0.49, where
+    * pure 16×4 banding misses 17%/39% of true pairs) are where it pays.
+    *
+    * The corpus plan is UNCHANGED from single-probe — the same
+    * [[ServedIndex]], same (band, bucket) hash probe; only the broadcast
+    * stream side fans out `1 + rowsPerBand`× wider (a constant factor on
+    * the micro-batch side, the [[graft.ops.Similarity.annTopKMultiProbe]]
+    * posture). Output contract identical: one VERIFIED row per (stream
+    * doc, corpus doc) pair with exact Jaccard >= threshold — multi-probe
+    * can only ADD pairs (a superset of the plain tagger's, never false
+    * positives: verification is exact), and the stateless per-pair dedup
+    * generalizes from first-colliding-band to first-colliding-probe.
+    */
+  def nearDupTagStreamMultiProbe(stream: DataFrame, index: ServedIndex,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int, bands: Int, rowsPerBand: Int,
+                                 threshold: Double): DataFrame = {
+    val nprobe = rowsPerBand + 1
+    val s = stream
+      .withColumn("__shingles", TextDedup.shingles(col(textCol), shingleN))
+      .withColumn("__sig2",
+        TextDedup.minhashSignature2(col("__shingles"), bands * rowsPerBand))
+      .select(col(idCol).as("stream_id"),
+        col("__shingles").as("__sh_s"),
+        // flattened probe list, band-major: global index g = band*nprobe
+        // + probe; carried whole for the per-pair first-colliding-probe
+        // dedup (the plain tagger's __bk_s trick, one level wider)
+        flatten(TextDedup.probeBucketMatrix(col("__sig2"), bands, rowsPerBand))
+          .as("__fl_s"))
+      // posexplode_OUTER for the same InferFiltersFromGenerate reason as
+      // the plain tagger (the probe list is fixed-width, never null/empty)
+      .select(col("stream_id"), col("__sh_s"), col("__fl_s"),
+        posexplode_outer(col("__fl_s")).as(Seq("gpos", "bucket")))
+      .withColumn("band", floor(col("gpos") / nprobe).cast("int"))
+    // first global probe index where the query's probe list hits the
+    // corpus doc's (band-repeated) bucket array — the row that "owns" a
+    // colliding pair; pure expressions, no state
+    val corpusRepeated = flatten(transform(col("__bk_c"),
+      x => array_repeat(x, nprobe)))
+    val firstCollidingProbe =
+      array_position(zip_with(col("__fl_s"), corpusRepeated,
+        (x, y) => x === y), true) - 1
+    val pairs = broadcast(s).join(index.exploded, Seq("band", "bucket"))
+      .filter(col("stream_id") =!= col("corpus_id"))
+      .filter(col("gpos") === firstCollidingProbe)
+      .select("stream_id", "corpus_id", "__sh_s")
+    verifyPairs(pairs, index, idCol, threshold)
   }
 }

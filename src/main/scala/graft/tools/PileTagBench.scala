@@ -34,14 +34,24 @@ object PileTagBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = LshStream.corpusIndex(prepared, "doc_id")
 
+    // multiprobe (r19): the SAME plain serving, query-side probe expansion
+    // only — its delta vs `plain` is the multi-probe tag's latency cost
+    // (expected ~(1 + rowsPerBand)x bucket fan-out on the broadcast side)
     Seq("plain" -> LshStream.serve(raw, "doc_id"),
+        "multiprobe" -> LshStream.serve(raw, "doc_id"),
         "collapsed" -> LshStream.serveCollapsed(raw, "doc_id")).foreach {
       case (mode, idx0) =>
         val index = idx0.persist()
         val input = MemoryStream[(Long, String)]
-        val query = LshStream.nearDupTagStream(
-            input.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+        val stream = input.toDF().toDF("doc_id", "text")
+        val tagged =
+          if (mode == "multiprobe")
+            LshStream.nearDupTagStreamMultiProbe(stream, index, "doc_id",
+              "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+              threshold = 0.5)
+          else LshStream.nearDupTagStream(stream, index, "doc_id", "text",
             shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        val query = tagged
           .writeStream.format("memory").queryName(s"pile_$mode")
           .outputMode("append").start()
         def feed(rows: Seq[(Long, String)]): Double = {

@@ -194,6 +194,16 @@ object RecallReport {
         threshold = tagThreshold)
       .select("stream_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // multi-probe tag (r19): same fixture, same index, query-side probe
+    // expansion only — per band the exact bucket + 4 single-slot
+    // second-minimum substitutions. Must dominate the plain tiers band
+    // for band (close_gate checks mp >= plain in addition to no-drop).
+    val taggedMp = LshStream.nearDupTagStreamMultiProbe(
+        streamDf.select("doc_id", "text"), served, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = tagThreshold)
+      .select("stream_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truthPairs = streamDf
       .select(col("doc_id").as("stream_id"), col("text").as("__ts"),
         col("k"))
@@ -212,6 +222,9 @@ object RecallReport {
       results(s"t_lsh_tag_k$kk") = (tr.count(tagged.contains), tr.size)
       println(f"[recall] t_lsh_tag_k$kk%-12s recall = " +
         f"${tr.count(tagged.contains)}/${tr.size}")
+      results(s"t_lsh_tag_mp_k$kk") = (tr.count(taggedMp.contains), tr.size)
+      println(f"[recall] t_lsh_tag_mp_k$kk%-9s recall = " +
+        f"${tr.count(taggedMp.contains)}/${tr.size}")
     }
 
     val fields = results.map { case (n, (hit, of)) =>

@@ -59,4 +59,62 @@ class MinhashExpressionsSpec extends SparkSpec {
       .as[Seq[Long]].collect().head
     out shouldBe Seq.fill(4)(Long.MaxValue)
   }
+
+  "MinhashSignature2" should "carry the signature bit-identically in its first half" in {
+    val rows = docs.select(
+        TextDedup.minhashSignature2(col("sh"), 64).as("two"),
+        TextDedup.minhashSignature(col("sh"), 64).as("one"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (two, one) =>
+      two.length shouldBe 128
+      two.take(64) shouldBe one
+    }
+  }
+
+  it should "track each hash function's second-smallest DISTINCT value" in {
+    // brute force per hash function over the shingle set: sort the
+    // distinct transformed values, take the second (MaxValue when absent)
+    val fam = MinhashExpressions.hashFamily(8)
+    val p = MinhashExpressions.MersenneP
+    val shingleSets = docs.select(col("sh")).as[Seq[String]].collect()
+    val expected = shingleSets.map { sh =>
+      val hs = sh.map { s =>
+        val raw =
+          if (s == null) MinhashExpressions.XxSeed
+          else {
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
+                MinhashExpressions.XxSeed)
+          }
+        ((raw % p) + p) % p
+      }
+      fam.map { case (a, b) =>
+        val vs = hs.map(h => (h * a + b) % p).distinct.sorted
+        (vs.headOption.getOrElse(Long.MaxValue),
+          vs.drop(1).headOption.getOrElse(Long.MaxValue))
+      }
+    }
+    val got = docs.select(TextDedup.minhashSignature2(col("sh"), 8))
+      .as[Seq[Long]].collect()
+    expected.zip(got).foreach { case (exp, sig2) =>
+      sig2.take(8) shouldBe exp.map(_._1)
+      sig2.drop(8) shouldBe exp.map(_._2)
+    }
+  }
+
+  "probeBucketMatrix" should "lead each band with the exact bucketArray bucket" in {
+    val withSigs = docs
+      .withColumn("sig", TextDedup.minhashSignature(col("sh"), 64))
+      .withColumn("sig2", TextDedup.minhashSignature2(col("sh"), 64))
+    val rows = withSigs.select(
+        TextDedup.bucketArray(col("sig"), 16, 4).as("plain"),
+        TextDedup.probeBucketMatrix(col("sig2"), 16, 4).as("mp"))
+      .as[(Seq[Long], Seq[Seq[Long]])].collect()
+    rows.foreach { case (plain, mp) =>
+      mp.length shouldBe 16
+      mp.foreach(_.length shouldBe 5)
+      mp.map(_.head) shouldBe plain
+    }
+  }
 }

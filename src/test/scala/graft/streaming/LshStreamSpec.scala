@@ -80,6 +80,97 @@ class LshStreamSpec extends SparkSpec {
     } finally served.unpersist()
   }
 
+  "nearDupTagStreamMultiProbe" should "emit a verified superset of the plain tagger, one row per pair" in {
+    val served = LshStream.serve(index, "doc_id").persist()
+    try {
+      val mp = LshStream.nearDupTagStreamMultiProbe(arriving, served,
+          "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+      val plain = LshStream.nearDupTagStream(arriving, served, "doc_id",
+          "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+      // superset, with identical verified scores on the shared pairs
+      mp.toSet should contain allElementsOf plain.toSet
+      // exactly one row per pair even when every band AND probe collides
+      // (doc 10 is a normalization variant of corpus doc 1)
+      mp.groupBy(t => (t._1, t._2)).values.foreach(_.length shouldBe 1)
+      // every emitted pair is exact-verified: recompute Jaccard
+      val texts = (corpusDocs.as[(Long, String)].collect()
+        ++ arriving.as[(Long, String)].collect()).toMap
+      mp.foreach { case (s, c, j) =>
+        val jj = Seq((texts(s), texts(c))).toDF("a", "b")
+          .select(TextDedup.jaccard(TextDedup.shingles(col("a"), 3),
+            TextDedup.shingles(col("b"), 3)))
+          .as[Double].head()
+        j shouldBe jj
+        j should be >= 0.5
+      }
+    } finally served.unpersist()
+  }
+
+  it should "recover banding misses the plain tagger drops (planted low-J pairs)" in {
+    // the RecallReport fixture's k18 band: J ~ 0.49, where plain 16x4
+    // banding misses ~39% of true pairs — deterministic LCG corpus, so
+    // the specific misses are fixed and multi-probe must strictly win
+    var lcg = 0x9E3779B97F4A7C15L
+    def lnxt(): Long = {
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      lcg >>> 11
+    }
+    val corpusRows = (0 until 128).map { i =>
+      (i.toLong, Array.fill(60)("w" + (lnxt() % 10000)).mkString(" "))
+    }
+    val streamRows = corpusRows.map { case (id, text) =>
+      val toks = text.split(" ")
+      (id + 10000L,
+        (toks.dropRight(18) ++ Array.fill(18)("x" + (lnxt() % 10000)))
+          .mkString(" "))
+    }
+    val served = LshStream.serve(LshStream.corpusIndex(
+      TextDedup.minhashPrepare(corpusRows.toDF("doc_id", "text"),
+        "doc_id", "text"), "doc_id"), "doc_id").persist()
+    try {
+      def truePairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.as[(Long, Long, Double)].collect()
+          .map(t => (t._1, t._2)).filter { case (s, c) => s - 10000L == c }
+          .toSet
+      val plain = truePairs(LshStream.nearDupTagStream(
+        streamRows.toDF("doc_id", "text"), served, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.45))
+      val mp = truePairs(LshStream.nearDupTagStreamMultiProbe(
+        streamRows.toDF("doc_id", "text"), served, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.45))
+      mp should contain allElementsOf plain
+      // strict domination: the probes recover pairs plain banding missed
+      (mp -- plain) should not be empty
+    } finally served.unpersist()
+  }
+
+  it should "tag a live stream statelessly (append mode, no state store)" in {
+    implicit val sqlCtx = spark.sqlContext
+    val served = LshStream.serve(index, "doc_id").persist()
+    val input = MemoryStream[(Long, String)]
+    val query = LshStream.nearDupTagStreamMultiProbe(
+        input.toDF().toDF("doc_id", "text"), served, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .writeStream.format("memory").queryName("lsh_tags_mp")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "  THE   quick brown fox jumps over the lazy dog "),
+        (11L, "the quick brown fox jumps over the lazy cat"))
+      query.processAllAvailable()
+      query.lastProgress.stateOperators.length shouldBe 0
+      val out = spark.table("lsh_tags_mp").orderBy("stream_id", "corpus_id")
+        .as[(Long, Long, Double)].collect()
+      val batch = LshStream.nearDupTagStreamMultiProbe(
+          arriving.filter(col("doc_id") < 12), served, "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("stream_id", "corpus_id").as[(Long, Long, Double)].collect()
+      out shouldBe batch
+    } finally { query.stop(); served.unpersist() }
+  }
+
   "serveCollapsed" should "tag a pile as one rep row with multiplicity" in {
     val n = 400
     val pile = (0 until n).map(i =>
