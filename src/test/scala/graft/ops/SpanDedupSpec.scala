@@ -43,6 +43,39 @@ class SpanDedupSpec extends SparkSpec {
       (6, "m n o", 9L, 6L))
   }
 
+  it should "merge OVERLAPPING, ADJACENT, and NESTED span coverage by position union" in {
+    val corpus = Seq(
+      (0, "c d e x1 x2"),     // corpus-wide first "c d e"
+      // OVERLAPPING: keeps "a b c" (its first occurrence), but the dropped
+      // "c d e" occurrence @2 covers 2..4 and cuts into the kept window —
+      // the documented position-union semantics
+      (1, "a b c d e f"),
+      (2, "q a b c q2"),      // "a b c" repeat (first is doc1@0) → cut
+      // NESTED: a 5-token shared run's three overlapping windows are each
+      // duplicated; their union removes the run in full (the L >= k
+      // coverage argument), nothing of doc 3's originals is touched
+      (3, "p q r s t u"),
+      (4, "z1 p q r s t z2"),
+      // ADJACENT: two dropped spans from DIFFERENT grams touch end-to-start
+      // (0..2 and 3..5) — coverage merges into one contiguous cut
+      (5, "s1 g h i s2"),     // first "g h i"
+      (6, "s3 j k l s4"),     // first "j k l"
+      (7, "g h i j k l m2"))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Int, String, Long, Long)].collect()
+    out shouldBe Array(
+      (0, "c d e x1 x2", 5L, 0L),
+      (1, "a b f", 6L, 3L),
+      (2, "q q2", 5L, 3L),
+      (3, "p q r s t u", 6L, 0L),
+      (4, "z1 z2", 7L, 5L),
+      (5, "s1 g h i s2", 5L, 0L),
+      (6, "s3 j k l s4", 5L, 0L),
+      (7, "m2", 7L, 6L))
+  }
+
   it should "be the identity when no span repeats" in {
     val solo = Seq((0, "a b c d"), (1, "e f g h")).toDF("doc_id", "text")
     val out = SpanDedup.dedupSpans(solo, "doc_id", "text", k = 3)
