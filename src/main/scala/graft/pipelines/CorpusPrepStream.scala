@@ -108,6 +108,15 @@ object CorpusPrepStream {
       lshShingleN: Int = 3,
       lshBands: Int = 16,
       lshRowsPerBand: Int = 4,
+      // multi-probe the served-index tag ([[LshStream.nearDupTagStreamMultiProbe]]):
+      // per band, the exact bucket + one single-slot substitution per band
+      // slot — recovers the single-slot banding misses that dominate at
+      // low pair Jaccard (fixture recall 0.86→1.00 / 0.66→0.86 at the
+      // J≈0.57/0.49 bands), for ~1.5× of this ONE stage's cost
+      // (PrepStreamBench `mp` mode; the tag is a minority of the
+      // pipeline). Off by default: the drop SET can only grow, and a
+      // curation deployment should opt into stricter dropping explicitly.
+      lshMultiProbe: Boolean = false,
       nearDupThreshold: Double = 0.6,
       driftReference: Option[DataFrame] = None,
       driftCols: Seq[String] = Nil,
@@ -322,14 +331,20 @@ object CorpusPrepStream {
     val clean = frontier(tagFn(kept).filter(!col("contaminated"))
       .drop("n_contaminated", "contaminated"))
 
-    // 4. near-dup vs the stored corpus (served LSH index, stateless tag)
+    // 4. near-dup vs the stored corpus (served LSH index, stateless tag;
+    //    multi-probe opt-in — see Config.lshMultiProbe)
     val fresh = index match {
       case Some(ix) =>
-        val dupIds = LshStream.nearDupTagStream(
+        val tagFrame =
+          if (cfg.lshMultiProbe) LshStream.nearDupTagStreamMultiProbe(
             clean.select(col(idCol), col(textCol)), ix, idCol, textCol,
             cfg.lshShingleN, cfg.lshBands, cfg.lshRowsPerBand,
             cfg.nearDupThreshold)
-          .select(col("stream_id").as(idCol)).distinct()
+          else LshStream.nearDupTagStream(
+            clean.select(col(idCol), col(textCol)), ix, idCol, textCol,
+            cfg.lshShingleN, cfg.lshBands, cfg.lshRowsPerBand,
+            cfg.nearDupThreshold)
+        val dupIds = tagFrame.select(col("stream_id").as(idCol)).distinct()
         frontier(clean.join(broadcast(dupIds), Seq(idCol), "left_anti"))
       case None => clean
     }

@@ -31,14 +31,21 @@ import graft.streaming.LshStream
   * job, driver-side verdicts) takes it inside measurement noise
   * (~0.1-0.35 s across alternating pairs, SCALE.md r19).
   *
-  * Usage: `sbt "runMain graft.tools.PrepStreamBench [sfDir] [batchN] [nBatches] [plain|drift]"`.
+  * Mode `mp` (r19): the plain pipeline with `lshMultiProbe = true` — the
+  * plain-vs-mp delta is the multi-probe tag's share of whole-pipeline
+  * cost (the tag is one of six stages, so the 1.53× single-event factor
+  * measured in PileTagBench dilutes here).
+  *
+  * Usage: `sbt "runMain graft.tools.PrepStreamBench [sfDir] [batchN] [nBatches] [plain|drift|mp]"`.
   */
 object PrepStreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchN = args.drop(1).headOption.map(_.toInt).getOrElse(500)
     val nBatches = args.drop(2).headOption.map(_.toInt).getOrElse(8)
-    val driftMode = args.drop(3).headOption.contains("drift")
+    val modeArg = args.drop(3).headOption.getOrElse("plain")
+    val driftMode = modeArg == "drift"
+    val mpMode = modeArg == "mp"
     val spark = LocalSession(cores = 32, logLevel = "ERROR")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -66,7 +73,8 @@ object PrepStreamBench {
     // loose tolerances on purpose (the measurement is the gate's COST per
     // healthy batch, not its sensitivity; DriftStreamSpec owns that)
     val driftCfg =
-      if (!driftMode) CorpusPrepStream.Config(shingleN = 5)
+      if (!driftMode) CorpusPrepStream.Config(shingleN = 5,
+        lshMultiProbe = mpMode)
       else {
         val blessed = arrivals.toSeq.toDF("doc_id", "source", "text")
           .withColumn("len", length(col("text")))
@@ -114,7 +122,7 @@ object PrepStreamBench {
         ms
       }
       val seen = handle.state.seenHashes.count()
-      val mode = if (driftMode) "drift" else "plain"
+      val mode = modeArg
       require(quarantines == 0,
         s"drift gate quarantined $quarantines healthy batches — the cost " +
           "comparison is invalid; loosen the blessed tolerances")

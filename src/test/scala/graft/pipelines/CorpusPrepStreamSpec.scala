@@ -140,6 +140,60 @@ class CorpusPrepStreamSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  it should "drop the plain tagger's banding misses when lshMultiProbe is on (r19)" in {
+    // deterministic LCG corpus whose arriving variants sit at low enough
+    // Jaccard that plain 16x4 banding misses some true near-dups; the
+    // multi-probe config must drop exactly what ITS tagger catches — a
+    // strict superset of the plain drop set on this fixture
+    var lcg = 0x9E3779B97F4A7C15L
+    def lnxt(): Long = {
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      lcg >>> 11
+    }
+    // quality-passing: stopword-rich fixed prefix + 47 unique content words
+    val prefix = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpusRows = (0 until 96).map { i =>
+      (i.toLong, prefix + " " +
+        Array.fill(47)("w" + (lnxt() % 100000)).mkString(" "))
+    }
+    val arrivals = corpusRows.map { case (id, text) =>
+      val toks = text.split(" ")
+      PrepDoc(id + 10000L, "a",
+        (toks.dropRight(18) ++ Array.fill(18)("x" + (lnxt() % 100000)))
+          .mkString(" "))
+    }
+    val index = LshStream.serve(LshStream.corpusIndex(
+      TextDedup.minhashPrepare(corpusRows.toDF("doc_id", "text"),
+        "doc_id", "text"), "doc_id"), "doc_id").persist()
+    try {
+      val arrivalsDf = arrivals.toDF()
+      def taggedIds(mp: Boolean): Set[Long] = {
+        val f =
+          if (mp) LshStream.nearDupTagStreamMultiProbe _
+          else (s: org.apache.spark.sql.DataFrame, ix: LshStream.ServedIndex,
+                id: String, t: String, n: Int, b: Int, r: Int, th: Double) =>
+            LshStream.nearDupTagStream(s, ix, id, t, n, b, r, th)
+        f(arrivalsDf.select("doc_id", "text"), index, "doc_id", "text",
+          3, 16, 4, 0.45)
+          .select("stream_id").as[Long].collect().toSet
+      }
+      val plainTagged = taggedIds(mp = false)
+      val mpTagged = taggedIds(mp = true)
+      // fixture sanity: multi-probe recovers real banding misses here
+      mpTagged should contain allElementsOf plainTagged
+      (mpTagged -- plainTagged) should not be empty
+      def admitted(mp: Boolean): Set[Long] = CorpusPrepStream.prepareBatch(
+          CorpusPrepStream.emptyState(spark, "doc_id"), arrivalsDf,
+          "doc_id", "text", "source", bench, "text", Some(index),
+          CorpusPrepStream.Config(nearDupThreshold = 0.45,
+            lshMultiProbe = mp))
+        .admitted.select("doc_id").as[Long].collect().toSet
+      val all = arrivals.map(_.doc_id).toSet
+      admitted(mp = false) shouldBe (all -- plainTagged)
+      admitted(mp = true) shouldBe (all -- mpTagged)
+    } finally index.unpersist()
+  }
+
   it should "feed admitted docs into the corpus ingest tier" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PrepDoc]
