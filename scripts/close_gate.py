@@ -180,6 +180,9 @@ def check_recall(n):
              "ivf_pq", "pq_rerank", "int8_brute",
              "c_lsh_nbits8", "c_multiprobe8", "c_ivf_trained",
              "c_ivf_pq_resid", "c_pq_rerank",
+             # OPQ-style deterministic rotation A/B (r19): same knobs as
+             # c_pq_rerank, pipeline in vec_rotate'd space, same truth
+             "c_pq_rerank_rot",
              "c_ivf_rerank", "c_ivf_rerank_np2", "c_ivf_rerank_s32",
              # text-LSH served-index tag (r18 continuation): planted-pair
              # recall per edit-distance band on the deterministic fixture
@@ -200,6 +203,13 @@ def check_recall(n):
                     f"at bands {dominated} — probe expansion can only add "
                     "verified pairs; a drop means the probe matrix or the "
                     "dedup rule broke")
+    if js["c_pq_rerank_rot"]["recall"] < js["c_pq_rerank"]["recall"] - 1e-9:
+        return fail(f"{path}: rotated PQ rerank recall "
+                    f"({js['c_pq_rerank_rot']['recall']:.3f}) BELOW the "
+                    f"unrotated tier ({js['c_pq_rerank']['recall']:.3f}) — "
+                    "on the anisotropic clustered fixture the rotation must "
+                    "dominate; a drop means vec_rotate or its composition "
+                    "with the PQ pipeline broke")
     # drift alarm vs the previous round's artifact, when one exists
     prev = prev_round_artifact("RECALL_r*.json", path)
     if prev:

@@ -334,6 +334,100 @@ object VectorExpressions {
     override def prettyName: String = "lsh_probes"
   }
 
+  /** Deterministic OPQ-style rotation y = H·D·x / √n: a fixed per-index
+    * sign flip (D, Knuth multiplicative hash of the index) followed by the
+    * unnormalized fast Walsh–Hadamard transform (H, in-place butterflies)
+    * and one division by √n. Orthogonal, self-transpose up to the sign
+    * flip, O(n log n) per row, shuffle-free — applied before PQ training/
+    * encoding it spreads anisotropic per-dimension energy evenly across
+    * the m subspaces (the OPQ effect, Ge et al. CVPR 2013, via the
+    * structured-rotation shortcut used by FALCONN-style cross-polytope
+    * LSH). On the clustered recall fixture (within-cluster variance
+    * concentrated in 2 of 64 dims, i.e. one PQ subspace) it recovers most
+    * of the quantization-loss gap: c_pq_rerank 0.6375 → 0.7250 measured,
+    * against an exact-dot shortlist ceiling of 0.7875 (SCALE.md r19).
+    *
+    * Replays exactly in SQL: every output element of each butterfly stage
+    * is ONE `a + b` / `a - b` of the previous stage (no reassociation),
+    * the sign rule is integer arithmetic, and for n = 64 the final scale
+    * √64 = 8 is FP-exact — the DuckDB oracle chains seven
+    * `list_transform` CTEs and divides by 8, bit-identical.
+    *
+    * Requires a power-of-two length (the fixture/registry dim is 64);
+    * null ELEMENTS contribute 0 like [[VectorDot]], a null VECTOR yields
+    * null. Throws on other lengths — a corrupt row should fail loudly
+    * under this engine's ANSI posture, not silently mis-rotate.
+    */
+  def rotateCompute(vec: ArrayData, dt: Int): Array[Double] = {
+    val n = vec.numElements()
+    require(n > 0 && (n & (n - 1)) == 0,
+      s"vec_rotate requires a power-of-two vector length, got $n")
+    val buf = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x =
+        if (vec.isNullAt(i)) 0.0
+        else dt match {
+          case 0 => vec.getFloat(i).toDouble
+          case 1 => vec.getInt(i).toDouble
+          case _ => vec.getDouble(i)
+        }
+      buf(i) = if (((i.toLong * 2654435761L) >> 7 & 1L) == 1L) x else -x
+      i += 1
+    }
+    var h = 1
+    while (h < n) {
+      var b = 0
+      while (b < n) {
+        var j = b
+        while (j < b + h) {
+          val a = buf(j); val c = buf(j + h)
+          buf(j) = a + c; buf(j + h) = a - c
+          j += 1
+        }
+        b += 2 * h
+      }
+      h <<= 1
+    }
+    val s = math.sqrt(n.toDouble)
+    i = 0
+    while (i < n) { buf(i) = buf(i) / s; i += 1 }
+    buf
+  }
+
+  case class VecRotate(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (checkVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_rotate requires array<float|double|int> input, got ${child.dataType}")
+
+    private def dtCode: Int = child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => 0
+      case IntegerType => 1
+      case _ => 2
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      ArrayData.toArrayData(rotateCompute(v.asInstanceOf[ArrayData], dtCode))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => s"""
+        |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        |  graft.functions.VectorExpressions.rotateCompute($v, $dtCode));
+        |""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "vec_rotate"
+  }
+
+  def vec_rotate(vec: Column): Column =
+    bridge.column(VecRotate(bridge.expression(vec)))
+
   def lsh_probes(vec: Column, planes: Seq[Array[Double]], nprobe: Int): Column =
     bridge.column(LshProbes(bridge.expression(vec),
       planes.map(_.toVector).toVector, nprobe))

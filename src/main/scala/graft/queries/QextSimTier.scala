@@ -185,6 +185,33 @@ private[queries] trait QextSimTier { this: QextBase =>
   }
 
 
+  /** [[qExtPqRerank]] with the OPQ-style deterministic rotation
+    * ([[graft.functions.VectorExpressions.vec_rotate]]: sign-flip +
+    * Walsh–Hadamard / √64) applied to corpus and queries before codebook
+    * extraction, encoding, ADC shortlisting, and the exact-cosine rerank
+    * — the whole pipeline runs in rotated space (orthogonal rotation
+    * preserves dot products and cosines, so the ranking semantics are
+    * unchanged; only the quantization cells move). The standard next
+    * recall lever when per-dimension energy is unevenly split across PQ
+    * subspaces (measured +0.0875 recall@5 on the clustered fixture,
+    * SCALE.md r19). The rotation is a per-row O(d log d) map — no
+    * shuffle, no new scan — and the oracle replays it as seven
+    * `list_transform` CTEs ahead of the unchanged pq_rerank replay.
+    */
+  def qExtPqRotRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val r = e.select(col("vec_id"),
+      graft.functions.VectorExpressions.vec_rotate(col("embedding"))
+        .as("embedding"))
+    val cb = pqCodebooks.computeIfAbsent(dir + "#rot",
+      _ => Pq.fixedCodebook(r, "vec_id", "embedding",
+        (0 until 16).map(_ * 31L), m = 4))
+    Pq.adcRerankTopK(r.filter(col("vec_id") < 8), r, "vec_id", "embedding",
+        "vec_id", cb, topK = 5, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
+
   /** Residual IVF-PQ top-5 ([[Pq.ivfAdcResidualTopK]], true IVFADC):
     * candidates store (cluster, residual codes); scores decompose as
     * q·centroid + ADC over the residual LUT. Both quantizers fixed (the
@@ -457,6 +484,7 @@ private[queries] trait QextSimTier { this: QextBase =>
     "q_ext_pq_ivf_adc" -> (qExtPqIvfAdc _),
     "q_ext_pq_ivf_rerank" -> (qExtPqIvfRerank _),
     "q_ext_pq_rerank" -> (qExtPqRerank _),
+    "q_ext_pq_rot_rerank" -> (qExtPqRotRerank _),
     "q_ext_pq_ivf_residual" -> (qExtPqIvfResidual _),
     "q_ext_pq_codes_trained" -> (qExtPqCodesTrained _),
     "q_ext_hard_negatives" -> (qExtHardNegatives _),
@@ -739,6 +767,93 @@ private[queries] trait QextSimTier { this: QextBase =>
     // feeding the brute-cosine re-score over ONLY shortlisted pairs.
     "q_ext_pq_rerank" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cw AS (
+        |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496
+        |),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.s, c.j,
+        |         list_dot_product(v.emb[c.s*16+1 : c.s*16+16], c.c)
+        |           - list_dot_product(c.c, c.c) / 2 AS sc
+        |  FROM v CROSS JOIN cw c
+        |),
+        |codesp AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s=0 THEN code END) AS c0,
+        |    max(CASE WHEN s=1 THEN code END) AS c1,
+        |    max(CASE WHEN s=2 THEN code END) AS c2,
+        |    max(CASE WHEN s=3 THEN code END) AS c3
+        |  FROM (
+        |    SELECT vec_id, s, j AS code FROM (
+        |      SELECT vec_id, s, j,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY sc DESC, j DESC) AS rn
+        |      FROM pqscored) WHERE rn = 1)
+        |  GROUP BY vec_id
+        |),
+        |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.query_id, c.s, c.j,
+        |         list_dot_product(q.emb[c.s*16+1 : c.s*16+16], c.c) AS ld
+        |  FROM q CROSS JOIN cw c
+        |),
+        |shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT p.query_id, cd.vec_id AS cand_id,
+        |           row_number() OVER (PARTITION BY p.query_id
+        |             ORDER BY round(((l0.ld + l1.ld) + l2.ld) + l3.ld, 6) DESC,
+        |                      cd.vec_id ASC) AS rn
+        |    FROM q p
+        |    JOIN codesp cd ON cd.vec_id <> p.query_id
+        |    JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = cd.c0
+        |    JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.j = cd.c1
+        |    JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.j = cd.c2
+        |    JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.j = cd.c3
+        |  ) WHERE rn <= 50
+        |),
+        |rescored AS (
+        |  SELECT s.query_id, s.cand_id,
+        |         round(CASE WHEN sqrt(list_dot_product(qq.emb, qq.emb))
+        |                         * sqrt(list_dot_product(cv.emb, cv.emb)) = 0 THEN 0
+        |               ELSE list_dot_product(qq.emb, cv.emb)
+        |                    / (sqrt(list_dot_product(qq.emb, qq.emb))
+        |                       * sqrt(list_dot_product(cv.emb, cv.emb))) END, 6) AS score
+        |  FROM shortlist s
+        |  JOIN v qq ON qq.vec_id = s.query_id
+        |  JOIN v cv ON cv.vec_id = s.cand_id
+        |)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id ASC) AS rank
+        |  FROM rescored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Rotated-space rerank replay: the pq_rerank CTEs verbatim, with the
+    // base table first mapped through the deterministic rotation — sign
+    // flip by the same Knuth-hash bit rule, six Walsh–Hadamard butterfly
+    // stages (each output element is ONE a±b of the previous stage, the
+    // exact FP op order of VectorExpressions.rotateCompute), then /8
+    // (√64, FP-exact). Everything downstream is unchanged, which is the
+    // point: rotation composes in front of the PQ pipeline.
+    "q_ext_pq_rot_rerank" ->
+      """WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |r0 AS (SELECT vec_id, list_transform(range(64), i ->
+        |  CASE WHEN (((i * 2654435761) >> 7) & 1) = 1 THEN e[i+1] ELSE -e[i+1] END) AS e FROM v0),
+        |r1 AS (SELECT vec_id, list_transform(range(64), i ->
+        |  CASE WHEN (i & 1) = 0 THEN e[i+1] + e[i+2] ELSE e[i] - e[i+1] END) AS e FROM r0),
+        |r2 AS (SELECT vec_id, list_transform(range(64), i ->
+        |  CASE WHEN (i & 2) = 0 THEN e[i+1] + e[i+3] ELSE e[i-1] - e[i+1] END) AS e FROM r1),
+        |r3 AS (SELECT vec_id, list_transform(range(64), i ->
+        |  CASE WHEN (i & 4) = 0 THEN e[i+1] + e[i+5] ELSE e[i-3] - e[i+1] END) AS e FROM r2),
+        |r4 AS (SELECT vec_id, list_transform(range(64), i ->
+        |  CASE WHEN (i & 8) = 0 THEN e[i+1] + e[i+9] ELSE e[i-7] - e[i+1] END) AS e FROM r3),
+        |r5 AS (SELECT vec_id, list_transform(range(64), i ->
+        |  CASE WHEN (i & 16) = 0 THEN e[i+1] + e[i+17] ELSE e[i-15] - e[i+1] END) AS e FROM r4),
+        |r6 AS (SELECT vec_id, list_transform(range(64), i ->
+        |  CASE WHEN (i & 32) = 0 THEN e[i+1] + e[i+33] ELSE e[i-31] - e[i+1] END) AS e FROM r5),
+        |v AS (SELECT vec_id, list_transform(e, x -> x / 8) AS emb FROM r6),
         |cw AS (
         |  SELECT ss.s, (vec_id // 31)::INT AS j, emb[ss.s*16+1 : ss.s*16+16] AS c
         |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss

@@ -113,6 +113,24 @@ object RecallReport {
       iters = 2)
     recordC("c_pq_rerank", pairs(Pq.adcRerankTopK(cq, ce, "vec_id",
       "embedding", "vec_id", cCbRaw, topK = k, shortlist = 64)))
+    // OPQ-style rotation A/B (round-19): identical knobs, the pipeline run
+    // in vec_rotate'd space, judged against the SAME original-space cosine
+    // truth. The fixture concentrates within-cluster variance in 2 of 64
+    // dims (one PQ subspace); the rotation spreads it across all 8, so
+    // the delta vs c_pq_rerank is the measured value of the rotation
+    // lever (predicted 0.6375 → 0.7250 by the engine-faithful numpy A/B,
+    // exact-dot shortlist ceiling 0.7875 — SCALE.md r19).
+    val ceRot = ce.select(col("vec_id"),
+      graft.functions.VectorExpressions.vec_rotate(col("embedding"))
+        .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ceRot.count()
+    val cqRot = ceRot.filter(col("vec_id") < nQueries)
+    val cCbRot = Pq.trainPortable(ceRot, "vec_id", "embedding", m = 8,
+      k = 64, iters = 2)
+    recordC("c_pq_rerank_rot", pairs(Pq.adcRerankTopK(cqRot, ceRot,
+      "vec_id", "embedding", "vec_id", cCbRot, topK = k, shortlist = 64)))
+    ceRot.unpersist()
     // composed production recipe (round-17 verdict item 1): IVF prune →
     // ADC shortlist → exact cosine rerank (`q_ext_pq_ivf_rerank`'s
     // operator), judged in cosine like c_pq_rerank. The headline row is

@@ -61,4 +61,69 @@ class VectorExpressionsSpec extends SparkSpec {
     val native = pairs.select(VectorExpressions.vec_dot($"a", $"b")).as[Double].collect()
     hof.zip(native).foreach { case (h, n) => h shouldBe n +- 1e-12 }
   }
+
+  // ---------------------------------------------------------- vec_rotate
+
+  /** Independent formulation: explicit Hadamard matrix (Kronecker power,
+    * the natural ordering the iterative butterfly produces) times the
+    * sign-flipped input, scaled by 1/√n — NOT the expression's in-place
+    * algorithm, so agreement checks the implementation, not itself.
+    */
+  private def rotateByMatrix(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    var hMat = Array(Array(1.0))
+    while (hMat.length < n)
+      hMat = (hMat.map(r => r ++ r) ++ hMat.map(r => r ++ r.map(-_)))
+    val d = Array.tabulate(n)(i =>
+      if ((i.toLong * 2654435761L >> 7 & 1L) == 1L) x(i) else -x(i))
+    Array.tabulate(n)(r => hMat(r).zip(d).map { case (h, v) => h * v }.sum / math.sqrt(n.toDouble))
+  }
+
+  "vec_rotate" should "match the explicit Hadamard-matrix formulation" in {
+    val xs = Seq(
+      Array.tabulate(64)(i => math.sin(i * 0.7) * (i % 5 + 1)),
+      Array.tabulate(64)(i => if (i < 2) i * 3.0 - 1 else 0.02 * i))
+    val df = xs.map(_.toSeq.map(_.toFloat)).toDF("v")
+    val out = df.select(VectorExpressions.vec_rotate($"v")).as[Seq[Double]].collect()
+    xs.zip(out).foreach { case (x, got) =>
+      val exp = rotateByMatrix(x.map(_.toFloat.toDouble))
+      got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-9 }
+    }
+  }
+
+  it should "preserve dot products and norms (orthogonality)" in {
+    val a = Array.tabulate(64)(i => math.cos(i * 1.3) + 0.1 * i)
+    val b = Array.tabulate(64)(i => math.sin(i * 0.31) - 0.05 * i)
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val row = df.select(
+      VectorExpressions.vec_dot(
+        VectorExpressions.vec_rotate($"a"), VectorExpressions.vec_rotate($"b")),
+      VectorExpressions.vec_dot($"a", $"b"),
+      VectorExpressions.vec_dot(
+        VectorExpressions.vec_rotate($"a"), VectorExpressions.vec_rotate($"a")),
+      VectorExpressions.vec_dot($"a", $"a")).collect().head
+    row.getDouble(0) shouldBe row.getDouble(1) +- 1e-9
+    row.getDouble(2) shouldBe row.getDouble(3) +- 1e-9
+  }
+
+  it should "yield null for a null vector and treat null elements as 0" in {
+    val withNull = Seq(Option.empty[Seq[Float]]).toDF("v")
+    withNull.select(VectorExpressions.vec_rotate($"v"))
+      .collect().head.isNullAt(0) shouldBe true
+    // a null ELEMENT contributes 0, like vec_dot's null-skip
+    val elemNull = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 2.0D, 3.0D) AS v")
+    val got = elemNull.select(VectorExpressions.vec_rotate($"v"))
+      .as[Seq[Double]].collect().head
+    val exp = rotateByMatrix(Array(1.0, 0.0, 2.0, 3.0))
+    got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+  }
+
+  it should "reject non-power-of-two lengths loudly" in {
+    val df = Seq(Seq(1.0f, 2.0f, 3.0f)).toDF("v")
+    val ex = intercept[Exception] {
+      df.select(VectorExpressions.vec_rotate($"v")).collect()
+    }
+    ex.getMessage should include("power-of-two")
+  }
 }
