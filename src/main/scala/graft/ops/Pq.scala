@@ -82,8 +82,22 @@ object Pq {
     * at any k. The two forms are value-identical (same slice/null/tie
     * semantics — PqSpec asserts it), so the choice is purely a
     * codegen-size strategy, exactly the [[Ivf]] UnrollMaxK posture.
+    *
+    * Lowered 64 → 32 in the round-19 optimization pass: at the bench
+    * shape m=4, k=16 (64 terms) the unrolled form was measured 3–5×
+    * SLOWER end-to-end than the kernels on the adcTopK pipeline
+    * (tools/PqAblateProbe at sf0.1: join+score 1.00 s unrolled vs 0.21 s
+    * kernel; full query 1.26 s vs 0.44 s). Two compounding causes, both
+    * absent in the kernels: the 64-term tree is re-instantiated under
+    * every consumer (the `!array_contains(codes, -1)` guard filter
+    * duplicates the whole encode subtree when predicate pushdown inlines
+    * the projection — encode-only 0.32 s vs encode+filter 0.69 s), and
+    * the generated Java for 64 slice+dot terms blows past JIT-friendly
+    * method sizes while the kernel's loop is constant-size. m·k ≤ 32
+    * keeps genuinely tiny codebooks (the PqSpec parity fixtures, m·k ≤ 4)
+    * on the fully-inlined path.
     */
-  private val UnrollMaxTerms = 64
+  private val UnrollMaxTerms = 32
 
   /** PQ code array (m ints) for a vector column: per subspace, the argmax
     * of `dot − ‖cw‖²/2` over the codewords (≡ argmin L2). The `‖cw‖²/2`
