@@ -69,8 +69,13 @@ object Dsir {
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
-    docs.select(col(idCol) +: keep.map(col)
-      :+ explode(concat(ts, bigrams)).as("f"): _*)
+    // spread BEFORE the tokenize+explode (round-19: single-row-group
+    // inputs otherwise run the whole feature stream on one task); no-op
+    // on already-split and streaming inputs
+    Partitioning.spread(
+        docs.select(col(idCol) +: keep.map(col) :+ col(textCol): _*))
+      .select(col(idCol) +: keep.map(col)
+        :+ explode(concat(ts, bigrams)).as("f"): _*)
   }
 
   /** [[docFeatures]] folded to `buckets` hashed features — the

@@ -42,7 +42,14 @@ object NgramLm {
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    docs.select(col(idCol) +: keep.map(col) :+ explode(pairs).as("p"): _*)
+    // spread BEFORE the tokenize+explode: a small single-split input
+    // otherwise runs the whole per-row-expensive stream on one task
+    // (round-19 finding — every sf table is one parquet row group, so the
+    // scan stage is serial); no-op on already-split inputs and on
+    // streaming frames (no file leaves)
+    Partitioning.spread(
+        docs.select(col(idCol) +: keep.map(col) :+ col(textCol): _*))
+      .select(col(idCol) +: keep.map(col) :+ explode(pairs).as("p"): _*)
       .select(col(idCol) +: keep.map(col) :+ col("p.w1").as("w1")
         :+ col("p.w2").as("w2"): _*)
   }
@@ -66,7 +73,8 @@ object NgramLm {
     // zero-token docs must emit NOTHING: zip_with pads the shorter side
     // with null, so an empty ts against [null] would fabricate a
     // (null, null) row — explode(null) drops the doc instead
-    docs.select(col(idCol),
+    Partitioning.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         explode(when(size(ts) > lit(0), pairs)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
   }
@@ -85,12 +93,13 @@ object NgramLm {
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val big = docs.select(explode(pairs).as("p"))
+    val spreadDocs = Partitioning.spread(docs.select(col(textCol)))
+    val big = spreadDocs.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     Model(
       bigrams = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb")),
       contexts = big.groupBy("w1").agg(count(lit(1)).as("cu")),
-      vocab = docs.select(explode(ts).as("w"))
+      vocab = spreadDocs.select(explode(ts).as("w"))
         .agg(count_distinct(col("w")).as("v")))
   }
 
@@ -113,7 +122,11 @@ object NgramLm {
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val big = docs.select(explode(pairs).as("p"))
+    // spread before the tokenize+explode (round-19; see [[docBigrams]]) —
+    // all four aggregate subtrees below re-run this stream, so the spread
+    // parallelizes each of them
+    val big = Partitioning.spread(docs.select(col(textCol)))
+      .select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
     val cl = big.groupBy("w1").agg(count(lit(1)).as("n_left"))
@@ -162,7 +175,8 @@ object NgramLm {
     // |vocab| over the full token stream (w1 ∪ final tokens): one
     // single-row broadcast, not a driver scalar
     val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
-    val vocab = docs.select(explode(ts).as("w")).agg(
+    val vocab = Partitioning.spread(docs.select(col(textCol)))
+      .select(explode(ts).as("w")).agg(
       count_distinct(col("w")).as("v"))
     big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
       .crossJoin(broadcast(vocab))

@@ -28,6 +28,10 @@ object Partitioning {
     * untouched.
     */
   def spread(df: DataFrame): DataFrame = {
+    // a streaming frame cannot be batch-analyzed (optimizedPlan would
+    // throw UnsupportedOperationChecker) and its micro-batch partitioning
+    // is the source's business — pass through untouched
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)

@@ -25,7 +25,8 @@ object PlanPhaseProbe {
         "q_ext_dsir_weights", "q_ext_corpus_prep", "q_ext_hybrid_rrf",
         "q_ext_bm25_topk")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = LocalSession(cores = 32, logLevel = "ERROR")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = LocalSession(cores = cores, logLevel = "ERROR")
     val queries = graft.SparkEntry.queries
     names.foreach { n =>
       // warmup: codegen + any one-time model training outside the reps
