@@ -232,7 +232,7 @@ object Profiler {
     // recompute is a columnar scan plus a cheap Generate, measured faster
     // than writing |rows|×|cols| exploded rows through the block store
     // just to read them back once
-    val exploded = df
+    val exploded = Partitioning.spread(df.select(cols.map(col): _*))
       .select(posexplode(array(cols.map(c => col(c).cast("double")): _*))
         .as(Seq("__ci", "__v")))
       .filter(col("__v").isNotNull)
