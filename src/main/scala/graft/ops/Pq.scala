@@ -120,17 +120,28 @@ object Pq {
     * PlanInvariantsSpec locks out). Undefined codes on a null vector.
     */
   private[ops] def encodeExprUnguarded(vec: Column, cb: Codebook): Column =
-    if (cb.m * cb.k <= UnrollMaxTerms)
-      array((0 until cb.m).map { s =>
-        val sub = subVec(vec, cb, s)
-        val scored = array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
-          val halfNorm2 = cw.map(x => x * x).sum / 2
-          struct((vec_dot(sub, array(cw.map(lit): _*)) - lit(halfNorm2)).as("s"),
-            lit(j).as("i"))
-        }: _*)
-        coalesce(array_max(scored).getField("i"), lit(-1)) // non-null elements
-      }: _*)
+    if (cb.m * cb.k <= UnrollMaxTerms) encodeExprUnrolled(vec, cb)
     else graft.functions.PqExpressions.pq_encode(vec, cb.codewords)
+
+  /** The unrolled literal encode, regardless of [[UnrollMaxTerms]] —
+    * retained as the independent reference form the kernel is
+    * spec-checked against (the [[adcScoreExprUnrolled]] posture), never
+    * on the hot path above the threshold.
+    */
+  private[graft] def encodeExprUnrolledForSpec(vec: Column, cb: Codebook): Column =
+    when(vec.isNotNull, encodeExprUnrolled(vec, cb))
+      .otherwise(array((0 until cb.m).map(_ => lit(-1)): _*))
+
+  private def encodeExprUnrolled(vec: Column, cb: Codebook): Column =
+    array((0 until cb.m).map { s =>
+      val sub = subVec(vec, cb, s)
+      val scored = array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
+        val halfNorm2 = cw.map(x => x * x).sum / 2
+        struct((vec_dot(sub, array(cw.map(lit): _*)) - lit(halfNorm2)).as("s"),
+          lit(j).as("i"))
+      }: _*)
+      coalesce(array_max(scored).getField("i"), lit(-1)) // non-null elements
+    }: _*)
 
   /** (id, codes) frame: the compressed form of a vector table. At rest this
     * is what a 100 TB corpus stores and scans — `m` small ints per vector

@@ -232,7 +232,12 @@ object Profiler {
     // recompute is a columnar scan plus a cheap Generate, measured faster
     // than writing |rows|×|cols| exploded rows through the block store
     // just to read them back once
-    val exploded = Partitioning.spread(df.select(cols.map(col): _*))
+    // NOT spread: repartitioning a 600 k-row single-split input pays a
+    // serial sortBeforeRepartition that exceeds the parallelism win
+    // (round-19 A/B: q_dedup_business_key 0.3 s -> 1.1 s under the same
+    // treatment); this pipeline is bounded by its five serialized jobs,
+    // not map compute
+    val exploded = df
       .select(posexplode(array(cols.map(c => col(c).cast("double")): _*))
         .as(Seq("__ci", "__v")))
       .filter(col("__v").isNotNull)

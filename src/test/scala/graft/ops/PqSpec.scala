@@ -289,6 +289,38 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  "the UnrollMaxTerms switch" should "route the bench codebook shape (m=4, k=16) through the native kernels" in {
+    // round-19 optimization: at m·k = 64 the unrolled literal form measured
+    // 3-5x slower end-to-end than the kernels (tools/PqAblateProbe — the
+    // 64-term tree is duplicated under the codes guard filter and its
+    // generated Java blows past JIT-friendly method sizes), so the switch
+    // must keep 64 terms on the kernel path; tiny codebooks stay unrolled.
+    import org.apache.spark.sql.functions.col
+    val benchCb = Pq.Codebook(64, IndexedSeq.tabulate(4)(sIdx =>
+      IndexedSeq.tabulate(16)(j =>
+        Array.tabulate(16)(d => ((sIdx * 13 + j * 5 + d * 3) % 17 - 8) / 8.0))))
+    val vecs = (0L until 4L).map(i =>
+      i -> Seq.tabulate(64)(d => ((i * 31 + d * 7) % 19 - 9) / 4.0)).toDF("id", "vec")
+    // the Column wraps a lazy ColumnNode in Spark 4 — inspect the
+    // ANALYZED plan's expression classes instead
+    def exprNames(c: org.apache.spark.sql.Column): String =
+      vecs.select(c).queryExecution.analyzed.expressions
+        .flatMap(_.collect { case e => e.getClass.getSimpleName })
+        .mkString(",")
+    // m·k = 64 → native kernels
+    exprNames(Pq.encodeExpr(col("vec"), benchCb)) should include("PqEncode")
+    exprNames(Pq.lutExpr(col("vec"), benchCb)) should include("PqLut")
+    // m·k = 4 (the spec fixture) → still the fully-inlined unrolled form
+    exprNames(Pq.encodeExpr(col("vec"), cb)) should not include "PqEncode"
+    exprNames(Pq.lutExpr(col("vec"), cb)) should not include "PqLut"
+    // and the two forms stay value-identical at the bench shape
+    val both = vecs.select(
+        Pq.encodeExpr(col("vec"), benchCb).as("n_codes"),
+        Pq.encodeExprUnrolledForSpec(col("vec"), benchCb).as("u_codes"))
+      .collect()
+    both.foreach(r => r.getSeq[Int](0) shouldBe r.getSeq[Int](1))
+  }
+
   it should "fail loudly on malformed codes instead of AIOOBE or silent 0.0" in {
     // round-16 ADVICE: the kernel must be at least as total as the
     // unrolled ANSI element_at chain it replaced
