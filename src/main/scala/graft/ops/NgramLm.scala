@@ -122,11 +122,10 @@ object NgramLm {
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    // spread before the tokenize+explode (round-19; see [[docBigrams]]) —
-    // all four aggregate subtrees below re-run this stream, so the spread
-    // parallelizes each of them
-    val big = Partitioning.spread(docs.select(col(textCol)))
-      .select(explode(pairs).as("p"))
+    // NOT spread (round-19 floor-farm A/B: the four aggregate subtrees
+    // each re-pay the repartition exchange, floor 0.885 -> 1.097 s —
+    // the parallel-redundant original is the measured optimum here)
+    val big = docs.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
     val cl = big.groupBy("w1").agg(count(lit(1)).as("n_left"))

@@ -39,16 +39,14 @@ object Retrieval {
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            topN: Int = 20, scoreDecimals: Int = 6): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    // corpus stats: N and mean doc length — a ONE-ROW frame kept in-plan
-    // (broadcast cross-join inside [[scoreBm25]]) rather than .head()'d:
-    // the collect was a separate Spark job serialized ahead of the
-    // scoring job, measured as ~90% of the query's wall at bench scale
-    // (round-19 phase probe: build 1.18 s vs count 0.06 s); in-plan the
-    // stats subtree runs concurrently with the postings subtree in the
-    // one scoring job. Same integers, same divisions — scores identical.
-    val stats = Partitioning.spread(docs.select(col(textCol)))
+    // corpus stats: N and mean doc length. Two driver scalars from one
+    // tiny aggregate (guard-style collect — the frame is one row).
+    val stats = docs
       .select(size(TextDedup.tokens(col(textCol))).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
 
     // contains-any prefilter BEFORE tokenization: a token present in
     // tokens(normalize(text)) is necessarily a substring of lower(text)
@@ -58,17 +56,14 @@ object Retrieval {
     // 0-match terms): 8.3s -> scan-bound; the explode was the whole cost.
     val candidates = docs.filter(
       terms.map(t => lower(col(textCol)).contains(t)).reduce(_ || _))
-    // spread before the tokenize+explode of the surviving docs (round-19:
-    // single-row-group inputs otherwise tokenize on one task); no-op on
-    // already-split inputs
-    val tf = Partitioning.spread(candidates.select(col(idCol), col(textCol)))
+    val tf = candidates
       .select(col(idCol), TextDedup.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("token"))
       .filter(col("token").isInCollection(terms))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    scoreBm25(tf, idCol, terms, stats, k1, b, topN, scoreDecimals)
+    scoreBm25(tf, idCol, terms, n, avgdl, k1, b, topN, scoreDecimals)
   }
 
   /** Build the INVERTED INDEX: full postings (token, id, tf, dl) plus a
@@ -104,12 +99,12 @@ object Retrieval {
                     k1: Double = 1.2, b: Double = 0.75,
                     topN: Int = 20, scoreDecimals: Int = 6): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    // the one-row stats table stays in-plan (see [[bm25]]) — reading it
-    // via .head() was a separate job per query
-    val stats = spark.read.parquet(s"$indexDir/stats").select("n", "sum_dl")
+    val stats = spark.read.parquet(s"$indexDir/stats").head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
     val tf = spark.read.parquet(s"$indexDir/postings")
       .filter(col("token").isInCollection(terms))
-    scoreBm25(tf, idCol, terms, stats, k1, b, topN, scoreDecimals)
+    scoreBm25(tf, idCol, terms, n, avgdl, k1, b, topN, scoreDecimals)
   }
 
   /** Shared scoring tail over a (idCol, dl, token, tf) postings frame.
@@ -130,23 +125,17 @@ object Retrieval {
     * the returned frame no longer carries it.
     */
   private def scoreBm25(tfIn: DataFrame, idCol: String, terms: Seq[String],
-                        stats: DataFrame, k1: Double, b: Double,
+                        n: Long, avgdl: Double, k1: Double, b: Double,
                         topN: Int, scoreDecimals: Int): DataFrame = {
     val tf = tfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // document frequency per term: |terms| rows -> broadcast
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
 
-    // stats ride as a broadcast one-row (n, sum_dl) frame; the arithmetic
-    // below is shape-for-shape the driver-literal form it replaces
-    // (n - df is the same BIGINT subtraction, avgdl the same n-th of the
-    // same BIGINT sum), so scores are bit-identical
-    val avgdl = col("sum_dl").cast("double") / col("n")
-    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val idf = (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
     val den = col("tf") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl))
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / lit(avgdl)))
     val scored = tf.join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
       .withColumn("__s", idf * ((col("tf") * lit(k1 + 1.0)) / den))
 
     // fixed-order per-doc sum: one conditional aggregate per term, then a

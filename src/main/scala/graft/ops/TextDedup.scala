@@ -41,9 +41,7 @@ object TextDedup {
     */
   def exactDedup(df: DataFrame, textCol: String, tieBreak: Seq[Column]): DataFrame =
     Dedup.keepFirst(
-      // spread before the normalize+md5 map work (round-19: single-split
-      // inputs otherwise hash on one task; no-op on split inputs)
-      Partitioning.spread(df).withColumn("__content_hash", contentHash(col(textCol))),
+      df.withColumn("__content_hash", contentHash(col(textCol))),
       keys = Seq("__content_hash"), order = tieBreak)
 
   /** Cross-source duplicate-overlap matrix: for every unordered source
@@ -83,7 +81,7 @@ object TextDedup {
   def exactDedupAsc(df: DataFrame, textCol: String,
                     tieBreakAsc: Seq[String]): DataFrame =
     Dedup.keepFirstAsc(
-      Partitioning.spread(df).withColumn("__content_hash", contentHash(col(textCol))),
+      df.withColumn("__content_hash", contentHash(col(textCol))),
       keys = Seq("__content_hash"), orderCols = tieBreakAsc)
 
   /** Word n-gram shingles. Documents shorter than `n` tokens collapse to a

@@ -359,7 +359,7 @@ object TextStats {
   def encodeTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, ids: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val exploded = Partitioning.spread(docs.select(col(idCol), col(textCol)))
+    val exploded = docs
       .select(col(idCol),
         posexplode(TextDedup.tokens(col(textCol))).as(Seq("__pos", "token")))
     exploded
@@ -377,11 +377,7 @@ object TextStats {
     */
   def docTokenCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame =
-    // spread before the tokenize+explode (round-19: single-row-group
-    // inputs otherwise run the stream on one task); no-op when the input
-    // is already split
-    Partitioning.spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
+    docs.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
 
   /** Per-document top-k terms by tf-idf. `idfOf(df, n)` defaults to the
