@@ -418,6 +418,19 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    // Round-19 verdict item 7: the driver's PERF comparison reads stdout,
+    // whose 2000-char tail cannot carry a 142-query map — give it the
+    // merged per-query floors as a stable artifact instead (flat
+    // {query: floor_s}; additions-only, the stdout contract is untouched).
+    // Rotated runs are partial registries and would clobber a full table,
+    // so only FULL runs write it (same rule as the close gate's stamp).
+    if (rotate.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        (results.sortBy(_._1)
+          .map { case (k, v) => jq(k) + ":" + v }
+          .mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
     val out = summaryLine(results, passes, passTotals, p50Total,
       loadIdle, loads.toSeq, errors.keys.toSeq, sfDir,
       extraPasses = extraPasses, mergedRuns = mergedRuns,

@@ -72,8 +72,10 @@ object Dsir {
     // spread BEFORE the tokenize+explode (round-19: single-row-group
     // inputs otherwise run the whole feature stream on one task); no-op
     // on already-split and streaming inputs
+    // .distinct: keep may name textCol — a duplicated column would make
+    // the later col(textCol) reference ambiguous (round-19 advice)
     Partitioning.spread(
-        docs.select(col(idCol) +: keep.map(col) :+ col(textCol): _*))
+        docs.select((idCol +: keep :+ textCol).distinct.map(col): _*))
       .select(col(idCol) +: keep.map(col)
         :+ explode(concat(ts, bigrams)).as("f"): _*)
   }

@@ -47,8 +47,11 @@ object NgramLm {
     // (round-19 finding — every sf table is one parquet row group, so the
     // scan stage is serial); no-op on already-split inputs and on
     // streaming frames (no file leaves)
+    // .distinct: keep may name textCol (a caller scoring the text column
+    // it also carries) — a duplicated column would make the later
+    // col(textCol) reference ambiguous (round-19 advice)
     Partitioning.spread(
-        docs.select(col(idCol) +: keep.map(col) :+ col(textCol): _*))
+        docs.select((idCol +: keep :+ textCol).distinct.map(col): _*))
       .select(col(idCol) +: keep.map(col) :+ explode(pairs).as("p"): _*)
       .select(col(idCol) +: keep.map(col) :+ col("p.w1").as("w1")
         :+ col("p.w2").as("w2"): _*)

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, FileScan}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan, FileTable}
 
 /** Partition-geometry helpers shared by the per-row-expensive operators. */
 object Partitioning {
@@ -37,9 +37,22 @@ object Partitioning {
     val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     def estimate(files: Long, bytes: Long): Long =
       math.max(files, (bytes + maxSplit - 1) / maxSplit)
-    val fileLeafSplits = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+    // ANALYZED plan, not optimized: the file leaves are identical (scan
+    // relations resolve during analysis) but this skips a full optimizer
+    // run per call site — Dsir.fit/avgLogProb call spread several times
+    // per query build (round-19 advice: driver-side work growing with
+    // plan size)
+    val fileLeafSplits = df.queryExecution.analyzed.collectLeaves().flatMap {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         Some(estimate(fs.location.inputFiles.length.toLong, fs.location.sizeInBytes))
+      // pre-pushdown v2 form (what the ANALYZED plan carries)
+      case r: DataSourceV2Relation => r.table match {
+        case ft: FileTable =>
+          Some(estimate(ft.fileIndex.inputFiles.length.toLong,
+            ft.fileIndex.sizeInBytes))
+        case _ => None
+      }
+      // post-pushdown v2 form, kept for callers passing optimized frames
       case r: DataSourceV2ScanRelation => r.scan match {
         case f: FileScan =>
           Some(estimate(f.fileIndex.inputFiles.length.toLong,

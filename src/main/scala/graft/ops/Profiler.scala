@@ -250,6 +250,15 @@ object Profiler {
     // the range sampler's recompute (sampling here re-runs only the cheap
     // scan+explode). The local sort after the aggregate restores value
     // order within each partition.
+    //
+    // Round-20 A/B (tools/QuantProbe, warm minima over 5 reps at sf0.1):
+    // this form 1.60 s; hash-agg-first + persist + range over the
+    // aggregate (the round-19 verdict's candidate) 1.82 s — the distinct
+    // table is 583 k of 1.8 M exploded rows (l_extendedprice is
+    // near-unique), so pre-aggregation shrinks little and its extra
+    // exchange + larger sampler recompute cost more than they save;
+    // dropping the persist (shuffle-reuse pays re-agg+re-sort on the
+    // second job) 2.18 s. Both rejected on measurement.
     val counts = exploded
       .repartitionByRange(col("__ci"), col("__v"))
       .groupBy("__ci", "__v").agg(count(lit(1)).as("__cnt"))

@@ -79,16 +79,36 @@ private[queries] trait QextRankTier { this: QextBase =>
     */
   def qExtHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // The two legs are INDEPENDENT job chains, each ending in a k-bounded
+    // (<= 50 row) result — run them concurrently (guide §2.6: actions are
+    // only sequential because driver code calls them sequentially) so the
+    // dense leg's tasks back-fill the sparse leg's stage tails instead of
+    // queueing after them. Fusion math and output are unchanged.
+    //
     // sparse leg from the stored inverted index ([[bm25Index]]) — scores
     // identical to the direct form, and the hybrid query shouldn't
     // re-tokenize a corpus the ingest path already indexed
-    val sparse = Retrieval.ranked(
-      Retrieval.bm25FromIndex(spark, bm25Index(spark, dir), "doc_id",
-        bm25Terms, topN = 50),
-      "doc_id", "rank_sparse").select("doc_id", "rank_sparse")
-    val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
-        "vec_id", "embedding", k = 50)
-      .select(col("cand_id").as("doc_id"), col("rank").as("rank_dense"))
+    val sparseF = scala.concurrent.Future {
+      Retrieval.ranked(
+        Retrieval.bm25FromIndex(spark, bm25Index(spark, dir), "doc_id",
+          bm25Terms, topN = 50),
+        "doc_id", "rank_sparse").select("doc_id", "rank_sparse")
+    }
+    val denseF = scala.concurrent.Future {
+      val d = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
+          "vec_id", "embedding", k = 50)
+        .select(col("cand_id").as("doc_id"), col("rank").as("rank_dense"))
+      // k-bounded by construction: materialize as a LocalRelation (the
+      // same pattern as Retrieval.ranked on the sparse side) so the
+      // dense jobs run NOW, overlapped, not at fusion time
+      spark.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
+    }
+    val sparse = scala.concurrent.Await.result(
+      sparseF, scala.concurrent.duration.Duration.Inf)
+    val dense = scala.concurrent.Await.result(
+      denseF, scala.concurrent.duration.Duration.Inf)
     Retrieval.rrfFuse(sparse, dense, "doc_id",
         rankA = "rank_sparse", rankB = "rank_dense", topN = 20)
       .orderBy(col("rrf").desc, col("doc_id").asc)

@@ -405,7 +405,18 @@ private[queries] trait QextTextTier { this: QextBase =>
         |  )
         |)
         |SELECT doc_id,
-        |       round(CASE WHEN n = 0 THEN 1.0 ELSE (bits / 8.0) / n END, 4) AS lz_ratio
+        |       -- integer HALF-UP of the exact rational bits/(8n) at 4
+        |       -- decimals: floor(x + 1/2) = (2*num + den) // (2*den).
+        |       -- DuckDB's float round() took the decimal tie 2667/4000 =
+        |       -- 0.66675 DOWN (its double sits just below the tie) where
+        |       -- Spark's round (BigDecimal of the shortest repr, HALF_UP)
+        |       -- goes UP — one sf0.001 doc diverged (round-20 root-cause;
+        |       -- the LZ bits agreed exactly on every doc). For non-tie
+        |       -- rationals the two agree: with n <= ~1e5 the rational is
+        |       -- >= ~6e-10 from any tie, far beyond a double's half-ulp.
+        |       CASE WHEN n = 0 THEN 1.0
+        |            ELSE ((2 * bits * 10000 + 8 * n) // (16 * n)) / 10000.0
+        |       END AS lz_ratio
         |FROM p WHERE i > n ORDER BY doc_id""".stripMargin,
 
     // Exact pairs via SQL-side prefix filtering (complete recall, see

@@ -58,6 +58,17 @@ object Explain {
         } catch { case e: Throwable => println(s"$n  ERR ${e.getMessage.take(80)}") }
       }
       println("[genfilters] audit complete")
+    } else if (name == "final") {
+      // FINAL adaptive plan after execution — shows AQE's runtime stage
+      // reuse (ReusedQueryStage/ReusedExchange) and join rewrites that the
+      // initial formatted dump cannot (round-20: is corpus_prep's
+      // duplicated dedup subtree already deduped by AQE stage reuse?)
+      val qname = args(1)
+      val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+      val df = queries(qname)(spark, sf)
+      val qe = df.queryExecution
+      try df.collect() catch { case _: Throwable => () }
+      println(qe.executedPlan.toString)
     } else {
       queries(name)(spark, sfDir).explain("formatted")
     }

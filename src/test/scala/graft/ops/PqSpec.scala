@@ -321,7 +321,9 @@ class PqSpec extends SparkSpec {
     both.foreach(r => r.getSeq[Int](0) shouldBe r.getSeq[Int](1))
   }
 
-  it should "fail loudly on malformed codes instead of AIOOBE or silent 0.0" in {
+  // explicit subject: the preceding UnrollMaxTerms case would otherwise
+  // re-bind this kernel-totality test's reported name (round-19 advice)
+  "the native pq_adc kernel" should "fail loudly on malformed codes instead of AIOOBE or silent 0.0" in {
     // round-16 ADVICE: the kernel must be at least as total as the
     // unrolled ANSI element_at chain it replaced
     import org.apache.spark.sql.catalyst.util.GenericArrayData
