@@ -72,11 +72,19 @@ object Decontaminate {
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    // No `.distinct()` on the id list (round-20): a LEFT ANTI build side
+    // is an existence test — duplicate ids in the hashed relation cannot
+    // change which docs survive — and the distinct's hash exchange was a
+    // full serialized stage wave. Broadcast growth is bounded by the
+    // CONTAMINATED sliver's (id × matching-shingle) multiplicity, small
+    // by the same rarity argument that makes the anti form cheaper than
+    // tag+filter; AQE demotes the join if a pathological benchmark ever
+    // outgrows broadcast.
     val contaminatedIds = docs
       .select(col(idCol),
         explode(array_distinct(TextDedup.shingles(col(textCol), n))).as("__s"))
       .join(broadcast(prepareBenchmark(benchmark, benchTextCol, n)), "__s")
-      .select(idCol).distinct()
+      .select(idCol)
     docs.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 

@@ -21,9 +21,16 @@ object LookupJoin {
     * shared key names. Join keys are emitted once (USING-style).
     */
   def lookupLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-                 dimCols: Seq[String] = Nil, hint: Boolean = true): DataFrame = {
+                 dimCols: Seq[String] = Nil, hint: Boolean = true,
+                 dimUnique: Boolean = false): DataFrame = {
     val projected = if (dimCols.isEmpty) dim else dim.select((keys ++ dimCols).distinct.map(col): _*)
-    val deduped = projected.dropDuplicates()
+    // dimUnique: the caller KNOWS the dim is key-unique (a primary-keyed
+    // dimension table) — the defensive dropDuplicates is then a no-op
+    // semantically but costs a full hash exchange + two aggregate passes
+    // on the broadcast-build path (round-20: two of q_pipeline_pretam's
+    // ten serialized stage waves). Knowledge the optimizer doesn't have,
+    // guide §8; the oracle replay proves result equality.
+    val deduped = if (dimUnique) projected else projected.dropDuplicates()
     fact.join(if (hint) broadcast(deduped) else deduped, keys, "left")
   }
 

@@ -158,9 +158,13 @@ object Q {
   /** J2/J4/J5/J7 + D1: deduped broadcast lookup left join. */
   def qJoinLookupLeft(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")
+    // dimUnique: c_custkey is customer's primary key — the defensive
+    // dedup is a semantic no-op costing an exchange (round-20, same
+    // rationale as pretam's dims; oracle-checked)
     val joined = LookupJoin.lookupLeft(
       orders.withColumnRenamed("o_custkey", "c_custkey"),
-      t(spark, dir, "customer"), keys = Seq("c_custkey"), dimCols = Seq("c_mktsegment"))
+      t(spark, dir, "customer"), keys = Seq("c_custkey"), dimCols = Seq("c_mktsegment"),
+      dimUnique = true)
     joined.select("o_orderkey", "c_mktsegment").orderBy("o_orderkey")
   }
 
@@ -278,16 +282,21 @@ object Q {
       .withColumn("li_key", Derive.concatKey("-", col("l_orderkey"), col("l_linenumber")))
       .withColumn("qty_code", Normalize.stripDecimal(col("l_quantity")))
 
+    // dimUnique: o_orderkey / p_partkey are the tables' primary keys, so
+    // the lookup's defensive dedup is a semantic no-op — skipping it
+    // removes one hash exchange per dim from the broadcast-build path
+    // (round-20; result hash-identical, oracle-checked)
     val withOrd = LookupJoin.lookupLeft(
       fact.withColumnRenamed("l_orderkey", "o_orderkey"),
-      t(spark, dir, "orders"), keys = Seq("o_orderkey"), dimCols = Seq("o_orderstatus"))
+      t(spark, dir, "orders"), keys = Seq("o_orderkey"), dimCols = Seq("o_orderstatus"),
+      dimUnique = true)
       .withColumnRenamed("o_orderkey", "l_orderkey")
 
     val partDim = t(spark, dir, "part").filter(col("p_size") <= 25)
       .select("p_partkey", "p_name", "p_brand")
     val joined = LookupJoin.lookupLeft(
       withOrd.withColumnRenamed("l_partkey", "p_partkey"),
-      partDim, keys = Seq("p_partkey"))
+      partDim, keys = Seq("p_partkey"), dimUnique = true)
       .withColumnRenamed("p_partkey", "l_partkey")
 
     val withItem = LookupJoin.withFallback(joined, "item_name", col("p_name"), lit("UNKNOWN"))

@@ -46,7 +46,11 @@ class PersistInventorySpec extends AnyFlatSpec with Matchers {
     "ops/Hits.scala" -> (4, Managed), // hitsManaged: graph frames + iterates
     "ops/PageRank.scala" -> (5, Managed), // pageRank/trustRankManaged
     "ops/Profiler.scala" -> (1, Released), // rank-select scratch, read twice
-    "ops/Retrieval.scala" -> (1, Released), // BM25 tf table, freed post-topN
+    // round 20: overlapStatsWithPostings pins the postings frame before
+    // filling it concurrently with the stats job; scoreBm25's own persist
+    // call then ALIASES the same plan (CacheManager dedups), and its
+    // existing unpersist releases the one shared entry.
+    "ops/Retrieval.scala" -> (2, Released), // BM25 tf table, freed post-topN
     // round 15: the warm-path pins (Sampling prefix-sum scratch, SemDedup
     // assignment, SpanDedup occurrences, TextDedup ppjoin/simhash
     // signatures) route through Managed.ensurePersisted — persist only
