@@ -99,9 +99,13 @@ object NgramLm {
     val spreadDocs = Partitioning.spread(docs.select(col(textCol)))
     val big = spreadDocs.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // contexts derive from the bigram table (sum-of-counts identity, same
+    // as [[collocations]]' marginals): one corpus pass + AQE exchange
+    // reuse instead of two independent tokenize+explode passes (round-20)
+    val bigrams = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     Model(
-      bigrams = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb")),
-      contexts = big.groupBy("w1").agg(count(lit(1)).as("cu")),
+      bigrams = bigrams,
+      contexts = bigrams.groupBy("w1").agg(sum("cb").as("cu")),
       vocab = spreadDocs.select(explode(ts).as("w"))
         .agg(count_distinct(col("w")).as("v")))
   }
@@ -131,6 +135,15 @@ object NgramLm {
     val big = docs.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    // marginals deliberately RE-SCAN the pair stream instead of deriving
+    // from cb (sum-of-counts identity, tried round-20): the four corpus
+    // passes are INDEPENDENT AQE stages submitted in one concurrent wave,
+    // while deriving serializes cl/cr/n behind cb's materialization —
+    // measured 0.66 -> 0.93 s, jobs 9 -> 12 (same-window PlanPhaseProbe
+    // A/B). The parallel-redundant form stays the local optimum here, the
+    // same wave-vs-work verdict as the round-19 spread rejection above.
+    // (avgLogProb keeps the derived form: its wall was flat and it drops
+    // a corpus-scale tokenize pass — the 100 TB-side of the trade.)
     val cl = big.groupBy("w1").agg(count(lit(1)).as("n_left"))
     val cr = big.groupBy("w2").agg(count(lit(1)).as("n_right"))
     val n = big.agg(count(lit(1)).as("n_total"))
@@ -173,7 +186,10 @@ object NgramLm {
   def avgLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val big = docBigrams(docs, idCol, textCol)
     val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // cu derives from cb (sum-of-counts identity): the scoring stream is
+    // the only other corpus-scale pass left — 3 tokenize+explode passes
+    // drop to 2, with cb's exchange AQE-reused by the cu subtree (round-20)
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
     // |vocab| over the full token stream (w1 ∪ final tokens): one
     // single-row broadcast, not a driver scalar
     val ts = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
