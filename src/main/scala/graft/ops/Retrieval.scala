@@ -122,8 +122,11 @@ object Retrieval {
                     k1: Double = 1.2, b: Double = 0.75,
                     topN: Int = 20, scoreDecimals: Int = 6): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val statsDf = spark.read.parquet(s"$indexDir/stats")
-    val tf = spark.read.parquet(s"$indexDir/postings")
+    // memoized resolution (round-20): the index is write-once per (JVM,
+    // corpus dir) — re-resolving the two relations cost ~90 ms of driver
+    // time per query build (tools/ReadCostProbe)
+    val statsDf = graft.io.Sources.pathTable(spark, s"$indexDir/stats")
+    val tf = graft.io.Sources.pathTable(spark, s"$indexDir/postings")
       .filter(col("token").isInCollection(terms))
     // same §2.6 overlap as [[bm25]]: the one-row stats read and the
     // postings-sliver materialization are independent jobs

@@ -36,7 +36,10 @@ private[queries] trait QextDedupTier { this: QextBase =>
         .write.mode("overwrite").parquet(p.toString)
       p.toString
     })
-    spark.read.parquet(path)
+    // memoized resolution (round-20): the store is write-once per (JVM,
+    // dir) by the computeIfAbsent above — re-resolving cost ~90 ms of
+    // driver time per query build (tools/ReadCostProbe)
+    graft.io.Sources.pathTable(spark, path)
   }
 
 
